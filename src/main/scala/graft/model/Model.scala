@@ -1,0 +1,53 @@
+package graft.model
+
+/**
+ * The nine record types of the reference engine, reproduced verbatim as the
+ * public typed API surface (reference: SentimentAnalysis.scala:313-327).
+ *
+ * The reference streams carry no time/order fields — Flink 1.6 processing
+ * time and arrival order are implicit. The rebuild makes both explicit so
+ * event-time windows and order-sensitive folds are deterministic and
+ * oracle-testable: see [[TimedMessage]] (`seq` = arrival order,
+ * `tsec` = event-time seconds).
+ */
+object Model {
+
+  /** SentimentAnalysis.scala:313 */
+  trait HoldsSentiment { def sentiment: Sentiment }
+
+  /** SentimentAnalysis.scala:315 */
+  case class Message(channel: String, user: String, text: String)
+
+  /** SentimentAnalysis.scala:317 — score in [-1,1], magnitude >= 0. */
+  case class Sentiment(score: Float, magnitude: Float)
+
+  /** SentimentAnalysis.scala:318 */
+  case class MessageSentiment(message: Message, sentiment: Sentiment)
+      extends HoldsSentiment
+
+  /** SentimentAnalysis.scala:320 */
+  case class Entity(key: String, salience: Float, sentiment: Sentiment)
+      extends HoldsSentiment
+
+  /** SentimentAnalysis.scala:321 */
+  case class EntityCount(key: String, count: Int)
+
+  /** SentimentAnalysis.scala:323 — value = score * magnitude
+    * (SentimentAnalysis.scala:252). */
+  case class Mood(key: String, value: Float, moodType: String)
+
+  /** SentimentAnalysis.scala:325 */
+  case class Category(category: String, confidence: Float)
+
+  /** SentimentAnalysis.scala:326 */
+  case class MessageCategories(message: Message, categories: List[Category])
+
+  /** SentimentAnalysis.scala:327 */
+  case class CategorySentiment(message: Message, category: Category,
+      sentiment: Sentiment) extends HoldsSentiment
+
+  /** Rebuild-side wire record: the reference's implicit arrival order and
+    * processing time made explicit (SURVEY.md §1). */
+  case class TimedMessage(seq: Long, tsec: Long, channel: String,
+      user: String, text: String)
+}
