@@ -1,13 +1,69 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.oracle.OracleSql
+import graft.pipeline.{ParityQueries => PQ}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (the reference parity
+  * surface, [[graft.pipeline.ParityQueries]]) and the LLM-data-pipeline
+  * surface ([[graft.pipeline.DataOps]]) is registered here under a stable
+  * name, paired with its DuckDB oracle SQL ([[graft.oracle.OracleSql]]).
+  * Output column names match between the Spark plan and the SQL — the
+  * driver sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * This is the reference's active DAG E1 (socket → parse → 1 s keyed
+    * window concat → sentiment → sink, SentimentAnalysis.scala:41-59,216)
+    * in its deterministic batch-twin form. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    PQ.x1Sentiment(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference parity surface (SURVEY.md §2.3-2.5) ---
+    "r1Parse"             -> (PQ.r1Parse _),
+    "w1Concat"            -> (PQ.w1Concat _),
+    "w2Concat"            -> (PQ.w2Concat _),
+    "x1Sentiment"         -> (PQ.x1Sentiment _),
+    "x2Entities"          -> (PQ.x2Entities _),
+    "w3EntityCount"       -> (PQ.w3EntityCount _),
+    "trending"            -> (PQ.trending _),
+    "x3Categories"        -> (PQ.x3Categories _),
+    "r6CategorySentiment" -> (PQ.r6CategorySentiment _),
+    "r7MoodUser"          -> (PQ.r7MoodUser _),
+    "w4UserMoodRunning"   -> (PQ.w4UserMoodRunning _),
+    "w5ChannelMoodSliding" -> (PQ.w5ChannelMoodSliding _),
+    "w6CategoryOpinion"   -> (PQ.w6CategoryOpinion _),
+    "w7EntityOpinion"     -> (PQ.w7EntityOpinion _),
+    "w8ToxicUser"         -> (PQ.w8ToxicUser _),
+    "w8ToxicTopic"        -> (PQ.w8ToxicTopic _),
+    "w8ToxicChannel"      -> (PQ.w8ToxicChannel _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "r1Parse"             -> OracleSql.r1Parse,
+    "w1Concat"            -> OracleSql.w1Concat,
+    "w2Concat"            -> OracleSql.w2Concat,
+    "x1Sentiment"         -> OracleSql.x1Sentiment,
+    "x2Entities"          -> OracleSql.x2Entities,
+    "w3EntityCount"       -> OracleSql.w3EntityCount,
+    "trending"            -> OracleSql.trending,
+    "x3Categories"        -> OracleSql.x3Categories,
+    "r6CategorySentiment" -> OracleSql.r6CategorySentiment,
+    "r7MoodUser"          -> OracleSql.r7MoodUser,
+    "w4UserMoodRunning"   -> OracleSql.w4UserMoodRunning,
+    "w5ChannelMoodSliding" -> OracleSql.w5ChannelMoodSliding,
+    "w6CategoryOpinion"   -> OracleSql.w6CategoryOpinion,
+    "w7EntityOpinion"     -> OracleSql.w7EntityOpinion,
+    "w8ToxicUser"         -> OracleSql.w8ToxicUser,
+    "w8ToxicTopic"        -> OracleSql.w8ToxicTopic,
+    "w8ToxicChannel"      -> OracleSql.w8ToxicChannel,
+  )
 }
