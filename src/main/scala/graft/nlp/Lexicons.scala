@@ -21,10 +21,13 @@ object Lexicons {
   /** word -> integer valence in [-5,5]; only nonzero entries are listed. */
   val valence: Seq[(String, Int)] = Seq(
     // --- synthetic corpus vocabulary (testdata documents.parquet) ---
-    // Deliberately slightly negative in aggregate so that the reference's
-    // toxicity filters (<= -10 / -20 / -30, SentimentAnalysis.scala:311)
-    // have non-trivial hits on the benchmark corpus.
-    "fast" -> 4, "slow" -> -4, "big" -> 2, "small" -> -2, "merge" -> 3,
+    // Frequency-weighted net valence over the corpus is slightly negative
+    // (≈ -380 at 500 docs, ≈ -0.2 mood/row), so the reference's toxicity
+    // filters (<= -10 / -20 / -30, SentimentAnalysis.scala:311) fire on
+    // SOME but not ALL complete count windows at every scale factor
+    // (verified: 13/15, 7/7, 3/3 windows at sf0.01; 76/156, 26/91, 13/26
+    // at sf0.1) — the filter is exercised in both directions.
+    "fast" -> 3, "slow" -> -4, "big" -> 2, "small" -> -2, "merge" -> 2,
     "dup" -> -3, "join" -> -1, "hash" -> 1, "scan" -> -2, "filter" -> -2,
     "sort" -> -2, "batch" -> 2, "stream" -> 2, "spark" -> 3, "query" -> -1,
     "group" -> -2, "order" -> 1,

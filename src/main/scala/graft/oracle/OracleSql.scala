@@ -21,13 +21,15 @@ object OracleSql {
 
   private val MIC = "1000000.0"
 
-  /** Message-stream derivation, mirror of [[graft.sources.Messages]]. */
+  /** Message-stream derivation, mirror of [[graft.sources.Messages]]:
+    * tsec advances 6 s per 3-doc bucket; user count scales with the data
+    * (one user per 64 buckets, floor 3). */
   val msgsCte: String =
     """msgs AS (
       |  SELECT doc_id AS seq,
-      |         (doc_id // 3) AS tsec,
+      |         (doc_id // 3) * 6 AS tsec,
       |         'ch' || CAST(((doc_id // 3) % 4) AS VARCHAR) AS channel,
-      |         'u'  || CAST(((doc_id // 3) % 10) AS VARCHAR) AS username,
+      |         'u'  || CAST(((doc_id // 3) % GREATEST(3, (((SELECT MAX(doc_id) FROM documents) // 3) + 1) // 64)) AS VARCHAR) AS username,
       |         text
       |  FROM documents
       |)""".stripMargin
@@ -166,8 +168,8 @@ object OracleSql {
        |urun AS (
        |  SELECT username AS key, wsec,
        |         CAST(SUM(mood_micro) OVER (PARTITION BY username
-       |           ORDER BY wsec ROWS BETWEEN UNBOUNDED PRECEDING AND
-       |           CURRENT ROW) AS BIGINT) AS run_micro
+       |           ORDER BY wsec, channel ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS BIGINT) AS run_micro
        |  FROM sent
        |)""".stripMargin
 

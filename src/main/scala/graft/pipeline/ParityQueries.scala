@@ -107,10 +107,12 @@ object ParityQueries {
     * per input record. */
   def userMoodRunning(spark: SparkSession, sfDir: String): DataFrame =
     sentimented(spark, sfDir)
-      .select(col("username").as("key"), col("wsec"), col("mood_micro"))
+      .select(col("username").as("key"), col("wsec"), col("channel"),
+        col("mood_micro"))
       .withColumn("run_micro",
-        runningSum(col("mood_micro"), Seq(col("key")), Seq(col("wsec"))))
-      .drop("mood_micro")
+        runningSum(col("mood_micro"), Seq(col("key")),
+          Seq(col("wsec"), col("channel"))))
+      .drop("mood_micro", "channel")
 
   // ---------------------------------------------------------------
   // Driver-checked queries (stable output column sets)
