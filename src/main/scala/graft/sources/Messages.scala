@@ -42,8 +42,11 @@ import org.apache.spark.sql.functions._
 object Messages {
 
   /** The derived message stream: seq, tsec, channel, username, text. */
-  def messages(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def messages(spark: SparkSession, sfDir: String): DataFrame =
+    fromDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** Derivation over any (doc_id, text) relation — unit-testable form. */
+  def fromDocs(docs: DataFrame): DataFrame = {
     val nb = docs.agg((expr("max(doc_id) div 3") + lit(1L)).as("nb"))
     val bucket = expr("doc_id div 3")
     val users = greatest(lit(3L), expr("nb div 64"))
