@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.oracle.OracleSql
-import graft.pipeline.{ParityQueries => PQ}
+import graft.oracle.{OracleSql, OracleSqlData}
+import graft.pipeline.{DataOps, ParityQueries => PQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,19 @@ object SparkEntry {
     "w8ToxicUser"         -> (PQ.w8ToxicUser _),
     "w8ToxicTopic"        -> (PQ.w8ToxicTopic _),
     "w8ToxicChannel"      -> (PQ.w8ToxicChannel _),
+    // --- LLM-data-pipeline surface (SURVEY.md §2.7) ---
+    "dedupExact"          -> (DataOps.dedupExact _),
+    "dedupMinhash"        -> (DataOps.dedupMinhash _),
+    "dedupSimhash"        -> (DataOps.dedupSimhash _),
+    "dedupNgramSource"    -> (DataOps.dedupNgramSource _),
+    "dedupEmbed"          -> (DataOps.dedupEmbed _),
+    "annBrute"            -> (DataOps.annBrute _),
+    "annIvf"              -> (DataOps.annIvf _),
+    "langId"              -> (DataOps.langId _),
+    "textQuality"         -> (DataOps.textQuality _),
+    "tokenCount"          -> (DataOps.tokenCount _),
+    "fingerprint"         -> (DataOps.fingerprint _),
+    "multimodal"          -> (DataOps.multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,5 +78,18 @@ object SparkEntry {
     "w8ToxicUser"         -> OracleSql.w8ToxicUser,
     "w8ToxicTopic"        -> OracleSql.w8ToxicTopic,
     "w8ToxicChannel"      -> OracleSql.w8ToxicChannel,
+    // --- LLM-data-pipeline surface (SURVEY.md §2.7) ---
+    "dedupExact"          -> OracleSqlData.dedupExact,
+    "dedupMinhash"        -> OracleSqlData.dedupMinhash,
+    "dedupSimhash"        -> OracleSqlData.dedupSimhash,
+    "dedupNgramSource"    -> OracleSqlData.dedupNgramSource,
+    "dedupEmbed"          -> OracleSqlData.dedupEmbed,
+    "annBrute"            -> OracleSqlData.annBrute,
+    "annIvf"              -> OracleSqlData.annIvf,
+    "langId"              -> OracleSqlData.langId,
+    "textQuality"         -> OracleSqlData.textQuality,
+    "tokenCount"          -> OracleSqlData.tokenCount,
+    "fingerprint"         -> OracleSqlData.fingerprint,
+    "multimodal"          -> OracleSqlData.multimodal,
   )
 }

@@ -50,4 +50,13 @@ object Model {
     * processing time made explicit (SURVEY.md §1). */
   case class TimedMessage(seq: Long, tsec: Long, channel: String,
       user: String, text: String)
+
+  /** Multimodal input record: an opaque binary payload with typed
+    * metadata ([[graft.pipeline.DataOps.multimodal]]). */
+  case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
+
+  /** Decoded multimodal features (decode step stubbed — see
+    * [[graft.pipeline.DataOps.multimodal]]). */
+  case class MediaFeature(doc_id: Long, mime: String, n_bytes: Long,
+      width: Long, height: Long, frames: Long)
 }

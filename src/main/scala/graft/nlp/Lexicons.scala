@@ -127,6 +127,10 @@ object Lexicons {
         ws.map(w => s"(${sqlStr(c)}, ${sqlStr(w)})")
       }.mkString(", ") + ")"
 
+  /** SQL list literal of stopwords: `['a', 'the', ...]`. */
+  def stopListSql: String =
+    stopwords.map(sqlStr).mkString("[", ", ", "]")
+
   /** `stopw(word)` VALUES CTE body. */
   def stopwordCte: String =
     "stopw(word) AS (VALUES " +

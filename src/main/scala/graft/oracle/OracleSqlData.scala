@@ -1,0 +1,405 @@
+package graft.oracle
+
+import graft.functions.HashFns
+import graft.nlp.Lexicons
+import graft.pipeline.DataOps
+
+/**
+ * DuckDB oracle SQL for the LLM-data-pipeline queries — the exact
+ * relational mirror of [[graft.pipeline.DataOps]]. Shares the cross-engine
+ * determinism contract of [[OracleSql]]:
+ *
+ *  - the one shared hash primitive is MD5; hash60(s) is
+ *    `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)` here and
+ *    `conv(substring(md5(s), 1, 15), 16, 10)` in Spark — same 60-bit
+ *    value ([[graft.functions.HashFns]]);
+ *  - embeddings are converted to micro-unit BIGINTs *first*, so every
+ *    dot product / norm is exact integer arithmetic in both engines —
+ *    float summation order cannot flip any result;
+ *  - the only double-precision steps (cosine normalize, ratio rounding)
+ *    are written with identical operand order and parenthesization.
+ */
+object OracleSqlData {
+
+  private val MIC = "1000000.0"
+  private val P = HashFns.P // 2147483647
+
+  /** hash60 of a SQL expression. */
+  private def h60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // =================================================================
+  // Shared text CTEs
+  // =================================================================
+
+  /** Whitespace words per doc (list), with source. */
+  private val wrdsCte: String =
+    """wrds AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Distinct 3-word shingles, one row per (doc_id, sh). */
+  private val shCte: String =
+    s"""shl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 3 THEN
+       |           list_distinct(list_transform(range(1, len(w) - 1),
+       |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |         ELSE CAST([] AS VARCHAR[]) END AS shs
+       |  FROM wrds
+       |),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl)""".stripMargin
+
+  // =================================================================
+  // Dedup family
+  // =================================================================
+
+  val dedupExact: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  val dedupMinhash: String = {
+    val k = DataOps.MinhashK
+    s"""WITH $wrdsCte,
+       |$shCte,
+       |shh AS (SELECT doc_id, sh, ${h60("sh")} % $P AS hp FROM sh),
+       |perm AS (SELECT unnest(range(0, $k)) AS i),
+       |sig AS (
+       |  SELECT s.doc_id, p.i,
+       |         MIN(((((2 * p.i + 1) * 2654435761) % $P) * s.hp +
+       |              ((p.i * 2246822519) % $P)) % $P) AS m
+       |  FROM shh s CROSS JOIN perm p
+       |  GROUP BY 1, 2
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // ${DataOps.MinhashR} AS band,
+       |         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |),
+       |nsh AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+       |intr AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  SELECT i.doc_a, i.doc_b,
+       |         CAST(ROUND(CAST(i.inter AS DOUBLE) /
+       |           CAST(na.nsh + nb.nsh - i.inter AS DOUBLE) * $MIC)
+       |           AS BIGINT) AS jac_micro
+       |  FROM intr i
+       |  JOIN nsh na ON na.doc_id = i.doc_a
+       |  JOIN nsh nb ON nb.doc_id = i.doc_b
+       |) WHERE jac_micro >= 500000""".stripMargin
+  }
+
+  val dedupSimhash: String =
+    s"""WITH $wrdsCte,
+       |wc AS (
+       |  SELECT doc_id, w_, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(w) AS w_ FROM wrds)
+       |  GROUP BY 1, 2
+       |),
+       |wh AS (
+       |  SELECT doc_id, cnt, ${h60("w_")} % 4294967296 AS h FROM wc
+       |),
+       |sb AS (
+       |  SELECT doc_id, j,
+       |         SUM(CASE WHEN ((h >> j) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM wh CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+       |  GROUP BY 1, 2
+       |),
+       |sim AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+       |                       ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM sb GROUP BY 1
+       |),
+       |chunks AS (
+       |  SELECT doc_id, c, (simhash >> (8 * c)) & 255 AS chunk
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |)
+       |SELECT * FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+       |           AS hamming
+       |  FROM cand c
+       |  JOIN sim sa ON sa.doc_id = c.doc_a
+       |  JOIN sim sb ON sb.doc_id = c.doc_b
+       |) WHERE hamming <= 3""".stripMargin
+
+  val dedupNgramSource: String =
+    s"""WITH $wrdsCte,
+       |tok AS (
+       |  SELECT doc_id, source, unnest(list_distinct(w)) AS w_ FROM wrds
+       |),
+       |ntok AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
+       |intr AS (
+       |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         COUNT(*) AS inter
+       |  FROM tok a JOIN tok b
+       |    ON a.source = b.source AND a.w_ = b.w_ AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT * FROM (
+       |  SELECT i.source, i.doc_a, i.doc_b,
+       |         CAST(ROUND(CAST(i.inter AS DOUBLE) /
+       |           CAST(na.nt + nb.nt - i.inter AS DOUBLE) * $MIC)
+       |           AS BIGINT) AS jac_micro
+       |  FROM intr i
+       |  JOIN ntok na ON na.doc_id = i.doc_a
+       |  JOIN ntok nb ON nb.doc_id = i.doc_b
+       |) WHERE jac_micro >= 800000""".stripMargin
+
+  // =================================================================
+  // Embedding similarity family
+  // =================================================================
+
+  /** Micro-unit integer vectors, per-element rows, and exact norms. */
+  private val embCtes: String =
+    """ev AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+      |           AS em
+      |  FROM embeddings
+      |),
+      |vu AS (
+      |  SELECT vec_id, unnest(em) AS v, generate_subscripts(em, 1) AS i
+      |  FROM ev
+      |),
+      |nrm AS (SELECT vec_id, SUM(v * v) AS nrm FROM vu GROUP BY 1)""".stripMargin
+
+  /** Cosine of each vector to each of the C centroids, ranked. */
+  private def crankCte(c: Int): String =
+    s"""cdot AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cid, SUM(a.v * b.v) AS d
+       |  FROM vu a JOIN vu b ON a.i = b.i AND b.vec_id < $c
+       |  GROUP BY 1, 2
+       |),
+       |crank AS (
+       |  SELECT cd.vec_id, cd.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
+       |           (CAST(cd.d AS DOUBLE) /
+       |            (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |             sqrt(CAST(nb.nrm AS DOUBLE)))) DESC, cd.cid ASC) AS rnk
+       |  FROM cdot cd
+       |  JOIN nrm na ON na.vec_id = cd.vec_id
+       |  JOIN nrm nb ON nb.vec_id = cd.cid
+       |)""".stripMargin
+
+  val dedupEmbed: String =
+    s"""WITH $embCtes,
+       |${crankCte(DataOps.IvfC)},
+       |assign AS (SELECT vec_id, cid FROM crank WHERE rnk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM assign x JOIN assign y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |),
+       |pd AS (
+       |  SELECT c.id_a, c.id_b, SUM(a.v * b.v) AS d
+       |  FROM cand c
+       |  JOIN vu a ON a.vec_id = c.id_a
+       |  JOIN vu b ON b.vec_id = c.id_b AND b.i = a.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  SELECT pd.id_a, pd.id_b,
+       |         CAST(ROUND(CAST(pd.d AS DOUBLE) /
+       |           (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nb.nrm AS DOUBLE))) * $MIC) AS BIGINT)
+       |           AS cos_micro
+       |  FROM pd
+       |  JOIN nrm na ON na.vec_id = pd.id_a
+       |  JOIN nrm nb ON nb.vec_id = pd.id_b
+       |) WHERE cos_micro >= 400000""".stripMargin
+
+  val annBrute: String =
+    s"""WITH $embCtes,
+       |qd AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, SUM(a.v * b.v) AS d
+       |  FROM vu a JOIN vu b
+       |    ON a.i = b.i AND b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT qd.q_id, qd.n_id,
+       |         CAST(qd.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM qd
+       |  JOIN nrm nn ON nn.vec_id = qd.n_id
+       |  JOIN nrm nq ON nq.vec_id = qd.q_id
+       |)
+       |SELECT q_id, n_id, rnk, CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro
+       |FROM (
+       |  SELECT q_id, n_id, cs,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 10""".stripMargin
+
+  val annIvf: String =
+    s"""WITH $embCtes,
+       |${crankCte(DataOps.IvfC)},
+       |assign1 AS (SELECT vec_id, cid FROM crank WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid FROM crank
+       |  WHERE vec_id % 50 = 0 AND rnk <= 4
+       |),
+       |candi AS (
+       |  SELECT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN assign1 a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.q_id
+       |),
+       |cd2 AS (
+       |  SELECT c.q_id, c.n_id, SUM(a.v * b.v) AS d
+       |  FROM candi c
+       |  JOIN vu a ON a.vec_id = c.n_id
+       |  JOIN vu b ON b.vec_id = c.q_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT cd2.q_id, cd2.n_id,
+       |         CAST(cd2.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM cd2
+       |  JOIN nrm nn ON nn.vec_id = cd2.n_id
+       |  JOIN nrm nq ON nq.vec_id = cd2.q_id
+       |)
+       |SELECT q_id, n_id, rnk, CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro
+       |FROM (
+       |  SELECT q_id, n_id, cs,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 10""".stripMargin
+
+  // =================================================================
+  // Text-analysis family
+  // =================================================================
+
+  val langId: String =
+    s"""WITH ${Lexicons.langCte},
+       |ltok AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(
+       |           string_split_regex(lower(text), '[^a-z]+'),
+       |           x -> x <> '')) AS t
+       |  FROM documents
+       |),
+       |lh AS (
+       |  SELECT t.doc_id, p.lang, COUNT(*) AS hits
+       |  FROM ltok t JOIN langp p ON t.t = p.word
+       |  GROUP BY 1, 2
+       |),
+       |best AS (
+       |  SELECT doc_id, lang, hits FROM (
+       |    SELECT doc_id, lang, hits,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY hits DESC, lang ASC) AS rnk
+       |    FROM lh
+       |  ) WHERE rnk = 1
+       |)
+       |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred,
+       |       COALESCE(b.hits, 0) AS hits
+       |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin
+
+  val textQuality: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '' AND list_contains(${Lexicons.stopListSql}, x)))
+       |      AS BIGINT) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       |      AS BIGINT) AS alpha,
+       |    CAST(length(text) AS BIGINT) AS nchars,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |      AS BIGINT) AS punct
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tok, n_stop,
+       |  CASE WHEN n_tok = 0 THEN 0 ELSE
+       |    CAST(ROUND(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * $MIC)
+       |      AS BIGINT) END AS stop_ratio_micro,
+       |  CASE WHEN nchars = 0 THEN 0 ELSE
+       |    CAST(ROUND(CAST(punct AS DOUBLE) / CAST(nchars AS DOUBLE) * $MIC)
+       |      AS BIGINT) END AS punct_ratio_micro,
+       |  CASE WHEN n_tok = 0 THEN 0 ELSE
+       |    CAST(ROUND(CAST(alpha AS DOUBLE) / CAST(n_tok AS DOUBLE) * $MIC)
+       |      AS BIGINT) END AS avg_wlen_micro,
+       |  CAST(ROUND((CAST(LEAST(n_tok, 50) AS DOUBLE) / 50.0 * 0.5 +
+       |    LEAST(CAST(n_stop AS DOUBLE) * 3.0 /
+       |      CAST(GREATEST(n_tok, 1) AS DOUBLE), 1.0) * 0.3 +
+       |    (1.0 - CAST(punct AS DOUBLE) /
+       |      CAST(GREATEST(nchars, 1) AS DOUBLE)) * 0.2) * $MIC)
+       |    AS BIGINT) AS quality_micro
+       |FROM m""".stripMargin
+
+  val tokenCount: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text),
+      |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS nchars
+      |FROM documents""".stripMargin
+
+  val fingerprint: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(lower(text)) >= 5 THEN
+       |      list_transform(range(1, length(lower(text)) - 3),
+       |        i -> substr(lower(text), i, 5))
+       |    ELSE CAST([] AS VARCHAR[]) END AS grams
+       |  FROM documents
+       |),
+       |hsx AS (
+       |  SELECT doc_id,
+       |         list_sort(list_distinct(list_transform(grams,
+       |           gg -> ${h60("gg")}))) AS hs
+       |  FROM g
+       |)
+       |SELECT doc_id,
+       |  md5(array_to_string(list_transform(list_slice(hs, 1, 4),
+       |    x -> CAST(x AS VARCHAR)), ',')) AS fp,
+       |  CAST(len(hs) AS BIGINT) AS n_grams
+       |FROM hsx""".stripMargin
+
+  // =================================================================
+  // Multimodal plumbing
+  // =================================================================
+
+  val multimodal: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |    ELSE 'video/mp4' END AS mime,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  64 + h % 897 AS width,
+      |  64 + (h // 1000) % 897 AS height,
+      |  CASE WHEN doc_id % 3 = 2 THEN 1 + h % 240 ELSE 1 END AS frames
+      |FROM (
+      |  SELECT doc_id, text,
+      |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents
+      |)""".stripMargin
+}

@@ -1,0 +1,456 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFns._
+import graft.model.Model.{MediaFeature, MediaRecord}
+import graft.nlp.Lexicons
+import graft.nlp.NlpFunctions.{tokens, MICRO}
+
+/**
+ * The LLM-training-data-pipeline operator surface (builder brief §"Beyond
+ * the reference's own operators"): deduplication (exact, MinHash+LSH,
+ * SimHash, blocked n-gram Jaccard, embedding-cosine), similarity search
+ * (brute-force and IVF-bucketed ANN over `embeddings.parquet`), text
+ * analysis (language-ID, quality scoring, token counting, fingerprinting)
+ * and multimodal-column plumbing — over the driver's `documents` /
+ * `embeddings` tables. Every query has a DuckDB mirror in
+ * [[graft.oracle.OracleSqlData]]; determinism comes from integer-first
+ * arithmetic (micro-unit BIGINTs, MD5-based hashing via
+ * [[graft.functions.HashFns]]) so no cross-engine float-summation-order
+ * issue can exist.
+ *
+ * 100 TB design notes (per operator, also in SURVEY.md §2.7):
+ *  - every dedup/pair operator generates candidates through a *bucket
+ *    join* (LSH band, SimHash chunk, source block, IVF cell) — never an
+ *    all-pairs product; the verify stage touches candidates only;
+ *  - per-document stages are single-pass projections over one scan;
+ *  - MinHash signatures are K min-aggregations in ONE hash aggregate (no
+ *    K-fold row blowup before the shuffle);
+ *  - ANN broadcasts the small side (queries / centroids) and keeps the
+ *    big side un-shuffled until the final per-query top-k.
+ */
+object DataOps {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Whitespace words of `text`, empties dropped (the shingling unit). */
+  private def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= lit(""))
+
+  // =================================================================
+  // Dedup family
+  // =================================================================
+
+  /** Exact dedup: documents grouped by md5(text); survivor = min doc_id,
+    * `copies` = group size. One hash-aggregate over the text hash — at
+    * 100 TB the shuffle carries (hash, id), never the text. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+      .select(col("doc_id"), col("copies"))
+
+  /** Distinct 3-word shingles per document: (doc_id, sh). */
+  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val sh3 = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    docs(spark, sfDir).select(col("doc_id"), explode(sh3).as("sh"))
+  }
+
+  /** MinHash parameters: K = B·R signature size, R rows per band. With
+    * B=12, R=4 the LSH S-curve threshold is (1/12)^(1/4) ≈ 0.54 — tuned
+    * to the verify threshold Jaccard ≥ 0.5. */
+  val MinhashK = 48
+  val MinhashR = 4
+  val MinhashB = 12
+
+  /** MinHash+LSH near-dup: 3-word shingles → 48-permutation signature →
+    * 12 bands of 4 → bucket self-join → exact-Jaccard verify ≥ 0.5.
+    * Output: (doc_a, doc_b, jac_micro), doc_a < doc_b.
+    *
+    * The signature is ONE groupBy(doc_id) with 48 min() aggregates over a
+    * per-shingle hash array — map-side partial min keeps the shuffle at
+    * 48 longs per document regardless of document size. */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRows(spark, sfDir).withColumn("hp", hashP(col("sh")))
+    val mins = (0 until MinhashK).map(i =>
+      min(permHash(i, col("hp"))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandArr = array((0 until MinhashB).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until MinhashR).map(r =>
+          col(s"m${b * MinhashR + r}")): _*).as("bkey"))
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na.nsh") + col("nb.nsh") - col("inter")).cast("double") *
+          lit(MICRO)).cast("long").as("jac_micro"))
+      .where(col("jac_micro") >= 500000L)
+  }
+
+  /** 32-bit SimHash over whitespace-token frequencies. */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    val wc = docs(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", pmod(hash60(col("w")), lit(4294967296L)))
+    val sums = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L,
+        col("cnt")).otherwise(-col("cnt"))).as(s"s$j"))
+    wc.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup: pairs at Hamming distance ≤ 3 over the 32-bit
+    * signature. Candidates via 4 byte-chunk buckets — EXACT for d ≤ 3 by
+    * pigeonhole (4 chunks, ≤ 3 differing bits ⇒ ≥ 1 equal chunk), so the
+    * bucket join loses nothing vs all-pairs. Output (doc_a, doc_b,
+    * hamming). */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashSigs(spark, sfDir)
+    val chunkArr = array((0 until 4).map(c =>
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))
+          .as("chunk"))): _*)
+    val chunks = sig.select(col("doc_id"), explode(chunkArr).as("ck"))
+      .select(col("doc_id"), col("ck.c").as("c"), col("ck.chunk").as("chunk"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= 3L)
+  }
+
+  /** Blocked n-gram (token-set) Jaccard: near-dup pairs *within a source
+    * block* at Jaccard ≥ 0.8 — the crawl-snapshot dedup pattern where the
+    * block key (source) bounds the candidate set. Output (source, doc_a,
+    * doc_b, jac_micro). */
+  def dedupNgramSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(words(col("text")))).as("w"))
+    val ntok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.source") === col("b.source") && col("a.w") === col("b.w") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .groupBy(col("source"), col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(ntok.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(ntok.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na.nt") + col("nb.nt") - col("inter")).cast("double") *
+          lit(MICRO)).cast("long").as("jac_micro"))
+      .where(col("jac_micro") >= 800000L)
+  }
+
+  // =================================================================
+  // Embedding similarity family
+  // =================================================================
+
+  /** Embeddings with micro-unit integer vectors: every cross-engine dot
+    * product / norm is then EXACT int64 arithmetic — float summation
+    * order can never flip a result. (em_i = round(x_i · 1e6); |x| < 1 and
+    * dim = 64 keep dots < 2^46.) */
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(MICRO)).cast("long")).as("em"))
+      .withColumn("nrm",
+        aggregate(col("em"), lit(0L), (a, x) => a + x * x))
+
+  /** Exact integer dot product of two micro-unit vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cos(a,b)·1e6 as BIGINT — double only in the final normalize, with
+    * the operand order mirrored exactly in the oracle. */
+  private def cosMicro(d: Column, na: Column, nb: Column): Column =
+    round(d.cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double"))) * lit(MICRO))
+      .cast("long")
+
+  /** Raw cosine (double) for ranking; same expression both engines. */
+  private def cosRaw(d: Column, na: Column, nb: Column): Column =
+    d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** IVF coarse quantizer: centroids = the first [[IvfC]] vectors by
+    * vec_id (deterministic "random" sample, FAISS-IVF style). */
+  val IvfC = 16
+
+  private def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).where(col("vec_id") < IvfC)
+      .select(col("vec_id").as("cid"), col("em").as("cem"),
+        col("nrm").as("cn"))
+
+  /** (vec_id, cid, rnk): each vector's cells ranked by cosine to the
+    * centroid (desc, cid asc) — broadcast the C centroids, never shuffle
+    * the big side. */
+  private def cellRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    v.crossJoin(broadcast(centroids(spark, sfDir)))
+      .select(col("vec_id"), col("cid"),
+        cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cid").asc)))
+  }
+
+  /** Embedding-cosine near-dup, IVF-blocked: each vector joins its top-2
+    * IVF cells; candidate pairs share a cell; verify exact cosine ≥ 0.4.
+    * Output (id_a, id_b, cos_micro). The cell join bounds candidates to
+    * ~2·N²/C instead of N² — the knob (C, probes) scales with N. */
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = cellRanks(spark, sfDir).where(col("rnk") <= 2)
+      .select(col("vec_id"), col("cid"))
+    val cand = assign.as("x").join(assign.as("y"),
+        col("x.cid") === col("y.cid") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val v = emb(spark, sfDir)
+    cand
+      .join(v.as("va"), col("id_a") === col("va.vec_id"))
+      .join(v.as("vb"), col("id_b") === col("vb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        cosMicro(dot(col("va.em"), col("vb.em")),
+          col("va.nrm"), col("vb.nrm")).as("cos_micro"))
+      .where(col("cos_micro") >= 400000L)
+  }
+
+  /** ANN query set: every 50th vector (deterministic sample). */
+  private def annQueries(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("em").as("qem"),
+        col("nrm").as("qn"))
+
+  /** Brute-force cosine top-10 per query (the exact baseline): broadcast
+    * the query set over one scan of the vectors; one shuffle for the
+    * per-query top-k. Output (q_id, n_id, rnk, cos_micro). */
+  def annBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    v.crossJoin(broadcast(annQueries(spark, sfDir)))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"),
+        cosMicro(dot(col("em"), col("qem")), col("nrm"), col("qn"))
+          .as("cos_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cs").desc, col("n_id").asc)))
+      .where(col("rnk") <= 10)
+      .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
+        col("cos_micro"))
+  }
+
+  /** IVF-bucketed ANN (the 100 TB scale path): vectors live in their top-1
+    * IVF cell; a query probes its 4 nearest cells and ranks only those
+    * candidates. Same output shape as [[annBrute]]; recall < 1 by design
+    * (approximate), deterministic by construction. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = cellRanks(spark, sfDir).where(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val cents = centroids(spark, sfDir)
+    val q = annQueries(spark, sfDir)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        cosRaw(dot(col("qem"), col("cem")), col("qn"), col("cn")).as("cs"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cs").desc, col("cid").asc)))
+      .where(col("prnk") <= 4)
+      .select(col("q_id"), col("cid"))
+    val v = emb(spark, sfDir)
+    probes
+      .join(assign, Seq("cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(v, Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qem"), col("qn"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"),
+        cosMicro(dot(col("em"), col("qem")), col("nrm"), col("qn"))
+          .as("cos_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cs").desc, col("n_id").asc)))
+      .where(col("rnk") <= 10)
+      .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
+        col("cos_micro"))
+  }
+
+  // =================================================================
+  // Text-analysis family
+  // =================================================================
+
+  /** Language-ID via stopword profiles ([[Lexicons.langProfiles]]):
+    * argmax profile-hit count, tie-break lang asc, 'und' on zero hits.
+    * Output (doc_id, lang_pred, hits). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val profiles = Lexicons.langProfiles.flatMap { case (l, ws) =>
+      ws.map(w => (l, w))
+    }
+    val langp = spark.createDataFrame(profiles).toDF("lang_pred", "w")
+    val hits = tok.join(broadcast(langp), col("t") === col("w"))
+      .groupBy(col("doc_id"), col("lang_pred"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("hits").desc, col("lang_pred").asc)))
+      .where(col("rnk") === 1)
+      .select(col("doc_id"), col("lang_pred"), col("hits"))
+    d.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Text-quality scoring: token/stopword/punctuation ratios and a fixed
+    * quality formula, all micro-unit BIGINTs. Single-pass projection. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopArr = typedLit(Lexicons.stopwords)
+    val toks = tokens(col("text"))
+    docs(spark, sfDir)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("alpha",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("nchars", length(col("text")).cast("long"))
+      .withColumn("punct",
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+        when(col("n_tok") === 0, lit(0L)).otherwise(
+          round(col("n_stop").cast("double") / col("n_tok").cast("double") *
+            lit(MICRO)).cast("long")).as("stop_ratio_micro"),
+        when(col("nchars") === 0, lit(0L)).otherwise(
+          round(col("punct").cast("double") / col("nchars").cast("double") *
+            lit(MICRO)).cast("long")).as("punct_ratio_micro"),
+        when(col("n_tok") === 0, lit(0L)).otherwise(
+          round(col("alpha").cast("double") / col("n_tok").cast("double") *
+            lit(MICRO)).cast("long")).as("avg_wlen_micro"),
+        round((least(col("n_tok"), lit(50L)).cast("double") / lit(50.0) *
+          lit(0.5) +
+          least(col("n_stop").cast("double") * lit(3.0) /
+            greatest(col("n_tok"), lit(1L)).cast("double"), lit(1.0)) *
+            lit(0.3) +
+          (lit(1.0) - col("punct").cast("double") /
+            greatest(col("nchars"), lit(1L)).cast("double")) * lit(0.2)) *
+          lit(MICRO)).cast("long").as("quality_micro"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-alnum). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+        .as("bpe_tokens"),
+      length(col("text")).cast("long").as("nchars"))
+
+  /** Document fingerprint: the 4 smallest distinct char-5-gram hash60
+    * values (winnowing-style min-sketch), re-hashed to one MD5 — robust
+    * to small edits, one projection pass. Output (doc_id, fp, n_grams).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val lt = lower(col("text"))
+    val grams = when(length(lt) >= 5,
+      transform(sequence(lit(1), length(lt) - 4),
+        i => lt.substr(i, lit(5))))
+      .otherwise(array().cast("array<string>"))
+    val hs = array_sort(array_distinct(transform(grams, g => hash60(g))))
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      md5(array_join(transform(slice(hs, 1, 4), x => x.cast("string")),
+        ",")).as("fp"),
+      size(hs).cast("long").as("n_grams"))
+  }
+
+  // =================================================================
+  // Multimodal plumbing
+  // =================================================================
+
+  /** Multimodal-column plumbing: opaque binary payloads with typed
+    * metadata, "decoded" per partition through a typed Dataset
+    * mapPartitions — the slot where a real image/audio decoder batch
+    * would run (the decode itself is a clearly-marked deterministic STUB:
+    * this container ships no media libs, so features are derived from the
+    * payload's MD5 — replayable by the oracle). The Spark-side plumbing
+    * (binary column, typed Encoders, per-partition batching, schema) is
+    * real and tested. */
+  def multimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = docs(spark, sfDir)
+      .select(col("doc_id"),
+        element_at(
+          array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("mime"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      // One digest per partition ≈ one decoder handle per batch.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        // ??? real decode goes here — STUB: derive fake geometry from the
+        // payload hash (deterministic; oracle mirrors the arithmetic).
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val width = 64L + h % 897L
+        val height = 64L + (h / 1000L) % 897L
+        val frames = if (r.mime == "video/mp4") 1L + h % 240L else 1L
+        MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
+          width, height, frames)
+      }
+    }.toDF()
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFns
+import graft.pipeline.DataOps
+
+/** Unit + fixture coverage of the LLM-data-pipeline surface
+  * ([[graft.pipeline.DataOps]]): the cross-engine hash primitive, dedup
+  * edge cases over a crafted corpus, and structural invariants of the
+  * pair/ANN operators over the sf0.001 fixture. */
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  /** Reference implementation of hash60 (what the multimodal stub and the
+    * DuckDB oracle compute) — must equal the Catalyst expression. */
+  private def jvmHash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("hash60 column expression equals the JVM md5-prefix hash") {
+    val inputs = Seq("hello world", "", "a", "spark fast merge", "ü-umlaut")
+    val got = inputs.toDF("s")
+      .select(HashFns.hash60(col("s"))).as[Long].collect().toSeq
+    assert(got == inputs.map(jvmHash60))
+  }
+
+  test("minhash permutation constants stay within exact-int64 bounds") {
+    (0 until DataOps.MinhashK).foreach { i =>
+      val a = HashFns.aCoef(i)
+      assert(a > 0 && a < HashFns.P)
+      assert(HashFns.bCoef(i) >= 0 && HashFns.bCoef(i) < HashFns.P)
+      // a * (P-1) + b must not overflow signed 64-bit
+      assert(a <= (Long.MaxValue - HashFns.P) / (HashFns.P - 1))
+    }
+  }
+
+  /** Crafted corpus: exact duplicates, a near-duplicate pair, and
+    * sub-shingle/sub-gram short texts. */
+  private lazy val tinyDir: String = {
+    val dir = Files.createTempDirectory("graft-docs").toString
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog today",
+      1L -> "the quick brown fox jumps over the lazy dog today", // exact dup
+      2L -> "the quick brown fox jumps over the lazy cat today", // near dup
+      3L -> "completely different words entirely here now",
+      4L -> "ab",    // shorter than a 5-gram, < 3 words
+      5L -> "abcde") // exactly one 5-gram, < 3 words
+    texts.map { case (id, t) => (id, t, "en", s"src${id % 2}", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedupExact groups identical texts and keeps the min doc_id") {
+    val rows = DataOps.dedupExact(spark, tinyDir)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("dedupMinhash flags exact duplicates, never unrelated docs") {
+    // Output is "LSH candidate AND verified Jaccard >= 0.5": identical
+    // docs always collide on every band; a 0.6-Jaccard pair may be
+    // (deterministically) missed by the 12x4 banding — that recall is the
+    // operator's spec, so only structural invariants are asserted here.
+    val pairs = DataOps.dedupMinhash(spark, tinyDir)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val exact = pairs.find(p => (p._1, p._2) == ((0L, 1L))).get
+    assert(exact._3 == 1000000L) // identical docs: Jaccard exactly 1
+    assert(pairs.forall(_._3 >= 500000L))
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(!pairs.exists(p => Seq(p._1, p._2).exists(Seq(3L, 4L, 5L).contains)))
+  }
+
+  test("dedupSimhash pairs the duplicate family at hamming <= 3") {
+    val pairs = DataOps.dedupSimhash(spark, tinyDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exact = pairs.find(p => (p._1, p._2) == ((0L, 1L))).get
+    assert(exact._3 == 0L) // identical docs: identical signature
+    assert(pairs.forall(_._3 <= 3L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("fingerprint handles sub-gram and single-gram texts") {
+    val rows = DataOps.fingerprint(spark, tinyDir)
+      .select("doc_id", "n_grams").as[(Long, Long)].collect().toMap
+    assert(rows(4L) == 0L) // "ab": no 5-gram
+    assert(rows(5L) == 1L) // "abcde": exactly one
+    val fps = DataOps.fingerprint(spark, tinyDir)
+      .select("doc_id", "fp").as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(1L)) // identical text -> identical fingerprint
+    assert(fps(0L) != fps(3L))
+  }
+
+  test("multimodal stub is deterministic and respects mime arithmetic") {
+    val a = DataOps.multimodal(spark, tinyDir).orderBy("doc_id").collect()
+    val b = DataOps.multimodal(spark, tinyDir).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    a.foreach { r =>
+      val (id, mime, frames) =
+        (r.getLong(0), r.getString(1), r.getLong(5))
+      assert(mime == Seq("image/png", "audio/wav", "video/mp4")(
+        (id % 3).toInt))
+      if (mime != "video/mp4") assert(frames == 1L)
+      assert(r.getLong(3) >= 64L && r.getLong(3) < 961L) // width
+      assert(r.getLong(4) >= 64L && r.getLong(4) < 961L) // height
+    }
+    // identical payloads (exact dups) -> identical fake features
+    val byId = a.map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(byId(0L).drop(1) == byId(1L).drop(1)) // mimes differ, rest equal
+  }
+
+  test("annBrute returns a full ranked top-10 per query on sf0.001") {
+    val rows = DataOps.annBrute(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10 && rows.size == 100)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._3).sorted == (1L to 10L))
+      // cos non-increasing with rank
+      val byRank = rs.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+      assert(rs.forall(r => r._2 != r._1)) // self excluded
+    }
+  }
+
+  test("annIvf is a subset search with full ranked output shape") {
+    val ivf = DataOps.annIvf(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._3).sorted == (1L to rs.size))
+      assert(rs.size <= 10)
+    }
+    // IVF top-1 can never beat the exact brute-force top-1
+    val brute1 = DataOps.annBrute(spark, SF).where(col("rnk") === 1)
+      .select("q_id", "cos_micro").as[(Long, Long)].collect().toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.minBy(_._3)._4 <= brute1(q))
+    }
+  }
+
+  test("langId predicts only profile languages or 'und' with hit counts") {
+    val rows = DataOps.langId(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows.size == 500)
+    assert(rows.forall { case (_, l, h) =>
+      (Seq("de", "en", "es", "fr").contains(l) && h > 0) ||
+        (l == "und" && h == 0)
+    })
+  }
+
+  test("textQuality ratios stay in [0, 1e6] and quality is bounded") {
+    val rows = DataOps.textQuality(spark, SF).collect()
+    rows.foreach { r =>
+      Seq(3, 4, 5).foreach { i =>
+        val v = r.getLong(i)
+        assert(v >= 0L, s"col $i negative")
+      }
+      assert(r.getLong(3) <= 1000000L) // stop ratio
+      assert(r.getLong(4) <= 1000000L) // punct ratio
+      assert(r.getLong(6) <= 1000000L) // quality
+    }
+  }
+
+  test("tokenCount: bpe segmentation counts at least the whitespace tokens") {
+    val rows = DataOps.tokenCount(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 500)
+    assert(rows.forall { case (_, ws, bpe, n) => bpe >= ws && n > 0 })
+  }
+}
