@@ -59,4 +59,18 @@ object Model {
     * [[graft.pipeline.DataOps.multimodal]]). */
   case class MediaFeature(doc_id: Long, mime: String, n_bytes: Long,
       width: Long, height: Long, frames: Long)
+
+  /** Keyed mood record feeding the streaming count-window operator
+    * (value in micro units; `seq` = arrival order within the key). */
+  case class MoodRec(key: String, seq: Long, mood_micro: Long)
+
+  /** One fired toxicity count window (reference
+    * SentimentAnalysis.scala:304-311): the grp-th complete window of N
+    * running-mood emissions for `key`, with its (micro) sum. */
+  case class ToxWindow(key: String, grp: Long, mood_micro: Long)
+
+  /** State of the streaming toxicity operator per key: the running mood
+    * total (Flink's unwindowed reduce, SentimentAnalysis.scala:285) plus
+    * the open count-window accumulator. */
+  case class ToxState(runMicro: Long, cnt: Long, winMicro: Long, grp: Long)
 }

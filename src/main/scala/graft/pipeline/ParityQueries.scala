@@ -45,8 +45,10 @@ object ParityQueries {
         col("username"))
       .agg(orderedConcat(col("seq"), col("text")).as("text"))
 
-  /** Adds sv/sav/n + score/magnitude/mood micro columns for `text`. */
-  private def withSentiment(df: DataFrame): DataFrame = {
+  /** Adds sv/sav/n + score/magnitude/mood micro columns for `text`.
+    * Public: the streaming forms ([[graft.streaming.StreamingOps]]) reuse
+    * the exact same enrichment. */
+  def withSentiment(df: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     df.withColumn("sv", valenceSum(toks))
       .withColumn("sav", absValenceSum(toks))

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Model.{MoodRec, TimedMessage, ToxState, ToxWindow}
+import graft.ops.ChatOps.orderedConcat
+import graft.pipeline.ParityQueries
+import graft.pipeline.ParityQueries.BaseEpoch
+
+/**
+ * Structured Streaming forms of the reference DAG's stateful operators
+ * (SURVEY.md §2.4) — the streaming twins of [[graft.ops.ChatOps]] /
+ * [[graft.pipeline.ParityQueries]], sharing the same column expressions so
+ * streaming-prefix ≡ batch-twin equivalence is testable (SURVEY.md §5.4).
+ *
+ * Structural note (Spark's chained-stateful-operator rule):
+ * `flatMapGroupsWithState` cannot CONSUME a streaming aggregation, so the
+ * reference's E2 chain (1 s window → running reduce → count window,
+ * SentimentAnalysis.scala:285, :304-311) runs as a single
+ * [[toxicWindows]] stateful operator over per-record moods — it folds the
+ * running reduce AND the count window in one per-key state, which is
+ * exactly Flink's per-record semantics. E1's 1 s window concat
+ * ([[w1Concat]]) is a separate streaming aggregation query.
+ *
+ * Scale: every operator here shards state by key through the normal
+ * hash exchange; state per key is O(1) ([[ToxState]] is four longs — no
+ * buffered rows), so executor state stores stay bounded at any key count.
+ */
+object StreamingOps {
+
+  /** Event-time column for the derived stream: `tsec` seconds after the
+    * fixture epoch. */
+  def withEventTime(msgs: Dataset[TimedMessage]): DataFrame =
+    msgs.toDF().withColumn("ts",
+      timestamp_seconds(lit(BaseEpoch) + col("tsec")))
+
+  /** W1 streaming form (SentimentAnalysis.scala:44-48): keyed 1 s tumbling
+    * window + arrival-order concat, watermarked on event time. Output
+    * matches [[ParityQueries.w1]]: (wsec, channel, username, text). */
+  def w1Concat(msgs: Dataset[TimedMessage],
+      watermark: String = "5 seconds"): DataFrame =
+    withEventTime(msgs)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 second"), col("channel"),
+        col("user").as("username"))
+      .agg(orderedConcat(col("seq"), col("text")).as("text"))
+      .select(
+        (unix_timestamp(col("window.start")) - BaseEpoch).as("wsec"),
+        col("channel"), col("username"), col("text"))
+
+  /** E1 streaming form: W1 + the sentiment enrichment (stateless columns,
+    * identical to the batch twin). */
+  def sentimentStream(msgs: Dataset[TimedMessage],
+      watermark: String = "5 seconds"): DataFrame =
+    ParityQueries.withSentiment(w1Concat(msgs, watermark))
+      .select("wsec", "channel", "username", "score_micro", "mag_micro",
+        "mood_micro")
+
+  /** W4 streaming form (running keyed reduce, SentimentAnalysis.scala:285):
+    * per-key running mood total in update output mode — one updated row
+    * per key per trigger, state never expires (as in Flink). */
+  def runningMood(sentimented: DataFrame): DataFrame =
+    sentimented
+      .groupBy(col("username").as("key"))
+      .agg(sum(col("mood_micro")).as("run_micro"))
+
+  /** W8 streaming form (countWindow + toxicity filter,
+    * SentimentAnalysis.scala:304-311) fused with the upstream running
+    * reduce: per key, each record advances the running total, the running
+    * total feeds an N-element count window, and every COMPLETE window
+    * whose sum is ≤ thresholdMicro fires (note `<=`, reference :311).
+    * Partial windows never fire; state is O(1) per key.
+    *
+    * Within a micro-batch, records are folded in `seq` order (the
+    * explicit arrival order); across batches, state carries over — the
+    * streaming-prefix ≡ batch-twin property tested in StreamingSpec. */
+  def toxicWindows(moods: Dataset[MoodRec], n: Int,
+      thresholdMicro: Long): Dataset[ToxWindow] = {
+    import moods.sparkSession.implicits._
+    moods.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[MoodRec], state: GroupState[ToxState]) =>
+          var s = state.getOption.getOrElse(ToxState(0L, 0L, 0L, 0L))
+          val fired = Seq.newBuilder[ToxWindow]
+          it.toSeq.sortBy(_.seq).foreach { r =>
+            val run = s.runMicro + r.mood_micro
+            var (cnt, win, grp) = (s.cnt + 1, s.winMicro + run, s.grp)
+            if (cnt == n) {
+              if (win <= thresholdMicro) fired += ToxWindow(key, grp, win)
+              cnt = 0L; win = 0L; grp += 1
+            }
+            s = ToxState(run, cnt, win, grp)
+          }
+          state.update(s)
+          fired.result().iterator
+      }
+  }
+
+  /** Per-record mood projection (R7, SentimentAnalysis.scala:249-255) of a
+    * message stream keyed by user — the stateless front of the live E2
+    * chain feeding [[toxicWindows]]. */
+  def perRecordMoods(msgs: Dataset[TimedMessage]): Dataset[MoodRec] = {
+    import msgs.sparkSession.implicits._
+    ParityQueries.withSentiment(msgs.toDF())
+      .select(col("user").as("key"), col("seq"),
+        col("mood_micro")).as[MoodRec]
+  }
+}

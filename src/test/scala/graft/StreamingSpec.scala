@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Model.{MoodRec, TimedMessage}
+import graft.ops.ChatOps
+import graft.pipeline.ParityQueries
+import graft.sources.Messages
+import graft.streaming.{SentimentPipeline, StreamingOps}
+
+/** Streaming tests (SURVEY.md §5.4): MemoryStream-driven assertions that
+  * every streaming operator's output equals its batch twin on the same
+  * input, that count-window state survives micro-batch boundaries, and
+  * that the socket wire parse + CLI config behave like the reference. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  /** The sf0.001 message fixture as typed records, arrival order = seq. */
+  private lazy val fixtureMessages: Seq[TimedMessage] =
+    Messages.messages(spark, SF)
+      .select("seq", "tsec", "channel", "username", "text")
+      .as[(Long, Long, String, String, String)]
+      .collect().toSeq.sortBy(_._1)
+      .map(r => TimedMessage(r._1, r._2, r._3, r._4, r._5))
+
+  private def freshQueryName(prefix: String): String =
+    prefix + System.nanoTime()
+
+  test("streaming w1Concat equals the batch twin over the full fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val name = freshQueryName("w1s")
+    val q = StreamingOps.w1Concat(in.toDS())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(fixtureMessages)
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .select("wsec", "channel", "username", "text")
+        .as[(Long, String, String, String)].collect().toSeq.sorted
+      val batch = ParityQueries.w1(spark, SF)
+        .select("wsec", "channel", "username", "text")
+        .as[(Long, String, String, String)].collect().toSeq.sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming running mood (update mode) reaches the batch totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val name = freshQueryName("run")
+    val sentimented = ParityQueries.withSentiment(in.toDS().toDF())
+      .withColumnRenamed("user", "username")
+    val q = StreamingOps.runningMood(sentimented)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(fixtureMessages)
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .as[(String, Long)].collect().toMap
+      // Batch totals over the SAME per-record input (the pipeline feeds
+      // the running reduce per record, like Flink's unwindowed keyBy).
+      val batch = ParityQueries.withSentiment(
+          spark.createDataset(fixtureMessages).toDF())
+        .groupBy(col("user")).agg(sum(col("mood_micro")).as("t"))
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("toxicWindows over one batch equals the batch countWindowSum twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // Per-message moods are a different stream than the 1s-windowed batch
+    // twin, so build the expected result with the SAME input through the
+    // batch kernel: running sum + count windows over per-message moods.
+    val moods = StreamingOps.perRecordMoods(
+      spark.createDataset(fixtureMessages)).collect().toSeq
+    val runDf = spark.createDataset(moods).toDF()
+      .withColumn("run_micro", ChatOps.runningSum(col("mood_micro"),
+        Seq(col("key")), Seq(col("seq"))))
+    val expected = ChatOps.countWindowSum(runDf, col("key"),
+        Seq(col("seq")), col("run_micro"), 10, -10L * 1000000L)
+      .select("key", "grp", "mood_micro")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+
+    val in = MemoryStream[MoodRec]
+    val name = freshQueryName("tox")
+    val q = StreamingOps.toxicWindows(in.toDS(), 10, -10L * 1000000L)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(moods)
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty && streamed == expected)
+    } finally q.stop()
+  }
+
+  test("toxicWindows state carries across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    // 25 records of -2M for one key: windows of 10 fire at records 10 and
+    // 20 regardless of how the stream is chopped into batches.
+    val recs = (1 to 25).map(i => MoodRec("u", i.toLong, -2000000L))
+    val in = MemoryStream[MoodRec]
+    val name = freshQueryName("toxsplit")
+    val q = StreamingOps.toxicWindows(in.toDS(), 10, -10L * 1000000L)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(recs.take(7))   // mid-window cut
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0) // partial window: nothing yet
+      in.addData(recs.slice(7, 13))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1) // first window complete
+      in.addData(recs.drop(13))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(String, Long, Long)]
+        .collect().toSeq.sorted
+      // Running sums: window 1 = sum of -2M*(1..10), window 2 = -2M*(11..20)
+      assert(rows == Seq(("u", 0L, -110000000L), ("u", 1L, -310000000L)))
+      // 5 trailing records stay an open partial window (never fire).
+    } finally q.stop()
+  }
+
+  test("parseWire keeps commas in text; short lines degrade PERMISSIVEly") {
+    val lines = Seq("ch0,alice,hello, world", "ch1,bob,", "ch2,carol",
+      "solo").toDF("value")
+    val got = SentimentPipeline.parseWire(lines)
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("ch0", "alice", "hello, world"),
+      ("ch1", "bob", ""),
+      ("ch2", "carol", ""),
+      ("solo", null, "")))
+  }
+
+  test("parseArgs: ParameterTool-style defaults and overrides") {
+    assert(SentimentPipeline.parseArgs(Array()) ==
+      SentimentPipeline.Config("localhost", 9001))
+    assert(SentimentPipeline.parseArgs(Array("--url", "h", "--port", "42")) ==
+      SentimentPipeline.Config("h", 42))
+    assert(SentimentPipeline.parseArgs(Array("--port", "42")) ==
+      SentimentPipeline.Config("localhost", 42))
+    assert(SentimentPipeline.parseArgs(Array("--bogus", "x")) ==
+      SentimentPipeline.Config())
+  }
+
+  test("pipeline E1+E2 smoke: console start() runs on a bounded stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val pipeline = new graft.streaming.SentimentPipeline(in.toDS())
+    val queries = pipeline.startConsole()
+    try {
+      in.addData(fixtureMessages.take(60))
+      queries.foreach(_.processAllAvailable())
+      assert(queries.forall(_.isActive))
+    } finally queries.foreach(_.stop())
+  }
+}
