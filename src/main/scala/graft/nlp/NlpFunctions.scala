@@ -109,7 +109,15 @@ object NlpFunctions {
           lit(MICRO)).cast("long").as("conf_micro")))
   }
 
-  /** Reference word count: split on a single space
-    * (SentimentAnalysis.scala:129) — NOT the letter-run tokenizer. */
-  def refWordCount(text: Column): Column = size(split(text, " "))
+  /** Reference word count: split on a single space with Java `split`
+    * semantics (SentimentAnalysis.scala:129) — NOT the letter-run
+    * tokenizer. Java's `split(" ")` drops TRAILING empty fields (keeps
+    * interior ones), returns [""] for "" and [] for all-space input;
+    * mirrored exactly here and in the oracle SQL. */
+  def refWordCount(text: Column): Column = {
+    val trimmed = regexp_replace(text, " +$", "")
+    when(length(text) === 0, lit(1))
+      .when(length(trimmed) === 0, lit(0))
+      .otherwise(size(split(trimmed, " ")))
+  }
 }

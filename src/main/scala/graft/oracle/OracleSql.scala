@@ -134,7 +134,13 @@ object OracleSql {
        |),
        |${sentCte("sent2", "w2", "w2sec, channel, username")},
        |w2g AS (
-       |  SELECT * FROM w2 WHERE len(string_split(text, ' ')) >= 25
+       |  -- Java split(" ") word count: trailing empties dropped,
+       |  -- "" -> 1, all-space -> 0 (mirror of NlpFunctions.refWordCount)
+       |  SELECT * FROM w2 WHERE
+       |    CASE WHEN length(text) = 0 THEN 1
+       |         WHEN length(regexp_replace(text, ' +$$', '')) = 0 THEN 0
+       |         ELSE len(string_split(regexp_replace(text, ' +$$', ''), ' '))
+       |    END >= 25
        |),
        |${tokCte("tok2", "w2g", "w2sec, channel, username")},
        |ntok AS (
@@ -203,14 +209,16 @@ object OracleSql {
   val r1Parse: String =
     s"""WITH $msgsCte,
        |lines AS (
-       |  SELECT seq, channel || ',' || username || ',' ||
-       |         replace(text, ' the ', ', the ') AS line
+       |  -- Java split(",") drops trailing empty fields: strip trailing
+       |  -- commas before the limit-3 parse (mirror of ParityQueries.r1Parse)
+       |  SELECT seq, rtrim(channel || ',' || username || ',' ||
+       |         replace(text, ' the ', ', the '), ',') AS line
        |  FROM msgs
        |)
        |SELECT seq,
        |       split_part(line, ',', 1) AS channel,
        |       split_part(line, ',', 2) AS username,
-       |       regexp_replace(line, '^[^,]*,[^,]*,', '') AS text
+       |       regexp_replace(line, '^[^,]*,[^,]*,?', '') AS text
        |FROM lines""".stripMargin
 
   val w1Concat: String =

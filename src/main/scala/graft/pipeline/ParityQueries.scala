@@ -121,14 +121,18 @@ object ParityQueries {
   // ---------------------------------------------------------------
 
   /** R1: wire-format parse with split-limit-3 semantics
-    * (SentimentAnalysis.scala:45-48; text may contain commas). */
+    * (SentimentAnalysis.scala:45-48; text may contain commas). The
+    * reference's Java `split(",")` drops TRAILING empty fields before the
+    * `drop(2).mkString(",")` re-join — equivalent to stripping trailing
+    * commas from the whole line first (interior empties survive). */
   def r1Parse(spark: SparkSession, sfDir: String): DataFrame = {
-    val parts = split(col("line"), ",", 3)
+    val line = rtrim(col("line"), ",")
+    val parts = split(line, ",", 3)
     Messages.wireLines(spark, sfDir).select(
       col("seq"),
       parts.getItem(0).as("channel"),
       parts.getItem(1).as("username"),
-      parts.getItem(2).as("text"))
+      coalesce(get(parts, lit(2)), lit("")).as("text"))
   }
 
   def w1Concat(spark: SparkSession, sfDir: String): DataFrame =

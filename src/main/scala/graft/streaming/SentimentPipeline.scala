@@ -107,8 +107,9 @@ object SentimentPipeline {
     */
   def parseWire(lines: DataFrame): DataFrame = {
     // get() (not getItem) so short lines yield nulls instead of ANSI
-    // out-of-bounds errors — PERMISSIVE malformed-line handling.
-    val parts = split(col("value"), ",", 3)
+    // out-of-bounds errors — PERMISSIVE malformed-line handling. rtrim
+    // reproduces Java split(",")'s trailing-empty-field drop.
+    val parts = split(rtrim(col("value"), ","), ",", 3)
     lines.select(
       get(parts, lit(0)).as("channel"),
       get(parts, lit(1)).as("user"),

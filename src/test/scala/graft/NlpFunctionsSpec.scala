@@ -49,15 +49,19 @@ class NlpFunctionsSpec extends SparkSpec {
     assert(scored("") == (0L, 0L, 0L))
   }
 
-  test("refWordCount splits on single spaces (reference Java split quirk)") {
+  test("refWordCount reproduces Java split-on-space semantics exactly") {
     val df = Seq(
-      "one two three",
-      "a  b",        // double space -> empty middle field, Spark keeps: 3
-      "trailing ",   // Spark split keeps trailing empty: 2
+      "one two three", // 3
+      "a  b",          // double space: interior empty field KEPT -> 3
+      "trailing ",     // trailing empties DROPPED -> 1
+      "t  ",           // -> 1
+      "",              // Java "".split(" ") == [""] -> 1
+      "   ",           // all spaces: every field empty, all dropped -> 0
     ).toDF("text").select(refWordCount(col("text")).as("n"))
-    // Documented spec divergence (ADVICE r1): Spark's split keeps empty
-    // trailing fields where Java's drops them; engine and oracle agree.
-    assert(df.as[Int].collect().toSeq == Seq(3, 3, 2))
+    val expected = Seq("one two three", "a  b", "trailing ", "t  ", "", "   ")
+      .map(_.split(" ").length)
+    assert(expected == Seq(3, 3, 1, 1, 1, 0)) // pin the JVM ground truth
+    assert(df.as[Int].collect().toSeq == expected)
   }
 
   test("25-word guard boundary: 24 words blocked, 25 words pass") {

@@ -131,14 +131,16 @@ class StreamingSpec extends SparkSpec {
 
   test("parseWire keeps commas in text; short lines degrade PERMISSIVEly") {
     val lines = Seq("ch0,alice,hello, world", "ch1,bob,", "ch2,carol",
-      "solo").toDF("value")
+      "solo", "ch3,dave,a,,", "ch4,eve,x,,y").toDF("value")
     val got = SentimentPipeline.parseWire(lines)
       .as[(String, String, String)].collect().toSeq
     assert(got == Seq(
       ("ch0", "alice", "hello, world"),
       ("ch1", "bob", ""),
       ("ch2", "carol", ""),
-      ("solo", null, "")))
+      ("solo", null, ""),
+      ("ch3", "dave", "a"),    // Java split: trailing empties dropped
+      ("ch4", "eve", "x,,y"))) // interior empties kept
   }
 
   test("parseArgs: ParameterTool-style defaults and overrides") {
