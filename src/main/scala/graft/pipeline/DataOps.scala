@@ -81,7 +81,11 @@ object DataOps {
     * per-shingle hash array — map-side partial min keeps the shuffle at
     * 48 longs per document regardless of document size. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    // Persisted: the shingle relation feeds four plan branches (signature,
+    // both verify sides, sizes) and the band relation two (the bucket
+    // self-join); without persistence Spark re-executes each occurrence.
     val sh = shingleRows(spark, sfDir).withColumn("hp", hashP(col("sh")))
+      .persist()
     val mins = (0 until MinhashK).map(i =>
       min(permHash(i, col("hp"))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -94,6 +98,7 @@ object DataOps {
       .select(col("doc_id"), explode(bandArr).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
+      .persist()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bkey") === col("y.bkey") &&
@@ -141,7 +146,8 @@ object DataOps {
     * bucket join loses nothing vs all-pairs. Output (doc_a, doc_b,
     * hamming). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhashSigs(spark, sfDir)
+    // Persisted: feeds the chunk self-join (twice) and both verify sides.
+    val sig = simhashSigs(spark, sfDir).persist()
     val chunkArr = array((0 until 4).map(c =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))
@@ -165,17 +171,44 @@ object DataOps {
   /** Blocked n-gram (token-set) Jaccard: near-dup pairs *within a source
     * block* at Jaccard ≥ 0.8 — the crawl-snapshot dedup pattern where the
     * block key (source) bounds the candidate set. Output (source, doc_a,
-    * doc_b, jac_micro). */
+    * doc_b, jac_micro).
+    *
+    * Candidate generation uses EXACT prefix filtering (AllPairs/PPJoin
+    * family): under a global token order (rarest first, token asc
+    * tie-break), two sets with Jaccard ≥ t MUST share a token among each
+    * set's first |T| − ⌈t·|T|⌉ + 1 tokens — so only those prefix tokens
+    * enter the bucket join, pruning the frequent-token buckets that
+    * dominate an unfiltered (block, token) self-join. Verification then
+    * touches candidate pairs only. */
   def dedupNgramSource(spark: SparkSession, sfDir: String): DataFrame = {
+    // Persisted: token relation feeds ranking, both verify sides, sizes.
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(words(col("text")))).as("w"))
+      .persist()
     val ntok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
-    val inter = tok.as("a").join(tok.as("b"),
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val ranked = tok.join(freq, Seq("w"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("f").asc, col("w").asc)))
+      .join(ntok, Seq("doc_id"))
+      // prefix length = nt − ⌈0.8·nt⌉ + 1, with the ceil in EXACT integer
+      // arithmetic (⌈4·nt/5⌉ = (4·nt+4) div 5) — a float ceil could round
+      // 4.0 up spuriously and silently drop true pairs.
+      .where(col("r") <= col("nt") - expr("(nt * 4 + 4) div 5") + 1)
+      .select(col("doc_id"), col("source"), col("w"))
+    val cand = ranked.as("a").join(ranked.as("b"),
         col("a.source") === col("b.source") && col("a.w") === col("b.w") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"))
+      .distinct()
+    val tw = tok.select(col("doc_id"), col("w"))
+    val inter = cand
+      .join(tw.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tw.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
       .groupBy(col("source"), col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -246,8 +279,10 @@ object DataOps {
     * Output (id_a, id_b, cos_micro). The cell join bounds candidates to
     * ~2·N²/C instead of N² — the knob (C, probes) scales with N. */
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    // Persisted: the cell assignment feeds both sides of the bucket join.
     val assign = cellRanks(spark, sfDir).where(col("rnk") <= 2)
       .select(col("vec_id"), col("cid"))
+      .persist()
     val cand = assign.as("x").join(assign.as("y"),
         col("x.cid") === col("y.cid") &&
           col("x.vec_id") < col("y.vec_id"))
