@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.nlp.Lexicons
+
+/**
+ * Native Catalyst expression fusing the three sentiment-lexicon
+ * aggregations of [[graft.nlp.NlpFunctions]] — Σ valence, Σ |valence| and
+ * match count — into ONE pass over the token array with ONE hash lookup
+ * per token (the `aggregate()`-composed form walks the array three times
+ * and re-probes the lexicon map each walk).
+ *
+ * Scoring semantics are identical to the composed form and to the DuckDB
+ * oracle's `lex` join (integer arithmetic only), so swapping it into the
+ * pipeline changes no query result — this is purely the
+ * custom-`Expression`-with-`doGenCode` performance tier of the builder
+ * brief's preference order.
+ *
+ * Codegen stays inside whole-stage codegen: `doGenCode` emits a call to
+ * the static [[ValenceStatsExpr.compute]] over the already-materialized
+ * `ArrayData`, the same shape Spark's own collection expressions use.
+ */
+case class ValenceStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"valence_stats requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sv", IntegerType, nullable = false),
+    StructField("sav", IntegerType, nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    ValenceStatsExpr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ValenceStatsExpr$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ValenceStatsExpr = copy(child = newChild)
+
+  override def prettyName: String = "valence_stats"
+}
+
+object ValenceStatsExpr {
+
+  /** Lexicon as a UTF8String-keyed map (executor-side static; built once
+    * per JVM from the same [[Lexicons.valence]] the oracle replays). */
+  private val lex: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](
+      Lexicons.valence.size * 2)
+    Lexicons.valence.foreach { case (w, v) =>
+      m.put(UTF8String.fromString(w), Integer.valueOf(v))
+    }
+    m
+  }
+
+  /** One pass, one lookup per token: (Σv, Σ|v|, #matched). */
+  def compute(arr: ArrayData): InternalRow = {
+    var sv = 0
+    var sav = 0
+    var n = 0
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val v = lex.get(arr.getUTF8String(i))
+        if (v != null) {
+          val x = v.intValue()
+          sv += x
+          sav += (if (x < 0) -x else x)
+          n += 1
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](sv, sav, n))
+  }
+
+  private val info = new ExpressionInfo(
+    classOf[ValenceStatsExpr].getCanonicalName, "valence_stats")
+
+  /** Idempotent per-session registration — callable from any query
+    * builder that received an externally-created SparkSession. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("valence_stats"), info,
+      (children: Seq[Expression]) => ValenceStatsExpr(children.head))
+
+  /** The fused scorer as a Column over a token-array column. */
+  def stats(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("valence_stats", tokens)
+  }
+}
+
+/** `spark.sql.extensions`-style injection
+  * (`SparkSessionExtensions.injectFunction`) for sessions configured with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("valence_stats"),
+      new ExpressionInfo(
+        classOf[ValenceStatsExpr].getCanonicalName, "valence_stats"),
+      (children: Seq[Expression]) => ValenceStatsExpr(children.head)))
+}

@@ -32,9 +32,14 @@ object NlpFunctions {
 
   val MICRO = 1000000.0
 
-  /** Lowercased letter-run tokens of `text` (array<string>, no empties). */
+  /** Lowercased letter-run tokens of `text` (array<string>, no empties).
+    * Implemented as regexp_extract_all of maximal [a-z] runs — identical
+    * to split-on-non-letters with empties dropped, but a plain codegen
+    * expression where the filter(split(...)) higher-order form would be
+    * CodegenFallback and knock its whole Project out of whole-stage
+    * codegen. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z]+"), t => t =!= lit(""))
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
   private val valenceMap: Column =
     typedLit(Lexicons.valence.toMap)

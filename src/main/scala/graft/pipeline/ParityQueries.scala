@@ -47,12 +47,18 @@ object ParityQueries {
 
   /** Adds sv/sav/n + score/magnitude/mood micro columns for `text`.
     * Public: the streaming forms ([[graft.streaming.StreamingOps]]) reuse
-    * the exact same enrichment. */
+    * the exact same enrichment. The raw lexicon sums come from the fused
+    * native expression ([[graft.functions.ValenceStatsExpr]]) — one array
+    * pass and one lexicon probe per token instead of three — with
+    * identical integer results to the composed `aggregate()` form. */
   def withSentiment(df: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    df.withColumn("sv", valenceSum(toks))
-      .withColumn("sav", absValenceSum(toks))
-      .withColumn("n", matchedCount(toks))
+    val vs = graft.functions.ValenceStatsExpr.stats(
+      df.sparkSession, tokens(col("text")))
+    df.withColumn("vs", vs)
+      .withColumn("sv", col("vs.sv"))
+      .withColumn("sav", col("vs.sav"))
+      .withColumn("n", col("vs.n"))
+      .drop("vs")
       .withColumn("score_micro", scoreMicro(col("sv"), col("n")))
       .withColumn("mag_micro", magnitudeMicro(col("sav")))
       .withColumn("mood_micro", moodMicro(col("sv"), col("sav"), col("n")))

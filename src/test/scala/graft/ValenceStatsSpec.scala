@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ValenceStatsExpr
+import graft.nlp.NlpFunctions._
+
+/** The fused native scorer ([[graft.functions.ValenceStatsExpr]]) must be
+  * value-identical to the composed `aggregate()` form it replaces — on
+  * fixture text, crafted edges, and under codegen. */
+class ValenceStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fused(textCol: String) =
+    ValenceStatsExpr.stats(spark, tokens(col(textCol)))
+
+  test("fused stats equal the composed aggregate form on crafted text") {
+    val df = Seq(
+      "good bad GREAT terrible-fast", // mixed valences, punctuation
+      "no lexicon words here at all x",
+      "",
+      "good good good",               // repeated token
+      "slow, slow. SLOW!").toDF("text")
+    val toks = tokens(col("text"))
+    val rows = df.select(
+      fused("text").as("vs"),
+      valenceSum(toks).as("sv"),
+      absValenceSum(toks).as("sav"),
+      matchedCount(toks).as("n"))
+      .select(col("vs.sv"), col("vs.sav"), col("vs.n"),
+        col("sv"), col("sav"), col("n"))
+      .as[(Int, Int, Int, Int, Int, Int)].collect()
+    rows.foreach { case (a1, a2, a3, b1, b2, b3) =>
+      assert((a1, a2, a3) == ((b1, b2, b3)))
+    }
+    // pin absolute values of the first row: good(3) bad(-3) great(3)
+    // terrible(-3) fast(3)
+    assert(rows(0)._1 == 3 && rows(0)._2 == 15 && rows(0)._3 == 5)
+  }
+
+  test("fused stats equal the composed form across the sf0.001 corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = tokens(col("text"))
+    val mismatches = docs.select(
+        fused("text").as("vs"),
+        valenceSum(toks).as("sv"),
+        absValenceSum(toks).as("sav"),
+        matchedCount(toks).as("n"))
+      .where(col("vs.sv") =!= col("sv") || col("vs.sav") =!= col("sav") ||
+        col("vs.n") =!= col("n"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("expression participates in whole-stage codegen plans") {
+    // A literal input would be constant-folded away, so plan over a scan.
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(fused("text").as("vs"))
+    val plan = df.queryExecution.executedPlan.toString
+    // The "*(n)" prefix marks operators fused into a WholeStageCodegen
+    // stage; the scorer's Project must carry it.
+    assert(plan.contains("*(1) Project"))
+    assert(plan.contains("valence_stats"))
+    // And the fold itself evaluates: good+bad cancel in sv, add in sav.
+    val one = Seq("good bad").toDF("text").select(fused("text").as("vs"))
+      .select(col("vs.sv"), col("vs.sav")).as[(Int, Int)].head()
+    assert(one == ((0, 6)))
+  }
+
+  test("registration is idempotent and survives re-registration") {
+    ValenceStatsExpr.register(spark)
+    ValenceStatsExpr.register(spark)
+    val got = spark.sql(
+      "SELECT valence_stats(array('good', 'bad', 'zzz')).sav").head().getInt(0)
+    assert(got == 6)
+  }
+}
