@@ -56,6 +56,8 @@ object SparkEntry {
     "tokenCount"          -> (DataOps.tokenCount _),
     "fingerprint"         -> (DataOps.fingerprint _),
     "multimodal"          -> (DataOps.multimodal _),
+    "mediaResize"         -> (DataOps.mediaResize _),
+    "frameSample"         -> (DataOps.frameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +93,7 @@ object SparkEntry {
     "tokenCount"          -> OracleSqlData.tokenCount,
     "fingerprint"         -> OracleSqlData.fingerprint,
     "multimodal"          -> OracleSqlData.multimodal,
+    "mediaResize"         -> OracleSqlData.mediaResize,
+    "frameSample"         -> OracleSqlData.frameSample,
   )
 }

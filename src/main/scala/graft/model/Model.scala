@@ -60,6 +60,11 @@ object Model {
   case class MediaFeature(doc_id: Long, mime: String, n_bytes: Long,
       width: Long, height: Long, frames: Long)
 
+  /** Aspect-preserving thumbnail geometry for a decoded media record
+    * ([[graft.pipeline.DataOps.mediaResize]]). */
+  case class MediaThumb(doc_id: Long, width: Long, height: Long,
+      thumb_w: Long, thumb_h: Long)
+
   /** Keyed mood record feeding the streaming count-window operator
     * (value in micro units; `seq` = arrival order within the key). */
   case class MoodRec(key: String, seq: Long, mood_micro: Long)

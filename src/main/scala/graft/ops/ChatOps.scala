@@ -50,7 +50,16 @@ object ChatOps {
     * windows fire; keep sums <= thresholdMicro (the reference's
     * `.filter(_.value <= threshold)`, SentimentAnalysis.scala:311 — note
     * `<=`, not `<`). Input df must contain `key` and `valueMicro` columns.
-    */
+    *
+    * 100× scale note: the per-key `row_number` sorts one key's history on
+    * one task, so wall-clock is bounded by the hottest key. The fixture
+    * derivation scales key cardinality with data (Messages.scala), which
+    * keeps tasks balanced; for a genuinely hot key the two-phase plan is:
+    * (1) map-side, pre-aggregate fixed-size chunks of each key's run
+    * (chunk id = order div C) into (count, sum) partials; (2) reduce-side,
+    * stitch partials into exact n-element windows — or run the streaming
+    * form ([[graft.streaming.StreamingOps.toxicWindows]]), whose per-key
+    * state is O(1) and which shards across executors by key hash. */
   def countWindowSum(df: DataFrame, key: Column, order: Seq[Column],
       valueMicro: Column, n: Int, thresholdMicro: Long): DataFrame = {
     val rn = row_number().over(Window.partitionBy(key).orderBy(order: _*))

@@ -388,18 +388,41 @@ object OracleSqlData {
   // Multimodal plumbing
   // =================================================================
 
-  val multimodal: String =
-    """SELECT doc_id,
-      |  CASE CAST(doc_id % 3 AS INTEGER)
-      |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-      |    ELSE 'video/mp4' END AS mime,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  64 + h % 897 AS width,
-      |  64 + (h // 1000) % 897 AS height,
-      |  CASE WHEN doc_id % 3 = 2 THEN 1 + h % 240 ELSE 1 END AS frames
-      |FROM (
-      |  SELECT doc_id, text,
-      |         CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-      |  FROM documents
+  /** Decoded-feature relation shared by the media-pipeline oracles. */
+  private val mediaCte: String =
+    """med AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INTEGER)
+      |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |      ELSE 'video/mp4' END AS mime,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    64 + h % 897 AS width,
+      |    64 + (h // 1000) % 897 AS height,
+      |    CASE WHEN doc_id % 3 = 2 THEN 1 + h % 240 ELSE 1 END AS frames
+      |  FROM (
+      |    SELECT doc_id, text,
+      |           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |    FROM documents
+      |  )
       |)""".stripMargin
+
+  val multimodal: String =
+    s"""WITH $mediaCte
+       |SELECT doc_id, mime, n_bytes, width, height, frames FROM med""".stripMargin
+
+  val mediaResize: String =
+    s"""WITH $mediaCte
+       |SELECT doc_id, width, height,
+       |  CASE WHEN width >= height THEN 256
+       |       ELSE GREATEST(1, (width * 256) // height) END AS thumb_w,
+       |  CASE WHEN width >= height THEN GREATEST(1, (height * 256) // width)
+       |       ELSE 256 END AS thumb_h
+       |FROM med""".stripMargin
+
+  val frameSample: String =
+    s"""WITH $mediaCte
+       |SELECT doc_id, mime, frames,
+       |  unnest(list_transform(range(0, CAST(LEAST(frames, 8) AS INTEGER)),
+       |    j -> (j * frames) // LEAST(frames, 8))) AS frame_idx
+       |FROM med""".stripMargin
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFns._
-import graft.model.Model.{MediaFeature, MediaRecord}
+import graft.model.Model.{MediaFeature, MediaRecord, MediaThumb}
 import graft.nlp.Lexicons
 import graft.nlp.NlpFunctions.{tokens, MICRO}
 
@@ -487,5 +487,36 @@ object DataOps {
           width, height, frames)
       }
     }.toDF()
+  }
+
+  /** Resize stage of the media pipeline: aspect-preserving fit into a
+    * 256-px bounding box, exact integer arithmetic (a real decoder's
+    * scaler would run in this mapPartitions batch; the geometry math is
+    * the genuine part). */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    multimodal(spark, sfDir)
+      .select(col("doc_id"), col("width"), col("height"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          // ??? real pixel resampling goes here — the geometry is real.
+          val (tw, th) =
+            if (w >= h) (256L, math.max(1L, h * 256L / w))
+            else (math.max(1L, w * 256L / h), 256L)
+          MediaThumb(id, w, h, tw, th)
+        }
+      }.toDF()
+  }
+
+  /** Frame-sampling stage: up to 8 evenly-spaced frame indices per media
+    * record (`⌊j·frames/k⌋`, k = min(frames, 8)) — one row per sampled
+    * frame, the shape a video feature-extractor consumes. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = least(col("frames"), lit(8L))
+    multimodal(spark, sfDir)
+      .select(col("doc_id"), col("mime"), col("frames"),
+        explode(transform(sequence(lit(0L), k - 1),
+          j => floor(j * col("frames") / k).cast("long"))).as("frame_idx"))
   }
 }

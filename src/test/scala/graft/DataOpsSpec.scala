@@ -117,6 +117,34 @@ class DataOpsSpec extends SparkSpec {
     assert(byId(0L).drop(1) == byId(1L).drop(1)) // mimes differ, rest equal
   }
 
+  test("mediaResize fits into a 256 box preserving orientation") {
+    val rows = DataOps.mediaResize(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 500)
+    rows.foreach { case (_, w, h, tw, th) =>
+      assert(tw <= 256L && th <= 256L && tw >= 1L && th >= 1L)
+      assert((w >= h) == (tw >= th)) // orientation preserved
+      assert(math.max(tw, th) == 256L) // long edge pinned
+    }
+  }
+
+  test("frameSample emits <= 8 strictly increasing in-range indices") {
+    val rows = DataOps.frameSample(spark, SF)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach { rs =>
+      val frames = rs.head._3
+      val idx = rs.map(_._4)
+      assert(idx.size == math.min(frames, 8L))
+      assert(idx.sorted == idx.distinct.sorted)
+      assert(idx.forall(i => i >= 0L && i < frames))
+    }
+    // non-video records have exactly one frame, index 0
+    rows.filter(_._2 != "video/mp4").foreach { r =>
+      assert(r._3 == 1L && r._4 == 0L)
+    }
+  }
+
   test("annBrute returns a full ranked top-10 per query on sf0.001") {
     val rows = DataOps.annBrute(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
