@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.oracle.{OracleSql, OracleSqlData}
-import graft.pipeline.{DataOps, ParityQueries => PQ}
+import graft.oracle.{OracleSql, OracleSqlData, OracleSqlRel}
+import graft.pipeline.{DataOps, RelOps, ParityQueries => PQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,10 @@ object SparkEntry {
     "multimodal"          -> (DataOps.multimodal _),
     "mediaResize"         -> (DataOps.mediaResize _),
     "frameSample"         -> (DataOps.frameSample _),
+    // --- general relational surface (SURVEY.md §2.6) ---
+    "eventsHourly"        -> (RelOps.eventsHourly _),
+    "q3Revenue"           -> (RelOps.q3Revenue _),
+    "q5LocalRevenue"      -> (RelOps.q5LocalRevenue _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +99,9 @@ object SparkEntry {
     "multimodal"          -> OracleSqlData.multimodal,
     "mediaResize"         -> OracleSqlData.mediaResize,
     "frameSample"         -> OracleSqlData.frameSample,
+    // --- general relational surface (SURVEY.md §2.6) ---
+    "eventsHourly"        -> OracleSqlRel.eventsHourly,
+    "q3Revenue"           -> OracleSqlRel.q3Revenue,
+    "q5LocalRevenue"      -> OracleSqlRel.q5LocalRevenue,
   )
 }

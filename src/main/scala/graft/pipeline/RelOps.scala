@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * General relational surface over the driver's star schema + event table
+ * (SURVEY.md §2.6: joins / sorts / grouped aggregation exist "for free"
+ * in Spark SQL; these queries EXPOSE them with oracle parity, the way a
+ * user of the engine would run ad-hoc analytics beside the stream
+ * pipeline).
+ *
+ * Determinism: every double money/value column becomes a per-row
+ * micro-unit BIGINT (round(x·1e6)) BEFORE aggregation, so sums are exact
+ * integers in both engines regardless of summation order.
+ *
+ * Scale shape: dimension tables (region/nation/customer) broadcast; the
+ * fact scans (lineitem, orders, events) stay un-shuffled until their
+ * grouping aggregate; filters sit directly on the scans for parquet
+ * pushdown.
+ */
+object RelOps {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Hourly tumbling event rollup per type: (wstart, event_type, cnt,
+    * val_micro). One scan, one hash aggregate. The events table carries
+    * nanosecond parquet timestamps, which Spark only reads via the
+    * legacy nanos-as-long conf — bucketing then happens in exact integer
+    * nanos. */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .select(col("event_type"),
+        (expr("ts div 3600000000000") * 3600L).as("wstart"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v"))
+      .groupBy(col("wstart"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("val_micro"))
+  }
+
+  /** TPC-H Q3-shaped: revenue per order priority for one market segment.
+    * customer (filtered, broadcast) ⋈ orders ⋈ lineitem; revenue =
+    * Σ round(extprice·(1−discount)·1e6). */
+  def q3Revenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("rev"))
+    li.join(orders.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("revenue_micro"))
+  }
+
+  /** TPC-H Q5-shaped: revenue per nation where customer and supplier
+    * share the nation. region ⋈ nation ⋈ customer broadcast down onto
+    * the orders ⋈ lineitem ⋈ supplier fact chain. */
+  def q5LocalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = t(spark, sfDir, "nation")
+      .join(t(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = t(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("rev"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("revenue_micro"))
+  }
+}
