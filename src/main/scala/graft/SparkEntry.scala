@@ -46,6 +46,7 @@ object SparkEntry {
     // --- LLM-data-pipeline surface (SURVEY.md §2.7) ---
     "dedupExact"          -> (DataOps.dedupExact _),
     "dedupMinhash"        -> (DataOps.dedupMinhash _),
+    "dedupClusters"       -> (DataOps.dedupClusters _),
     "dedupSimhash"        -> (DataOps.dedupSimhash _),
     "dedupNgramSource"    -> (DataOps.dedupNgramSource _),
     "dedupEmbed"          -> (DataOps.dedupEmbed _),
@@ -62,6 +63,10 @@ object SparkEntry {
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q3Revenue"           -> (RelOps.q3Revenue _),
     "q5LocalRevenue"      -> (RelOps.q5LocalRevenue _),
+    // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
+    // No oracleSql entry: LBFGS float reduction order is
+    // partition-dependent, so the driver records a rows-only check.
+    "x1SentimentMl"       -> (graft.nlp.MlSentiment.x1SentimentMl _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +92,7 @@ object SparkEntry {
     // --- LLM-data-pipeline surface (SURVEY.md §2.7) ---
     "dedupExact"          -> OracleSqlData.dedupExact,
     "dedupMinhash"        -> OracleSqlData.dedupMinhash,
+    "dedupClusters"       -> OracleSqlData.dedupClusters,
     "dedupSimhash"        -> OracleSqlData.dedupSimhash,
     "dedupNgramSource"    -> OracleSqlData.dedupNgramSource,
     "dedupEmbed"          -> OracleSqlData.dedupEmbed,

@@ -102,6 +102,25 @@ object OracleSqlData {
        |) WHERE jac_micro >= 500000""".stripMargin
   }
 
+  /** Connected components over the minhash pair graph via WITH RECURSIVE:
+    * rep(doc) = min doc_id reachable through near-dup edges. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($dedupMinhash)
+       |),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id
+       |)
+       |SELECT doc_id, MIN(r) AS rep, doc_id = MIN(r) AS keep
+       |FROM reach GROUP BY doc_id""".stripMargin
+
   val dedupSimhash: String =
     s"""WITH $wrdsCte,
        |wc AS (

@@ -122,6 +122,46 @@ object DataOps {
       .where(col("jac_micro") >= 500000L)
   }
 
+  /** Near-dup cluster assignment: connected components over the MinHash
+    * pair graph ([[dedupMinhash]]), labeling every document with the
+    * minimum doc_id reachable through near-dup edges — the survivor its
+    * cluster keeps. Output (doc_id, rep, keep) for ALL documents
+    * (singletons are their own rep).
+    *
+    * Batch form: iterative min-label propagation (one hop per round,
+    * rounds = component diameter — near-dup clusters are shallow). At
+    * 100 TB the same loop runs with the large-star/small-star
+    * optimization; each round is one join + one aggregate on (id, rep)
+    * pairs, never materializing the text. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = docs(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("rep")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("doc_id", "nid"),
+          col("doc_b") === col("nid"))
+        .groupBy(col("doc_a")).agg(min(col("rep")).as("nrep"))
+      val next = labels
+        .join(nbr, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.rep") =!= col("o.rep")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("rep"),
+      (col("doc_id") === col("rep")).as("keep"))
+  }
+
   /** 32-bit SimHash over whitespace-token frequencies. */
   private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     val wc = docs(spark, sfDir)

@@ -79,6 +79,25 @@ class DataOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => Seq(p._1, p._2).exists(Seq(3L, 4L, 5L).contains)))
   }
 
+  test("dedupClusters labels every doc; near-dup families share a rep") {
+    val rows = DataOps.dedupClusters(spark, tinyDir)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == (0L to 5L))
+    val rep = rows.map(r => r._1 -> r._2).toMap
+    assert(rep(0L) == 0L && rep(1L) == 0L) // exact dups cluster to min id
+    assert(rows.forall { case (id, r, keep) => keep == (id == r) && r <= id })
+    // reps are themselves cluster members pointing at themselves
+    rows.foreach { case (_, r, _) => assert(rep(r) == r) }
+  }
+
+  test("x1SentimentMl scores every W1 block with a binary polarity") {
+    val ml = graft.nlp.MlSentiment.x1SentimentMl(spark, SF)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val w1Rows = graft.pipeline.ParityQueries.w1(spark, SF).count()
+    assert(ml.size.toLong == w1Rows)
+    assert(ml.forall(r => r._4 == 0L || r._4 == 1L))
+  }
+
   test("dedupSimhash pairs the duplicate family at hamming <= 3") {
     val pairs = DataOps.dedupSimhash(spark, tinyDir)
       .as[(Long, Long, Long)].collect().toSeq
