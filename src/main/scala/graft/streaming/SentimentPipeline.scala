@@ -31,8 +31,72 @@ final class SentimentPipeline(val messages: Dataset[TimedMessage]) {
   /** W1: keyed 1 s tumbling concat (SentimentAnalysis.scala:44-48). */
   lazy val parsedStream: DataFrame = StreamingOps.w1Concat(messages)
 
+  /** W2 aggregateStream: 100 s re-window of W1
+    * (SentimentAnalysis.scala:51-52) — chained stateful aggregation. */
+  lazy val aggregateStream: DataFrame = StreamingOps.w2Concat(messages)
+
   /** E1 head: W1 + sentiment scores (SentimentAnalysis.scala:55-59). */
   lazy val sentimentStream: DataFrame = StreamingOps.sentimentStream(messages)
+
+  /** Per-record scored message stream with event time — the stateless
+    * trunk feeding the entity/category branches at live granularity. */
+  private lazy val scored: DataFrame =
+    ParityQueries.withSentiment(
+      StreamingOps.withEventTime(messages).withWatermark("ts", "5 seconds"))
+
+  /** R3 entityStream (SentimentAnalysis.scala:62-93): one row per entity
+    * mention with the record's mood. */
+  lazy val entityStream: DataFrame =
+    scored.select(col("ts"),
+      explode(entityMentions(col("text"), tokens(col("text")))).as("key"),
+      col("mood_micro"))
+
+  /** W7 entityOpinionStream (SentimentAnalysis.scala:186-192): 30 s
+    * tumbling mood sum per entity. */
+  lazy val entityOpinionStream: DataFrame =
+    entityStream
+      .groupBy(window(col("ts"), "30 seconds"), col("key"))
+      .agg(sum(col("mood_micro")).as("mood_micro"))
+
+  /** R5/R6 categorySentimentStream (SentimentAnalysis.scala:126-160):
+    * ≥25-word-guarded categories exploded with the record's sentiment. */
+  lazy val categorySentimentStream: DataFrame =
+    scored
+      .withColumn("categories",
+        when(graft.nlp.NlpFunctions.refWordCount(col("text")) >= 25,
+          graft.nlp.NlpFunctions.categoriesArr(tokens(col("text"))))
+          .otherwise(array()))
+      .select(col("ts"), explode(col("categories")).as("c"),
+        col("score_micro"), col("mag_micro"), col("mood_micro"))
+      .select(col("ts"), col("c.category").as("category"),
+        col("c.conf_micro").as("conf_micro"), col("score_micro"),
+        col("mag_micro"), col("mood_micro"))
+
+  /** W6 categoryOpinionStream (SentimentAnalysis.scala:178-184): running
+    * per-category mood, update-mode. */
+  lazy val categoryOpinionStream: DataFrame =
+    categorySentimentStream
+      .groupBy(col("category").as("key"))
+      .agg(sum(col("mood_micro")).as("run_micro"))
+
+  /** The repaired trendingStream (SentimentAnalysis.scala:106-123, dead
+    * in the reference): per-10 s-window share of conversation per entity
+    * — a second chained aggregation collecting the window's counts, then
+    * exploded with the percentage. */
+  lazy val trendingStream: DataFrame =
+    entityStream
+      .groupBy(window(col("ts"), "10 seconds"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(window(window_time(col("window")), "10 seconds"))
+      .agg(sum(col("cnt")).as("tot"),
+        collect_list(struct(col("key"), col("cnt"))).as("ks"))
+      .select(col("window"), col("tot"), explode(col("ks")).as("kc"))
+      .select(
+        (unix_timestamp(col("window.start")) -
+          graft.pipeline.ParityQueries.BaseEpoch).as("w3sec"),
+        col("kc.key").as("key"), col("kc.cnt").as("cnt"),
+        round(col("kc.cnt").cast("double") / col("tot").cast("double") *
+          lit(1000000.0)).cast("long").as("pct_micro"))
 
   /** W4: running per-user mood, update-mode (SentimentAnalysis.scala:285).
     * Fed per record, as the reference's unwindowed reduce is. */
@@ -69,6 +133,18 @@ final class SentimentPipeline(val messages: Dataset[TimedMessage]) {
   lazy val toxicChannelStream: Dataset[ToxWindow] =
     StreamingOps.toxicWindows(
       StreamingOps.perRecordMoods(messages), 50, -30L * 1000000L)
+
+  /** toxicTopicStream — countWindow(25) ≤ −20 over per-entity moods
+    * (SentimentAnalysis.scala:194-199). */
+  lazy val toxicTopicStream: Dataset[ToxWindow] = {
+    import spark.implicits._
+    StreamingOps.toxicWindows(
+      ParityQueries.withSentiment(messages.toDF())
+        .select(explode(entityMentions(col("text"),
+          tokens(col("text")))).as("key"), col("seq"), col("mood_micro"))
+        .as[graft.model.Model.MoodRec],
+      25, -20L * 1000000L)
+  }
 
   /** K1/K2: start the active DAG (E1 + E2) on console sinks — the
     * reference's two live `print()` branches (SentimentAnalysis.scala:216,

@@ -36,18 +36,41 @@ object StreamingOps {
     msgs.toDF().withColumn("ts",
       timestamp_seconds(lit(BaseEpoch) + col("tsec")))
 
-  /** W1 streaming form (SentimentAnalysis.scala:44-48): keyed 1 s tumbling
-    * window + arrival-order concat, watermarked on event time. Output
-    * matches [[ParityQueries.w1]]: (wsec, channel, username, text). */
-  def w1Concat(msgs: Dataset[TimedMessage],
+  /** W1 with its event-time window column kept — the chaining form for
+    * window-of-windows aggregation. */
+  def w1ConcatWindowed(msgs: Dataset[TimedMessage],
       watermark: String = "5 seconds"): DataFrame =
     withEventTime(msgs)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 second"), col("channel"),
         col("user").as("username"))
       .agg(orderedConcat(col("seq"), col("text")).as("text"))
+
+  /** W1 streaming form (SentimentAnalysis.scala:44-48): keyed 1 s tumbling
+    * window + arrival-order concat, watermarked on event time. Output
+    * matches [[ParityQueries.w1]]: (wsec, channel, username, text). */
+  def w1Concat(msgs: Dataset[TimedMessage],
+      watermark: String = "5 seconds"): DataFrame =
+    w1ConcatWindowed(msgs, watermark)
       .select(
         (unix_timestamp(col("window.start")) - BaseEpoch).as("wsec"),
+        col("channel"), col("username"), col("text"))
+
+  /** W2 streaming form (SentimentAnalysis.scala:51-52): the 100 s
+    * re-window of W1 results — CHAINED stateful aggregation (Spark 3.4+
+    * multiple-stateful support, append mode): the second window groups on
+    * `window_time` of the first, watermark propagating through. Output
+    * matches [[ParityQueries.w2]]: (w2sec, channel, username, text). */
+  def w2Concat(msgs: Dataset[TimedMessage],
+      watermark: String = "5 seconds"): DataFrame =
+    w1ConcatWindowed(msgs, watermark)
+      .withColumn("wsec",
+        unix_timestamp(col("window.start")) - BaseEpoch)
+      .groupBy(window(window_time(col("window")), "100 seconds"),
+        col("channel"), col("username"))
+      .agg(orderedConcat(col("wsec"), col("text")).as("text"))
+      .select(
+        (unix_timestamp(col("window.start")) - BaseEpoch).as("w2sec"),
         col("channel"), col("username"), col("text"))
 
   /** E1 streaming form: W1 + the sentiment enrichment (stateless columns,

@@ -49,6 +49,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming w2 (chained window-of-windows) equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val name = freshQueryName("w2s")
+    // Append mode: windows only emit once the watermark passes them, so
+    // feed the fixture and then one far-future dummy record to flush.
+    val q = StreamingOps.w2Concat(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(fixtureMessages)
+      q.processAllAvailable()
+      in.addData(TimedMessage(999999L, 100000L, "chX", "uX", "flush"))
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .as[(Long, String, String, String)].collect().toSeq.sorted
+      val batch = ParityQueries.w2(spark, SF)
+        .select("w2sec", "channel", "username", "text")
+        .as[(Long, String, String, String)].collect().toSeq.sorted
+      assert(streamed == batch) // dummy's own window stays unflushed
+    } finally q.stop()
+  }
+
+  test("streaming trending (two chained aggs) matches batch percentages") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val pipeline = new graft.streaming.SentimentPipeline(in.toDS())
+    val name = freshQueryName("trend")
+    val q = pipeline.trendingStream
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(fixtureMessages)
+      q.processAllAvailable()
+      in.addData(TimedMessage(999999L, 100000L, "chX", "uX", "flush"))
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .as[(Long, String, Long, Long)].collect().toSeq.sorted
+      // Batch twin over per-record granularity (the live form's input):
+      // entity rows from raw messages, 10 s windows, share per window.
+      val ent = ParityQueries.withSentiment(
+          spark.createDataset(fixtureMessages).toDF())
+        .select(col("tsec"),
+          explode(graft.nlp.NlpFunctions.entityMentions(col("text"),
+            graft.nlp.NlpFunctions.tokens(col("text")))).as("key"))
+      val w3 = ent.groupBy(graft.ops.ChatOps.tumble(col("tsec"), 10)
+          .as("w3sec"), col("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val batch = w3.withColumn("tot",
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("w3sec"))))
+        .select(col("w3sec"), col("key"), col("cnt"),
+          round(col("cnt").cast("double") / col("tot").cast("double") *
+            lit(1000000.0)).cast("long").as("pct_micro"))
+        .as[(Long, String, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("toxicTopicStream fires count windows over entity moods") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val pipeline = new graft.streaming.SentimentPipeline(in.toDS())
+    val name = freshQueryName("toxtopic")
+    val q = pipeline.toxicTopicStream.toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // 25 messages each mentioning entity "Spark" with a negative text:
+      // "slow" valence -4 -> score -0.8, magnitude 0.8, mood -0.64 ->
+      // running sums go increasingly negative; window of 25 fires.
+      in.addData((1 to 25).map(i =>
+        TimedMessage(i.toLong, i.toLong, "ch0", "u0", "Spark is slow")))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(String, Long, Long)].collect().toSeq
+      assert(rows.map(_._1).toSet == Set("spark"))
+      assert(rows.forall(_._3 <= -20000000L))
+    } finally q.stop()
+  }
+
   test("streaming running mood (update mode) reaches the batch totals") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TimedMessage]
@@ -152,6 +232,45 @@ class StreamingSpec extends SparkSpec {
       SentimentPipeline.Config("localhost", 42))
     assert(SentimentPipeline.parseArgs(Array("--bogus", "x")) ==
       SentimentPipeline.Config())
+  }
+
+  test("fromSocket ingests live TCP wire lines end-to-end (S2)") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        (1 to 30).foreach(i => out.println(s"ch0,alice,a good line $i"))
+        out.flush()
+        Thread.sleep(20000) // keep the connection up while Spark polls
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val pipeline = SentimentPipeline.fromSocket(spark,
+      SentimentPipeline.Config("localhost", port))
+    val name = freshQueryName("sock")
+    val q = pipeline.messages.toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      var n = 0L
+      while (n < 30L && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = spark.table(name).count()
+        if (n < 30L) Thread.sleep(200)
+      }
+      assert(n >= 30L)
+      val row = spark.table(name).where(col("text").endsWith("line 1"))
+        .select("channel", "user").as[(String, String)].head()
+      assert(row == (("ch0", "alice")))
+    } finally {
+      q.stop()
+      server.close()
+    }
   }
 
   test("pipeline E1+E2 smoke: console start() runs on a bounded stream") {
