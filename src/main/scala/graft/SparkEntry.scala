@@ -63,6 +63,9 @@ object SparkEntry {
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q3Revenue"           -> (RelOps.q3Revenue _),
     "q5LocalRevenue"      -> (RelOps.q5LocalRevenue _),
+    "topkOrders"          -> (RelOps.topkOrders _),
+    "rollupRevenue"       -> (RelOps.rollupRevenue _),
+    "distinctUsers"       -> (RelOps.distinctUsers _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -109,5 +112,8 @@ object SparkEntry {
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
     "q3Revenue"           -> OracleSqlRel.q3Revenue,
     "q5LocalRevenue"      -> OracleSqlRel.q5LocalRevenue,
+    "topkOrders"          -> OracleSqlRel.topkOrders,
+    "rollupRevenue"       -> OracleSqlRel.rollupRevenue,
+    "distinctUsers"       -> OracleSqlRel.distinctUsers,
   )
 }

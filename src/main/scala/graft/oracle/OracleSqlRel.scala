@@ -25,6 +25,26 @@ object OracleSqlRel {
       |WHERE c.c_mktsegment = 'BUILDING'
       |GROUP BY 1""".stripMargin
 
+  val topkOrders: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |       CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT) AS total_micro
+      |FROM orders
+      |ORDER BY total_micro DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  val rollupRevenue: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT))
+      |         AS BIGINT) AS total_micro
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin
+
+  val distinctUsers: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS cnt
+      |FROM events GROUP BY 1""".stripMargin
+
   val q5LocalRevenue: String =
     """SELECT n.n_name,
       |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *

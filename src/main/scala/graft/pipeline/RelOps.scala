@@ -59,6 +59,39 @@ object RelOps {
       .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("revenue_micro"))
   }
 
+  /** Top-k: the 10 highest-value orders, deterministically tie-broken by
+    * order key. TakeOrdered physical op — no full sort materialization. */
+  def topkOrders(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long")
+          .as("total_micro"))
+      .orderBy(col("total_micro").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Rollup: revenue by (priority, orderstatus) with subtotals and a
+    * grand total; grouping NULLs coalesced to 'ALL' so both engines emit
+    * identical marker rows. */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("tp"))
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("tp")).as("total_micro"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("total_micro"))
+
+  /** Distinct aggregation: exact distinct active users per event type
+    * (partial-aggregated distinct, the HLL-exact tier). */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("cnt"))
+  }
+
   /** TPC-H Q5-shaped: revenue per nation where customer and supplier
     * share the nation. region ⋈ nation ⋈ customer broadcast down onto
     * the orders ⋈ lineitem ⋈ supplier fact chain. */
