@@ -234,6 +234,60 @@ class StreamingSpec extends SparkSpec {
       SentimentPipeline.Config())
   }
 
+  test("startParquet writes the E1 stream to a durable sink (K1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val pipeline = new graft.streaming.SentimentPipeline(in.toDS())
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink")
+    val q = pipeline.startParquet(s"$dir/out", s"$dir/ckpt")
+    try {
+      in.addData(fixtureMessages)
+      q.processAllAvailable()
+      in.addData(TimedMessage(999999L, 100000L, "chX", "uX", "flush"))
+      q.processAllAvailable()
+      val written = spark.read.parquet(s"$dir/out")
+      assert(written.count() == ParityQueries.w1(spark, SF).count())
+      assert(written.columns.toSet == Set("wsec", "channel", "username",
+        "score_micro", "mag_micro", "mood_micro"))
+    } finally q.stop()
+  }
+
+  test("streaming sliding channel mood (W5) matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val pipeline = new graft.streaming.SentimentPipeline(in.toDS())
+    val name = freshQueryName("w5s")
+    val q = pipeline.channelMoodStream
+      .select((unix_timestamp(col("window.start")) -
+          ParityQueries.BaseEpoch).as("wstart"),
+        col("key"), col("mood_micro"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(fixtureMessages)
+      q.processAllAvailable()
+      in.addData(TimedMessage(999999L, 100000L, "chX", "uX", "flush"))
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      // Batch twin at per-record granularity (the live form's input),
+      // replicating the sliding 90s/60s window candidate expansion.
+      val perRec = ParityQueries.withSentiment(
+          spark.createDataset(fixtureMessages).toDF())
+      val a = perRec.select(col("channel").as("key"), col("mood_micro"),
+        (graft.ops.ChatOps.tumble(col("tsec"), 60)).as("wstart"))
+      val b = perRec.where(pmod(col("tsec"), lit(60L)) < 30)
+        .select(col("channel").as("key"), col("mood_micro"),
+          (graft.ops.ChatOps.tumble(col("tsec"), 60) - 60).as("wstart"))
+      val batch = a.select(col("key"), col("mood_micro"), col("wstart"))
+        .union(b).groupBy(col("wstart"), col("key"))
+        .agg(sum(col("mood_micro")).as("mood_micro"))
+        .select("wstart", "key", "mood_micro")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("fromSocket ingests live TCP wire lines end-to-end (S2)") {
     val server = new java.net.ServerSocket(0)
     val port = server.getLocalPort
