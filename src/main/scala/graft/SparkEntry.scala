@@ -52,6 +52,7 @@ object SparkEntry {
     "dedupEmbed"          -> (DataOps.dedupEmbed _),
     "annBrute"            -> (DataOps.annBrute _),
     "annIvf"              -> (DataOps.annIvf _),
+    "embedQuantize"       -> (DataOps.embedQuantize _),
     "langId"              -> (DataOps.langId _),
     "textQuality"         -> (DataOps.textQuality _),
     "tokenCount"          -> (DataOps.tokenCount _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "dedupEmbed"          -> OracleSqlData.dedupEmbed,
     "annBrute"            -> OracleSqlData.annBrute,
     "annIvf"              -> OracleSqlData.annIvf,
+    "embedQuantize"       -> OracleSqlData.embedQuantize,
     "langId"              -> OracleSqlData.langId,
     "textQuality"         -> OracleSqlData.textQuality,
     "tokenCount"          -> OracleSqlData.tokenCount,

@@ -248,6 +248,31 @@ object OracleSqlData {
        |  JOIN nrm nb ON nb.vec_id = pd.id_b
        |) WHERE cos_micro >= 400000""".stripMargin
 
+  val embedQuantize: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+       |           AS em
+       |  FROM embeddings
+       |),
+       |q AS (
+       |  SELECT vec_id, em, list_min(em) AS mn, list_max(em) AS mx,
+       |         list_transform(em, x -> CASE WHEN list_max(em) > list_min(em)
+       |           THEN CAST(ROUND(CAST(x - list_min(em) AS DOUBLE) * 254.0 /
+       |             CAST(list_max(em) - list_min(em) AS DOUBLE)) AS BIGINT)
+       |             - 127
+       |           ELSE 0 END) AS codes
+       |  FROM ev
+       |)
+       |SELECT vec_id, mn AS mn_micro, mx AS mx_micro,
+       |  md5(array_to_string(list_transform(codes,
+       |    c -> CAST(c AS VARCHAR)), ',')) AS fp,
+       |  CAST(ROUND(CAST(list_sum(list_transform(range(1, len(em) + 1),
+       |    i -> abs((em[i] - mn) * 254 - (codes[i] + 127) * (mx - mn))))
+       |    AS DOUBLE) / (254.0 * len(em))) AS BIGINT) AS mae_micro
+       |FROM q""".stripMargin
+
   val annBrute: String =
     s"""WITH $embCtes,
        |qd AS (

@@ -338,6 +338,40 @@ object DataOps {
       .where(col("cos_micro") >= 400000L)
   }
 
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step a 100 TB vector store applies before ANN. Per vector: affine
+    * map of [min, max] onto [-127, 127], a code fingerprint (md5 of the
+    * code string, proving exact cross-engine code equality), and the mean
+    * absolute reconstruction error. The error is computed in EXACT
+    * integer numerator space (|254·(x−mn) − (q+127)·(mx−mn)|), so no
+    * float summation order exists; only the per-element code rounding is
+    * double, with mirrored operand order. */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val mn = array_min(col("em"))
+    val mx = array_max(col("em"))
+    val codes = transform(col("em"), x =>
+      when(mx > mn,
+        round((x - mn).cast("double") * lit(254.0) /
+          (mx - mn).cast("double")).cast("long") - 127L)
+        .otherwise(lit(0L)))
+    emb(spark, sfDir)
+      .withColumn("mn", mn)
+      .withColumn("mx", mx)
+      .withColumn("codes", codes)
+      .withColumn("errnum",
+        aggregate(zip_with(col("em"), col("codes"),
+          (x, q) => abs((x - col("mn")) * 254L -
+            (q + 127L) * (col("mx") - col("mn")))),
+          lit(0L), (acc, e) => acc + e))
+      .select(col("vec_id"),
+        col("mn").as("mn_micro"), col("mx").as("mx_micro"),
+        md5(array_join(transform(col("codes"), c => c.cast("string")),
+          ",")).as("fp"),
+        round(col("errnum").cast("double") /
+          (lit(254.0) * size(col("em")).cast("double"))).cast("long")
+          .as("mae_micro"))
+  }
+
   /** ANN query set: every 50th vector (deterministic sample). */
   private def annQueries(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir).where(col("vec_id") % 50 === 0)

@@ -164,6 +164,18 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedQuantize bounds the int8 reconstruction error") {
+    val rows = DataOps.embedQuantize(spark, SF)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(rows.size == 500)
+    rows.foreach { case (_, mn, mx, fp, mae) =>
+      assert(mn <= mx)
+      assert(fp.length == 32)
+      // max abs error of a 254-step affine quantizer is half a step
+      assert(mae >= 0L && mae <= (mx - mn) / 254L / 2L + 1L)
+    }
+  }
+
   test("annBrute returns a full ranked top-10 per query on sf0.001") {
     val rows = DataOps.annBrute(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
