@@ -23,7 +23,13 @@ object Bench {
       SparkEntry.entry(spark).count()
       spark.read.parquet(s"$sfDir/documents.parquet").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Headline set = the oracle-checked queries. Rows-only extras (model
+    // TRAINING jobs like x1SentimentMl) are correctness surface, not
+    // benchmark queries, and would drown the engine numbers.
+    val headline = SparkEntry.queries.filter { case (n, _) =>
+      SparkEntry.oracleSql.contains(n)
+    }
+    val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
