@@ -68,7 +68,9 @@ object DataOps {
 
   /** MinHash parameters: K = B·R signature size, R rows per band. With
     * B=12, R=4 the LSH S-curve threshold is (1/12)^(1/4) ≈ 0.54 — tuned
-    * to the verify threshold Jaccard ≥ 0.5. */
+    * to the verify threshold Jaccard ≥ 0.5. (MinHash: Broder 1997, "On
+    * the resemblance and containment of documents"; banded LSH: Leskovec/
+    * Rajaraman/Ullman, Mining of Massive Datasets ch. 3.) */
   val MinhashK = 48
   val MinhashR = 4
   val MinhashB = 12
@@ -139,30 +141,38 @@ object DataOps {
     val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = docs(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("rep")).persist()
+    // Iterate over the near-dup SUBGRAPH only (docs appearing in a pair)
+    // — the loop's working set is proportional to the duplicate graph,
+    // not the corpus; singletons join back in one final pass.
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).persist()
     var changed = 1L
     while (changed > 0) {
       val nbr = edges
         .join(labels.withColumnRenamed("doc_id", "nid"),
           col("doc_b") === col("nid"))
         .groupBy(col("doc_a")).agg(min(col("rep")).as("nrep"))
-      val next = labels
+      // One join per round: propagate the neighborhood minimum and count
+      // label changes from the same frame.
+      val step = labels
         .join(nbr, col("doc_id") === col("doc_a"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("orep"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .persist()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.rep") =!= col("o.rep")).count()
+      changed = step.where(col("rep") =!= col("orep")).count()
       labels.unpersist()
-      labels = next
+      labels = step.select(col("doc_id"), col("rep"))
     }
-    labels.select(col("doc_id"), col("rep"),
-      (col("doc_id") === col("rep")).as("keep"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "mid"),
+        col("doc_id") === col("mid"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      .withColumn("keep", col("doc_id") === col("rep"))
   }
 
-  /** 32-bit SimHash over whitespace-token frequencies. */
+  /** 32-bit SimHash over whitespace-token frequencies (Charikar 2002
+    * similarity estimation; chunk-bucketed pairing as in Manku et al.
+    * 2007, "Detecting Near-Duplicates for Web Crawling"). */
   private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     val wc = docs(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
@@ -213,8 +223,9 @@ object DataOps {
     * block key (source) bounds the candidate set. Output (source, doc_a,
     * doc_b, jac_micro).
     *
-    * Candidate generation uses EXACT prefix filtering (AllPairs/PPJoin
-    * family): under a global token order (rarest first, token asc
+    * Candidate generation uses EXACT prefix filtering (AllPairs:
+    * Bayardo et al. 2007, "Scaling Up All Pairs Similarity Search";
+    * PPJoin: Xiao et al. 2008): under a global token order (rarest first, token asc
     * tie-break), two sets with Jaccard ≥ t MUST share a token among each
     * set's first |T| − ⌈t·|T|⌉ + 1 tokens — so only those prefix tokens
     * enter the bucket join, pruning the frequent-token buckets that
@@ -293,7 +304,8 @@ object DataOps {
     d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** IVF coarse quantizer: centroids = the first [[IvfC]] vectors by
-    * vec_id (deterministic "random" sample, FAISS-IVF style). */
+    * vec_id (deterministic "random" sample; inverted-file ANN as in
+    * Jégou et al. 2011 / the FAISS IVF-Flat index). */
   val IvfC = 16
 
   private def centroids(spark: SparkSession, sfDir: String): DataFrame =

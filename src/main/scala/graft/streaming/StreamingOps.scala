@@ -121,6 +121,21 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time form of
+    * [[graft.pipeline.DataOps.dedupExact]]: drops records whose text hash
+    * was already seen, with state BOUNDED by the watermark
+    * (`dropDuplicatesWithinWatermark`) so the dedup store cannot grow
+    * without limit on an unbounded stream. At 100 TB ingest this is the
+    * first stage of the training-data pipeline; the batch operator
+    * handles the historical corpus. */
+  def dedupExactStream(msgs: Dataset[TimedMessage],
+      watermark: String = "10 seconds"): DataFrame =
+    withEventTime(msgs)
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h", "ts")
+
   /** Per-record mood projection (R7, SentimentAnalysis.scala:249-255) of a
     * message stream keyed by user — the stateless front of the live E2
     * chain feeding [[toxicWindows]]. */

@@ -234,6 +234,26 @@ class StreamingSpec extends SparkSpec {
       SentimentPipeline.Config())
   }
 
+  test("dedupExactStream drops in-watermark duplicate texts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val name = freshQueryName("dds")
+    val q = StreamingOps.dedupExactStream(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(
+        TimedMessage(1L, 0L, "ch0", "a", "same text"),
+        TimedMessage(2L, 0L, "ch0", "b", "same text"),   // dup, dropped
+        TimedMessage(3L, 1L, "ch1", "c", "other text"),
+        TimedMessage(4L, 2L, "ch1", "d", "same text"))   // dup, dropped
+      q.processAllAvailable()
+      val texts = spark.table(name).select("text").as[String]
+        .collect().toSeq.sorted
+      assert(texts == Seq("other text", "same text"))
+    } finally q.stop()
+  }
+
   test("startParquet writes the E1 stream to a durable sink (K1)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TimedMessage]
