@@ -67,6 +67,7 @@ object SparkEntry {
     "topkOrders"          -> (RelOps.topkOrders _),
     "rollupRevenue"       -> (RelOps.rollupRevenue _),
     "distinctUsers"       -> (RelOps.distinctUsers _),
+    "hllDistinctUsers"    -> (RelOps.hllDistinctUsers _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -117,5 +118,6 @@ object SparkEntry {
     "topkOrders"          -> OracleSqlRel.topkOrders,
     "rollupRevenue"       -> OracleSqlRel.rollupRevenue,
     "distinctUsers"       -> OracleSqlRel.distinctUsers,
+    "hllDistinctUsers"    -> OracleSqlRel.hllDistinctUsers,
   )
 }

@@ -45,6 +45,57 @@ object OracleSqlRel {
     """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS cnt
       |FROM events GROUP BY 1""".stripMargin
 
+  /** HLL mirror: same md5-hash60 buckets, exact bit-smear ρ, exact
+    * integer register sum, identical final double division. The
+    * numerator literal is emitted from the SAME Scala expression the
+    * engine uses, so both sides parse the identical double. */
+  val hllDistinctUsers: String = {
+    val numerator = 0.709 * 4096.0 * 1.8014398509481984e16
+    s"""WITH hv AS (
+      |  SELECT event_type, user_id,
+      |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) AS h
+      |  FROM events
+      |),
+      |w0 AS (SELECT event_type, h, h // 64 AS w FROM hv),
+      |m1 AS (SELECT event_type, h, (w | (w >> 1))  AS w FROM w0),
+      |m2 AS (SELECT event_type, h, (w | (w >> 2))  AS w FROM m1),
+      |m4 AS (SELECT event_type, h, (w | (w >> 4))  AS w FROM m2),
+      |m8 AS (SELECT event_type, h, (w | (w >> 8))  AS w FROM m4),
+      |m16 AS (SELECT event_type, h, (w | (w >> 16)) AS w FROM m8),
+      |m32 AS (SELECT event_type, h, (w | (w >> 32)) AS w FROM m16),
+      |rv AS (
+      |  SELECT event_type, h % 64 AS bucket,
+      |         LEAST(55 - bit_count(w), 54) AS rho
+      |  FROM m32
+      |),
+      |regs AS (
+      |  SELECT event_type, bucket, MAX(rho) AS mj FROM rv GROUP BY 1, 2
+      |),
+      |allb AS (
+      |  SELECT DISTINCT e.event_type, b.bucket
+      |  FROM events e CROSS JOIN
+      |    (SELECT unnest(range(0, 64)) AS bucket) b
+      |),
+      |sx AS (
+      |  SELECT a.event_type,
+      |         CAST(SUM(CAST(1 AS BIGINT) <<
+      |           CAST(54 - COALESCE(r.mj, 0) AS INTEGER)) AS BIGINT) AS s
+      |  FROM allb a LEFT JOIN regs r
+      |    ON a.event_type = r.event_type AND a.bucket = r.bucket
+      |  GROUP BY 1
+      |),
+      |ex AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS exact
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT sx.event_type,
+      |       CAST(ROUND($numerator / CAST(sx.s AS DOUBLE)
+      |         * 1000000.0) AS BIGINT) AS est_micro,
+      |       ex.exact
+      |FROM sx JOIN ex ON sx.event_type = ex.event_type""".stripMargin
+  }
+
   val q5LocalRevenue: String =
     """SELECT n.n_name,
       |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *

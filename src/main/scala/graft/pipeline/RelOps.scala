@@ -92,6 +92,54 @@ object RelOps {
         count(lit(1)).as("cnt"))
   }
 
+  /** HyperLogLog-style distinct sketch (Flajolet et al. 2007, raw
+    * estimator, no small/large-range correction) per event type, fully
+    * oracle-replayable: m=64 registers keyed by the shared MD5 hash60
+    * (bucket = h mod 64, register ρ = first-1-bit position of the 54-bit
+    * suffix). ρ comes from an exact integer bit-smear + popcount
+    * bit-length (libm log2 is NOT correctly-rounded-portable), and the
+    * harmonic-mean denominator is the EXACT integer Σ 2^(54−M_j), so the
+    * only double step is the final α·m²·2^54 / S division, mirrored
+    * operand-for-operand. Output (event_type, est_micro, exact). */
+  def hllDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val m = 64
+    val h = graft.functions.HashFns.hash60(col("user_id").cast("string"))
+    val w = expr("h div 64")
+    // bit_length via smear-to-ones + popcount (exact in both engines)
+    val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(w) {
+      (acc, s) => acc.bitwiseOR(shiftright(acc, s))
+    }
+    val rho = least(lit(55L) - bit_count(smear).cast("long"), lit(54L))
+    val regs = t(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id")).withColumn("h", h)
+      .select(col("event_type"), col("user_id"),
+        pmod(col("h"), lit(m.toLong)).as("bucket"), rho.as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    // every (event_type, bucket) pair, empty registers included
+    val allBuckets = t(spark, sfDir, "events")
+      .select(col("event_type")).distinct()
+      .crossJoin(spark.range(m).select(col("id").as("bucket")))
+    val sExact = allBuckets
+      .join(regs, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"),
+        expr("shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(54 - coalesce(mj, 0) AS INT))").as("term"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("term")).as("s"))
+    // α_64·m²·2^54 as one double literal (identical parse both engines)
+    val numerator = 0.709 * 4096.0 * 1.8014398509481984e16
+    val exact = t(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    sExact.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        round(lit(numerator) / col("s").cast("double") * lit(1000000.0))
+          .cast("long").as("est_micro"),
+        col("exact"))
+  }
+
   /** TPC-H Q5-shaped: revenue per nation where customer and supplier
     * share the nation. region ⋈ nation ⋈ customer broadcast down onto
     * the orders ⋈ lineitem ⋈ supplier fact chain. */

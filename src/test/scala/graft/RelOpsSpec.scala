@@ -1,0 +1,60 @@
+package graft
+
+import graft.pipeline.RelOps
+
+/** Structural checks for the general relational surface
+  * ([[graft.pipeline.RelOps]]) — the value-level truth lives in the
+  * DuckDB oracle compare; these pin invariants and estimator quality. */
+class RelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  test("topkOrders returns exactly 10 rows in non-increasing order") {
+    val rows = RelOps.topkOrders(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows.size == 10)
+    val vals = rows.map(_._3)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("rollupRevenue subtotals are consistent with the grand total") {
+    val rows = RelOps.rollupRevenue(spark, SF)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val grand = rows.find(r => r._1 == "ALL" && r._2 == "ALL").get
+    val leaves = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val priTotals = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    assert(leaves.map(_._4).sum == grand._4)
+    assert(priTotals.map(_._4).sum == grand._4)
+    assert(leaves.map(_._3).sum == grand._3)
+  }
+
+  test("hllDistinctUsers estimates within sketch tolerance of exact") {
+    // sf0.01: 150 distinct users per type > 2m, the raw estimator's
+    // operating range (m=64 registers, standard error ~13%; 3 sigma).
+    val rows = RelOps.hllDistinctUsers(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, estMicro, exact) =>
+      val est = estMicro / 1e6
+      assert(math.abs(est - exact) / exact <= 0.4,
+        s"est $est vs exact $exact")
+    }
+    // Documented raw-estimator property: far below m distincts (sf0.001
+    // has 15 users), the uncorrected estimate biases HIGH — the linear-
+    // counting correction is deliberately omitted (libm ln is not
+    // cross-engine portable, and the oracle must replay exactly).
+    val small = RelOps.hllDistinctUsers(spark, SF)
+      .as[(String, Long, Long)].collect().toSeq
+    small.foreach { case (_, estMicro, exact) =>
+      assert(estMicro / 1e6 >= exact.toDouble)
+    }
+  }
+
+  test("eventsHourly buckets cover the event range with exact counts") {
+    val rows = RelOps.eventsHourly(spark, SF)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows.map(_._3).sum == 1000L) // sf0.001 events total
+    assert(rows.forall(_._1 % 3600 == 0))
+  }
+}
