@@ -68,6 +68,7 @@ object SparkEntry {
     "rollupRevenue"       -> (RelOps.rollupRevenue _),
     "distinctUsers"       -> (RelOps.distinctUsers _),
     "hllDistinctUsers"    -> (RelOps.hllDistinctUsers _),
+    "q14PromoShare"       -> (RelOps.q14PromoShare _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -119,5 +120,6 @@ object SparkEntry {
     "rollupRevenue"       -> OracleSqlRel.rollupRevenue,
     "distinctUsers"       -> OracleSqlRel.distinctUsers,
     "hllDistinctUsers"    -> OracleSqlRel.hllDistinctUsers,
+    "q14PromoShare"       -> OracleSqlRel.q14PromoShare,
   )
 }

@@ -96,6 +96,28 @@ object OracleSqlRel {
       |FROM sx JOIN ex ON sx.event_type = ex.event_type""".stripMargin
   }
 
+  val q14PromoShare: String =
+    """WITH j AS (
+      |  SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m')
+      |           AS month,
+      |         p.p_type,
+      |         CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
+      |           1000000.0) AS BIGINT) AS rev
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |),
+      |g AS (
+      |  SELECT month,
+      |         CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+      |           AS BIGINT) AS promo_micro,
+      |         CAST(SUM(rev) AS BIGINT) AS total_micro
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT month, promo_micro, total_micro,
+      |       CAST(ROUND(CAST(promo_micro AS DOUBLE) /
+      |         CAST(total_micro AS DOUBLE) * 1000000.0) AS BIGINT)
+      |         AS share_micro
+      |FROM g""".stripMargin
+
   val q5LocalRevenue: String =
     """SELECT n.n_name,
       |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *

@@ -140,6 +140,28 @@ object RelOps {
         col("exact"))
   }
 
+  /** TPC-H Q14-shaped: promo revenue share per month — part dimension
+    * broadcast onto the lineitem scan; the share ratio divides two exact
+    * integer micro sums. */
+  def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = t(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).as("mon"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("rev"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("mon"), "yyyy-MM").as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
+          .as("promo_micro"),
+        sum(col("rev")).as("total_micro"))
+      .withColumn("share_micro",
+        round(col("promo_micro").cast("double") /
+          col("total_micro").cast("double") * lit(1000000.0)).cast("long"))
+  }
+
   /** TPC-H Q5-shaped: revenue per nation where customer and supplier
     * share the nation. region ⋈ nation ⋈ customer broadcast down onto
     * the orders ⋈ lineitem ⋈ supplier fact chain. */
