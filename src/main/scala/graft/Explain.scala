@@ -21,7 +21,14 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.sorted.foreach { name =>
       println(s"\n======== $name ========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None =>
+          System.err.println(s"unknown query '$name'; registered: " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+          spark.stop()
+          sys.exit(1)
+      }
     }
     spark.stop()
   }

@@ -120,7 +120,10 @@ object NlpFunctions {
     * interior ones), returns [""] for "" and [] for all-space input;
     * mirrored exactly here and in the oracle SQL. */
   def refWordCount(text: Column): Column = {
-    val trimmed = regexp_replace(text, " +$", "")
+    // \z (end of input), NOT $ — Java's $ also matches before a final
+    // newline, which would strip "a \n" to "a\n" and diverge from both
+    // Java split semantics and the oracle's RE2 (where $ = end of text).
+    val trimmed = regexp_replace(text, " +\\z", "")
     when(length(text) === 0, lit(1))
       .when(length(trimmed) === 0, lit(0))
       .otherwise(size(split(trimmed, " ")))

@@ -403,7 +403,7 @@ object OracleSqlData {
       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
       |    AS BIGINT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(lower(text),
-      |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      |    '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS bpe_tokens,
       |  CAST(length(text) AS BIGINT) AS nchars
       |FROM documents""".stripMargin
 
@@ -434,7 +434,7 @@ object OracleSqlData {
 
   /** Decoded-feature relation shared by the media-pipeline oracles. */
   private val mediaCte: String =
-    """med AS (
+    s"""med AS (
       |  SELECT doc_id,
       |    CASE CAST(doc_id % 3 AS INTEGER)
       |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
@@ -444,8 +444,7 @@ object OracleSqlData {
       |    64 + (h // 1000) % 897 AS height,
       |    CASE WHEN doc_id % 3 = 2 THEN 1 + h % 240 ELSE 1 END AS frames
       |  FROM (
-      |    SELECT doc_id, text,
-      |           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |    SELECT doc_id, text, ${h60("text")} AS h
       |    FROM documents
       |  )
       |)""".stripMargin

@@ -144,8 +144,12 @@ object DataOps {
     // Iterate over the near-dup SUBGRAPH only (docs appearing in a pair)
     // — the loop's working set is proportional to the duplicate graph,
     // not the corpus; singletons join back in one final pass.
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+    // Track the PERSISTED frame separately from its projection: unpersist
+    // must be called on the exact cached plan or it is a silent no-op and
+    // every round's frame would stay cached for the session.
+    var cached = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id")).persist()
+    var labels = cached
     var changed = 1L
     while (changed > 0) {
       val nbr = edges
@@ -160,7 +164,8 @@ object DataOps {
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .persist()
       changed = step.where(col("rep") =!= col("orep")).count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = step
       labels = step.select(col("doc_id"), col("rep"))
     }
     docs(spark, sfDir).select(col("doc_id"))
@@ -513,9 +518,12 @@ object DataOps {
     docs(spark, sfDir).select(
       col("doc_id"),
       size(words(col("text"))).cast("long").as("ws_tokens"),
+      // whitespace spelled explicitly: Java \s includes \x0B, RE2's does
+      // not — an implicit \s would let exotic whitespace split the
+      // engines. The class below is identical in both.
       size(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
-        .as("bpe_tokens"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
       length(col("text")).cast("long").as("nchars"))
 
   /** Document fingerprint: the 4 smallest distinct char-5-gram hash60

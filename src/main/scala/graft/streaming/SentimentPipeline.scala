@@ -199,8 +199,18 @@ object SentimentPipeline {
     import spark.implicits._
     val lines = spark.readStream.format("socket")
       .option("host", config.url).option("port", config.port).load()
+    // current_timestamp() is constant per micro-batch, so a raw
+    // timestamp seq would tie every record in a batch. Spark's socket
+    // source exposes no per-record offset, so within-batch arrival order
+    // is not observable; a line-hash tiebreak makes the order STABLE
+    // (deterministic given the batch's lines) if not arrival-faithful —
+    // the documented live-path delta from the reference's implicit
+    // arrival order.
     val msgs = parseWire(lines)
-      .withColumn("seq", unix_micros(current_timestamp()))
+      .withColumn("seq",
+        unix_micros(current_timestamp()) * 1000L +
+          pmod(xxhash64(col("channel"), col("user"), col("text")),
+            lit(1000L)))
       .withColumn("tsec",
         unix_seconds(current_timestamp()) - lit(ParityQueries.BaseEpoch))
       .select(col("seq"), col("tsec"), col("channel"), col("user"),
@@ -213,10 +223,11 @@ object SentimentPipeline {
     * console out, run until terminated. */
   def main(args: Array[String]): Unit = {
     val config = parseArgs(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("Slack Analysis")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .master(s"local[$cpus]") // local tool default, like Bench/Verify
+      .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     fromSocket(spark, config).startConsole()
     spark.streams.awaitAnyTermination()

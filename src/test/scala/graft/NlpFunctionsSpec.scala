@@ -57,10 +57,11 @@ class NlpFunctionsSpec extends SparkSpec {
       "t  ",           // -> 1
       "",              // Java "".split(" ") == [""] -> 1
       "   ",           // all spaces: every field empty, all dropped -> 0
+      "a \n",          // $ would strip before the \n; \z must not -> 2
     ).toDF("text").select(refWordCount(col("text")).as("n"))
-    val expected = Seq("one two three", "a  b", "trailing ", "t  ", "", "   ")
-      .map(_.split(" ").length)
-    assert(expected == Seq(3, 3, 1, 1, 1, 0)) // pin the JVM ground truth
+    val expected = Seq("one two three", "a  b", "trailing ", "t  ", "", "   ",
+      "a \n").map(_.split(" ").length)
+    assert(expected == Seq(3, 3, 1, 1, 1, 0, 2)) // pin the JVM ground truth
     assert(df.as[Int].collect().toSeq == expected)
   }
 

@@ -117,9 +117,9 @@ class StreamingSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      // 25 messages each mentioning entity "Spark" with a negative text:
-      // "slow" valence -4 -> score -0.8, magnitude 0.8, mood -0.64 ->
-      // running sums go increasingly negative; window of 25 fires.
+      // 25 messages each mentioning entity "Spark" with net-negative text
+      // (spark +3, slow -4 -> mood < 0): running sums grow increasingly
+      // negative, so the 25-element count window lands below -20M.
       in.addData((1 to 25).map(i =>
         TimedMessage(i.toLong, i.toLong, "ch0", "u0", "Spark is slow")))
       q.processAllAvailable()
