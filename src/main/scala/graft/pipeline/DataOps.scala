@@ -403,15 +403,13 @@ object DataOps {
     v.crossJoin(broadcast(annQueries(spark, sfDir)))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"),
-        cosMicro(dot(col("em"), col("qem")), col("nrm"), col("qn"))
-          .as("cos_micro"))
+        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cs").desc, col("n_id").asc)))
       .where(col("rnk") <= 10)
       .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
-        col("cos_micro"))
+        round(col("cs") * lit(MICRO)).cast("long").as("cos_micro"))
   }
 
   /** IVF-bucketed ANN (the 100 TB scale path): vectors live in their top-1
@@ -439,15 +437,13 @@ object DataOps {
       .join(broadcast(q.select(col("q_id"), col("qem"), col("qn"))),
         Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"),
-        cosMicro(dot(col("em"), col("qem")), col("nrm"), col("qn"))
-          .as("cos_micro"))
+        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cs").desc, col("n_id").asc)))
       .where(col("rnk") <= 10)
       .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
-        col("cos_micro"))
+        round(col("cs") * lit(MICRO)).cast("long").as("cos_micro"))
   }
 
   // =================================================================

@@ -24,14 +24,21 @@ object RelOps {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The events table ships nanosecond parquet timestamps, which Spark
+    * only reads via the legacy nanos-as-long conf — every events reader
+    * goes through here. */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+  }
+
   /** Hourly tumbling event rollup per type: (wstart, event_type, cnt,
     * val_micro). One scan, one hash aggregate. The events table carries
     * nanosecond parquet timestamps, which Spark only reads via the
     * legacy nanos-as-long conf — bucketing then happens in exact integer
     * nanos. */
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
+    events(spark, sfDir)
       .select(col("event_type"),
         (expr("ts div 3600000000000") * 3600L).as("wstart"),
         round(col("value") * lit(1000000.0)).cast("long").as("v"))
@@ -85,8 +92,7 @@ object RelOps {
   /** Distinct aggregation: exact distinct active users per event type
     * (partial-aggregated distinct, the HLL-exact tier). */
   def distinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
+    events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("users"),
         count(lit(1)).as("cnt"))
@@ -102,23 +108,23 @@ object RelOps {
     * only double step is the final α·m²·2^54 / S division, mirrored
     * operand-for-operand. Output (event_type, est_micro, exact). */
   def hllDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val m = 64
     val h = graft.functions.HashFns.hash60(col("user_id").cast("string"))
-    val w = expr("h div 64")
-    // bit_length via smear-to-ones + popcount (exact in both engines)
-    val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(w) {
+    // bit_length via smear-to-ones + popcount (exact in both engines);
+    // smear over the named column w so the tree stays linear
+    val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("w")) {
       (acc, s) => acc.bitwiseOR(shiftright(acc, s))
     }
     val rho = least(lit(55L) - bit_count(smear).cast("long"), lit(54L))
-    val regs = t(spark, sfDir, "events")
+    val regs = events(spark, sfDir)
       .select(col("event_type"), col("user_id")).withColumn("h", h)
+      .withColumn("w", expr("h div 64"))
       .select(col("event_type"), col("user_id"),
         pmod(col("h"), lit(m.toLong)).as("bucket"), rho.as("rho"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("mj"))
     // every (event_type, bucket) pair, empty registers included
-    val allBuckets = t(spark, sfDir, "events")
+    val allBuckets = events(spark, sfDir)
       .select(col("event_type")).distinct()
       .crossJoin(spark.range(m).select(col("id").as("bucket")))
     val sExact = allBuckets
@@ -130,7 +136,7 @@ object RelOps {
       .agg(sum(col("term")).as("s"))
     // α_64·m²·2^54 as one double literal (identical parse both engines)
     val numerator = 0.709 * 4096.0 * 1.8014398509481984e16
-    val exact = t(spark, sfDir, "events")
+    val exact = events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact"))
     sExact.join(exact, Seq("event_type"))

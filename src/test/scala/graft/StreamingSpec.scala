@@ -29,6 +29,10 @@ class StreamingSpec extends SparkSpec {
   private def freshQueryName(prefix: String): String =
     prefix + System.nanoTime()
 
+  /** Far-future record that pushes the watermark past every fixture
+    * window so append-mode sinks flush; its own window never emits. */
+  private val flushRecord = TimedMessage(999999L, 100000L, "chX", "uX", "flush")
+
   test("streaming w1Concat equals the batch twin over the full fixture") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TimedMessage]
@@ -61,7 +65,7 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(fixtureMessages)
       q.processAllAvailable()
-      in.addData(TimedMessage(999999L, 100000L, "chX", "uX", "flush"))
+      in.addData(flushRecord)
       q.processAllAvailable()
       val streamed = spark.table(name)
         .as[(Long, String, String, String)].collect().toSeq.sorted
@@ -83,7 +87,7 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(fixtureMessages)
       q.processAllAvailable()
-      in.addData(TimedMessage(999999L, 100000L, "chX", "uX", "flush"))
+      in.addData(flushRecord)
       q.processAllAvailable()
       val streamed = spark.table(name)
         .as[(Long, String, Long, Long)].collect().toSeq.sorted
@@ -263,7 +267,7 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(fixtureMessages)
       q.processAllAvailable()
-      in.addData(TimedMessage(999999L, 100000L, "chX", "uX", "flush"))
+      in.addData(flushRecord)
       q.processAllAvailable()
       val written = spark.read.parquet(s"$dir/out")
       assert(written.count() == ParityQueries.w1(spark, SF).count())
@@ -286,7 +290,7 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(fixtureMessages)
       q.processAllAvailable()
-      in.addData(TimedMessage(999999L, 100000L, "chX", "uX", "flush"))
+      in.addData(flushRecord)
       q.processAllAvailable()
       val streamed = spark.table(name)
         .as[(Long, String, Long)].collect().toSeq.sorted
