@@ -136,8 +136,12 @@ object DataOps {
     * optimization; each round is one join + one aggregate on (id, rep)
     * pairs, never materializing the text. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // Persisted BEFORE the symmetric union: both union branches read the
+    // same cached pair set, so the MinHash candidate + verify join chain
+    // runs once, not twice.
     val pairs = dedupMinhash(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
+      .persist()
     val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -168,6 +172,10 @@ object DataOps {
       cached = step
       labels = step.select(col("doc_id"), col("rep"))
     }
+    // The final labels frame is materialized (its count ran), so the
+    // upstream caches can go; only `cached` must stay for the join below.
+    edges.unpersist()
+    pairs.unpersist()
     docs(spark, sfDir).select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "mid"),
         col("doc_id") === col("mid"), "left")

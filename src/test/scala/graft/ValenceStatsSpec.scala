@@ -75,4 +75,28 @@ class ValenceStatsSpec extends SparkSpec {
       "SELECT valence_stats(array('good', 'bad', 'zzz')).sav").head().getInt(0)
     assert(got == 6)
   }
+
+  test("GraftExtensions injects valence_stats at session construction") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark
+    // A fresh session over the same SparkContext, built through the
+    // public extensions injection point — its own SessionState must
+    // resolve valence_stats with no manual register() call.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne shared)
+      val got = s2.sql("SELECT valence_stats(array('good', 'bad')).sv")
+        .head().getInt(0)
+      assert(got == 0)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
