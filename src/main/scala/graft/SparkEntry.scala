@@ -57,6 +57,8 @@ object SparkEntry {
     "textQuality"         -> (DataOps.textQuality _),
     "tokenCount"          -> (DataOps.tokenCount _),
     "fingerprint"         -> (DataOps.fingerprint _),
+    "decontaminate"       -> (DataOps.decontaminate _),
+    "sampleByHash"        -> (DataOps.sampleByHash _),
     "multimodal"          -> (DataOps.multimodal _),
     "mediaResize"         -> (DataOps.mediaResize _),
     "frameSample"         -> (DataOps.frameSample _),
@@ -109,6 +111,8 @@ object SparkEntry {
     "textQuality"         -> OracleSqlData.textQuality,
     "tokenCount"          -> OracleSqlData.tokenCount,
     "fingerprint"         -> OracleSqlData.fingerprint,
+    "decontaminate"       -> OracleSqlData.decontaminate,
+    "sampleByHash"        -> OracleSqlData.sampleByHash,
     "multimodal"          -> OracleSqlData.multimodal,
     "mediaResize"         -> OracleSqlData.mediaResize,
     "frameSample"         -> OracleSqlData.frameSample,

@@ -335,6 +335,41 @@ object OracleSqlData {
        |  FROM scored
        |) WHERE rnk <= 10""".stripMargin
 
+  /** Decontamination mirror: same 4-token grams, same hash60 join key,
+    * same benchmark stand-in (doc_id ≡ 0 mod 97). */
+  val decontaminate: String = {
+    val n = DataOps.ContamN
+    s"""WITH $wrdsCte,
+       |gl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= $n THEN
+       |           list_distinct(list_transform(range(1, len(w) - ${n - 2}),
+       |             i -> ${(0 until n).map(o => s"w[i+$o]").mkString(" || ' ' || ")}))
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |g AS (SELECT doc_id, unnest(gs) AS gr FROM gl),
+       |gh AS (SELECT doc_id, ${h60("gr")} AS gh FROM g),
+       |bench AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT doc_id, COUNT(*) AS hits
+       |  FROM gh WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM bench)
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(CASE WHEN COALESCE(h.hits, 0) > 0 THEN 1 ELSE 0 END
+       |         AS BIGINT) AS contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % 97 <> 0""".stripMargin
+  }
+
+  /** Hash-sample mirror: identical md5-prefix bucket arithmetic. */
+  val sampleByHash: String =
+    s"""SELECT doc_id, source,
+       |       ${h60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |FROM documents
+       |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin
+
   // =================================================================
   // Text-analysis family
   // =================================================================

@@ -548,6 +548,58 @@ object DataOps {
       size(hs).cast("long").as("n_grams"))
   }
 
+  /** Contamination shingle width: contiguous token n-grams compared
+    * against the benchmark set. (Real pipelines use 8-13; the synthetic
+    * corpus's short word-salad docs only collide at 4.) */
+  val ContamN = 4
+
+  /** Benchmark decontamination — the eval-leakage check a training
+    * pipeline runs before shipping data: flag every corpus document that
+    * shares a contiguous [[ContamN]]-token n-gram with the held-out
+    * benchmark set (stand-in: doc_id ≡ 0 mod 97). Output one row per
+    * non-benchmark doc: (doc_id, hits = distinct shared n-grams,
+    * contaminated 0/1).
+    *
+    * 100 TB shape: the benchmark n-gram set is tiny (eval sets are MBs)
+    * — hashed, deduped, and BROADCAST; the corpus side is one scan whose
+    * grams join map-side, then one aggregate on doc_id. The n-gram text
+    * never shuffles — only its 60-bit hash. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val grams = when(size(w) >= ContamN,
+      array_distinct(transform(sequence(lit(1), size(w) - (ContamN - 1)),
+        i => concat_ws(" ",
+          (0 until ContamN).map(o => element_at(w, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+    val gramRows = docs(spark, sfDir)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("gh"))
+    val bench = gramRows.where(col("doc_id") % 97 === 0)
+      .select(col("gh")).distinct()
+    val hits = gramRows.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+    docs(spark, sfDir).where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(coalesce(col("hits"), lit(0L)) > 0L, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+  }
+
+  /** Deterministic hash sampling — the reproducible subset selection a
+    * pipeline uses for eval splits and ablations: bucket =
+    * hash60(doc_id) mod 100, keep buckets < 10 (a stable 10% sample,
+    * independent of row order and partitioning). Single-pass projection +
+    * filter; no shuffle at any scale. */
+  def sampleByHash(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        pmod(hash60(col("doc_id").cast("string")), lit(100L)).as("bucket"))
+      .where(col("bucket") < 10)
+
   // =================================================================
   // Multimodal plumbing
   // =================================================================

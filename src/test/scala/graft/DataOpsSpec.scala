@@ -236,4 +236,26 @@ class DataOpsSpec extends SparkSpec {
     assert(rows.size == 500)
     assert(rows.forall { case (_, ws, bpe, n) => bpe >= ws && n > 0 })
   }
+
+  test("decontaminate flags a non-vacuous benchmark-overlap set") {
+    val rows = DataOps.decontaminate(spark, SF)
+      .as[(Long, Long, Long)].collect().toSeq
+    // one row per non-benchmark doc; no benchmark ids in the output
+    assert(rows.size == 500 - (0 until 500).count(_ % 97 == 0))
+    assert(rows.forall { case (id, _, _) => id % 97 != 0 })
+    val contaminated = rows.filter(_._3 == 1L)
+    assert(contaminated.nonEmpty) // the check actually fires
+    assert(rows.forall { case (_, h, c) => (c == 1L) == (h > 0L) })
+  }
+
+  test("sampleByHash keeps a stable, order-independent ~10% bucket") {
+    val rows = DataOps.sampleByHash(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.size < 500)
+    assert(rows.forall(_._3 < 10L))
+    // re-running yields the identical sample (determinism)
+    val again = DataOps.sampleByHash(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows.sortBy(_._1) == again.sortBy(_._1))
+  }
 }
