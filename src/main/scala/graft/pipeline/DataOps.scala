@@ -564,16 +564,33 @@ object DataOps {
     * — hashed, deduped, and BROADCAST; the corpus side is one scan whose
     * grams join map-side, then one aggregate on doc_id. The n-gram text
     * never shuffles — only its 60-bit hash. */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = words(col("text"))
+  /** Distinct [[ContamN]]-token n-grams of `text` as 60-bit hashes — the
+    * unit both decontamination forms (batch below, ingest-time
+    * [[graft.streaming.StreamingOps.decontaminateStream]]) compare. */
+  private[graft] def contamGramHashes(text: Column): Column = {
+    val w = words(text)
     val grams = when(size(w) >= ContamN,
       array_distinct(transform(sequence(lit(1), size(w) - (ContamN - 1)),
         i => concat_ws(" ",
           (0 until ContamN).map(o => element_at(w, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
+    transform(grams, g => hash60(g))
+  }
+
+  /** The benchmark set's distinct gram hashes, collected — by design a
+    * tiny relation (eval benchmarks are MBs), the broadcast/literal side
+    * of both decontamination forms. */
+  private[graft] def benchmarkGramHashes(spark: SparkSession,
+      sfDir: String): Array[Long] =
+    docs(spark, sfDir).where(col("doc_id") % 97 === 0)
+      .select(explode(contamGramHashes(col("text"))).as("gh"))
+      .distinct().orderBy(col("gh"))
+      .collect().map(_.getLong(0))
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val gramRows = docs(spark, sfDir)
-      .select(col("doc_id"), explode(grams).as("g"))
-      .select(col("doc_id"), hash60(col("g")).as("gh"))
+      .select(col("doc_id"),
+        explode(contamGramHashes(col("text"))).as("gh"))
     val bench = gramRows.where(col("doc_id") % 97 === 0)
       .select(col("gh")).distinct()
     val hits = gramRows.where(col("doc_id") % 97 =!= 0)

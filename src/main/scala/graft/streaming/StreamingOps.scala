@@ -136,6 +136,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("h")
       .drop("h", "ts")
 
+  /** Ingest-time decontamination — the streaming form of
+    * [[graft.pipeline.DataOps.decontaminate]]: each incoming document is
+    * flagged when any of its contiguous n-grams appears in the held-out
+    * benchmark set. The benchmark gram hashes are collected once (tiny by
+    * design — eval sets are MBs) and shipped as a literal, so the check is
+    * a STATELESS per-record `arrays_overlap` — no join state, no
+    * watermark, append-mode clean, O(1) memory at any stream length.
+    * Input needs a `text` column; adds `contaminated: boolean`. */
+  def decontaminateStream(docStream: DataFrame, sfDir: String): DataFrame = {
+    val bench = typedLit(
+      graft.pipeline.DataOps.benchmarkGramHashes(
+        docStream.sparkSession, sfDir).toSeq)
+    docStream.withColumn("contaminated",
+      arrays_overlap(
+        graft.pipeline.DataOps.contamGramHashes(col("text")), bench))
+  }
+
   /** Per-record mood projection (R7, SentimentAnalysis.scala:249-255) of a
     * message stream keyed by user — the stateless front of the live E2
     * chain feeding [[toxicWindows]]. */

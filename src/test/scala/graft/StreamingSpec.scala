@@ -112,6 +112,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags the same docs as the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = freshQueryName("decon")
+    val q = StreamingOps.decontaminateStream(
+        in.toDF().toDF("doc_id", "text"), SF)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val docRows = spark.read.parquet(s"$SF/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      in.addData(docRows)
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .select(col("doc_id"), col("contaminated").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed.size == docRows.size)
+      // Batch form covers the non-benchmark docs; flags must agree on all.
+      val batch = graft.pipeline.DataOps.decontaminate(spark, SF)
+        .select("doc_id", "contaminated").as[(Long, Long)].collect().toMap
+      batch.foreach { case (id, c) =>
+        assert(streamed(id) == c, s"doc $id: stream ${streamed(id)} vs $c")
+      }
+      // A benchmark doc with >= 1 gram collides with itself.
+      assert(streamed.filter(_._1 % 97 == 0).values.exists(_ == 1L))
+    } finally q.stop()
+  }
+
   test("toxicTopicStream fires count windows over entity moods") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TimedMessage]
