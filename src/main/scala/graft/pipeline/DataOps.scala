@@ -96,14 +96,17 @@ object DataOps {
         concat_ws("_", (0 until MinhashR).map(r =>
           col(s"m${b * MinhashR + r}")): _*).as("bkey"))
     }: _*)
+    // Band buckets join on ONE 64-bit hash of (band, bkey) instead of the
+    // ~40-char signature string — a narrower shuffle at any scale. A hash
+    // collision can only ADD a candidate pair, which the exact-Jaccard
+    // verify below discards, so the output is unchanged.
     val bands = sig
       .select(col("doc_id"), explode(bandArr).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"))
+      .select(col("doc_id"),
+        xxhash64(col("bk.band"), col("bk.bkey")).as("bh"))
       .persist()
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.bkey") === col("y.bkey") &&
+        col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
