@@ -265,8 +265,14 @@ object DataOps {
       // 4.0 up spuriously and silently drop true pairs.
       .where(col("r") <= col("nt") - expr("(nt * 4 + 4) div 5") + 1)
       .select(col("doc_id"), col("source"), col("w"))
-    val cand = ranked.as("a").join(ranked.as("b"),
-        col("a.source") === col("b.source") && col("a.w") === col("b.w") &&
+    // Candidate join on a 64-bit (source, token) hash — narrower shuffle
+    // than the raw strings; collisions only add candidates, and the exact
+    // set-intersection verify below discards them.
+    val pref = ranked.select(col("doc_id"), col("source"),
+      xxhash64(col("source"), col("w")).as("wh"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.wh") === col("b.wh") &&
+          col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"))
