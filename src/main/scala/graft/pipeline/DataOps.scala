@@ -447,8 +447,11 @@ object DataOps {
       .where(col("prnk") <= 4)
       .select(col("q_id"), col("cid"))
     val v = emb(spark, sfDir)
-    probes
-      .join(assign, Seq("cid"))
+    // The probe list (queries × 4 cells) is tiny and the cell id has only
+    // IvfC distinct values — broadcast the probes so the big assignment
+    // side never shuffles onto <= IvfC partitions.
+    assign
+      .join(broadcast(probes), Seq("cid"))
       .where(col("vec_id") =!= col("q_id"))
       .join(v, Seq("vec_id"))
       .join(broadcast(q.select(col("q_id"), col("qem"), col("qn"))),
