@@ -59,6 +59,8 @@ object SparkEntry {
     "fingerprint"         -> (DataOps.fingerprint _),
     "decontaminate"       -> (DataOps.decontaminate _),
     "sampleByHash"        -> (DataOps.sampleByHash _),
+    "snapshotDiff"        -> (DataOps.snapshotDiff _),
+    "keepBestPerSource"   -> (DataOps.keepBestPerSource _),
     "multimodal"          -> (DataOps.multimodal _),
     "mediaResize"         -> (DataOps.mediaResize _),
     "frameSample"         -> (DataOps.frameSample _),
@@ -71,6 +73,7 @@ object SparkEntry {
     "distinctUsers"       -> (RelOps.distinctUsers _),
     "hllDistinctUsers"    -> (RelOps.hllDistinctUsers _),
     "q14PromoShare"       -> (RelOps.q14PromoShare _),
+    "sqlSourceStats"      -> (RelOps.sqlSourceStats _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -113,6 +116,8 @@ object SparkEntry {
     "fingerprint"         -> OracleSqlData.fingerprint,
     "decontaminate"       -> OracleSqlData.decontaminate,
     "sampleByHash"        -> OracleSqlData.sampleByHash,
+    "snapshotDiff"        -> OracleSqlData.snapshotDiff,
+    "keepBestPerSource"   -> OracleSqlData.keepBestPerSource,
     "multimodal"          -> OracleSqlData.multimodal,
     "mediaResize"         -> OracleSqlData.mediaResize,
     "frameSample"         -> OracleSqlData.frameSample,
@@ -125,5 +130,6 @@ object SparkEntry {
     "distinctUsers"       -> OracleSqlRel.distinctUsers,
     "hllDistinctUsers"    -> OracleSqlRel.hllDistinctUsers,
     "q14PromoShare"       -> OracleSqlRel.q14PromoShare,
+    "sqlSourceStats"      -> OracleSqlRel.sqlSourceStats,
   )
 }

@@ -363,6 +363,40 @@ object OracleSqlData {
        |WHERE d.doc_id % 97 <> 0""".stripMargin
   }
 
+  /** Snapshot-diff mirror: same grams, same EXCEPT set semantics. */
+  val snapshotDiff: String = {
+    val n = DataOps.ContamN
+    s"""WITH $wrdsCte,
+       |gl AS (
+       |  SELECT source,
+       |         CASE WHEN len(w) >= $n THEN
+       |           list_distinct(list_transform(range(1, len(w) - ${n - 2}),
+       |             i -> ${(0 until n).map(o => s"w[i+$o]").mkString(" || ' ' || ")}))
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |g AS (SELECT source, unnest(gs) AS gram FROM gl)
+       |SELECT gram FROM g WHERE source = 'src1'
+       |EXCEPT
+       |SELECT gram FROM g WHERE source = 'src0'""".stripMargin
+  }
+
+  /** Per-source retention mirror: the textQuality SQL as a derived
+    * table, ranked with the same (quality desc, doc_id asc) order.
+    * Lazy: `textQuality` is defined further down the object. */
+  lazy val keepBestPerSource: String =
+    s"""WITH tq AS (SELECT * FROM ($textQuality) q),
+       |j AS (
+       |  SELECT d.source, t.doc_id, t.quality_micro
+       |  FROM tq t JOIN documents d ON d.doc_id = t.doc_id
+       |)
+       |SELECT source, doc_id, quality_micro, rk FROM (
+       |  SELECT source, doc_id, quality_micro,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY quality_micro DESC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM j
+       |) WHERE rk <= 2""".stripMargin
+
   /** Hash-sample mirror: identical md5-prefix bucket arithmetic. */
   val sampleByHash: String =
     s"""SELECT doc_id, source,

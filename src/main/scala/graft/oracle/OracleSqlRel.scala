@@ -45,6 +45,14 @@ object OracleSqlRel {
     """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS cnt
       |FROM events GROUP BY 1""".stripMargin
 
+  /** SQL-surface mirror: the identical ANSI aggregation (SUM cast back
+    * to BIGINT — DuckDB widens integer SUM to HUGEINT). */
+  val sqlSourceStats: String =
+    """SELECT source, COUNT(*) AS docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |       MIN(doc_id) AS first_doc
+      |FROM documents GROUP BY source""".stripMargin
+
   /** HLL mirror: same md5-hash60 buckets, exact bit-smear ρ, exact
     * integer register sum, identical final double division. The
     * numerator literal is emitted from the SAME Scala expression the

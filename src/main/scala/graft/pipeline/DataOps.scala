@@ -576,18 +576,21 @@ object DataOps {
     * — hashed, deduped, and BROADCAST; the corpus side is one scan whose
     * grams join map-side, then one aggregate on doc_id. The n-gram text
     * never shuffles — only its 60-bit hash. */
-  /** Distinct [[ContamN]]-token n-grams of `text` as 60-bit hashes — the
-    * unit both decontamination forms (batch below, ingest-time
-    * [[graft.streaming.StreamingOps.decontaminateStream]]) compare. */
-  private[graft] def contamGramHashes(text: Column): Column = {
+  /** Distinct [[ContamN]]-token n-grams of `text` (string array). */
+  private[graft] def contamGrams(text: Column): Column = {
     val w = words(text)
-    val grams = when(size(w) >= ContamN,
+    when(size(w) >= ContamN,
       array_distinct(transform(sequence(lit(1), size(w) - (ContamN - 1)),
         i => concat_ws(" ",
           (0 until ContamN).map(o => element_at(w, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
-    transform(grams, g => hash60(g))
   }
+
+  /** [[contamGrams]] as 60-bit hashes — the unit both decontamination
+    * forms (batch below, ingest-time
+    * [[graft.streaming.StreamingOps.decontaminateStream]]) compare. */
+  private[graft] def contamGramHashes(text: Column): Column =
+    transform(contamGrams(text), g => hash60(g))
 
   /** The benchmark set's distinct gram hashes, collected — by design a
     * tiny relation (eval benchmarks are MBs), the broadcast/literal side
@@ -617,6 +620,34 @@ object DataOps {
         when(coalesce(col("hits"), lit(0L)) > 0L, lit(1L)).otherwise(lit(0L))
           .as("contaminated"))
   }
+
+  /** Set-operation surface (SURVEY.md §2.6): snapshot vocabulary drift —
+    * the distinct [[ContamN]]-token n-grams present in crawl snapshot
+    * src1 but absent from src0, via the EXCEPT set operator (per-side
+    * hash dedup + anti join). At scale each side is a gram stream off one
+    * pruned scan; nothing materializes beyond the distinct gram sets. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    def grams(src: String): DataFrame =
+      docs(spark, sfDir).where(col("source") === src)
+        .select(explode(contamGrams(col("text"))).as("gram"))
+    grams("src1").except(grams("src0"))
+  }
+
+  /** Quality-based per-source retention — the "keep the best N documents
+    * per domain" stage of a training-data pipeline: rank every source's
+    * docs by the [[textQuality]] score (ties broken by doc_id) and keep
+    * the top 2. One extra window over the quality projection; the join
+    * back to `source` co-shuffles on doc_id. */
+  def keepBestPerSource(spark: SparkSession, sfDir: String): DataFrame =
+    textQuality(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality_micro").desc, col("doc_id").asc)))
+      .where(col("rk") <= 2)
+      .select(col("source"), col("doc_id"), col("quality_micro"),
+        col("rk").cast("long").as("rk"))
 
   /** Deterministic hash sampling — the reproducible subset selection a
     * pipeline uses for eval splits and ablations: bucket =

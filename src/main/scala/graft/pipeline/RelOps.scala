@@ -168,6 +168,17 @@ object RelOps {
           col("total_micro").cast("double") * lit(1000000.0)).cast("long"))
   }
 
+  /** The SQL-parsing surface (SURVEY.md §2.6): the engine's tables are
+    * queryable through `spark.sql` over a temp view — parsed ANSI SQL
+    * compiles to the same Catalyst plan the DataFrame form would. */
+  def sqlSourceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "documents").createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT source, COUNT(*) AS docs, SUM(n_chars) AS chars,
+        |       MIN(doc_id) AS first_doc
+        |FROM documents_v GROUP BY source""".stripMargin)
+  }
+
   /** TPC-H Q5-shaped: revenue per nation where customer and supplier
     * share the nation. region ⋈ nation ⋈ customer broadcast down onto
     * the orders ⋈ lineitem ⋈ supplier fact chain. */

@@ -248,6 +248,30 @@ class DataOpsSpec extends SparkSpec {
     assert(rows.forall { case (_, h, c) => (c == 1L) == (h > 0L) })
   }
 
+  test("snapshotDiff: EXCEPT yields non-empty, disjoint-from-src0 grams") {
+    val diff = DataOps.snapshotDiff(spark, SF).as[String].collect().toSet
+    assert(diff.nonEmpty)
+    // no diff gram may appear in src0
+    val src0 = spark.read.parquet(s"$SF/documents.parquet")
+      .where(col("source") === "src0")
+      .select(explode(DataOps.contamGrams(col("text"))).as("g"))
+      .as[String].collect().toSet
+    assert(diff.intersect(src0).isEmpty)
+  }
+
+  test("keepBestPerSource keeps exactly the 2 best-quality docs per source") {
+    val rows = DataOps.keepBestPerSource(spark, SF)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.values.forall(_.size == 2))
+    assert(rows.forall(r => r._4 == 1L || r._4 == 2L))
+    // rank 1 quality >= rank 2 quality within every source
+    bySrc.values.foreach { rs =>
+      val Seq(a, b) = rs.sortBy(_._4)
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+    }
+  }
+
   test("sampleByHash keeps a stable, order-independent ~10% bucket") {
     val rows = DataOps.sampleByHash(spark, SF)
       .as[(Long, String, Long)].collect().toSeq
