@@ -88,33 +88,39 @@ object ChatStreams {
     }
 
   /** `processMessageStream` (SentimentAnalysis.scala:289-302): keyBy
-    * (channel, user) → window per `timings` → arrival-order text concat
-    * with "\n" (the order-sensitive messageReduce fold, deterministic here
-    * via `seq`). Returns one merged message per fired window — per input
-    * record in running mode — re-enveloped so calls chain like the
-    * reference's `processMessageStream(parsedStream, (100, 0))`. */
+    * (channel, user) → window per `timings` → text concat with "\n" in
+    * firing order (the order-sensitive messageReduce fold). The fold
+    * order is the composite (tsec, seq): for raw messages tsec is
+    * constant within a 1 s window so arrival `seq` decides, and for
+    * CHAINED calls (`processMessageStream(parsedStream, (100, 0))`, the
+    * reference's aggregateStream) the carried tsec is the inner window's
+    * start — its firing order — so out-of-order arrivals still concat in
+    * window-time order, exactly like [[graft.pipeline.ParityQueries.w2]].
+    * Returns one merged message per fired window — per input record in
+    * running mode — re-enveloped so calls chain. */
   def processMessageStream(ds: Dataset[Timed[Message]],
       timings: (Int, Int)): Dataset[Timed[Message]] = {
     import ds.sparkSession.implicits._
     val flat = ds.toDF().select(col("seq"), col("tsec"),
       col("payload.channel").as("channel"), col("payload.user").as("user"),
       col("payload.text").as("text"))
+    val foldOrder = struct(col("tsec"), col("seq"))
     val merged = timings match {
       case (t1, t2) if t1 > 0 && (t2 == 0 || t2 > 0) =>
         windowed(flat, timings)
           .groupBy(col("wsec"), col("channel"), col("user"))
           .agg(min(col("seq")).as("seq"),
-            ChatOps.orderedConcat(col("seq"), col("text")).as("text"))
+            ChatOps.orderedConcat(foldOrder, col("text")).as("text"))
           .select(col("seq"), col("wsec").as("tsec"), col("channel"),
             col("user"), col("text"))
       case _ =>
         // Running concat: the fold's cumulative state after each record.
         val w = Window.partitionBy(col("channel"), col("user"))
-          .orderBy(col("seq"))
+          .orderBy(col("tsec"), col("seq"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         flat.withColumn("text",
           array_join(transform(
-            array_sort(collect_list(struct(col("seq").as("o"),
+            array_sort(collect_list(struct(foldOrder.as("o"),
               col("text").as("t"))).over(w)),
             x => x.getField("t")), "\n"))
     }
@@ -169,11 +175,18 @@ object ChatStreams {
       .as[Timed[Mood]]
   }
 
-  /** `buildToxicityStream` (SentimentAnalysis.scala:304-311): per key,
-    * tumbling count window of `sampleSize` records (by arrival `seq`),
-    * summed; only complete windows fire; keep sums ≤ `threshold` (the
-    * reference's `<=`, SentimentAnalysis.scala:311). Output value is the
-    * fired window's sum; `seq`/`tsec` index the fired window. */
+  /** `buildToxicityStream` (SentimentAnalysis.scala:304-311): per
+    * (key, moodType), tumbling count window of `sampleSize` records (by
+    * arrival `seq`), summed; only complete windows fire; keep sums ≤
+    * `threshold` (the reference's `<=`, SentimentAnalysis.scala:311).
+    * Output value is the fired window's sum; `seq`/`tsec` index the
+    * fired window.
+    *
+    * Precision note: this tier carries the reference's `Float` mood
+    * values, so sums agree with the micro-exact oracle tier
+    * ([[graft.pipeline.ParityQueries.w8ToxicUser]]) only to float32
+    * precision — a window whose exact sum sits within that error of the
+    * threshold can fire in one tier and not the other. */
   def buildToxicityStream(ds: Dataset[Timed[Mood]], sampleSize: Int,
       threshold: Float): Dataset[Timed[Mood]] = {
     import ds.sparkSession.implicits._
@@ -183,7 +196,7 @@ object ChatStreams {
       round(col("payload.value").cast("double") * lit(MICRO)).cast("long")
         .as("micro"))
     val rn = row_number().over(
-      Window.partitionBy(col("key")).orderBy(col("seq")))
+      Window.partitionBy(col("key"), col("moodType")).orderBy(col("seq")))
     flat.withColumn("rn", rn)
       .withColumn("grp", expr(s"(rn - 1) div $sampleSize"))
       .groupBy(col("key"), col("moodType"), col("grp"))

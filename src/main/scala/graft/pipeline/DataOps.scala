@@ -98,8 +98,12 @@ object DataOps {
     }: _*)
     // Band buckets join on ONE 64-bit hash of (band, bkey) instead of the
     // ~40-char signature string — a narrower shuffle at any scale. A hash
-    // collision can only ADD a candidate pair, which the exact-Jaccard
-    // verify below discards, so the output is unchanged.
+    // collision only ADDs a candidate pair, which the exact-Jaccard
+    // verify below re-checks: a false pair dies there, and a colliding
+    // TRUE pair (Jaccard >= 0.5 yet sharing no band) would be a bonus
+    // catch banded LSH misses — in that ~2^-64 event this engine and the
+    // string-keyed oracle differ; LSH candidates are probabilistic by
+    // design, so parity is with-high-probability, not bit-guaranteed.
     val bands = sig
       .select(col("doc_id"), explode(bandArr).as("bk"))
       .select(col("doc_id"),

@@ -15,7 +15,10 @@ import graft.sources.Messages
   *
   * The typed surface carries the reference's `Float` sentiment fields, so
   * value comparisons allow a small float32 tolerance against the
-  * micro-exact parity queries; keys and window membership are exact. */
+  * micro-exact parity queries, and toxicity-window firing agrees with the
+  * exact tier only when no window sum sits within float32 error of the
+  * threshold (true on this fixture; see buildToxicityStream's precision
+  * note). Keys and time-window membership are exact. */
 class ChatStreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -118,6 +121,29 @@ class ChatStreamsSpec extends SparkSpec {
       assert(math.abs(s.score - scoreM / 1e6) < 2e-6)
       assert(math.abs(s.magnitude - magM / 1e6) < 2e-6)
     }
+  }
+
+  test("chained windows concat in window-time order for out-of-order input") {
+    // arrival order (seq) disagrees with event time (tsec): the chained
+    // re-window must fold by the inner windows' time, like the parity W2.
+    val in = Seq(
+      Timed(1L, 100L, Message("c", "u", "B")),
+      Timed(2L, 0L, Message("c", "u", "A"))).toDS()
+    val w1 = ChatStreams.processMessageStream(in, (1, 0))
+    val out = ChatStreams.processMessageStream(w1, (200, 0))
+      .map(_.payload.text).collect().toSeq
+    assert(out == Seq("A\nB"))
+  }
+
+  test("toxicity count windows are tracked per (key, moodType)") {
+    val moods = ((1 to 10).map(i =>
+      Timed(i.toLong, i.toLong, Mood("k", -2f, "USER"))) ++
+      (11 to 20).map(i =>
+        Timed(i.toLong, i.toLong, Mood("k", -2f, "CHANNEL")))).toDS()
+    val fired = ChatStreams.buildToxicityStream(moods, 10, -10f)
+      .map(t => (t.payload.moodType, t.payload.value))
+      .collect().toSeq.sorted
+    assert(fired == Seq(("CHANNEL", -20f), ("USER", -20f)))
   }
 
   test("running messageReduce emits the cumulative concat per record") {
