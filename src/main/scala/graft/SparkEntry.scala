@@ -61,6 +61,7 @@ object SparkEntry {
     "sampleByHash"        -> (DataOps.sampleByHash _),
     "snapshotDiff"        -> (DataOps.snapshotDiff _),
     "keepBestPerSource"   -> (DataOps.keepBestPerSource _),
+    "lengthQuantiles"     -> (DataOps.lengthQuantiles _),
     "multimodal"          -> (DataOps.multimodal _),
     "mediaResize"         -> (DataOps.mediaResize _),
     "frameSample"         -> (DataOps.frameSample _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "sampleByHash"        -> OracleSqlData.sampleByHash,
     "snapshotDiff"        -> OracleSqlData.snapshotDiff,
     "keepBestPerSource"   -> OracleSqlData.keepBestPerSource,
+    "lengthQuantiles"     -> OracleSqlData.lengthQuantiles,
     "multimodal"          -> OracleSqlData.multimodal,
     "mediaResize"         -> OracleSqlData.mediaResize,
     "frameSample"         -> OracleSqlData.frameSample,

@@ -397,6 +397,22 @@ object OracleSqlData {
        |  FROM j
        |) WHERE rk <= 2""".stripMargin
 
+  /** Length-quantile mirror: identical integer rank picks. */
+  val lengthQuantiles: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY n_chars ASC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |)
+      |SELECT source,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+      |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90,
+      |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99,
+      |  COUNT(*) AS docs
+      |FROM r GROUP BY source""".stripMargin
+
   /** Hash-sample mirror: identical md5-prefix bucket arithmetic. */
   val sampleByHash: String =
     s"""SELECT doc_id, source,

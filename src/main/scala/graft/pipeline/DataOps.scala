@@ -653,6 +653,31 @@ object DataOps {
       .select(col("source"), col("doc_id"), col("quality_micro"),
         col("rk").cast("long").as("rk"))
 
+  /** Per-source length-distribution profile — the corpus-statistics pass
+    * a pipeline runs before choosing truncation/packing lengths: exact
+    * p50/p90/p99 of n_chars per source. Quantiles are EXACT rank picks
+    * (value at row ceil(q·n) of the per-source sort), not interpolated —
+    * engines differ on interpolation, but the element at an integer rank
+    * is identical everywhere. Ties in n_chars leave the picked VALUE
+    * unchanged, so the result is deterministic without a tiebreak. One
+    * window sort per source partition, one aggregate. */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").asc)
+    docs(spark, sfDir)
+      .select(col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars")))
+          .as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars")))
+          .as("p90"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_chars")))
+          .as("p99"),
+        count(lit(1)).as("docs"))
+  }
+
   /** Deterministic hash sampling — the reproducible subset selection a
     * pipeline uses for eval splits and ablations: bucket =
     * hash60(doc_id) mod 100, keep buckets < 10 (a stable 10% sample,

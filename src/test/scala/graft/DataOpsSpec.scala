@@ -272,6 +272,25 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("lengthQuantiles picks monotone exact ranks per source") {
+    val rows = DataOps.lengthQuantiles(spark, SF)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, p50, p90, p99, n) =>
+      assert(p50 <= p90 && p90 <= p99, src)
+      assert(n > 0)
+    }
+    // cross-check one source against a driver-side exact computation
+    val (src, p50, p90, p99, _) = rows.head
+    val vals = spark.read.parquet(s"$SF/documents.parquet")
+      .where(col("source") === src).select("n_chars")
+      .as[Long].collect().sorted
+    def at(rank: Int) = vals(rank - 1)
+    assert(p50 == at((vals.length + 1) / 2))
+    assert(p90 == at((9 * vals.length + 9) / 10))
+    assert(p99 == at((99 * vals.length + 99) / 100))
+  }
+
   test("sampleByHash keeps a stable, order-independent ~10% bucket") {
     val rows = DataOps.sampleByHash(spark, SF)
       .as[(Long, String, Long)].collect().toSeq
