@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
  * micro-unit BIGINT (round(x·1e6)) BEFORE aggregation, so sums are exact
  * integers in both engines regardless of summation order.
  *
- * Scale shape: dimension tables (region/nation/customer) broadcast; the
- * fact scans (lineitem, orders, events) stay un-shuffled until their
- * grouping aggregate; filters sit directly on the scans for parquet
- * pushdown.
+ * Scale shape: only the BOUNDED dimensions (region = 5 rows, nation = 25
+ * rows at every TPC-H scale factor) carry an unconditional `broadcast()`
+ * hint. customer/supplier/part grow linearly with SF, so their join
+ * strategy is left to AQE: at small SF AQE still picks a broadcast join
+ * from runtime statistics, while at 100 TB it degrades gracefully to a
+ * shuffled hash join instead of OOMing the driver on a multi-GB
+ * collected build side. Filters sit directly on the scans for parquet
+ * pushdown; fact scans (lineitem, orders, events) stay un-shuffled until
+ * their grouping aggregate.
  */
 object RelOps {
 
@@ -47,8 +52,10 @@ object RelOps {
   }
 
   /** TPC-H Q3-shaped: revenue per order priority for one market segment.
-    * customer (filtered, broadcast) ⋈ orders ⋈ lineitem; revenue =
-    * Σ round(extprice·(1−discount)·1e6). */
+    * customer (filtered) ⋈ orders ⋈ lineitem; revenue =
+    * Σ round(extprice·(1−discount)·1e6). customer scales with SF, so no
+    * broadcast hint — AQE picks broadcast at small SF, shuffled hash at
+    * 100 TB. */
   def q3Revenue(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = t(spark, sfDir, "customer")
       .where(col("c_mktsegment") === "BUILDING")
@@ -59,7 +66,7 @@ object RelOps {
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           lit(1000000.0)).cast("long").as("rev"))
-    li.join(orders.join(broadcast(cust),
+    li.join(orders.join(cust,
         col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
@@ -146,9 +153,9 @@ object RelOps {
         col("exact"))
   }
 
-  /** TPC-H Q14-shaped: promo revenue share per month — part dimension
-    * broadcast onto the lineitem scan; the share ratio divides two exact
-    * integer micro sums. */
+  /** TPC-H Q14-shaped: promo revenue share per month — part joins the
+    * lineitem scan (strategy left to AQE: part scales with SF); the
+    * share ratio divides two exact integer micro sums. */
   def q14PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
     val part = t(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_type"))
@@ -157,7 +164,7 @@ object RelOps {
         date_trunc("month", col("l_shipdate")).as("mon"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           lit(1000000.0)).cast("long").as("rev"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("mon"), "yyyy-MM").as("month"))
       .agg(
         sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
@@ -180,8 +187,9 @@ object RelOps {
   }
 
   /** TPC-H Q5-shaped: revenue per nation where customer and supplier
-    * share the nation. region ⋈ nation ⋈ customer broadcast down onto
-    * the orders ⋈ lineitem ⋈ supplier fact chain. */
+    * share the nation. Only nation⋈region (25/5 rows, bounded at every
+    * SF) keeps an unconditional broadcast hint; customer and supplier
+    * scale with SF and are left to AQE. */
   def q5LocalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val nat = t(spark, sfDir, "nation")
       .join(t(spark, sfDir, "region"),
@@ -198,8 +206,8 @@ object RelOps {
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           lit(1000000.0)).cast("long").as("rev"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .where(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
