@@ -638,44 +638,64 @@ object DataOps {
   }
 
   /** Quality-based per-source retention — the "keep the best N documents
-    * per domain" stage of a training-data pipeline: rank every source's
-    * docs by the [[textQuality]] score (ties broken by doc_id) and keep
-    * the top 2. One extra window over the quality projection; the join
-    * back to `source` co-shuffles on doc_id. */
+    * per domain" stage of a training-data pipeline: every source keeps its
+    * top 2 docs by [[textQuality]] score (ties broken by doc_id).
+    *
+    * The ranking is a BOUNDED aggregate ([[graft.functions.TopKAgg]], an
+    * O(k) buffer with map-side partial trim), not a
+    * `row_number().over(partitionBy(source))` window — the window form
+    * sorts an entire source's rows on one task, which at 100 TB makes the
+    * hottest domain (a crawl source can be 30% of the corpus) the job's
+    * critical path. Here the shuffle carries at most 2 rows per
+    * (map partition, source). `-doc_id` inside the ordering struct encodes
+    * the ascending tie-break into the descending top-k. */
   def keepBestPerSource(spark: SparkSession, sfDir: String): DataFrame =
     textQuality(spark, sfDir)
       .join(docs(spark, sfDir).select(col("doc_id"), col("source")),
         Seq("doc_id"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("quality_micro").desc, col("doc_id").asc)))
-      .where(col("rk") <= 2)
-      .select(col("source"), col("doc_id"), col("quality_micro"),
-        col("rk").cast("long").as("rk"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topK(spark,
+        struct(col("quality_micro"), (-col("doc_id")).as("nid")), 2)
+        .as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("source"), (-col("e.nid")).as("doc_id"),
+        col("e.quality_micro").as("quality_micro"),
+        (col("i") + 1).cast("long").as("rk"))
 
   /** Per-source length-distribution profile — the corpus-statistics pass
     * a pipeline runs before choosing truncation/packing lengths: exact
     * p50/p90/p99 of n_chars per source. Quantiles are EXACT rank picks
     * (value at row ceil(q·n) of the per-source sort), not interpolated —
     * engines differ on interpolation, but the element at an integer rank
-    * is identical everywhere. Ties in n_chars leave the picked VALUE
-    * unchanged, so the result is deterministic without a tiebreak. One
-    * window sort per source partition, one aggregate. */
+    * is identical everywhere.
+    *
+    * The rank pick runs aggregation-first: `groupBy(source, n_chars)`
+    * collapses the corpus to its value histogram (one hash aggregate with
+    * map-side combine), and the rank-r value is the smallest n_chars whose
+    * cumulative count reaches r. The only per-source window then runs over
+    * the HISTOGRAM — at most |distinct n_chars| rows per source (bounded
+    * by max document length, independent of corpus size) — never over the
+    * raw rows, so a source holding 30% of 100 TB costs the same window
+    * work as a tiny one. */
   def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").asc)
-    docs(spark, sfDir)
+    val counts = docs(spark, sfDir)
       .select(col("source"), col("n_chars"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars").asc)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("source"))))
       .groupBy(col("source"))
       .agg(
-        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars")))
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars")))
           .as("p50"),
-        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars")))
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("n_chars")))
           .as("p90"),
-        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("n_chars")))
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("n_chars")))
           .as("p99"),
-        count(lit(1)).as("docs"))
+        sum(col("cnt")).as("docs"))
   }
 
   /** Deterministic hash sampling — the reproducible subset selection a
