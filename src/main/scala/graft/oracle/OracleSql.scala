@@ -188,13 +188,17 @@ object OracleSql {
        |  FROM ent GROUP BY 1, 2
        |)""".stripMargin
 
-  /** Count-window toxicity over CTE `src` (cols key, ordCol, valCol). */
+  /** Count-window toxicity over CTE `src` (cols key, ordCol, valCol).
+    * The value column joins the ORDER BY as the final tie-break (mirror
+    * of ParityQueries.w8*): rows tied on (key, ord) then order by value,
+    * and fully tied rows are interchangeable for every window sum. */
   private def toxicSql(ctes: String, src: String, ordCol: String,
       valCol: String, n: Int, thrMicro: Long): String =
     s"""$ctes,
        |rn AS (
        |  SELECT key, $valCol AS v,
-       |         ROW_NUMBER() OVER (PARTITION BY key ORDER BY $ordCol) AS rn
+       |         ROW_NUMBER() OVER (PARTITION BY key
+       |           ORDER BY $ordCol, $valCol) AS rn
        |  FROM $src
        |)
        |SELECT key, (rn - 1) // $n AS grp,

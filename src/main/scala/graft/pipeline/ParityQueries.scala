@@ -211,14 +211,19 @@ object ParityQueries {
         col("key"), col("mood_micro"))
 
   /** W6 categoryOpinionStream (SentimentAnalysis.scala:178-184): running
-    * mood per category, ordered by (w2sec, channel, username). */
+    * mood per category, ordered by (w2sec, channel, username). The key is
+    * a FIXED 5-category taxonomy, so the plain analytic cumulative sum
+    * would serialize each category's whole history onto one task at any
+    * scale — this uses the two-phase chunked plan
+    * ([[graft.ops.ChatOps.chunkedRunningSum]]): chunk partials + prefix
+    * offsets, identical results, per-task work bounded by chunk width. */
   def w6CategoryOpinion(spark: SparkSession, sfDir: String): DataFrame =
-    categoryRows(spark, sfDir)
-      .select(col("category").as("key"), col("w2sec"), col("channel"),
-        col("username"), col("mood_micro"))
-      .withColumn("run_micro",
-        runningSum(col("mood_micro"), Seq(col("key")),
-          Seq(col("w2sec"), col("channel"), col("username"))))
+    chunkedRunningSum(
+      categoryRows(spark, sfDir)
+        .select(col("category").as("key"), col("w2sec"), col("channel"),
+          col("username"), col("mood_micro")),
+      col("mood_micro"), Seq("key"),
+      Seq(col("w2sec"), col("channel"), col("username")), "run_micro")
       .drop("mood_micro")
 
   /** W7 entityOpinionStream (SentimentAnalysis.scala:186-192): 30 s
@@ -229,16 +234,22 @@ object ParityQueries {
       .agg(sum(col("mood_micro")).as("mood_micro"))
 
   /** W8 toxicUserStream (SentimentAnalysis.scala:201-206): countWindow(10)
-    * over the running user-mood emissions, sum ≤ −10. */
+    * over the running user-mood emissions, sum ≤ −10. The value column
+    * rides in the ORDER BY (mirrored in the oracle SQL) so that rows tied
+    * on (key, wsec) — a user active in two channels in one second — fold
+    * in a deterministic order; fully tied rows carry equal values and
+    * cannot change any window sum. */
   def w8ToxicUser(spark: SparkSession, sfDir: String): DataFrame =
     countWindowSum(userMoodRunning(spark, sfDir), col("key"),
-      Seq(col("wsec")), col("run_micro"), 10, -10L * 1000000L)
+      Seq(col("wsec"), col("run_micro")), col("run_micro"), 10,
+      -10L * 1000000L)
 
   /** W8 toxicTopicStream (SentimentAnalysis.scala:194-199): countWindow(25)
     * over 30 s entity-opinion emissions, sum ≤ −20. */
   def w8ToxicTopic(spark: SparkSession, sfDir: String): DataFrame =
     countWindowSum(w7EntityOpinion(spark, sfDir), col("key"),
-      Seq(col("w7sec")), col("mood_micro"), 25, -20L * 1000000L)
+      Seq(col("w7sec"), col("mood_micro")), col("mood_micro"), 25,
+      -20L * 1000000L)
 
   /** W8 toxicChannelStream (SentimentAnalysis.scala:208-213): countWindow
     * (50) ≤ −30 — consuming **userMoodStream, not channelMoodStream**
@@ -246,5 +257,6 @@ object ParityQueries {
     */
   def w8ToxicChannel(spark: SparkSession, sfDir: String): DataFrame =
     countWindowSum(userMoodRunning(spark, sfDir), col("key"),
-      Seq(col("wsec")), col("run_micro"), 50, -30L * 1000000L)
+      Seq(col("wsec"), col("run_micro")), col("run_micro"), 50,
+      -30L * 1000000L)
 }

@@ -79,4 +79,43 @@ class ChatOpsSpec extends SparkSpec {
       Seq(col("ord")), col("v"), 5, -1L)
     assert(out.count() == 0)
   }
+
+  /** Crafted multi-key input whose order values straddle many chunks at
+    * width 4, with a duplicate leading-order value disambiguated by the
+    * second order column. */
+  private lazy val chunky = {
+    val rows =
+      (0 until 97).map(i => ("hot", (i * 13L) % 97, i.toLong, (i % 7) - 3L)) ++
+        (0 until 11).map(i => ("warm", i.toLong, 100L + i, -2L)) ++
+        Seq(("dup", 5L, 0L, -1L), ("dup", 5L, 1L, -4L), ("dup", 6L, 2L, -1L))
+    rows.toDF("key", "ord", "ord2", "v").repartition(5, col("ord2"))
+  }
+
+  test("chunked countWindowSum matches the naive single-window form") {
+    for (n <- Seq(2, 3, 10); width <- Seq(1L, 4L, 1000L)) {
+      val chunked = countWindowSum(chunky, col("key"),
+        Seq(col("ord"), col("ord2")), col("v"), n, 100L, width)
+        .as[(String, Long, Long)].collect().toSet
+      val naive = countWindowSumNaive(chunky, col("key"),
+        Seq(col("ord"), col("ord2")), col("v"), n, 100L)
+        .as[(String, Long, Long)].collect().toSet
+      assert(chunked == naive, s"n=$n width=$width")
+      assert(chunked.nonEmpty, s"vacuous fixture n=$n")
+    }
+  }
+
+  test("chunkedRunningSum matches the analytic running sum exactly") {
+    for (width <- Seq(1L, 4L, 1000L)) {
+      val viaChunks = chunkedRunningSum(chunky, col("v"), Seq("key"),
+        Seq(col("ord"), col("ord2")), "run", width)
+        .select("key", "ord", "ord2", "run")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val viaWindow = chunky.withColumn("run",
+        runningSum(col("v"), Seq(col("key")),
+          Seq(col("ord"), col("ord2"))))
+        .select("key", "ord", "ord2", "run")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(viaChunks == viaWindow, s"width=$width")
+    }
+  }
 }
