@@ -3,13 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line with per-query wall-clock seconds. A query that
-  * throws is recorded with `"status":"error"` (and -1 s) so a broken plan
-  * can never masquerade as a fast one. */
+  * prints ONE JSON line with per-query wall-clock seconds. Each query runs
+  * `SPARK_GRAFT_BENCH_RUNS` times (default 3) and reports its MEDIAN — the
+  * container's CPU is shared and identical plans have been observed to
+  * vary up to 3× run-to-run (BASELINE.md records the spread), so a single
+  * sample can misread a transient stall as a plan regression; the median
+  * of 3 absorbs one bad window per query. Per-query minima ride along in
+  * `queries_min` as the contention-free estimate. A query that throws is
+  * recorded with `"status":"error"` (and -1 s) so a broken plan can never
+  * masquerade as a fast one. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,25 +37,33 @@ object Bench {
       SparkEntry.oracleSql.contains(n)
     }
     val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Isolate queries: drop any intermediates a query persisted so the
-      // next measurement starts from a cold cache.
-      spark.catalog.clearCache()
-      (name, if (ok) sec else -1.0, ok)
+      val times = (0 until runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Isolate runs: drop any intermediates a query persisted so the
+        // next measurement starts from a cold cache.
+        spark.catalog.clearCache()
+        if (ok) Some(sec) else None
+      }
+      if (times.length == runs) {
+        val sorted = times.sorted
+        (name, sorted(runs / 2), sorted.head, true)
+      } else (name, -1.0, -1.0, false)
     }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map(r => s""""${r._1}"""")
+    def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
+      results.map(r => s""""${r._1}":${f(r)}""").mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val qmin = jmap(_._3)
+    val failed = results.filterNot(_._4).map(r => s""""${r._1}"""")
       .mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.filter(_._4).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
