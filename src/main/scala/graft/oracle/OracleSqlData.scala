@@ -203,11 +203,54 @@ object OracleSqlData {
       |),
       |nrm AS (SELECT vec_id, SUM(v * v) AS nrm FROM vu GROUP BY 1)""".stripMargin
 
-  /** Cosine of each vector to each of the C centroids, ranked. */
+  /** Cosine of each vector to each of the C refined centroids, ranked —
+    * the exact mirror of DataOps.centroids + cellRanks: hash-stratified
+    * seed picks (stratum = hash60(vec_id) mod C, (hash, vec_id)-minimal
+    * vector per stratum), then ONE Lloyd step whose cell centroids are
+    * member-wise integer means (SUM // COUNT — truncating division in
+    * both engines); zero-norm cells are dropped in both. */
   private def crankCte(c: Int): String =
-    s"""cdot AS (
-       |  SELECT a.vec_id AS vec_id, b.vec_id AS cid, SUM(a.v * b.v) AS d
-       |  FROM vu a JOIN vu b ON a.i = b.i AND b.vec_id < $c
+    s"""cent AS (
+       |  SELECT stratum AS cid, vec_id AS cvid FROM (
+       |    SELECT vec_id, h, h % $c AS stratum,
+       |           ROW_NUMBER() OVER (PARTITION BY h % $c
+       |             ORDER BY h, vec_id) AS rnk
+       |    FROM (SELECT vec_id,
+       |            ${h60("CAST(vec_id AS VARCHAR)")} AS h FROM ev)
+       |  ) WHERE rnk = 1
+       |),
+       |sd AS (
+       |  SELECT a.vec_id AS vec_id, c.cid AS cid, c.cvid AS cvid,
+       |         SUM(a.v * b.v) AS d
+       |  FROM vu a JOIN vu b ON a.i = b.i
+       |  JOIN cent c ON c.cvid = b.vec_id
+       |  GROUP BY 1, 2, 3
+       |),
+       |assign0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT sd.vec_id, sd.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY sd.vec_id ORDER BY
+       |             (CAST(sd.d AS DOUBLE) /
+       |              (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |               sqrt(CAST(nb.nrm AS DOUBLE)))) DESC, sd.cid ASC)
+       |             AS rnk
+       |    FROM sd
+       |    JOIN nrm na ON na.vec_id = sd.vec_id
+       |    JOIN nrm nb ON nb.vec_id = sd.cvid
+       |  ) WHERE rnk = 1
+       |),
+       |cmean AS (
+       |  SELECT a0.cid, u.i, SUM(u.v) // COUNT(*) AS cv
+       |  FROM vu u JOIN assign0 a0 ON a0.vec_id = u.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |cnrm AS (
+       |  SELECT cid, SUM(cv * cv) AS cn FROM cmean
+       |  GROUP BY 1 HAVING SUM(cv * cv) > 0
+       |),
+       |cdot AS (
+       |  SELECT a.vec_id AS vec_id, m.cid AS cid, SUM(a.v * m.cv) AS d
+       |  FROM vu a JOIN cmean m ON m.i = a.i
        |  GROUP BY 1, 2
        |),
        |crank AS (
@@ -215,10 +258,10 @@ object OracleSqlData {
        |         ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
        |           (CAST(cd.d AS DOUBLE) /
        |            (sqrt(CAST(na.nrm AS DOUBLE)) *
-       |             sqrt(CAST(nb.nrm AS DOUBLE)))) DESC, cd.cid ASC) AS rnk
+       |             sqrt(CAST(cnn.cn AS DOUBLE)))) DESC, cd.cid ASC) AS rnk
        |  FROM cdot cd
        |  JOIN nrm na ON na.vec_id = cd.vec_id
-       |  JOIN nrm nb ON nb.vec_id = cd.cid
+       |  JOIN cnrm cnn ON cnn.cid = cd.cid
        |)""".stripMargin
 
   val dedupEmbed: String =

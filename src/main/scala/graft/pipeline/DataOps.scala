@@ -37,6 +37,24 @@ object DataOps {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Cache hygiene for the multi-branch dedup queries: materialize the
+    * (small) result via eager `localCheckpoint` and release the internal
+    * persisted intermediates immediately, so a long-lived session using
+    * these builders accumulates NO cached plans — callers get a
+    * lineage-free frame and never need `clearCache()`.
+    *
+    * Debug switch: `-Dgraft.lazyPlans=true` (set by [[graft.Explain]])
+    * skips the materialization so the full physical plan stays auditable;
+    * in that mode nothing executes, so the persist markers also never
+    * allocate storage. */
+  private def finish(out: DataFrame, caches: DataFrame*): DataFrame =
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) out
+    else {
+      val r = out.localCheckpoint(true)
+      caches.foreach(_.unpersist())
+      r
+    }
+
   /** Whitespace words of `text`, empties dropped (the shingling unit). */
   private def words(text: Column): Column =
     filter(split(text, " "), w => w =!= lit(""))
@@ -121,14 +139,74 @@ object DataOps {
         col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    finish(inter
       .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
       .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na.nsh") + col("nb.nsh") - col("inter")).cast("double") *
           lit(MICRO)).cast("long").as("jac_micro"))
-      .where(col("jac_micro") >= 500000L)
+      .where(col("jac_micro") >= 500000L),
+      sh, bands)
+  }
+
+  /** Min-label connected components over an undirected edge list
+    * (doc_a, doc_b): returns (doc_id, rep) for every node APPEARING IN AN
+    * EDGE, rep = minimum id reachable — with O(log n) convergence and
+    * per-round lineage truncation.
+    *
+    * Each round combines two exact label updates:
+    *  1. HOP — every node takes the min of its own and its neighbors'
+    *     labels (one join + one min-aggregate), the MapReduce "hash-min"
+    *     step (cf. Kiveris et al. 2014, "Connected Components in
+    *     MapReduce and Beyond");
+    *  2. POINTER JUMP — every node then shortcuts to its (new) label's
+    *     OWN label (one self-join), the PRAM pointer-doubling step.
+    * Hop alone converges in O(diameter) rounds (a 1000-doc chain = 1000
+    * rounds); the jump roughly doubles each node's distance-to-minimum
+    * coverage per round, giving O(log n) on chains — pinned by a
+    * 1024-node-chain fixture in DataOpsSpec. Labels only ever decrease
+    * and never leave the component, so the fixpoint (no change anywhere)
+    * is exactly "every component uniformly labeled with its min".
+    *
+    * Every round's labels are eagerly `localCheckpoint`ed: the plan feeds
+    * the next round, so without truncation lineage would deepen by two
+    * joins per round and re-planning cost would grow quadratically; the
+    * checkpoint also IS the round's cache (tiny — two longs per near-dup
+    * node), and abandoned round frames are reaped by the context cleaner.
+    * Returns (labels, rounds). */
+  private[graft] def connectedComponents(spark: SparkSession,
+      pairs: DataFrame): (DataFrame, Int) = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("nid"), col("rep").as("nrep")),
+          col("doc_b") === col("nid"))
+        .groupBy(col("doc_a")).agg(min(col("nrep")).as("nbrRep"))
+      val hop = labels
+        .join(nbr, col("doc_id") === col("doc_a"), "left")
+        .select(col("doc_id"), col("rep").as("orep"),
+          least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep1"))
+      val step = hop
+        .join(labels.select(col("doc_id").as("jid"), col("rep").as("jrep")),
+          col("rep1") === col("jid"), "left")
+        .select(col("doc_id"), col("orep"),
+          least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep"))
+        .localCheckpoint(true)
+      changed = step.where(col("rep") =!= col("orep")).count()
+      labels = step.select(col("doc_id"), col("rep"))
+      rounds += 1
+    }
+    edges.unpersist()
+    (labels, rounds)
   }
 
   /** Near-dup cluster assignment: connected components over the MinHash
@@ -137,52 +215,17 @@ object DataOps {
     * cluster keeps. Output (doc_id, rep, keep) for ALL documents
     * (singletons are their own rep).
     *
-    * Batch form: iterative min-label propagation (one hop per round,
-    * rounds = component diameter — near-dup clusters are shallow). At
-    * 100 TB the same loop runs with the large-star/small-star
-    * optimization; each round is one join + one aggregate on (id, rep)
-    * pairs, never materializing the text. */
+    * The component loop ([[connectedComponents]]: hash-min hop + pointer
+    * jump, O(log n) rounds, per-round lineage checkpoint) iterates over
+    * the near-dup SUBGRAPH only — its working set is proportional to the
+    * duplicate graph, not the corpus; singletons join back in one final
+    * pass and the text never enters the loop. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // Persisted BEFORE the symmetric union: both union branches read the
-    // same cached pair set, so the MinHash candidate + verify join chain
-    // runs once, not twice.
+    // dedupMinhash returns a materialized, lineage-free pair set (its
+    // `finish`), so both union branches inside the loop read cheap scans.
     val pairs = dedupMinhash(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
-      .persist()
-    val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    // Iterate over the near-dup SUBGRAPH only (docs appearing in a pair)
-    // — the loop's working set is proportional to the duplicate graph,
-    // not the corpus; singletons join back in one final pass.
-    // Track the PERSISTED frame separately from its projection: unpersist
-    // must be called on the exact cached plan or it is a silent no-op and
-    // every round's frame would stay cached for the session.
-    var cached = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).persist()
-    var labels = cached
-    var changed = 1L
-    while (changed > 0) {
-      val nbr = edges
-        .join(labels.withColumnRenamed("doc_id", "nid"),
-          col("doc_b") === col("nid"))
-        .groupBy(col("doc_a")).agg(min(col("rep")).as("nrep"))
-      // One join per round: propagate the neighborhood minimum and count
-      // label changes from the same frame.
-      val step = labels
-        .join(nbr, col("doc_id") === col("doc_a"), "left")
-        .select(col("doc_id"), col("rep").as("orep"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .persist()
-      changed = step.where(col("rep") =!= col("orep")).count()
-      cached.unpersist()
-      cached = step
-      labels = step.select(col("doc_id"), col("rep"))
-    }
-    // The final labels frame is materialized (its count ran), so the
-    // upstream caches can go; only `cached` must stay for the join below.
-    edges.unpersist()
-    pairs.unpersist()
+    val (labels, _) = connectedComponents(spark, pairs)
     docs(spark, sfDir).select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "mid"),
         col("doc_id") === col("mid"), "left")
@@ -229,13 +272,14 @@ object DataOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
+    finish(cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash")))
           .cast("long").as("hamming"))
-      .where(col("hamming") <= 3L)
+      .where(col("hamming") <= 3L),
+      sig)
   }
 
   /** Blocked n-gram (token-set) Jaccard: near-dup pairs *within a source
@@ -288,14 +332,15 @@ object DataOps {
         col("doc_b") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
       .groupBy(col("source"), col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    finish(inter
       .join(ntok.as("na"), col("doc_a") === col("na.doc_id"))
       .join(ntok.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("source"), col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na.nt") + col("nb.nt") - col("inter")).cast("double") *
           lit(MICRO)).cast("long").as("jac_micro"))
-      .where(col("jac_micro") >= 800000L)
+      .where(col("jac_micro") >= 800000L),
+      tok)
   }
 
   // =================================================================
@@ -329,15 +374,59 @@ object DataOps {
   private def cosRaw(d: Column, na: Column, nb: Column): Column =
     d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  /** IVF coarse quantizer: centroids = the first [[IvfC]] vectors by
-    * vec_id (deterministic "random" sample; inverted-file ANN as in
-    * Jégou et al. 2011 / the FAISS IVF-Flat index). */
+  /** IVF coarse quantizer cell count (inverted-file ANN as in Jégou et
+    * al. 2011 / the FAISS IVF-Flat index). */
   val IvfC = 16
 
-  private def centroids(spark: SparkSession, sfDir: String): DataFrame =
-    emb(spark, sfDir).where(col("vec_id") < IvfC)
-      .select(col("vec_id").as("cid"), col("em").as("cem"),
-        col("nrm").as("cn"))
+  /** IVF centroids: hash-stratified seed picks refined by ONE exact
+    * k-means (Lloyd) step, fully oracle-replayable.
+    *
+    * Seeds: stratum = hash60(vec_id) mod C, seed = the stratum's
+    * (hash, vec_id)-minimal vector — a deterministic spread sample. At
+    * real scale `vec_id < C` would take the first C INSERTED vectors,
+    * which share a shard/time window and cluster together (overlapping
+    * cells, poor recall); the md5 stratifier is insert-order independent.
+    * Selection is aggregation-only (min per stratum + a C-row join).
+    *
+    * Refinement: every vector joins its best seed (broadcast C seeds,
+    * bounded C-row rank per vector), then each cell's centroid becomes
+    * the member-wise INTEGER mean (`sum div count` per dimension —
+    * truncating division, identical in Spark `div` and DuckDB `//`), so
+    * the refined centroids are exact integers in both engines. A cell
+    * whose mean vector is all-zero (norm 0) is dropped — cosine to it is
+    * undefined and NaN ordering differs across engines. One Lloyd step
+    * cuts quantization error vs raw samples; more steps would converge
+    * further but each costs a full assignment pass. */
+  private def centroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    val seeds = v
+      .withColumn("h", hash60(col("vec_id").cast("string")))
+      .withColumn("stratum", pmod(col("h"), lit(IvfC.toLong)))
+      .groupBy(col("stratum"))
+      .agg(min(struct(col("h"), col("vec_id"))).as("m"))
+      .select(col("stratum").as("cid"), col("m.vec_id").as("cvid"))
+    val cents0 = seeds.join(v, col("cvid") === col("vec_id"))
+      .select(col("cid"), col("em").as("cem"), col("nrm").as("cn"))
+    val assign0 = v.crossJoin(broadcast(cents0))
+      .select(col("vec_id"), col("cid"),
+        cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cid").asc)))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"))
+    v.join(assign0, Seq("vec_id"))
+      .select(col("cid"), posexplode(col("em")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("cv", expr("s div cnt"))
+      .groupBy(col("cid"))
+      .agg(collect_list(struct(col("i"), col("cv"))).as("l"))
+      .select(col("cid"),
+        transform(array_sort(col("l")), e => e.getField("cv")).as("cem"))
+      .withColumn("cn", aggregate(col("cem"), lit(0L), (a, x) => a + x * x))
+      .where(col("cn") > 0)
+  }
 
   /** (vec_id, cid, rnk): each vector's cells ranked by cosine to the
     * centroid (desc, cid asc) — broadcast the C centroids, never shuffle
@@ -367,13 +456,14 @@ object DataOps {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
     val v = emb(spark, sfDir)
-    cand
+    finish(cand
       .join(v.as("va"), col("id_a") === col("va.vec_id"))
       .join(v.as("vb"), col("id_b") === col("vb.vec_id"))
       .select(col("id_a"), col("id_b"),
         cosMicro(dot(col("va.em"), col("vb.em")),
           col("va.nrm"), col("vb.nrm")).as("cos_micro"))
-      .where(col("cos_micro") >= 400000L)
+      .where(col("cos_micro") >= 400000L),
+      assign)
   }
 
   /** Int8 scalar quantization of the embedding column — the compression
@@ -596,15 +686,32 @@ object DataOps {
   private[graft] def contamGramHashes(text: Column): Column =
     transform(contamGrams(text), g => hash60(g))
 
-  /** The benchmark set's distinct gram hashes, collected — by design a
-    * tiny relation (eval benchmarks are MBs), the broadcast/literal side
-    * of both decontamination forms. */
+  /** Hard cap on the benchmark side's distinct gram hashes. The whole
+    * decontamination design leans on the benchmark relation being tiny
+    * (real eval sets are MBs — the collected/broadcast side must fit on
+    * the driver and every executor), but the stand-in derivation
+    * (doc_id ≡ 0 mod 97) is ~1% OF THE CORPUS and therefore GROWS WITH
+    * IT: by 100 TB the "tiny" side would be ~1 TB and the broadcast a
+    * silent driver OOM. Both decontamination forms assert this bound
+    * loudly instead. 32M longs ≈ 256 MB — generous for any real eval
+    * set, far below broadcast-breaking size. */
+  val MaxBenchmarkGrams: Long = 32L * 1024 * 1024
+
+  /** The benchmark set's distinct gram hashes, collected — the
+    * broadcast/literal side of both decontamination forms. Throws when
+    * the benchmark side exceeds [[MaxBenchmarkGrams]]. */
   private[graft] def benchmarkGramHashes(spark: SparkSession,
-      sfDir: String): Array[Long] =
-    docs(spark, sfDir).where(col("doc_id") % 97 === 0)
+      sfDir: String): Array[Long] = {
+    val got = docs(spark, sfDir).where(col("doc_id") % 97 === 0)
       .select(explode(contamGramHashes(col("text"))).as("gh"))
       .distinct().orderBy(col("gh"))
+      .limit(MaxBenchmarkGrams.toInt + 1)
       .collect().map(_.getLong(0))
+    require(got.length <= MaxBenchmarkGrams,
+      s"decontamination benchmark side exceeds $MaxBenchmarkGrams distinct " +
+        "grams — not broadcastable; shrink the benchmark relation")
+    got
+  }
 
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val gramRows = docs(spark, sfDir)
@@ -612,6 +719,10 @@ object DataOps {
         explode(contamGramHashes(col("text"))).as("gh"))
     val bench = gramRows.where(col("doc_id") % 97 === 0)
       .select(col("gh")).distinct()
+    val benchGrams = bench.count()
+    require(benchGrams <= MaxBenchmarkGrams,
+      s"decontamination benchmark side has >$MaxBenchmarkGrams distinct " +
+        "grams — not broadcastable; shrink the benchmark relation")
     val hits = gramRows.where(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), Seq("gh"))
       .groupBy(col("doc_id"))
