@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.model.Model.{HoldsSentiment, Message, MessageSentiment, Mood, Sentiment}
+import graft.model.Model.{Category, CategorySentiment, Entity, HoldsSentiment, Message, MessageCategories, MessageSentiment, Mood, Sentiment}
 import graft.nlp.Lexicons
 import graft.ops.ChatOps
 
@@ -139,6 +139,87 @@ object ChatStreams {
     import ds.sparkSession.implicits._
     ds.map(r => Timed(r.seq, r.tsec,
       MessageSentiment(r.payload, getSentimentFromString(r.payload.text))))
+  }
+
+  private lazy val entitySet: Set[String] = Lexicons.entityTerms.toSet
+
+  /** X2 scalar twin (SentimentAnalysis.scala:62-93): the entity records
+    * of one scored text — mentions are lowercased capitalized tokens of
+    * the ORIGINAL text plus lexicon-NER tokens; one Entity per distinct
+    * key (sorted), salience = its mention share, sentiment = the
+    * document's. The same spec [[graft.pipeline.ParityQueries.entityRows]]
+    * evaluates columnar. */
+  def getEntitiesFromString(text: String,
+      sentiment: Sentiment): List[Entity] = {
+    val caps = "[A-Z][a-z]+".r.findAllIn(text).map(_.toLowerCase).toList
+    val ner = "[a-z]+".r.findAllIn(text.toLowerCase)
+      .filter(entitySet.contains).toList
+    val mentions = caps ++ ner
+    val tot = mentions.size
+    mentions.groupBy(identity).toList.sortBy(_._1).map { case (k, ms) =>
+      Entity(k, (ms.size.toDouble / tot).toFloat, sentiment)
+    }
+  }
+
+  /** entityStream (SentimentAnalysis.scala:62-93): flatten each scored
+    * message into its entity records, envelope carried through so calls
+    * chain (e.g. into `processMoodStream[Entity](_, _.key, "TOPIC", ...)`,
+    * the reference's topic-opinion chain). */
+  def entityStream(ds: Dataset[Timed[MessageSentiment]])
+      : Dataset[Timed[Entity]] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(r =>
+      getEntitiesFromString(r.payload.message.text, r.payload.sentiment)
+        .map(e => Timed(r.seq, r.tsec, e)))
+  }
+
+  /** The reference's ≥25-word classification guard
+    * (SentimentAnalysis.scala:129): Java `split(" ")` semantics — drops
+    * trailing empty fields, `""` counts 1 — via Java split itself. */
+  private def refWords(text: String): Int = text.split(" ").length
+
+  /** X3 scalar twin (SentimentAnalysis.scala:126-148): keyword-hit
+    * classification of one text; confidence = hits / |letter-run tokens|.
+    * Guard is the CALLER's (under-guard messages keep an empty list,
+    * exactly like the reference). */
+  def getCategoriesFromString(text: String): List[Category] = {
+    val toks = "[a-z]+".r.findAllIn(text.toLowerCase).toList
+    val n = toks.size
+    Lexicons.categoryKeywords.toList.flatMap { case (name, kws) =>
+      val kwSet = kws.toSet
+      val hits = toks.count(kwSet.contains)
+      if (hits > 0) Some(Category(name, (hits.toDouble / n).toFloat))
+      else None
+    }
+  }
+
+  /** classifyMessageStream (SentimentAnalysis.scala:126-148): each
+    * message with its category list — EMPTY (not dropped) when the text
+    * fails the 25-word guard, exactly like the reference's map. */
+  def classifyMessageStream(ds: Dataset[Timed[Message]])
+      : Dataset[Timed[MessageCategories]] = {
+    import ds.sparkSession.implicits._
+    ds.map(r => Timed(r.seq, r.tsec, MessageCategories(r.payload,
+      if (refWords(r.payload.text) >= 25)
+        getCategoriesFromString(r.payload.text)
+      else Nil)))
+  }
+
+  /** categorySentimentStream (SentimentAnalysis.scala:151-160): one
+    * record per (message, category) pairing the classification with the
+    * document sentiment — chains into
+    * `processMoodStream[CategorySentiment]` (the reference's W6 opinion
+    * stream). */
+  def categorySentimentStream(ds: Dataset[Timed[MessageSentiment]])
+      : Dataset[Timed[CategorySentiment]] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val text = r.payload.message.text
+      val cats =
+        if (refWords(text) >= 25) getCategoriesFromString(text) else Nil
+      cats.map(c => Timed(r.seq, r.tsec,
+        CategorySentiment(r.payload.message, c, r.payload.sentiment)))
+    }
   }
 
   /** `processMoodStream` (SentimentAnalysis.scala:243-247), generic over

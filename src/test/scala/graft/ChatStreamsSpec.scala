@@ -105,6 +105,48 @@ class ChatStreamsSpec extends SparkSpec {
     }
   }
 
+  test("typed entityStream flattens the same entity records as X2") {
+    val typed = ChatStreams.entityStream(ChatStreams.scoreMessages(w1Typed))
+      .map(t => ((t.tsec, t.payload.key), t.payload.salience.toDouble))
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    val parity = ParityQueries.x2Entities(spark, SF)
+      .select("wsec", "key", "salience_micro")
+      .as[(Long, String, Long)].collect()
+      .map { case (w, k, m) => ((w, k), m / 1e6) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(typed.map(_._1) == parity.map(_._1))
+    typed.zip(parity).foreach { case ((k, a), (_, b)) =>
+      assert(math.abs(a - b) < 2e-3, s"$k: typed $a vs parity $b")
+    }
+  }
+
+  test("typed category streams match X3 and keep the empty-list guard") {
+    val w2Typed = ChatStreams.processMessageStream(w1Typed, (100, 0))
+    val scored = ChatStreams.scoreMessages(w2Typed)
+    val typed = ChatStreams.categorySentimentStream(scored)
+      .map(t => ((t.tsec, t.payload.category.category),
+        t.payload.category.confidence.toDouble))
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    val parity = ParityQueries.x3Categories(spark, SF)
+      .select("w2sec", "category", "conf_micro")
+      .as[(Long, String, Long)].collect()
+      .map { case (w, c, m) => ((w, c), m / 1e6) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(typed.map(_._1) == parity.map(_._1))
+    typed.zip(parity).foreach { case ((k, a), (_, b)) =>
+      assert(math.abs(a - b) < 2e-3, s"$k: typed $a vs parity $b")
+    }
+    // classifyMessageStream keeps EVERY message; under-guard rows carry
+    // an empty list (reference keeps the record, not the categories).
+    val classified = ChatStreams.classifyMessageStream(w2Typed)
+      .collect().toSeq
+    assert(classified.size == w2Typed.count())
+    val nonEmpty = classified.count(_.payload.categories.nonEmpty)
+    val parityBlocks = ParityQueries.x3Categories(spark, SF)
+      .select("w2sec", "channel", "username").distinct().count()
+    assert(nonEmpty.toLong == parityBlocks)
+  }
+
   test("scalar getSentimentFromString matches the columnar scorer") {
     val texts = Seq(
       "What a good great day",
