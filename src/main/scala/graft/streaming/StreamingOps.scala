@@ -98,26 +98,53 @@ object StreamingOps {
     *
     * Within a micro-batch, records are folded in `seq` order (the
     * explicit arrival order); across batches, state carries over — the
-    * streaming-prefix ≡ batch-twin property tested in StreamingSpec. */
+    * streaming-prefix ≡ batch-twin property tested in StreamingSpec.
+    *
+    * `stateTtl` (SURVEY.md §4's optional state TTL): by default state
+    * never expires — Flink-faithful (reference :285 holds running state
+    * forever), but on an unbounded stream with unbounded key churn the
+    * store grows forever too. With a TTL (e.g. `Some("24 hours")`), a key
+    * idle for that processing-time duration is evicted and RESTARTS FROM
+    * ZERO (running total, open partial window and window numbering reset)
+    * when it next appears — the standard state-store trade, made explicit
+    * and opt-in.
+    *
+    * Trigger note: with ProcessingTimeTimeout registered, Spark's
+    * `shouldRunAnotherBatch` is always true (processing time always
+    * advances), so a TTL query MUST set a real trigger interval
+    * (`Trigger.ProcessingTime(...)`) — the default 0 ms trigger would
+    * busy-loop empty batches evaluating timers. */
   def toxicWindows(moods: Dataset[MoodRec], n: Int,
-      thresholdMicro: Long): Dataset[ToxWindow] = {
+      thresholdMicro: Long,
+      stateTtl: Option[String] = None): Dataset[ToxWindow] = {
     import moods.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     moods.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, it: Iterator[MoodRec], state: GroupState[ToxState]) =>
-          var s = state.getOption.getOrElse(ToxState(0L, 0L, 0L, 0L))
-          val fired = Seq.newBuilder[ToxWindow]
-          it.toSeq.sortBy(_.seq).foreach { r =>
-            val run = s.runMicro + r.mood_micro
-            var (cnt, win, grp) = (s.cnt + 1, s.winMicro + run, s.grp)
-            if (cnt == n) {
-              if (win <= thresholdMicro) fired += ToxWindow(key, grp, win)
-              cnt = 0L; win = 0L; grp += 1
+          if (state.hasTimedOut) {
+            // TTL expiry: no new records for this key this batch — drop
+            // the idle state; nothing fires.
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(ToxState(0L, 0L, 0L, 0L))
+            val fired = Seq.newBuilder[ToxWindow]
+            it.toSeq.sortBy(_.seq).foreach { r =>
+              val run = s.runMicro + r.mood_micro
+              var (cnt, win, grp) = (s.cnt + 1, s.winMicro + run, s.grp)
+              if (cnt == n) {
+                if (win <= thresholdMicro) fired += ToxWindow(key, grp, win)
+                cnt = 0L; win = 0L; grp += 1
+              }
+              s = ToxState(run, cnt, win, grp)
             }
-            s = ToxState(run, cnt, win, grp)
+            state.update(s)
+            stateTtl.foreach(state.setTimeoutDuration)
+            fired.result().iterator
           }
-          state.update(s)
-          fired.result().iterator
       }
   }
 

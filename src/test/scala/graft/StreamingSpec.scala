@@ -241,6 +241,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toxicWindows state TTL evicts idle keys; fresh keys restart at zero") {
+    implicit val sqlCtx = spark.sqlContext
+    // ProcessingTimeTimeout queries run timer-evaluation batches forever
+    // (shouldRunAnotherBatch is always true once timeouts register), so
+    // processAllAvailable never observes a no-new-data quiesce — poll the
+    // sink with a deadline instead, exactly as a production monitor
+    // would. TTL queries also need a real trigger interval (documented on
+    // toxicWindows); the default 0 ms trigger would busy-loop.
+    def pollUntil(deadlineSec: Int)(cond: => Boolean): Boolean = {
+      val end = System.nanoTime() + deadlineSec * 1000000000L
+      while (!cond && System.nanoTime() < end) Thread.sleep(200)
+      cond
+    }
+    val in = MemoryStream[MoodRec]
+    val name = freshQueryName("toxttl")
+    val q = StreamingOps.toxicWindows(in.toDS(), 10, -10L * 1000000L,
+        stateTtl = Some("2 seconds"))
+      .toDF().writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .queryName(name).start()
+    try {
+      in.addData((1 to 10).map(i => MoodRec("u", i.toLong, -2000000L)))
+      assert(pollUntil(60)(spark.table(name).count() == 1),
+        "first window did not fire")
+      // Let the 2 s TTL expire while the key is idle (timer batches keep
+      // ticking), then feed a second run of 10.
+      Thread.sleep(5000)
+      in.addData((11 to 20).map(i => MoodRec("u", i.toLong, -2000000L)))
+      assert(pollUntil(60)(spark.table(name).count() == 2),
+        "post-expiry window did not fire")
+      val rows = spark.table(name).as[(String, Long, Long)]
+        .collect().toSeq.sorted
+      // State was evicted: the second run restarts the running total AND
+      // the window numbering from zero (grp 0, sum -110M again) — with
+      // surviving state it would be (grp 1, -310M).
+      assert(rows == Seq(("u", 0L, -110000000L), ("u", 0L, -110000000L)))
+    } finally q.stop()
+  }
+
   test("parseWire keeps commas in text; short lines degrade PERMISSIVEly") {
     val lines = Seq("ch0,alice,hello, world", "ch1,bob,", "ch2,carol",
       "solo", "ch3,dave,a,,", "ch4,eve,x,,y").toDF("value")
