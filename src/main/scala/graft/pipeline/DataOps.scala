@@ -506,21 +506,38 @@ object DataOps {
       .select(col("vec_id").as("q_id"), col("em").as("qem"),
         col("nrm").as("qn"))
 
+  /** (q_id, n_id, rnk, cos_micro) from scored candidate rows
+    * (q_id, n_id, cs): per-query top-k through the BOUNDED
+    * [[graft.functions.TopKAgg]] aggregate — map-side partials trim every
+    * partition's contribution to k rows before the shuffle, where the
+    * `row_number().over(partitionBy(q_id))` form would sort one query's
+    * ENTIRE candidate set (the whole corpus, for brute force) on a single
+    * task. `-n_id` in the ordering struct encodes the ascending
+    * tie-break. */
+  private def rankTopK(spark: SparkSession, scored: DataFrame,
+      k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(spark,
+        struct(col("cs"), (-col("n_id")).as("nn")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("q_id"), (-col("e.nn")).as("n_id"),
+        (col("i") + 1).cast("long").as("rnk"),
+        round(col("e.cs") * lit(MICRO)).cast("long").as("cos_micro"))
+
   /** Brute-force cosine top-10 per query (the exact baseline): broadcast
-    * the query set over one scan of the vectors; one shuffle for the
-    * per-query top-k. Output (q_id, n_id, rnk, cos_micro). */
+    * the query set over one scan of the vectors; the per-query top-k is a
+    * bounded aggregate ([[rankTopK]]), so the shuffle carries at most
+    * 10 rows per (partition, query) instead of the full N·Q score
+    * matrix. Output (q_id, n_id, rnk, cos_micro). */
   def annBrute(spark: SparkSession, sfDir: String): DataFrame = {
     val v = emb(spark, sfDir)
-    v.crossJoin(broadcast(annQueries(spark, sfDir)))
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cs").desc, col("n_id").asc)))
-      .where(col("rnk") <= 10)
-      .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
-        round(col("cs") * lit(MICRO)).cast("long").as("cos_micro"))
+    rankTopK(spark,
+      v.crossJoin(broadcast(annQueries(spark, sfDir)))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn"))
+            .as("cs")),
+      10)
   }
 
   /** IVF-bucketed ANN (the 100 TB scale path): vectors live in their top-1
@@ -543,21 +560,19 @@ object DataOps {
     val v = emb(spark, sfDir)
     // The probe list (queries × 4 cells) is tiny and the cell id has only
     // IvfC distinct values — broadcast the probes so the big assignment
-    // side never shuffles onto <= IvfC partitions.
-    assign
-      .join(broadcast(probes), Seq("cid"))
-      .where(col("vec_id") =!= col("q_id"))
-      .join(v, Seq("vec_id"))
-      .join(broadcast(q.select(col("q_id"), col("qem"), col("qn"))),
-        Seq("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cs").desc, col("n_id").asc)))
-      .where(col("rnk") <= 10)
-      .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"),
-        round(col("cs") * lit(MICRO)).cast("long").as("cos_micro"))
+    // side never shuffles onto <= IvfC partitions; the final per-query
+    // top-k is the bounded aggregate ([[rankTopK]]).
+    rankTopK(spark,
+      assign
+        .join(broadcast(probes), Seq("cid"))
+        .where(col("vec_id") =!= col("q_id"))
+        .join(v, Seq("vec_id"))
+        .join(broadcast(q.select(col("q_id"), col("qem"), col("qn"))),
+          Seq("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn"))
+            .as("cs")),
+      10)
   }
 
   // =================================================================
