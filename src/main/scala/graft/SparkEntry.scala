@@ -65,6 +65,8 @@ object SparkEntry {
     "multimodal"          -> (DataOps.multimodal _),
     "mediaResize"         -> (DataOps.mediaResize _),
     "frameSample"         -> (DataOps.frameSample _),
+    "packSequences"       -> (DataOps.packSequences _),
+    "topBigrams"          -> (DataOps.topBigrams _),
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q3Revenue"           -> (RelOps.q3Revenue _),
@@ -123,6 +125,8 @@ object SparkEntry {
     "multimodal"          -> OracleSqlData.multimodal,
     "mediaResize"         -> OracleSqlData.mediaResize,
     "frameSample"         -> OracleSqlData.frameSample,
+    "packSequences"       -> OracleSqlData.packSequences,
+    "topBigrams"          -> OracleSqlData.topBigrams,
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
     "q3Revenue"           -> OracleSqlRel.q3Revenue,

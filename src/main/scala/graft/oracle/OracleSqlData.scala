@@ -556,6 +556,44 @@ object OracleSqlData {
        |  CAST(len(hs) AS BIGINT) AS n_grams
        |FROM hsx""".stripMargin
 
+  /** Sequence-packing mirror: same per-source (source, doc_id)-ordered
+    * exclusive token prefix sum, same integer chunk arithmetic. */
+  val packSequences: String =
+    s"""WITH $wrdsCte,
+       |t AS (
+       |  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok FROM wrds
+       |),
+       |c AS (
+       |  SELECT doc_id, source, n_tok,
+       |         CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) - n_tok AS strt
+       |  FROM t
+       |)
+       |SELECT doc_id, source, n_tok,
+       |  strt // ${DataOps.PackBudget} AS seq_id,
+       |  strt % ${DataOps.PackBudget} AS off,
+       |  (strt + GREATEST(n_tok, 1) - 1) // ${DataOps.PackBudget} AS end_seq
+       |FROM c""".stripMargin
+
+  /** Bigram-head mirror: same bigrams, same (cnt desc, gram asc) rank. */
+  val topBigrams: String =
+    s"""WITH $wrdsCte,
+       |bg AS (
+       |  SELECT CASE WHEN len(w) >= 2 THEN
+       |           list_transform(range(1, len(w)),
+       |             i -> w[i] || ' ' || w[i+1])
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |g AS (SELECT unnest(gs) AS gram FROM bg),
+       |cnts AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1)
+       |SELECT gram, cnt, rnk FROM (
+       |  SELECT gram, cnt,
+       |         ROW_NUMBER() OVER (ORDER BY cnt DESC, gram ASC) AS rnk
+       |  FROM cnts
+       |) WHERE rnk <= 100""".stripMargin
+
   // =================================================================
   // Multimodal plumbing
   // =================================================================

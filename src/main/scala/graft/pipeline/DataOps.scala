@@ -835,6 +835,58 @@ object DataOps {
         pmod(hash60(col("doc_id").cast("string")), lit(100L)).as("bucket"))
       .where(col("bucket") < 10)
 
+  /** Token budget of one packed training sequence. */
+  val PackBudget = 512L
+
+  /** Sequence packing — the "concatenate and chunk" step that turns a
+    * document corpus into fixed-token-budget training sequences (the
+    * boundary-split packing GPT-style pretraining uses): documents
+    * concatenate in (source, doc_id) order; every [[PackBudget]] tokens
+    * start a new sequence; a document crossing the boundary is split
+    * across sequences. Output per doc: (doc_id, source, n_tok, seq_id =
+    * sequence its first token lands in, off = offset inside it, end_seq
+    * = sequence of its last token).
+    *
+    * The exclusive prefix sum of token counts is the whole computation,
+    * and it runs through [[graft.ops.ChatOps.chunkedRunningSum]] — chunk
+    * partials + prefix offsets — so a source holding 30% of the corpus
+    * still packs without a single-task full-history sort; everything
+    * after the prefix sum is stateless integer arithmetic. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+    graft.ops.ChatOps.chunkedRunningSum(t, col("n_tok"), Seq("source"),
+        Seq(col("doc_id")), "run", 4096L)
+      .withColumn("start", col("run") - col("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"start div $PackBudget").as("seq_id"),
+        pmod(col("start"), lit(PackBudget)).as("off"),
+        expr(s"(start + greatest(n_tok, 1) - 1) div $PackBudget")
+          .as("end_seq"))
+  }
+
+  /** Corpus bigram frequency head — the vocabulary/tokenizer-design
+    * statistic: the 100 most frequent word bigrams, ties broken gram
+    * asc. Global top-k via `orderBy(...).limit(...)` compiles to
+    * TakeOrderedAndProject — per-partition bounded top-100 merged on the
+    * driver, never a full sort of the vocabulary; the rank column is a
+    * window over the ALREADY-limited 100 rows. */
+  def topBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val bi = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs(spark, sfDir)
+      .select(explode(bi).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(100)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("gram").asc)).cast("long"))
+  }
+
   // =================================================================
   // Multimodal plumbing
   // =================================================================

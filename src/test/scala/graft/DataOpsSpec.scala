@@ -324,6 +324,47 @@ class DataOpsSpec extends SparkSpec {
     assert(p99 == at((99 * vals.length + 99) / 100))
   }
 
+  test("packSequences chunks the per-source token stream exactly") {
+    val rows = DataOps.packSequences(spark, SF)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 500)
+    val B = DataOps.PackBudget
+    rows.foreach { case (id, src, n, seq, off, endSeq) =>
+      assert(off >= 0 && off < B, s"$id offset")
+      assert(endSeq >= seq, s"$id end before start")
+      assert(endSeq == (seq * B + off + math.max(n, 1) - 1) / B, s"$id span")
+    }
+    // driver-side replay of one source's packing
+    val bySrc = rows.filter(_._2 == rows.head._2).sortBy(_._1)
+    var cum = 0L
+    bySrc.foreach { case (id, _, n, seq, off, _) =>
+      assert(seq == cum / B && off == cum % B, s"doc $id misplaced")
+      cum += n
+    }
+  }
+
+  test("topBigrams ranks the 100 most frequent bigrams deterministically") {
+    val rows = DataOps.topBigrams(spark, SF)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(rows.size == 100)
+    assert(rows.map(_._3) == (1L to 100L))
+    val cnts = rows.map(_._2)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // ties are ordered gram-ascending
+    rows.zip(rows.tail).foreach { case ((g1, c1, _), (g2, c2, _)) =>
+      if (c1 == c2) assert(g1 < g2)
+    }
+    // driver-side recount of the top bigram
+    val (topGram, topCnt, _) = rows.head
+    val recount = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").as[String].collect()
+      .map { t =>
+        val w = t.split(" ").filter(_.nonEmpty)
+        w.zip(w.tail).count { case (a, b) => s"$a $b" == topGram }.toLong
+      }.sum
+    assert(recount == topCnt)
+  }
+
   test("sampleByHash keeps a stable, order-independent ~10% bucket") {
     val rows = DataOps.sampleByHash(spark, SF)
       .as[(Long, String, Long)].collect().toSeq
