@@ -54,6 +54,7 @@ object SparkEntry {
     "annIvf"              -> (DataOps.annIvf _),
     "embedQuantize"       -> (DataOps.embedQuantize _),
     "langId"              -> (DataOps.langId _),
+    "langConfusion"       -> (DataOps.langConfusion _),
     "textQuality"         -> (DataOps.textQuality _),
     "tokenCount"          -> (DataOps.tokenCount _),
     "fingerprint"         -> (DataOps.fingerprint _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "annIvf"              -> OracleSqlData.annIvf,
     "embedQuantize"       -> OracleSqlData.embedQuantize,
     "langId"              -> OracleSqlData.langId,
+    "langConfusion"       -> OracleSqlData.langConfusion,
     "textQuality"         -> OracleSqlData.textQuality,
     "tokenCount"          -> OracleSqlData.tokenCount,
     "fingerprint"         -> OracleSqlData.fingerprint,

@@ -493,6 +493,13 @@ object OracleSqlData {
        |       COALESCE(b.hits, 0) AS hits
        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin
 
+  /** Confusion-matrix mirror: the langId SQL joined back to labels. */
+  lazy val langConfusion: String =
+    s"""WITH li AS ($langId)
+       |SELECT d.lang, li.lang_pred, COUNT(*) AS cnt
+       |FROM li JOIN documents d ON d.doc_id = li.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   val textQuality: String =
     s"""WITH m AS (
        |  SELECT doc_id,

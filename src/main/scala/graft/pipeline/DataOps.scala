@@ -603,6 +603,19 @@ object DataOps {
         coalesce(col("hits"), lit(0L)).as("hits"))
   }
 
+  /** Language-ID evaluation — the quality-control pass a pipeline runs
+    * over its classifier: confusion counts of corpus label vs [[langId]]
+    * prediction. One broadcast-profile scoring pass + one label join +
+    * one aggregate; non-trivial on this corpus (the `zh` label has no
+    * stopword profile, so its mass lands on 'und'/confusions). Output
+    * (lang, lang_pred, cnt). */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Text-quality scoring: token/stopword/punctuation ratios and a fixed
     * quality formula, all micro-unit BIGINTs. Single-pass projection. */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {

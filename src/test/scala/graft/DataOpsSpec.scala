@@ -250,6 +250,20 @@ class DataOpsSpec extends SparkSpec {
     })
   }
 
+  test("langConfusion partitions the corpus and exposes the zh gap") {
+    val rows = DataOps.langConfusion(spark, SF)
+      .as[(String, String, Long)].collect().toSeq
+    assert(rows.map(_._3).sum == 500L) // every doc counted exactly once
+    // per-label totals equal the corpus label histogram
+    val byLabel = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val corpus = spark.read.parquet(s"$SF/documents.parquet")
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    assert(byLabel == corpus)
+    // zh has no stopword profile: it can never be predicted correctly
+    assert(!rows.exists(r => r._1 == "zh" && r._2 == "zh"))
+    assert(rows.exists(_._1 == "zh"))
+  }
+
   test("textQuality ratios stay in [0, 1e6] and quality is bounded") {
     val rows = DataOps.textQuality(spark, SF).collect()
     rows.foreach { r =>
