@@ -428,12 +428,21 @@ object DataOps {
       .where(col("cn") > 0)
   }
 
+  /** Pin a TINY deterministic frame (the 16 refined centroids):
+    * materialize it once per query build so its subplan — a seed pick
+    * plus a full Lloyd assignment pass — doesn't re-execute under every
+    * branch that broadcasts it. Same lazy-plans gate as [[finish]]. */
+  private def pin(df: DataFrame): DataFrame =
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) df
+    else df.localCheckpoint(true)
+
   /** (vec_id, cid, rnk): each vector's cells ranked by cosine to the
-    * centroid (desc, cid asc) — broadcast the C centroids, never shuffle
-    * the big side. */
-  private def cellRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    * given centroids (desc, cid asc) — broadcast the C centroids, never
+    * shuffle the big side. */
+  private def cellRanks(spark: SparkSession, sfDir: String,
+      cents: DataFrame): DataFrame = {
     val v = emb(spark, sfDir)
-    v.crossJoin(broadcast(centroids(spark, sfDir)))
+    v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
       .withColumn("rnk", row_number().over(
@@ -447,7 +456,8 @@ object DataOps {
     * ~2·N²/C instead of N² — the knob (C, probes) scales with N. */
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     // Persisted: the cell assignment feeds both sides of the bucket join.
-    val assign = cellRanks(spark, sfDir).where(col("rnk") <= 2)
+    val assign = cellRanks(spark, sfDir,
+        pin(centroids(spark, sfDir))).where(col("rnk") <= 2)
       .select(col("vec_id"), col("cid"))
       .persist()
     val cand = assign.as("x").join(assign.as("y"),
@@ -545,9 +555,9 @@ object DataOps {
     * candidates. Same output shape as [[annBrute]]; recall < 1 by design
     * (approximate), deterministic by construction. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val assign = cellRanks(spark, sfDir).where(col("rnk") === 1)
+    val cents = pin(centroids(spark, sfDir))
+    val assign = cellRanks(spark, sfDir, cents).where(col("rnk") === 1)
       .select(col("vec_id"), col("cid"))
-    val cents = centroids(spark, sfDir)
     val q = annQueries(spark, sfDir)
     val probes = q.crossJoin(broadcast(cents))
       .select(col("q_id"), col("cid"),

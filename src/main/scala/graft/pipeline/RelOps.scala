@@ -31,9 +31,12 @@ object RelOps {
 
   /** The events table ships nanosecond parquet timestamps, which Spark
     * only reads via the legacy nanos-as-long conf — every events reader
-    * goes through here. */
+    * goes through here. The conf write is skipped when the value is
+    * already "true", so repeated calls don't churn session state. */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(key).forall(_ != "true"))
+      spark.conf.set(key, "true")
     t(spark, sfDir, "events")
   }
 
