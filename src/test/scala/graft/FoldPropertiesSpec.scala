@@ -54,4 +54,37 @@ class FoldPropertiesSpec extends SparkSpec {
       assert(got == want, s"case $vs")
     }
   }
+
+  test("chunked running sum equals the model prefix sum for any chunk width") {
+    // Random (ord, v) rows with possibly sparse, non-contiguous orders —
+    // the chunk decomposition must be invisible at every width.
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(-9L, 9L))).map(_.take(10))
+    for ((pairs, i) <- cases(gen).zipWithIndex) {
+      // de-dup orders so the model's total order is unambiguous
+      val rows = pairs.zipWithIndex
+        .map { case ((o, v), j) => ("k", o * 16 + j, v) }
+      val width = Seq(1L, 3L, 7L, 1000L)(i % 4)
+      val got = chunkedRunningSum(rows.toDF("key", "ord", "v"), col("v"),
+          Seq("key"), Seq(col("ord")), "run", width)
+        .orderBy("ord").select("run").as[Long].collect().toSeq
+      val want = rows.sortBy(_._2).map(_._3).scanLeft(0L)(_ + _).tail
+      assert(got == want, s"case $rows width $width")
+    }
+  }
+
+  test("top_k equals the sorted-take model for any values and k") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L)).map(_.take(12))
+    for ((vs, i) <- cases(gen).zipWithIndex) {
+      val k = 1 + (i % 4)
+      val got = vs.zipWithIndex.map { case (v, j) => ("k", v, j.toLong) }
+        .toDF("key", "v", "id")
+        .repartition(3)
+        .groupBy(col("key"))
+        .agg(graft.functions.TopKAgg.topK(spark, col("v"), k).as("top"))
+        .select(explode(col("top"))).as[Long].collect().toSeq
+      val want = vs.sorted.reverse.take(k)
+      assert(got == want, s"case $vs k=$k")
+    }
+  }
 }
