@@ -120,6 +120,27 @@ class ChatStreamsSpec extends SparkSpec {
     }
   }
 
+  test("typed entity chain into processMoodStream tracks W7 entity opinion") {
+    // The reference's topic-opinion chain: entities flattened from scored
+    // messages, then a 30 s keyed tumbling mood sum — generic
+    // processMoodStream[Entity] because Entity <: HoldsSentiment.
+    import graft.model.Model.Entity
+    val typed = ChatStreams.processMoodStream[Entity](
+        ChatStreams.entityStream(ChatStreams.scoreMessages(w1Typed)),
+        _.key, "TOPIC", (30, 0))
+      .map(t => ((t.tsec, t.payload.key), t.payload.value.toDouble))
+      .collect().toMap
+    val parity = ParityQueries.w7EntityOpinion(spark, SF)
+      .select("w7sec", "key", "mood_micro")
+      .as[(Long, String, Long)].collect()
+      .map { case (w, k, m) => ((w, k), m / 1e6) }.toMap
+    assert(typed.keySet == parity.keySet)
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - parity(k)) < 1e-2,
+        s"$k: typed $v vs parity ${parity(k)}")
+    }
+  }
+
   test("typed category streams match X3 and keep the empty-list guard") {
     val w2Typed = ChatStreams.processMessageStream(w1Typed, (100, 0))
     val scored = ChatStreams.scoreMessages(w2Typed)
