@@ -13,6 +13,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed-table writes (bucketing tests) go to /tmp, not the repo
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${System.nanoTime()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
