@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.model.Model.{Category, CategorySentiment, Entity, HoldsSentiment, Message, MessageCategories, MessageSentiment, Mood, Sentiment}
+import graft.model.Model.{Category, CategorySentiment, Entity, EntityCount, HoldsSentiment, Message, MessageCategories, MessageSentiment, Mood, Sentiment}
 import graft.nlp.Lexicons
 import graft.ops.ChatOps
 
@@ -171,6 +171,35 @@ object ChatStreams {
     ds.flatMap(r =>
       getEntitiesFromString(r.payload.message.text, r.payload.sentiment)
         .map(e => Timed(r.seq, r.tsec, e)))
+  }
+
+  /** topicStream (SentimentAnalysis.scala:95-104): per-entity record
+    * counts under the same timings dispatch — tumbling/sliding windowed
+    * counts, or a per-record running count. Default `(10, 0)` is the
+    * reference's 10 s tumble (W3). */
+  def topicStream(ds: Dataset[Timed[Entity]],
+      timings: (Int, Int) = (10, 0)): Dataset[Timed[EntityCount]] = {
+    import ds.sparkSession.implicits._
+    val flat = ds.toDF().select(col("seq"), col("tsec"),
+      col("payload.key").as("key"))
+    val agged = timings match {
+      case (t1, t2) if t1 > 0 && (t2 == 0 || t2 > 0) =>
+        windowed(flat, timings)
+          .groupBy(col("wsec"), col("key"))
+          .agg(min(col("seq")).as("seq"),
+            count(lit(1)).cast("int").as("count"))
+          .select(col("seq"), col("wsec").as("tsec"), col("key"),
+            col("count"))
+      case _ =>
+        flat.withColumn("count",
+          count(lit(1)).over(Window.partitionBy(col("key"))
+            .orderBy(col("tsec"), col("seq"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("int"))
+    }
+    agged.select(col("seq"), col("tsec"),
+      struct(col("key"), col("count")).as("payload"))
+      .as[Timed[EntityCount]]
   }
 
   /** The reference's ≥25-word classification guard

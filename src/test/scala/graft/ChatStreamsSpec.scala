@@ -141,6 +141,18 @@ class ChatStreamsSpec extends SparkSpec {
     }
   }
 
+  test("typed topicStream counts equal the W3 parity query exactly") {
+    val typed = ChatStreams.topicStream(
+        ChatStreams.entityStream(ChatStreams.scoreMessages(w1Typed)))
+      .map(t => ((t.tsec, t.payload.key), t.payload.count.toLong))
+      .collect().toMap
+    val parity = ParityQueries.w3EntityCount(spark, SF)
+      .select("w3sec", "key", "cnt")
+      .as[(Long, String, Long)].collect()
+      .map { case (w, k, c) => ((w, k), c) }.toMap
+    assert(typed == parity) // integer counts: exact equality
+  }
+
   test("typed category streams match X3 and keep the empty-list guard") {
     val w2Typed = ChatStreams.processMessageStream(w1Typed, (100, 0))
     val scored = ChatStreams.scoreMessages(w2Typed)
