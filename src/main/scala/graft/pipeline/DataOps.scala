@@ -73,16 +73,15 @@ object DataOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
       .select(col("doc_id"), col("copies"))
 
-  /** Distinct 3-word shingles per document: (doc_id, sh). */
-  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = words(col("text"))
-    val sh3 = when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    docs(spark, sfDir).select(col("doc_id"), explode(sh3).as("sh"))
-  }
+  /** Distinct 3-word shingles per document: (doc_id, sh). Computed by
+    * the native [[graft.functions.WordGramsExpr]] — the composed
+    * `transform(sequence(...))` form is CodegenFallback and its
+    * interpreted evaluation cost more than all of dedupMinhash's joins
+    * and aggregates combined (5.5 s vs 0.6 s at sf0.1). */
+  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 3,
+        distinct = true)).as("sh"))
 
   /** MinHash parameters: K = B·R signature size, R rows per band. With
     * B=12, R=4 the LSH S-curve threshold is (1/12)^(1/4) ≈ 0.54 — tuned
@@ -238,7 +237,9 @@ object DataOps {
     * 2007, "Detecting Near-Duplicates for Web Crawling"). */
   private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     val wc = docs(spark, sfDir)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 1,
+          distinct = false)).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", pmod(hash60(col("w")), lit(4294967296L)))
@@ -299,7 +300,8 @@ object DataOps {
     // Persisted: token relation feeds ranking, both verify sides, sizes.
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(words(col("text")))).as("w"))
+        explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 1,
+          distinct = true)).as("w"))
       .persist()
     val ntok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -708,15 +710,13 @@ object DataOps {
     * — hashed, deduped, and BROADCAST; the corpus side is one scan whose
     * grams join map-side, then one aggregate on doc_id. The n-gram text
     * never shuffles — only its 60-bit hash. */
-  /** Distinct [[ContamN]]-token n-grams of `text` (string array). */
-  private[graft] def contamGrams(text: Column): Column = {
-    val w = words(text)
-    when(size(w) >= ContamN,
-      array_distinct(transform(sequence(lit(1), size(w) - (ContamN - 1)),
-        i => concat_ws(" ",
-          (0 until ContamN).map(o => element_at(w, i + o)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct [[ContamN]]-token n-grams of `text` (string array), via
+    * the native [[graft.functions.WordGramsExpr]] (registered against
+    * the thread's active session — all callers build queries on the
+    * driver with one active). */
+  private[graft] def contamGrams(text: Column): Column =
+    graft.functions.WordGramsExpr.grams(SparkSession.active, text,
+      ContamN, distinct = true)
 
   /** [[contamGrams]] as 60-bit hashes — the unit both decontamination
     * forms (batch below, ingest-time
@@ -896,13 +896,9 @@ object DataOps {
     * driver, never a full sort of the vocabulary; the rank column is a
     * window over the ALREADY-limited 100 rows. */
   def topBigrams(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = words(col("text"))
-    val bi = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
     docs(spark, sfDir)
-      .select(explode(bi).as("gram"))
+      .select(explode(graft.functions.WordGramsExpr.grams(spark,
+        col("text"), 2, distinct = false)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(100)
