@@ -52,6 +52,7 @@ object SparkEntry {
     "dedupEmbed"          -> (DataOps.dedupEmbed _),
     "annBrute"            -> (DataOps.annBrute _),
     "annIvf"              -> (DataOps.annIvf _),
+    "annLsh"              -> (DataOps.annLsh _),
     "embedQuantize"       -> (DataOps.embedQuantize _),
     "langId"              -> (DataOps.langId _),
     "langConfusion"       -> (DataOps.langConfusion _),
@@ -62,12 +63,14 @@ object SparkEntry {
     "sampleByHash"        -> (DataOps.sampleByHash _),
     "snapshotDiff"        -> (DataOps.snapshotDiff _),
     "keepBestPerSource"   -> (DataOps.keepBestPerSource _),
+    "sourceCap"           -> (DataOps.sourceCap _),
     "lengthQuantiles"     -> (DataOps.lengthQuantiles _),
     "multimodal"          -> (DataOps.multimodal _),
     "mediaResize"         -> (DataOps.mediaResize _),
     "frameSample"         -> (DataOps.frameSample _),
     "packSequences"       -> (DataOps.packSequences _),
     "topBigrams"          -> (DataOps.topBigrams _),
+    "repetitionSignals"   -> (DataOps.repetitionSignals _),
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q3Revenue"           -> (RelOps.q3Revenue _),
@@ -113,6 +116,7 @@ object SparkEntry {
     "dedupEmbed"          -> OracleSqlData.dedupEmbed,
     "annBrute"            -> OracleSqlData.annBrute,
     "annIvf"              -> OracleSqlData.annIvf,
+    "annLsh"              -> OracleSqlData.annLsh,
     "embedQuantize"       -> OracleSqlData.embedQuantize,
     "langId"              -> OracleSqlData.langId,
     "langConfusion"       -> OracleSqlData.langConfusion,
@@ -123,12 +127,14 @@ object SparkEntry {
     "sampleByHash"        -> OracleSqlData.sampleByHash,
     "snapshotDiff"        -> OracleSqlData.snapshotDiff,
     "keepBestPerSource"   -> OracleSqlData.keepBestPerSource,
+    "sourceCap"           -> OracleSqlData.sourceCap,
     "lengthQuantiles"     -> OracleSqlData.lengthQuantiles,
     "multimodal"          -> OracleSqlData.multimodal,
     "mediaResize"         -> OracleSqlData.mediaResize,
     "frameSample"         -> OracleSqlData.frameSample,
     "packSequences"       -> OracleSqlData.packSequences,
     "topBigrams"          -> OracleSqlData.topBigrams,
+    "repetitionSignals"   -> OracleSqlData.repetitionSignals,
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
     "q3Revenue"           -> OracleSqlRel.q3Revenue,

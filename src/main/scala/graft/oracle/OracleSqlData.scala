@@ -378,6 +378,65 @@ object OracleSqlData {
        |  FROM scored
        |) WHERE rnk <= 10""".stripMargin
 
+  /** LSH-ANN mirror: the ±1 plane matrix regenerates from the same md5
+    * parity (sign = hash60('pl:h:i') mod 2), projections and signatures
+    * are exact integer sums, and band extraction uses the same
+    * truncating div/mod arithmetic — only the final cosine normalize is
+    * double, with mirrored operand order. */
+  val annLsh: String =
+    s"""WITH $embCtes,
+       |planes AS (
+       |  SELECT h.range AS h, i.range + 1 AS i,
+       |         CASE WHEN ${h60("'pl:' || h.range || ':' || i.range")}
+       |           % 2 = 0 THEN 1 ELSE -1 END AS c
+       |  FROM range(${DataOps.LshPlanes}) h, range(${DataOps.EmbDim}) i
+       |),
+       |sig AS (
+       |  SELECT vec_id,
+       |         SUM(CASE WHEN pd >= 0 THEN CAST(POWER(2, h) AS BIGINT)
+       |             ELSE 0 END) AS sig
+       |  FROM (
+       |    SELECT u.vec_id, p.h, SUM(u.v * p.c) AS pd
+       |    FROM vu u JOIN planes p ON p.i = u.i
+       |    GROUP BY 1, 2
+       |  ) t(vec_id, h, pd)
+       |  GROUP BY 1
+       |),
+       |bands AS (
+       |  SELECT vec_id, b.range AS b,
+       |         (sig // CAST(POWER(2, ${DataOps.LshBandBits} * b.range)
+       |            AS BIGINT)) % ${1 << DataOps.LshBandBits} AS bv
+       |  FROM sig, range(${DataOps.LshBands}) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, d.vec_id AS n_id
+       |  FROM bands q JOIN bands d ON q.b = d.b AND q.bv = d.bv
+       |  WHERE q.vec_id % 50 = 0 AND d.vec_id <> q.vec_id
+       |),
+       |cd AS (
+       |  SELECT c.q_id, c.n_id, SUM(a.v * b.v) AS d
+       |  FROM cand c
+       |  JOIN vu a ON a.vec_id = c.n_id
+       |  JOIN vu b ON b.vec_id = c.q_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT cd.q_id, cd.n_id,
+       |         CAST(cd.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM cd
+       |  JOIN nrm nn ON nn.vec_id = cd.n_id
+       |  JOIN nrm nq ON nq.vec_id = cd.q_id
+       |)
+       |SELECT q_id, n_id, rnk, CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro
+       |FROM (
+       |  SELECT q_id, n_id, cs,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 10""".stripMargin
+
   /** Decontamination mirror: same 4-token grams, same hash60 join key,
     * same benchmark stand-in (doc_id ≡ 0 mod 97). */
   val decontaminate: String = {
@@ -455,6 +514,17 @@ object OracleSqlData {
       |  MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99,
       |  COUNT(*) AS docs
       |FROM r GROUP BY source""".stripMargin
+
+  /** Source-cap mirror: same salted hash, same (h, doc_id) order. */
+  val sourceCap: String =
+    s"""SELECT source, doc_id, rk FROM (
+       |  SELECT source, doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY h, doc_id) AS BIGINT) AS rk
+       |  FROM (SELECT source, doc_id,
+       |          ${h60("'cap:' || CAST(doc_id AS VARCHAR)")} AS h
+       |        FROM documents)
+       |) WHERE rk <= ${DataOps.SourceCapK}""".stripMargin
 
   /** Hash-sample mirror: identical md5-prefix bucket arithmetic. */
   val sampleByHash: String =
@@ -600,6 +670,40 @@ object OracleSqlData {
        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, gram ASC) AS rnk
        |  FROM cnts
        |) WHERE rnk <= 100""".stripMargin
+
+  /** Repetition-signal mirror: same micro-unit truncating-division
+    * ratios, same thresholds, flag as 0/1 BIGINT. */
+  val repetitionSignals: String =
+    s"""WITH $wrdsCte,
+       |tok AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+       |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+       |  FROM wrds
+       |),
+       |bg AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+       |  FROM wrds, LATERAL unnest(range(1, len(w))) t(i)
+       |),
+       |bgc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+       |mx AS (
+       |  SELECT doc_id, MAX(cnt) AS mc, SUM(cnt) AS tot FROM bgc GROUP BY 1
+       |),
+       |sg AS (
+       |  SELECT t.doc_id, t.n_tok,
+       |         CASE WHEN t.n_tok > 0
+       |           THEN (t.n_distinct * 1000000) // t.n_tok
+       |           ELSE 1000000 END AS distinct_ratio_micro,
+       |         CAST(COALESCE((mx.mc * 1000000) // mx.tot, 0) AS BIGINT)
+       |           AS top_bigram_micro
+       |  FROM tok t LEFT JOIN mx ON mx.doc_id = t.doc_id
+       |)
+       |SELECT doc_id, n_tok, distinct_ratio_micro, top_bigram_micro,
+       |       CAST(CASE WHEN distinct_ratio_micro <
+       |                    ${DataOps.RepDistinctMinMicro}
+       |                 OR top_bigram_micro >
+       |                    ${DataOps.RepTopBigramMaxMicro}
+       |            THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+       |FROM sg""".stripMargin
 
   // =================================================================
   // Multimodal plumbing

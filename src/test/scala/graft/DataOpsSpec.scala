@@ -389,4 +389,92 @@ class DataOpsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(rows.sortBy(_._1) == again.sortBy(_._1))
   }
+
+  test("annLsh recall vs annBrute clears the 6x4-band floor") {
+    // Deterministic by construction — the floor is a regression pin for
+    // the 24-plane / 6-band configuration (measured 0.61 at sf0.01 with
+    // a ~3x candidate cut; 4 bands gave 0.46, 8 bands 0.70 at weaker
+    // pruning).
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(DataOps.annBrute(spark, SF))
+    val lsh = pairs(DataOps.annLsh(spark, SF))
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.50, f"recall $recall%.2f")
+  }
+
+  test("annLsh emits ranked, self-free, <=10-per-query rows") {
+    val rows = DataOps.annLsh(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.size <= 10)
+      assert(rs.map(_._3).sorted == (1L to rs.size))
+      assert(rs.forall(r => r._2 != r._1))
+      val byRank = rs.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lsh plane coefficients are ±1 and md5-reproducible") {
+    val coefs = for (h <- 0 until DataOps.LshPlanes;
+                     i <- 0 until DataOps.EmbDim) yield DataOps.lshCoef(h, i)
+    assert(coefs.forall(c => c == 1L || c == -1L))
+    // roughly balanced (md5 parity): neither sign dominates 60/40
+    val pos = coefs.count(_ == 1L)
+    assert(pos > coefs.size * 2 / 5 && pos < coefs.size * 3 / 5)
+    assert(DataOps.lshCoef(0, 0) == DataOps.lshCoef(0, 0)) // stable
+  }
+
+  test("repetitionSignals computes exact ratios on crafted docs") {
+    val dir = Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, Seq.fill(20)("spam").mkString(" ")), // pathological repetition
+      (2L, "abcde"))                            // single token, no bigram
+      .map { case (id, t) => (id, t, "en", "src0", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.repetitionSignals(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: 10 tokens, 9 distinct ("the" twice) -> 900000; 9 distinct
+    // bigrams -> top share 1/9 = 111111 (> 0.10 flags short texts too)
+    assert(got(0L) == (0L, 10L, 900000L, 111111L, 1L))
+    // doc 1: all-spam -> distinct 1/20 = 50000, "spam spam" 19/19 = 1e6
+    assert(got(1L) == (1L, 20L, 50000L, 1000000L, 1L))
+    // doc 2: one token -> ratio 1, no bigram -> share 0, clean
+    assert(got(2L) == (2L, 1L, 1000000L, 0L, 0L))
+  }
+
+  test("repetitionSignals flags a non-vacuous subset of the fixture") {
+    val rows = DataOps.repetitionSignals(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 500)
+    val flagged = rows.count(_._5 == 1L)
+    assert(flagged > 0 && flagged < rows.size, s"flagged $flagged")
+    // both branches independently observable at sf0.001
+    assert(rows.exists(r => r._3 < DataOps.RepDistinctMinMicro))
+    assert(rows.exists(r => r._4 > DataOps.RepTopBigramMaxMicro))
+  }
+
+  test("sourceCap keeps exactly K docs per source, order-independent") {
+    val rows = DataOps.sourceCap(spark, SF)
+      .as[(String, Long, Long)].collect().toSeq
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.size == 20)
+    bySrc.values.foreach { rs =>
+      assert(rs.size == DataOps.SourceCapK) // every source has 25 >= K docs
+      assert(rs.map(_._3).sorted == (1L to DataOps.SourceCapK))
+    }
+    // the kept set is the salted-hash minimum, replayed driver-side
+    val expected = spark.read.parquet(s"$SF/documents.parquet")
+      .select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        ds.map(_._2).sortBy(id => (jvmHash60(s"cap:$id"), id))
+          .take(DataOps.SourceCapK).map(src -> _)
+      }.toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == expected)
+  }
 }
