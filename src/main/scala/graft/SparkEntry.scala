@@ -73,6 +73,7 @@ object SparkEntry {
     "repetitionSignals"   -> (DataOps.repetitionSignals _),
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> (RelOps.eventsHourly _),
+    "q1Pricing"           -> (RelOps.q1Pricing _),
     "q3Revenue"           -> (RelOps.q3Revenue _),
     "q5LocalRevenue"      -> (RelOps.q5LocalRevenue _),
     "topkOrders"          -> (RelOps.topkOrders _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "repetitionSignals"   -> OracleSqlData.repetitionSignals,
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
+    "q1Pricing"           -> OracleSqlRel.q1Pricing,
     "q3Revenue"           -> OracleSqlRel.q3Revenue,
     "q5LocalRevenue"      -> OracleSqlRel.q5LocalRevenue,
     "topkOrders"          -> OracleSqlRel.topkOrders,

@@ -25,6 +25,32 @@ object OracleSqlRel {
       |WHERE c.c_mktsegment = 'BUILDING'
       |GROUP BY 1""".stripMargin
 
+  /** Q1 mirror: same per-row micro rounding (operand order mirrored),
+    * averages as truncating integer division of the micro sums. */
+  val q1Pricing: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(ROUND(l_quantity * 1000000.0) AS BIGINT) AS qty,
+      |    CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT) AS price,
+      |    CAST(ROUND(l_discount * 1000000.0) AS BIGINT) AS disc,
+      |    CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 1000000.0)
+      |      AS BIGINT) AS dp,
+      |    CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) *
+      |      1000000.0) AS BIGINT) AS ch
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(qty) AS BIGINT) AS sum_qty_micro,
+      |       CAST(SUM(price) AS BIGINT) AS sum_base_micro,
+      |       CAST(SUM(dp) AS BIGINT) AS sum_disc_price_micro,
+      |       CAST(SUM(ch) AS BIGINT) AS sum_charge_micro,
+      |       CAST(SUM(qty) // COUNT(*) AS BIGINT) AS avg_qty_micro,
+      |       CAST(SUM(price) // COUNT(*) AS BIGINT) AS avg_price_micro,
+      |       CAST(SUM(disc) // COUNT(*) AS BIGINT) AS avg_disc_micro,
+      |       COUNT(*) AS count_order
+      |FROM m GROUP BY 1, 2""".stripMargin
+
   val topkOrders: String =
     """SELECT o_orderkey, o_orderpriority,
       |       CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT) AS total_micro

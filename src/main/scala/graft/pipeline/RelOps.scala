@@ -156,6 +156,39 @@ object RelOps {
         col("exact"))
   }
 
+  /** TPC-H Q1-shaped pricing summary: the canonical scan-heavy
+    * aggregate — one pass over lineitem with the shipdate predicate on
+    * the scan (parquet pushdown), per-row micro-unit conversion, then a
+    * 6-group hash aggregate with map-side partials. Averages are exact
+    * truncating integer divisions of the micro sums (identical `div` in
+    * Spark and `//` in DuckDB); the disc_price / charge products mirror
+    * the oracle's operand order exactly, so the per-row rounding is
+    * bit-identical. At any scale this is the ideal plan: no shuffle
+    * until 6 aggregate rows per partition. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * lit(1000000.0)).cast("long").as("qty"),
+        round(col("l_extendedprice") * lit(1000000.0)).cast("long")
+          .as("price"),
+        round(col("l_discount") * lit(1000000.0)).cast("long").as("disc"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("dp"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * lit(1000000.0)).cast("long").as("ch"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty")).as("sum_qty_micro"),
+        sum(col("price")).as("sum_base_micro"),
+        sum(col("dp")).as("sum_disc_price_micro"),
+        sum(col("ch")).as("sum_charge_micro"),
+        expr("sum(qty) div count(1)").as("avg_qty_micro"),
+        expr("sum(price) div count(1)").as("avg_price_micro"),
+        expr("sum(disc) div count(1)").as("avg_disc_micro"),
+        count(lit(1)).as("count_order"))
+  }
+
   /** TPC-H Q14-shaped: promo revenue share per month — part joins the
     * lineitem scan (strategy left to AQE: part scales with SF); the
     * share ratio divides two exact integer micro sums. */

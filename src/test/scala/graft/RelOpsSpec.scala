@@ -57,4 +57,24 @@ class RelOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum == 1000L) // sf0.001 events total
     assert(rows.forall(_._1 % 3600 == 0))
   }
+
+  test("q1Pricing aggregates the six flag/status groups consistently") {
+    val rows = RelOps.q1Pricing(spark, SF).collect()
+    assert(rows.length == 6) // A/N/R x F/O with N-F present in this data
+    rows.foreach { r =>
+      val (sumQty, sumBase, sumDp, sumCh) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (avgQty, avgPrice, avgDisc, n) =
+        (r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+      assert(n > 0)
+      assert(avgQty == sumQty / n && avgPrice == sumBase / n)
+      assert(avgDisc >= 0 && avgDisc < 1000000L) // discount in [0, 1)
+      // charge >= disc_price (tax >= 0), disc_price <= base price
+      assert(sumCh >= sumDp && sumDp <= sumBase)
+    }
+    // filter excludes some rows: grand count < full table size
+    val total = rows.map(_.getLong(9)).sum
+    val full = spark.read.parquet(s"$SF/lineitem.parquet").count()
+    assert(total < full && total > 0)
+  }
 }
