@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.nlp.Lexicons
@@ -110,14 +110,41 @@ object ValenceStatsExpr {
   }
 }
 
-/** `spark.sql.extensions`-style injection
-  * (`SparkSessionExtensions.injectFunction`) for sessions configured with
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+/** `spark.sql.extensions` injection point for ALL of graft's native
+  * expressions (`SparkSessionExtensions.injectFunction`): a cluster
+  * configured with `spark.sql.extensions=graft.functions.GraftExtensions`
+  * gets `valence_stats`, `word_grams` and `top_k` in every session —
+  * usable from pure SQL without any per-session `register` call (the
+  * per-query `register` helpers remain for externally-created
+  * sessions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("valence_stats"),
       new ExpressionInfo(
         classOf[ValenceStatsExpr].getCanonicalName, "valence_stats"),
       (children: Seq[Expression]) => ValenceStatsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_grams"),
+      new ExpressionInfo(
+        classOf[WordGramsExpr].getCanonicalName, "word_grams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable &&
+          children(1).dataType == IntegerType && children(2).foldable &&
+          children(2).dataType == BooleanType,
+          "word_grams(text, n, distinct) requires literal n and distinct")
+        WordGramsExpr(children.head,
+          children(1).eval().asInstanceOf[Int],
+          children(2).eval().asInstanceOf[Boolean])
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getCanonicalName, "top_k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable &&
+          children(1).dataType == IntegerType,
+          "top_k(expr, k) requires a literal integer k")
+        TopKAgg(children.head, children(1).eval().asInstanceOf[Int])
+      }))
+  }
 }

@@ -94,6 +94,14 @@ class ValenceStatsSpec extends SparkSpec {
       val got = s2.sql("SELECT valence_stats(array('good', 'bad')).sv")
         .head().getInt(0)
       assert(got == 0)
+      // the full native-function set rides the same injection
+      val grams = s2.sql("SELECT word_grams('a b c', 2, false)")
+        .head().getSeq[String](0)
+      assert(grams == Seq("a b", "b c"))
+      val top = s2.sql(
+        "SELECT top_k(x, 2) FROM VALUES (3), (1), (5) AS t(x)")
+        .head().getSeq[Int](0)
+      assert(top == Seq(5, 3))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
