@@ -33,8 +33,13 @@ object Bench {
     // Headline set = the oracle-checked queries. Rows-only extras (model
     // TRAINING jobs like x1SentimentMl) are correctness surface, not
     // benchmark queries, and would drown the engine numbers.
+    // Optional comma-separated name filter for iterating on one query
+    // locally (SPARK_GRAFT_BENCH_ONLY=q3Revenue,x3Categories); the driver
+    // never sets it, so round benches always cover the full headline set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val headline = SparkEntry.queries.filter { case (n, _) =>
-      SparkEntry.oracleSql.contains(n)
+      SparkEntry.oracleSql.contains(n) && only.forall(_.contains(n))
     }
     val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until runs).flatMap { _ =>

@@ -113,7 +113,8 @@ object ValenceStatsExpr {
 /** `spark.sql.extensions` injection point for ALL of graft's native
   * expressions (`SparkSessionExtensions.injectFunction`): a cluster
   * configured with `spark.sql.extensions=graft.functions.GraftExtensions`
-  * gets `valence_stats`, `word_grams` and `top_k` in every session —
+  * gets `valence_stats`, `word_grams`, `category_hits` and `top_k` in
+  * every session —
   * usable from pure SQL without any per-session `register` call (the
   * per-query `register` helpers remain for externally-created
   * sessions). */
@@ -137,6 +138,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(1).eval().asInstanceOf[Int],
           children(2).eval().asInstanceOf[Boolean])
       }))
+    ext.injectFunction((
+      FunctionIdentifier("category_hits"),
+      new ExpressionInfo(
+        classOf[CategoryHitsExpr].getCanonicalName, "category_hits"),
+      (children: Seq[Expression]) => CategoryHitsExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getCanonicalName, "top_k"),

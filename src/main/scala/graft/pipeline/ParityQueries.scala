@@ -103,7 +103,8 @@ object ParityQueries {
     s2.where(refWordCount(col("text")) >= 25)
       .select(col("w2sec"), col("channel"), col("username"),
         col("score_micro"), col("mag_micro"), col("mood_micro"),
-        explode(categoriesArr(tokens(col("text")))).as("c"))
+        explode(graft.functions.CategoryHitsExpr.cats(spark,
+          tokens(col("text")))).as("c"))
       .select(col("w2sec"), col("channel"), col("username"),
         col("c.category").as("category"),
         col("c.conf_micro").as("conf_micro"),

@@ -64,7 +64,7 @@ final class SentimentPipeline(val messages: Dataset[TimedMessage]) {
     scored
       .withColumn("categories",
         when(graft.nlp.NlpFunctions.refWordCount(col("text")) >= 25,
-          graft.nlp.NlpFunctions.categoriesArr(tokens(col("text"))))
+          graft.functions.CategoryHitsExpr.cats(spark, tokens(col("text"))))
           .otherwise(array()))
       .select(col("ts"), explode(col("categories")).as("c"),
         col("score_micro"), col("mag_micro"), col("mood_micro"))
