@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.oracle.{OracleSql, OracleSqlData, OracleSqlRel}
-import graft.pipeline.{DataOps, RelOps, ParityQueries => PQ}
+import graft.pipeline.{DataOps, EventOps, RelOps, ParityQueries => PQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,8 @@ object SparkEntry {
     "tokenCount"          -> (DataOps.tokenCount _),
     "fingerprint"         -> (DataOps.fingerprint _),
     "decontaminate"       -> (DataOps.decontaminate _),
+    "bloomDecontaminate"  -> (DataOps.bloomDecontaminate _),
+    "stratifiedSample"    -> (DataOps.stratifiedSample _),
     "sampleByHash"        -> (DataOps.sampleByHash _),
     "snapshotDiff"        -> (DataOps.snapshotDiff _),
     "keepBestPerSource"   -> (DataOps.keepBestPerSource _),
@@ -82,6 +84,10 @@ object SparkEntry {
     "hllDistinctUsers"    -> (RelOps.hllDistinctUsers _),
     "q14PromoShare"       -> (RelOps.q14PromoShare _),
     "sqlSourceStats"      -> (RelOps.sqlSourceStats _),
+    // --- event-stream analytics (as-of join / sessions / JSON path) ---
+    "asofAttribution"     -> (EventOps.asofAttribution _),
+    "sessionize"          -> (EventOps.sessionize _),
+    "jsonPropsStats"      -> (EventOps.jsonPropsStats _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -125,6 +131,8 @@ object SparkEntry {
     "tokenCount"          -> OracleSqlData.tokenCount,
     "fingerprint"         -> OracleSqlData.fingerprint,
     "decontaminate"       -> OracleSqlData.decontaminate,
+    "bloomDecontaminate"  -> OracleSqlData.bloomDecontaminate,
+    "stratifiedSample"    -> OracleSqlData.stratifiedSample,
     "sampleByHash"        -> OracleSqlData.sampleByHash,
     "snapshotDiff"        -> OracleSqlData.snapshotDiff,
     "keepBestPerSource"   -> OracleSqlData.keepBestPerSource,
@@ -147,5 +155,8 @@ object SparkEntry {
     "hllDistinctUsers"    -> OracleSqlRel.hllDistinctUsers,
     "q14PromoShare"       -> OracleSqlRel.q14PromoShare,
     "sqlSourceStats"      -> OracleSqlRel.sqlSourceStats,
+    "asofAttribution"     -> OracleSqlRel.asofAttribution,
+    "sessionize"          -> OracleSqlRel.sessionize,
+    "jsonPropsStats"      -> OracleSqlRel.jsonPropsStats,
   )
 }

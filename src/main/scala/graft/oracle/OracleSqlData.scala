@@ -465,6 +465,73 @@ object OracleSqlData {
        |WHERE d.doc_id % 97 <> 0""".stripMargin
   }
 
+  /** Two-tier bloom decontamination mirror
+    * ([[DataOps.bloomDecontaminate]]): same grams, same md5-affine bloom
+    * positions (the MinHash coefficient family over P, reduced mod
+    * 2^20), same slot-complete membership rule and exact-verify tier. */
+  val bloomDecontaminate: String = {
+    val n = DataOps.ContamN
+    val m = DataOps.BloomBits
+    val k = DataOps.BloomK
+    val coefs = (0 until k)
+      .map(i => s"($i, ${HashFns.aCoef(i)}, ${HashFns.bCoef(i)})")
+      .mkString(", ")
+    s"""WITH $wrdsCte,
+       |gl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= $n THEN
+       |           list_distinct(list_transform(range(1, len(w) - ${n - 2}),
+       |             i -> ${(0 until n).map(o => s"w[i+$o]").mkString(" || ' ' || ")}))
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |g AS (SELECT doc_id, unnest(gs) AS gr FROM gl),
+       |gh AS (SELECT doc_id, ${h60("gr")} AS gh FROM g),
+       |bench AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+       |coef AS (SELECT * FROM (VALUES $coefs) t(i, a, b)),
+       |bpos AS (
+       |  SELECT DISTINCT ((a * (gh % $P) + b) % $P) % $m AS pos
+       |  FROM bench CROSS JOIN coef
+       |),
+       |slots AS (
+       |  SELECT doc_id, gh, i, ((a * (gh % $P) + b) % $P) % $m AS pos
+       |  FROM gh CROSS JOIN coef
+       |  WHERE doc_id % 97 <> 0
+       |),
+       |bg AS (
+       |  SELECT doc_id, gh
+       |  FROM slots JOIN bpos USING (pos)
+       |  GROUP BY doc_id, gh
+       |  HAVING COUNT(DISTINCT i) = $k
+       |),
+       |bd AS (SELECT doc_id, COUNT(*) AS bloom_grams FROM bg GROUP BY 1),
+       |ex AS (
+       |  SELECT doc_id, COUNT(*) AS exact_grams
+       |  FROM bg WHERE gh IN (SELECT gh FROM bench)
+       |  GROUP BY 1
+       |)
+       |SELECT bd.doc_id, bd.bloom_grams,
+       |       CAST(COALESCE(ex.exact_grams, 0) AS BIGINT) AS exact_grams,
+       |       CAST(CASE WHEN COALESCE(ex.exact_grams, 0) = 0 THEN 1
+       |            ELSE 0 END AS BIGINT) AS bloom_fp
+       |FROM bd LEFT JOIN ex ON bd.doc_id = ex.doc_id""".stripMargin
+  }
+
+  /** Stratified-sample mirror ([[DataOps.stratifiedSample]]): same
+    * salted hash60 bucket, same per-language basis-point rates. */
+  val stratifiedSample: String = {
+    val cases = DataOps.StratRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |         ${h60("CAST(doc_id AS VARCHAR) || ':strat'")} % 10000
+       |           AS bucket
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, bucket FROM b
+       |WHERE bucket < CASE lang $cases ELSE 0 END""".stripMargin
+  }
+
   /** Snapshot-diff mirror: same grams, same EXCEPT set semantics. */
   val snapshotDiff: String = {
     val n = DataOps.ContamN

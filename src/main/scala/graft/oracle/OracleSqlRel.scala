@@ -164,4 +164,88 @@ object OracleSqlRel {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY 1""".stripMargin
+
+  /** As-of attribution mirror ([[graft.pipeline.EventOps.asofAttribution]]):
+    * the identical union-tagged running-last plan (not DuckDB's ASOF JOIN
+    * keyword, whose equal-ts tie handling is unspecified) — clicks sort
+    * before purchases at equal ts, so `last_value(... IGNORE NULLS)` over
+    * the unbounded-preceding frame is the as-of match in both engines.
+    * Gap seconds in exact integer ns arithmetic (`epoch_ns`). */
+  val asofAttribution: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |),
+      |w AS (
+      |  SELECT user_id, ts, event_id, kind,
+      |         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS click_id,
+      |         last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS click_ts
+      |  FROM u
+      |)
+      |SELECT event_id AS purchase_id, user_id,
+      |       CAST(COALESCE(click_id, -1) AS BIGINT) AS click_id,
+      |       CAST(COALESCE((epoch_ns(ts) - epoch_ns(click_ts))
+      |         // 1000000000, -1) AS BIGINT) AS gap_sec
+      |FROM w WHERE kind = 1""".stripMargin
+
+  /** Sessionization mirror ([[graft.pipeline.EventOps.sessionize]]):
+    * gaps-and-islands with the same 30-min ns gap, (ts, event_id) order
+    * and micro-int value sums. */
+  val sessionize: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+      |         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+      |  FROM events
+      |),
+      |l AS (
+      |  SELECT user_id, tns, event_id, v,
+      |         lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+      |           AS prev_tns
+      |  FROM e
+      |),
+      |b AS (
+      |  SELECT user_id, tns, v,
+      |         CASE WHEN prev_tns IS NULL
+      |                   OR tns - prev_tns > 1800000000000 THEN 1
+      |              ELSE 0 END AS brk,
+      |         event_id
+      |  FROM l
+      |),
+      |s AS (
+      |  SELECT user_id, tns, v,
+      |         CAST(SUM(brk) OVER (PARTITION BY user_id
+      |           ORDER BY tns, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS sess
+      |  FROM b
+      |)
+      |SELECT user_id, sess,
+      |       CAST(MIN(tns) // 1000000000 AS BIGINT) AS start_sec,
+      |       CAST((MAX(tns) - MIN(tns)) // 1000000000 AS BIGINT) AS dur_sec,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(v) AS BIGINT) AS val_micro
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  /** JSON-props mirror ([[graft.pipeline.EventOps.jsonPropsStats]]):
+    * same `$.k` path extraction, per-type aggregates. */
+  val jsonPropsStats: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |       COUNT(*) AS cnt,
+      |       COUNT(k) AS k_present,
+      |       CAST(SUM(k) AS BIGINT) AS k_sum,
+      |       COUNT(DISTINCT k) AS k_distinct,
+      |       CAST(MAX(k) AS BIGINT) AS k_max
+      |FROM e GROUP BY 1""".stripMargin
 }

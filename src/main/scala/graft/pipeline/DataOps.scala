@@ -850,6 +850,95 @@ object DataOps {
           .as("contaminated"))
   }
 
+  /** Bloom filter geometry: 2^20 bit positions, 3 hash slots per gram.
+    * At the benchmark-cap boundary (32M grams) the position set
+    * saturates and every probe passes — the cap assert fires first. */
+  val BloomBits: Int = 1 << 20
+  val BloomK: Int = 3
+
+  /** Slot-i bloom position of a 60-bit gram hash: the MinHash affine
+    * family re-used as the bloom hash family — exact int64 in both
+    * engines (operands < 2^62). */
+  private def bloomPos(i: Int, gh: Column): Column =
+    ((lit(aCoef(i)) * (gh % lit(P)) + lit(bCoef(i))) % lit(P)) % lit(
+      BloomBits.toLong)
+
+  /** Two-tier benchmark decontamination — the 100 TB form of
+    * [[decontaminate]]: tier 1 probes every corpus gram against a BLOOM
+    * FILTER of the benchmark grams ([[BloomBits]] bits, [[BloomK]]
+    * md5-affine hash slots — ~128 KB broadcast instead of the full gram
+    * set, the piece that stays cheap when the eval set grows); tier 2
+    * exact-verifies only the bloom-positive grams against the true
+    * benchmark hash set, so false positives cost one narrow join probe
+    * instead of a false contamination flag.
+    *
+    * Both tiers are expressed relationally (position-set / hash-set
+    * broadcast joins) rather than as an opaque bitmap UDF, so the DuckDB
+    * oracle replays them bit-for-bit; on a cluster the position set IS
+    * the bitmap (a distinct-positions broadcast is its dense form).
+    * Output, per bloom-positive doc: distinct bloom-hit grams, how many
+    * survived exact verify, and a false-positive flag — bloom_fp > 0
+    * rows are the filter's false-positive rate made visible. */
+  def bloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val gramRows = docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(contamGramHashes(col("text"))).as("gh"))
+    val bench = gramRows.where(col("doc_id") % 97 === 0)
+      .select(col("gh")).distinct()
+    require(bench.count() <= MaxBenchmarkGrams,
+      s"decontamination benchmark side has >$MaxBenchmarkGrams distinct " +
+        "grams — not broadcastable; shrink the benchmark relation")
+    val benchPos = bench
+      .select(explode(array((0 until BloomK).map(i =>
+        bloomPos(i, col("gh"))): _*)).as("pos"))
+      .distinct()
+    val slots = gramRows.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("gh"),
+        posexplode(array((0 until BloomK).map(i =>
+          bloomPos(i, col("gh"))): _*)).as(Seq("slot", "pos")))
+    val bloomGrams = slots
+      .join(broadcast(benchPos), Seq("pos"))
+      .groupBy(col("doc_id"), col("gh"))
+      .agg(countDistinct(col("slot")).as("hitSlots"))
+      .where(col("hitSlots") === BloomK)
+    val exact = bloomGrams
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("exact_grams"))
+    bloomGrams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("bloom_grams"))
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_grams"),
+        coalesce(col("exact_grams"), lit(0L)).as("exact_grams"),
+        when(coalesce(col("exact_grams"), lit(0L)) === 0L, lit(1L))
+          .otherwise(lit(0L)).as("bloom_fp"))
+  }
+
+  /** Per-language keep rates for [[stratifiedSample]], in basis points
+    * of 10000 — the low-resource-upsampling split a multilingual
+    * pretraining mix uses (en downsampled, zh upsampled). */
+  val StratRates: Seq[(String, Long)] = Seq(
+    "en" -> 1000L, "de" -> 3000L, "es" -> 3000L, "fr" -> 3000L,
+    "zh" -> 5000L)
+
+  /** Stratified deterministic sampling: every document hashes to a
+    * bucket in [0, 10000) (salted so the split decorrelates from
+    * [[sampleByHash]]'s eval split), and each LANGUAGE stratum keeps its
+    * own bucket range — per-stratum rates without a shuffle, stable
+    * under reordering/repartitioning, disjoint strata by construction.
+    * Single-pass projection + filter at any scale. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = StratRates.foldRight(lit(0L): Column) { case ((l, r), e) =>
+      when(col("lang") === l, lit(r)).otherwise(e)
+    }
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        pmod(hash60(concat(col("doc_id").cast("string"), lit(":strat"))),
+          lit(10000L)).as("bucket"))
+      .where(col("bucket") < rate)
+  }
+
   /** Set-operation surface (SURVEY.md §2.6): snapshot vocabulary drift —
     * the distinct [[ContamN]]-token n-grams present in crawl snapshot
     * src1 but absent from src0, via the EXCEPT set operator (per-side

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics operators over the `events` table — the
+ * capability tier a stream-analytics user expects NEXT to the reference's
+ * windowed surface (SURVEY.md §2.4): ordered-state joins and
+ * sessionization, the two classic operators Spark has no single built-in
+ * for, plus the semi-structured (JSON) column path.
+ *
+ * All three follow the engine's determinism contract: timestamps stay
+ * exact integer nanoseconds (the events table ships ns parquet
+ * timestamps, read via nanos-as-long — [[RelOps.events]]), money/value
+ * doubles become per-row micro-unit BIGINTs before any aggregation, and
+ * every window order carries `event_id` as the total-order tiebreaker so
+ * ties cannot make the oracle hash flaky.
+ *
+ * Scale shape: each operator is ONE shuffle on `user_id` (the key whose
+ * cardinality grows with the data — per-key partitions stay small at any
+ * SF) followed by narrow window/aggregate work; no joins, no broadcast,
+ * no driver state. This is the union-tagged as-of-join plan, not a
+ * per-row range probe: at 100 TB the as-of join costs exactly one
+ * sort-shuffle of the two event subsets together.
+ */
+object EventOps {
+
+  /** 30-minute session gap, in integer nanoseconds. */
+  val SessionGapNs: Long = 1800L * 1000000000L
+
+  /** AS-OF JOIN (attribution): for every `purchase` event, the latest
+    * `click` by the same user at or before the purchase (the
+    * click→purchase attribution query; DuckDB spells it `ASOF JOIN`).
+    *
+    * Spark-first plan: instead of a per-purchase range probe (quadratic
+    * per hot user) or an interval join, the two event subsets are
+    * UNION-TAGGED and sorted once per user on (ts, kind, event_id) —
+    * clicks (kind 0) sort before purchases (kind 1) at equal ts, so a
+    * running `last(click, ignoreNulls)` over the unbounded-preceding
+    * frame IS the as-of match. One shuffle, linear per-user work,
+    * identical tie semantics in both engines (equal-ts clicks match; the
+    * max event_id among them wins).
+    *
+    * Output per purchase: purchase_id, user_id, click_id (-1 when no
+    * prior click), gap_sec (exact integer floor-seconds, -1 when none).
+    */
+  def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = RelOps.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1))
+          .as("kind"))
+    val asOf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
+          .over(asOf))
+      .withColumn("click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true)
+          .over(asOf))
+      .where(col("kind") === 1)
+      .withColumn("gap_ns", col("ts") - col("click_ts"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(expr("gap_ns div 1000000000"), lit(-1L)).as("gap_sec"))
+  }
+
+  /** SESSIONIZATION (gaps-and-islands): events of one user belong to the
+    * same session while consecutive gaps stay ≤ 30 min. Output one row
+    * per session: user_id, sess (per-user session ordinal), start epoch
+    * second, duration seconds, event count, value sum in micro-units.
+    *
+    * Plan: lag + running sum of session-break flags over the per-user
+    * order, then one hash aggregate on (user_id, sess) — the batch twin
+    * of `session_window(ts, '30 minutes')`, kept in explicit
+    * gaps-and-islands form so DuckDB replays it verbatim. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    RelOps.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > lit(SessionGapNs), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("sess", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min(col("ts")).as("start_ns"),
+        max(col("ts")).as("end_ns"),
+        count(lit(1)).as("n_events"),
+        sum(col("v")).as("val_micro"))
+      .select(col("user_id"), col("sess"),
+        expr("start_ns div 1000000000").as("start_sec"),
+        expr("(end_ns - start_ns) div 1000000000").as("dur_sec"),
+        col("n_events"), col("val_micro"))
+  }
+
+  /** Semi-structured column path: extract the integer `k` field from the
+    * JSON `props` column (`get_json_object` — Spark's codegen'd JSON
+    * path expression) and aggregate per event type. The decode happens
+    * in the scan's projection; at scale this is the
+    * schema-on-read pattern for sparse event properties that don't merit
+    * parquet columns. */
+  def jsonPropsStats(spark: SparkSession, sfDir: String): DataFrame =
+    RelOps.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(col("k")).as("k_present"),
+        sum(col("k")).as("k_sum"),
+        countDistinct(col("k")).as("k_distinct"),
+        max(col("k")).as("k_max"))
+}

@@ -33,7 +33,7 @@ object RelOps {
     * only reads via the legacy nanos-as-long conf — every events reader
     * goes through here. The conf write is skipped when the value is
     * already "true", so repeated calls don't churn session state. */
-  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+  private[pipeline] def events(spark: SparkSession, sfDir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.getOption(key).forall(_ != "true"))
       spark.conf.set(key, "true")

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.pipeline.{DataOps, EventOps}
+
+/** [[graft.pipeline.EventOps]] checked against naive single-threaded
+  * reference implementations over the same sf0.001 events — the window
+  * plans must equal a per-user sort + linear scan exactly. */
+class EventOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (event_id, tsNanos, user_id, event_type, value) sorted per user. */
+  private lazy val byUser: Map[Long, Seq[(Long, Long, String, Double)]] = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(2),
+        (r.getLong(0), r.getLong(1), r.getString(3), r.getDouble(4))))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).sortBy(e => (e._2, e._1)).toSeq)
+      .toMap
+  }
+
+  test("asofAttribution equals the naive per-user linear scan") {
+    val want = byUser.toSeq.flatMap { case (uid, evs) =>
+      // events sorted by (ts, event_id); at equal ts the click with the
+      // larger event_id must win, and an equal-ts click DOES match its
+      // purchase — replay the engine's (ts, kind, event_id) order.
+      val ordered = evs
+        .filter(e => e._3 == "click" || e._3 == "purchase")
+        .sortBy(e => (e._2, if (e._3 == "click") 0 else 1, e._1))
+      var lastClick: Option[(Long, Long)] = None // (event_id, ts)
+      ordered.flatMap { case (id, ts, typ, _) =>
+        if (typ == "click") { lastClick = Some((id, ts)); None }
+        else Some((id, uid,
+          lastClick.map(_._1).getOrElse(-1L),
+          lastClick.map(c => (ts - c._2) / 1000000000L).getOrElse(-1L)))
+      }
+    }.sortBy(_._1)
+    val got = EventOps.asofAttribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.exists(_._3 >= 0) && got.exists(_._3 == -1L),
+      "fixture must exercise both matched and unmatched purchases")
+  }
+
+  test("sessionize equals the naive gap scan and covers every event") {
+    val want = byUser.toSeq.flatMap { case (uid, evs) =>
+      var sess = 0L
+      var prev = Long.MinValue
+      val tagged = evs.map { case (_, ts, _, v) =>
+        if (prev == Long.MinValue || ts - prev > EventOps.SessionGapNs)
+          sess += 1
+        prev = ts
+        (sess, ts, math.round(v * 1000000.0))
+      }
+      tagged.groupBy(_._1).map { case (s, rows) =>
+        val ts = rows.map(_._2)
+        (uid, s, ts.min / 1000000000L, (ts.max - ts.min) / 1000000000L,
+          rows.size.toLong, rows.map(_._3).sum)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.sessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    assert(got.map(_._5).sum == byUser.values.map(_.size.toLong).sum,
+      "sessions must partition the event set")
+    assert(got.exists(_._5 > 1), "fixture must contain multi-event sessions")
+  }
+
+  test("jsonPropsStats extracts every k and sums exactly") {
+    val rows = EventOps.jsonPropsStats(spark, sfDir).collect()
+    val total = byUser.values.map(_.size.toLong).sum
+    assert(rows.map(_.getLong(1)).sum == total)
+    // props is always {"k": <int>} in the fixture — extraction must
+    // never miss
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1), r.toString))
+  }
+
+  test("bloom tier is a sound prefilter of exact decontamination") {
+    val b = DataOps.bloomDecontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bloom-positive grams are a superset of exact-contaminated grams
+    b.foreach { case (doc, bg, eg, fp) =>
+      assert(bg >= eg, s"doc $doc: bloom $bg < exact $eg")
+      assert(fp == (if (eg == 0) 1L else 0L))
+    }
+    // exact tier ≡ the reference decontaminate operator's flagged docs
+    val exactDocs = b.filter(_._3 > 0).map(_._1).toSet
+    val want = DataOps.decontaminate(spark, sfDir).collect()
+      .collect { case r: Row if r.getLong(2) == 1L => r.getLong(0) }.toSet
+    assert(exactDocs == want)
+  }
+
+  test("stratifiedSample keeps disjoint per-language buckets at the rate") {
+    val rows = DataOps.stratifiedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rates = DataOps.StratRates.toMap
+    rows.foreach { case (doc, lang, bucket) =>
+      assert(bucket < rates(lang), s"doc $doc $lang bucket $bucket")
+    }
+    // every stratum is represented and roughly at its rate (hash spread)
+    val byLang = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(rates.keySet == byLang.keySet)
+  }
+}
