@@ -139,6 +139,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(2).eval().asInstanceOf[Boolean])
       }))
     ext.injectFunction((
+      FunctionIdentifier("entity_mentions"),
+      new ExpressionInfo(
+        classOf[EntityMentionsExpr].getCanonicalName, "entity_mentions"),
+      (children: Seq[Expression]) => EntityMentionsExpr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("category_hits"),
       new ExpressionInfo(
         classOf[CategoryHitsExpr].getCanonicalName, "category_hits"),

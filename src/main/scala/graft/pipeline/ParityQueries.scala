@@ -81,7 +81,8 @@ object ParityQueries {
     * Salience = mentions(key) / total mentions in the document. */
   def entityRows(spark: SparkSession, sfDir: String): DataFrame = {
     val s = sentimented(spark, sfDir)
-    val ments = entityMentions(col("text"), tokens(col("text")))
+    val ments =
+      graft.functions.EntityMentionsExpr.mentions(spark, col("text"))
     s.select(col("wsec"), col("channel"), col("username"),
         col("score_micro"), col("mag_micro"), col("mood_micro"),
         explode(ments).as("key"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.model.Model.{TimedMessage, ToxWindow}
-import graft.nlp.NlpFunctions.{entityMentions, tokens}
+import graft.nlp.NlpFunctions.tokens
 import graft.pipeline.ParityQueries
 
 /**
@@ -48,7 +48,8 @@ final class SentimentPipeline(val messages: Dataset[TimedMessage]) {
     * mention with the record's mood. */
   lazy val entityStream: DataFrame =
     scored.select(col("ts"),
-      explode(entityMentions(col("text"), tokens(col("text")))).as("key"),
+      explode(graft.functions.EntityMentionsExpr.mentions(spark,
+        col("text"))).as("key"),
       col("mood_micro"))
 
   /** W7 entityOpinionStream (SentimentAnalysis.scala:186-192): 30 s
@@ -118,7 +119,8 @@ final class SentimentPipeline(val messages: Dataset[TimedMessage]) {
   lazy val topicStream: DataFrame =
     StreamingOps.withEventTime(messages).withWatermark("ts", "5 seconds")
       .select(col("ts"),
-        explode(entityMentions(col("text"), tokens(col("text")))).as("key"))
+        explode(graft.functions.EntityMentionsExpr.mentions(spark,
+          col("text"))).as("key"))
       .groupBy(window(col("ts"), "10 seconds"), col("key"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -140,8 +142,8 @@ final class SentimentPipeline(val messages: Dataset[TimedMessage]) {
     import spark.implicits._
     StreamingOps.toxicWindows(
       ParityQueries.withSentiment(messages.toDF())
-        .select(explode(entityMentions(col("text"),
-          tokens(col("text")))).as("key"), col("seq"), col("mood_micro"))
+        .select(explode(graft.functions.EntityMentionsExpr.mentions(spark,
+          col("text"))).as("key"), col("seq"), col("mood_micro"))
         .as[graft.model.Model.MoodRec],
       25, -20L * 1000000L)
   }
