@@ -87,6 +87,7 @@ object SparkEntry {
     // --- event-stream analytics (as-of join / sessions / JSON path) ---
     "asofAttribution"     -> (EventOps.asofAttribution _),
     "sessionize"          -> (EventOps.sessionize _),
+    "rangeJoinRecentErrors" -> (EventOps.rangeJoinRecentErrors _),
     "jsonPropsStats"      -> (EventOps.jsonPropsStats _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
@@ -157,6 +158,7 @@ object SparkEntry {
     "sqlSourceStats"      -> OracleSqlRel.sqlSourceStats,
     "asofAttribution"     -> OracleSqlRel.asofAttribution,
     "sessionize"          -> OracleSqlRel.sessionize,
+    "rangeJoinRecentErrors" -> OracleSqlRel.rangeJoinRecentErrors,
     "jsonPropsStats"      -> OracleSqlRel.jsonPropsStats,
   )
 }

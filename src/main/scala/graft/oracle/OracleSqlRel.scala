@@ -233,6 +233,27 @@ object OracleSqlRel {
       |       CAST(SUM(v) AS BIGINT) AS val_micro
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Range-join mirror ([[graft.pipeline.EventOps.rangeJoinRecentErrors]]):
+    * plain interval containment (DuckDB's optimizer handles the range
+    * join; the bucket explosion is the Spark scale device, not a
+    * semantic difference). */
+  val rangeJoinRecentErrors: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type
+      |  FROM events
+      |)
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |       COUNT(*) AS n_recent_errors,
+      |       CAST(MIN((p.tns - er.tns) // 1000000000) AS BIGINT)
+      |         AS min_gap_sec
+      |FROM e p JOIN e er
+      |  ON p.user_id = er.user_id
+      | AND er.event_type = 'error'
+      | AND p.tns >= er.tns
+      | AND p.tns - er.tns <= 21600000000000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1, 2""".stripMargin
+
   /** JSON-props mirror ([[graft.pipeline.EventOps.jsonPropsStats]]):
     * same `$.k` path extraction, per-type aggregates. */
   val jsonPropsStats: String =

@@ -103,6 +103,46 @@ object EventOps {
         col("n_events"), col("val_micro"))
   }
 
+  /** Range-join lookback window (6 h) and bucket width (1 h), both in
+    * integer nanoseconds. */
+  val LookbackNs: Long = 21600L * 1000000000L
+  val BucketNs: Long = 3600L * 1000000000L
+
+  /** RANGE (interval) JOIN: for every purchase, the same user's errors
+    * in the 6 hours at-or-before it — the "recent failures before
+    * conversion" feature-engineering join. Output one row per purchase
+    * that had ≥1 recent error: purchase_id, user_id, n_recent_errors,
+    * min_gap_sec (seconds since the closest error).
+    *
+    * Spark-first plan: Spark has no interval-join operator, and the
+    * naive formulation (`p.join(e, userEq && tsBetween)`) degenerates to
+    * a per-user cross product. Instead each error EXPLODES into the
+    * 1-hour buckets its 6-h influence interval covers (`sequence` over
+    * bucket ordinals — a fixed ≤7 rows per error) and each purchase
+    * carries its single bucket, turning the range predicate into an
+    * EQUI-join on (user_id, bucket) + a residual `0 ≤ gap ≤ 6h` filter,
+    * then one hash aggregate per purchase. Shuffle volume is
+    * O(7·|errors| + |purchases|), never quadratic in either side. */
+  def rangeJoinRecentErrors(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = RelOps.events(spark, sfDir)
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"))
+      .withColumn("bk", explode(sequence(
+        expr(s"e_ts div ${BucketNs}L"),
+        expr(s"(e_ts + ${LookbackNs}L) div ${BucketNs}L"))))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"),
+        expr(s"ts div ${BucketNs}L").as("bk"))
+    purch.join(errs,
+        col("p_user") === col("user_id") && purch("bk") === errs("bk") &&
+          col("p_ts") >= col("e_ts") &&
+          col("p_ts") - col("e_ts") <= lit(LookbackNs))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_recent_errors"),
+        min(expr("(p_ts - e_ts) div 1000000000")).as("min_gap_sec"))
+  }
+
   /** Semi-structured column path: extract the integer `k` field from the
     * JSON `props` column (`get_json_object` — Spark's codegen'd JSON
     * path expression) and aggregate per event type. The decode happens

@@ -84,6 +84,28 @@ class EventOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) == r.getLong(1), r.toString))
   }
 
+  test("bucketed range join equals the naive interval join") {
+    val got = EventOps.rangeJoinRecentErrors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    // naive reference: direct per-purchase probe over the user's errors
+    val want = byUser.toSeq.flatMap { case (uid, evs) =>
+      val errs = evs.filter(_._3 == "error").map(_._2)
+      evs.filter(_._3 == "purchase").flatMap { case (id, ts, _, _) =>
+        val recent = errs.filter(e =>
+          ts >= e && ts - e <= EventOps.LookbackNs)
+        if (recent.isEmpty) None
+        else Some((id, uid, recent.size.toLong,
+          recent.map(e => (ts - e) / 1000000000L).min))
+      }
+    }.sorted
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must contain purchases with recent errors")
+    val allPurch = byUser.values.flatten.count(_._3 == "purchase")
+    assert(got.size < allPurch,
+      "some purchases must have no recent errors")
+  }
+
   test("bloom tier is a sound prefilter of exact decontamination") {
     val b = DataOps.bloomDecontaminate(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
