@@ -55,6 +55,14 @@ object DataOps {
       r
     }
 
+  /** Persist unless in lazy-plan (Explain) mode — paired with
+    * [[finish]]: a builder that must run an eager action (e.g. a size
+    * assert) before returning would otherwise leave a cache allocated in
+    * a mode where finish() never releases it. */
+  private def persistUnlessLazy(df: DataFrame): DataFrame =
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) df
+    else df.persist()
+
   /** Whitespace words of `text`, empties dropped (the shingling unit). */
   private def words(text: Column): Column =
     filter(split(text, " "), w => w =!= lit(""))
@@ -831,23 +839,26 @@ object DataOps {
     val gramRows = docs(spark, sfDir)
       .select(col("doc_id"),
         explode(contamGramHashes(col("text"))).as("gh"))
-    val bench = gramRows.where(col("doc_id") % 97 === 0)
-      .select(col("gh")).distinct()
-    val benchGrams = bench.count()
-    require(benchGrams <= MaxBenchmarkGrams,
+    // Persisted: the bench gram set feeds both the cap-check count and
+    // the broadcast join — one computation, released via finish().
+    val bench = persistUnlessLazy(
+      gramRows.where(col("doc_id") % 97 === 0)
+        .select(col("gh")).distinct())
+    require(bench.count() <= MaxBenchmarkGrams,
       s"decontamination benchmark side has >$MaxBenchmarkGrams distinct " +
         "grams — not broadcastable; shrink the benchmark relation")
     val hits = gramRows.where(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("hits"))
-    docs(spark, sfDir).where(col("doc_id") % 97 =!= 0)
+    finish(docs(spark, sfDir).where(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         when(coalesce(col("hits"), lit(0L)) > 0L, lit(1L)).otherwise(lit(0L))
-          .as("contaminated"))
+          .as("contaminated")),
+      bench)
   }
 
   /** Bloom filter geometry: 2^20 bit positions, 3 hash slots per gram.
@@ -883,8 +894,12 @@ object DataOps {
     val gramRows = docs(spark, sfDir)
       .select(col("doc_id"),
         explode(contamGramHashes(col("text"))).as("gh"))
-    val bench = gramRows.where(col("doc_id") % 97 === 0)
-      .select(col("gh")).distinct()
+    // Persisted: the bench gram set feeds the cap-check count, the
+    // position derivation AND the exact-verify tier — one computation,
+    // released via finish().
+    val bench = persistUnlessLazy(
+      gramRows.where(col("doc_id") % 97 === 0)
+        .select(col("gh")).distinct())
     require(bench.count() <= MaxBenchmarkGrams,
       s"decontamination benchmark side has >$MaxBenchmarkGrams distinct " +
         "grams — not broadcastable; shrink the benchmark relation")
@@ -905,14 +920,15 @@ object DataOps {
       .join(broadcast(bench), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("exact_grams"))
-    bloomGrams
+    finish(bloomGrams
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("bloom_grams"))
       .join(exact, Seq("doc_id"), "left")
       .select(col("doc_id"), col("bloom_grams"),
         coalesce(col("exact_grams"), lit(0L)).as("exact_grams"),
         when(coalesce(col("exact_grams"), lit(0L)) === 0L, lit(1L))
-          .otherwise(lit(0L)).as("bloom_fp"))
+          .otherwise(lit(0L)).as("bloom_fp")),
+      bench)
   }
 
   /** Per-language keep rates for [[stratifiedSample]], in basis points
