@@ -73,6 +73,7 @@ object SparkEntry {
     "packSequences"       -> (DataOps.packSequences _),
     "topBigrams"          -> (DataOps.topBigrams _),
     "repetitionSignals"   -> (DataOps.repetitionSignals _),
+    "retentionDecision"   -> (DataOps.retentionDecision _),
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q1Pricing"           -> (RelOps.q1Pricing _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "packSequences"       -> OracleSqlData.packSequences,
     "topBigrams"          -> OracleSqlData.topBigrams,
     "repetitionSignals"   -> OracleSqlData.repetitionSignals,
+    "retentionDecision"   -> OracleSqlData.retentionDecision,
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
     "q1Pricing"           -> OracleSqlRel.q1Pricing,

@@ -812,4 +812,32 @@ object OracleSqlData {
        |  unnest(list_transform(range(0, CAST(LEAST(frames, 8) AS INTEGER)),
        |    j -> (j * frames) // LEAST(frames, 8))) AS frame_idx
        |FROM med""".stripMargin
+
+  /** Retention-decision mirror ([[DataOps.retentionDecision]]): each
+    * component oracle inlined verbatim as a derived table (DuckDB
+    * supports WITH inside subqueries), joined on doc_id — so this
+    * composition can never drift from the per-stage oracles. A `def`
+    * because it references vals of this object (a val here would read
+    * nulls during object initialization). */
+  def retentionDecision: String =
+    s"""SELECT d.doc_id,
+       |  CAST(CASE WHEN l.lang_pred <> 'und' THEN 1 ELSE 0 END AS BIGINT)
+       |    AS lang_keep,
+       |  CAST(CASE WHEN q.quality_micro >= ${DataOps.QualityFloorMicro}
+       |    THEN 1 ELSE 0 END AS BIGINT) AS quality_keep,
+       |  CAST(1 - r.flag_repetitive AS BIGINT) AS rep_keep,
+       |  CAST(CASE WHEN c.keep THEN 1 ELSE 0 END AS BIGINT) AS dup_keep,
+       |  CAST(COALESCE(1 - x.contaminated, 0) AS BIGINT) AS contam_keep,
+       |  CAST(CASE WHEN l.lang_pred <> 'und'
+       |        AND q.quality_micro >= ${DataOps.QualityFloorMicro}
+       |        AND r.flag_repetitive = 0
+       |        AND c.keep
+       |        AND COALESCE(1 - x.contaminated, 0) = 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d
+       |JOIN ($langId) l ON l.doc_id = d.doc_id
+       |JOIN ($textQuality) q ON q.doc_id = d.doc_id
+       |JOIN ($repetitionSignals) r ON r.doc_id = d.doc_id
+       |JOIN ($dedupClusters) c ON c.doc_id = d.doc_id
+       |LEFT JOIN ($decontaminate) x ON x.doc_id = d.doc_id""".stripMargin
 }

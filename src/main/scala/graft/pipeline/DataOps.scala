@@ -1227,4 +1227,53 @@ object DataOps {
         explode(transform(sequence(lit(0L), k - 1),
           j => floor(j * col("frames") / k).cast("long"))).as("frame_idx"))
   }
+
+  /** Minimum quality score ([[textQuality]] micro-units) a document
+    * needs to enter the training set. */
+  val QualityFloorMicro = 500000L
+
+  /** END-TO-END RETENTION DECISION — the composition query a curation
+    * pipeline actually ships: one row per document with the verdict of
+    * every filter stage and the final keep bit.
+    *
+    *  - lang_keep:    language identified ([[langId]] ≠ 'und')
+    *  - quality_keep: [[textQuality]] score ≥ [[QualityFloorMicro]]
+    *  - rep_keep:     not Gopher-repetitive ([[repetitionSignals]])
+    *  - dup_keep:     its near-dup cluster's survivor ([[dedupClusters]])
+    *  - contam_keep:  shares no benchmark gram ([[decontaminate]]);
+    *                  benchmark docs themselves (doc_id ≡ 0 mod 97) are
+    *                  the eval set and never enter training → 0
+    *  - keep:         the conjunction
+    *
+    * Every stage keeps its own scale-safe plan (they materialize via
+    * [[finish]]); the composition itself is five equi-joins on the
+    * co-partitionable doc_id key — at 100 TB this is the one place the
+    * whole corpus meets, and it meets on a single hash-partitioned
+    * column, never on payloads. */
+  def retentionDecision(spark: SparkSession, sfDir: String): DataFrame = {
+    val lang = langId(spark, sfDir)
+      .select(col("doc_id"),
+        (col("lang_pred") =!= "und").cast("long").as("lang_keep"))
+    val qual = textQuality(spark, sfDir)
+      .select(col("doc_id"),
+        (col("quality_micro") >= QualityFloorMicro).cast("long")
+          .as("quality_keep"))
+    val rep = repetitionSignals(spark, sfDir)
+      .select(col("doc_id"),
+        (lit(1L) - col("flag_repetitive").cast("long")).as("rep_keep"))
+    val dup = dedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("keep").cast("long").as("dup_keep"))
+    val cont = decontaminate(spark, sfDir)
+      .select(col("doc_id"),
+        (lit(1L) - col("contaminated")).as("contam_keep"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+      .join(rep, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left") // benchmark docs carry no row
+      .select(col("doc_id"), col("lang_keep"), col("quality_keep"),
+        col("rep_keep"), col("dup_keep"),
+        coalesce(col("contam_keep"), lit(0L)).as("contam_keep"))
+      .withColumn("keep", col("lang_keep") * col("quality_keep") *
+        col("rep_keep") * col("dup_keep") * col("contam_keep"))
+  }
 }

@@ -121,6 +121,22 @@ class EventOpsSpec extends SparkSpec {
     assert(exactDocs == want)
   }
 
+  test("retentionDecision is the exact conjunction of its stage gates") {
+    val rows = DataOps.retentionDecision(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.foreach { case (doc, l, q, rp, d, c, k) =>
+      assert(k == l * q * rp * d * c, s"doc $doc")
+    }
+    // every gate must actually drop someone (no vacuous stage)
+    assert(rows.exists(_._2 == 0) && rows.exists(_._3 == 0) &&
+      rows.exists(_._4 == 0) && rows.exists(_._5 == 0) &&
+      rows.exists(_._6 == 0))
+    // benchmark docs are always dropped via contam_keep
+    rows.filter(_._1 % 97 == 0).foreach(r => assert(r._6 == 0L))
+    assert(rows.exists(_._7 == 1) && rows.exists(_._7 == 0))
+  }
+
   test("stratifiedSample keeps disjoint per-language buckets at the rate") {
     val rows = DataOps.stratifiedSample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
