@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, WordGramsExpr}
+import graft.nlp.{Lexicons, NlpFunctions}
+
+/** Property checks pinning every native codegen expression bit-identical
+  * to the composed higher-order form it replaced, on RANDOM text — the
+  * fixture suites cover hand-picked edges; these sweep generated
+  * whitespace runs, casing, unicode and lexicon words. Deterministic
+  * ScalaCheck seeds, batched into ONE Spark job per expression. */
+class NativeExprPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Text generator biased toward the interesting alphabet: lexicon and
+    * category keywords, capitalized words, unicode, runs of spaces and
+    * punctuation. */
+  private val word: Gen[String] = Gen.frequency(
+    3 -> Gen.oneOf(Lexicons.categoryKeywords.flatMap(_._2)),
+    2 -> Gen.oneOf(Lexicons.entityTerms),
+    2 -> Gen.alphaLowerStr.map(_.take(6)),
+    2 -> Gen.alphaStr.map(_.take(6).capitalize),
+    1 -> Gen.oneOf("ABc", "A", "ÜberX", "naïve", "漢字", "x9y", "..", "--"),
+    1 -> Gen.oneOf("", " ", "  "))
+  private val text: Gen[String] =
+    Gen.listOf(word).map(_.mkString(" ")).map(_.take(120))
+
+  private def sample(n: Int): Seq[String] =
+    (0 until n).flatMap(i => text(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("CategoryHitsExpr equals composed categoriesArr on random text") {
+    val df = sample(200).toDF("t")
+      .select(NlpFunctions.tokens(col("t")).as("toks"))
+    val diff = df.where(not(
+        CategoryHitsExpr.cats(spark, col("toks")).cast("string") ===
+        NlpFunctions.categoriesArr(col("toks")).cast("string")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("EntityMentionsExpr equals composed entityMentions on random text") {
+    val df = sample(200).toDF("t")
+    val diff = df.where(not(
+        EntityMentionsExpr.mentions(spark, col("t")) ===
+        NlpFunctions.entityMentions(col("t"), NlpFunctions.tokens(col("t")))))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("WordGramsExpr equals the composed gram pipeline on random text") {
+    val composed = {
+      val w = filter(split(col("t"), " "), x => x =!= lit(""))
+      array_distinct(when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>")))
+    }
+    val df = sample(200).toDF("t")
+    val diff = df.where(not(
+        WordGramsExpr.grams(spark, col("t"), 3, distinct = true) ===
+        composed))
+      .count()
+    assert(diff == 0)
+  }
+}
