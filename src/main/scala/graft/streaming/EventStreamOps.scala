@@ -44,6 +44,41 @@ object EventStreamOps {
         unix_timestamp(col("session_window.start")).as("start_sec"),
         col("n_events"), col("val_micro"))
 
+  /** Streaming range join (the twin of
+    * [[graft.pipeline.EventOps.rangeJoinRecentErrors]]) via Spark's
+    * NATIVE stream-stream time-interval join: both sides watermarked, the
+    * `p_ts BETWEEN e_ts AND e_ts + 6h` range condition bounds the join
+    * state so expired errors are evicted — then a windowed aggregation
+    * CHAINED after the join (multiple-stateful-operators; the 1-h window
+    * on the group key is what lets append mode emit, each purchase lives
+    * in exactly one window). The residual predicates on the exact-ns
+    * `tns` columns refine the micro-precision timestamp bound so gap
+    * arithmetic matches the batch plan bit-for-bit. */
+  def rangeJoinRecentErrorsStream(events: Dataset[StreamEvent],
+      watermark: String = "1 hour"): DataFrame = {
+    val e = withTs(events)
+    val errs = e.where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("tns").as("e_tns"))
+      .withWatermark("e_ts", watermark)
+    val purch = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("tns").as("p_tns"))
+      .withWatermark("p_ts", watermark)
+    purch.join(errs, expr(
+        s"""user_id = e_user AND
+           |p_ts >= e_ts AND p_ts <= e_ts + interval 6 hours AND
+           |p_tns >= e_tns AND
+           |p_tns - e_tns <= ${graft.pipeline.EventOps.LookbackNs}L
+           |""".stripMargin))
+      .groupBy(window(col("p_ts"), "1 hour"), col("purchase_id"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_recent_errors"),
+        min(expr("(p_tns - e_tns) div 1000000000")).as("min_gap_sec"))
+      .select(col("purchase_id"), col("user_id"), col("n_recent_errors"),
+        col("min_gap_sec"))
+  }
+
   /** Streaming as-of attribution (the stateful twin of
     * [[graft.pipeline.EventOps.asofAttribution]]): per user, remember
     * the latest click; every purchase emits its attribution row

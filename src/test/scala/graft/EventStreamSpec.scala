@@ -56,6 +56,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("range")
+    val q = EventStreamOps.rangeJoinRecentErrorsStream(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(fixtureEvents)
+      q.processAllAvailable()
+      // the flush rows must PASS the per-side filters to advance both
+      // watermarks (the join watermark is their min); 10 days apart so
+      // they never join each other, synthetic user excluded below
+      val base = fixtureEvents.map(_.tns).max
+      in.addData(
+        StreamEvent(-1L, base + 30L * 86400L * 1000000000L, 999999L,
+          "error", 0L),
+        StreamEvent(-2L, base + 40L * 86400L * 1000000000L, 999999L,
+          "purchase", 0L))
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .where(col("user_id") =!= 999999L)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = EventOps.rangeJoinRecentErrors(spark, SF)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   private def runAsof(batches: Seq[Seq[StreamEvent]]): Seq[(Long, Long,
       Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
