@@ -74,6 +74,7 @@ object SparkEntry {
     "topBigrams"          -> (DataOps.topBigrams _),
     "repetitionSignals"   -> (DataOps.repetitionSignals _),
     "retentionDecision"   -> (DataOps.retentionDecision _),
+    "dupSourceMatrix"     -> (DataOps.dupSourceMatrix _),
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q1Pricing"           -> (RelOps.q1Pricing _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "topBigrams"          -> OracleSqlData.topBigrams,
     "repetitionSignals"   -> OracleSqlData.repetitionSignals,
     "retentionDecision"   -> OracleSqlData.retentionDecision,
+    "dupSourceMatrix"     -> OracleSqlData.dupSourceMatrix,
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
     "q1Pricing"           -> OracleSqlRel.q1Pricing,

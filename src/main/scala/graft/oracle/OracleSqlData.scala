@@ -813,6 +813,20 @@ object OracleSqlData {
        |    j -> (j * frames) // LEAST(frames, 8))) AS frame_idx
        |FROM med""".stripMargin
 
+  /** Source-matrix mirror ([[DataOps.dupSourceMatrix]]): the minhash
+    * pair oracle inlined as a derived table, joined to sources twice;
+    * integer mean via truncating division of exact micro sums. */
+  def dupSourceMatrix: String =
+    s"""SELECT LEAST(da.source, db.source) AS src_a,
+       |       GREATEST(da.source, db.source) AS src_b,
+       |       COUNT(*) AS pairs,
+       |       CAST(SUM(m.jac_micro) // COUNT(*) AS BIGINT)
+       |         AS mean_jac_micro
+       |FROM ($dedupMinhash) m
+       |JOIN documents da ON da.doc_id = m.doc_a
+       |JOIN documents db ON db.doc_id = m.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   /** Retention-decision mirror ([[DataOps.retentionDecision]]): each
     * component oracle inlined verbatim as a derived table (DuckDB
     * supports WITH inside subqueries), joined on doc_id — so this

@@ -1234,6 +1234,28 @@ object DataOps {
           j => floor(j * col("frames") / k).cast("long"))).as("frame_idx"))
   }
 
+  /** Cross-source near-dup contamination matrix — the dataset-health
+    * view over the [[dedupMinhash]] pair graph: for every unordered
+    * source pair touched by a near-dup edge, how many pairs link them
+    * and the mean similarity (micro-units, truncating integer mean of
+    * exact micro values). `src_a = src_b` rows are within-source
+    * duplication; off-diagonal rows are cross-snapshot/source leakage —
+    * the signal that two crawl sources overlap and one should be
+    * dropped. Two doc_id equi-joins onto the (tiny) pair relation. */
+  def dupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    dedupMinhash(spark, sfDir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jac_micro"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("pairs"),
+        expr("sum(jac_micro) div count(1)").as("mean_jac_micro"))
+  }
+
   /** Minimum quality score ([[textQuality]] micro-units) a document
     * needs to enter the training set. */
   val QualityFloorMicro = 500000L
