@@ -85,6 +85,9 @@ object SparkEntry {
     "distinctUsers"       -> (RelOps.distinctUsers _),
     "hllDistinctUsers"    -> (RelOps.hllDistinctUsers _),
     "q14PromoShare"       -> (RelOps.q14PromoShare _),
+    "q7VolumeShipping"    -> (RelOps.q7VolumeShipping _),
+    "q10Returns"          -> (RelOps.q10Returns _),
+    "q18LargeOrders"      -> (RelOps.q18LargeOrders _),
     "sqlSourceStats"      -> (RelOps.sqlSourceStats _),
     // --- event-stream analytics (as-of join / sessions / JSON path) ---
     "asofAttribution"     -> (EventOps.asofAttribution _),
@@ -159,6 +162,9 @@ object SparkEntry {
     "distinctUsers"       -> OracleSqlRel.distinctUsers,
     "hllDistinctUsers"    -> OracleSqlRel.hllDistinctUsers,
     "q14PromoShare"       -> OracleSqlRel.q14PromoShare,
+    "q7VolumeShipping"    -> OracleSqlRel.q7VolumeShipping,
+    "q10Returns"          -> OracleSqlRel.q10Returns,
+    "q18LargeOrders"      -> OracleSqlRel.q18LargeOrders,
     "sqlSourceStats"      -> OracleSqlRel.sqlSourceStats,
     "asofAttribution"     -> OracleSqlRel.asofAttribution,
     "sessionize"          -> OracleSqlRel.sessionize,

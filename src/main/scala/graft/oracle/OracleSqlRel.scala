@@ -165,6 +165,50 @@ object OracleSqlRel {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY 1""".stripMargin
 
+  val q7VolumeShipping: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |       CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
+      |         1000000.0) AS BIGINT)) AS BIGINT) AS volume_micro
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |WHERE s.s_nationkey <> c.c_nationkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  val q10Returns: String =
+    """SELECT c.c_custkey, c.c_name,
+      |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
+      |         1000000.0) AS BIGINT)) AS BIGINT) AS lost_micro,
+      |       COUNT(*) AS items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE l.l_returnflag = 'R'
+      |GROUP BY 1, 2
+      |ORDER BY lost_micro DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  val q18LargeOrders: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(ROUND(l_quantity * 1000000.0) AS BIGINT))
+      |           AS BIGINT) AS total_qty_micro
+      |  FROM lineitem
+      |  GROUP BY 1
+      |  HAVING SUM(CAST(ROUND(l_quantity * 1000000.0) AS BIGINT))
+      |    > 150000000
+      |)
+      |SELECT o.o_orderkey, o.o_custkey,
+      |       CAST(ROUND(o.o_totalprice * 1000000.0) AS BIGINT)
+      |         AS total_micro,
+      |       b.total_qty_micro
+      |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey""".stripMargin
+
   /** As-of attribution mirror ([[graft.pipeline.EventOps.asofAttribution]]):
     * the identical union-tagged running-last plan (not DuckDB's ASOF JOIN
     * keyword, whose equal-ts tie handling is unspecified) — clicks sort

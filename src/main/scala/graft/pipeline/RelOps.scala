@@ -249,4 +249,75 @@ object RelOps {
       .groupBy(col("n_name"))
       .agg(sum(col("rev")).as("revenue_micro"))
   }
+
+  /** TPC-H Q7-shaped: shipping volume between nation pairs per ship
+    * year — the multi-dimension join with an asymmetric pair filter
+    * (supp nation ≠ cust nation). Only nation (25 rows, bounded) is
+    * broadcast; the fact chain stays un-shuffled until the group-by.
+    * Years from l_shipdate via UTC year() on both engines. */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = broadcast(t(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name")))
+    val supp = t(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("rev"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .where(col("s_nationkey") =!= col("c_nationkey"))
+      .join(nat.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("snk"))
+      .join(nat.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation")), col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("volume_micro"))
+  }
+
+  /** TPC-H Q10-shaped: revenue lost to returned items per customer,
+    * top 20 — the returns-analysis join + global top-k
+    * (TakeOrderedAndProject, no full sort). */
+  def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("rev"))
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(col("rev")).as("lost_micro"), count(lit(1)).as("items"))
+      .orderBy(col("lost_micro").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q18-shaped: large-volume orders — orders whose total quantity
+    * exceeds a threshold (HAVING over an aggregate, then a semi-join
+    * back onto the order row). Quantity in exact micro units. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_quantity") * lit(1000000.0)).cast("long").as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("total_qty_micro"))
+      .where(col("total_qty_micro") > 150L * 1000000L)
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long")
+          .as("total_micro"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("total_micro"),
+        col("total_qty_micro"))
+  }
 }
