@@ -75,6 +75,8 @@ object SparkEntry {
     "repetitionSignals"   -> (DataOps.repetitionSignals _),
     "retentionDecision"   -> (DataOps.retentionDecision _),
     "dupSourceMatrix"     -> (DataOps.dupSourceMatrix _),
+    "chunkDocuments"      -> (DataOps.chunkDocuments _),
+    "docEmbedStats"       -> (DataOps.docEmbedStats _),
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q1Pricing"           -> (RelOps.q1Pricing _),
@@ -152,6 +154,8 @@ object SparkEntry {
     "repetitionSignals"   -> OracleSqlData.repetitionSignals,
     "retentionDecision"   -> OracleSqlData.retentionDecision,
     "dupSourceMatrix"     -> OracleSqlData.dupSourceMatrix,
+    "chunkDocuments"      -> OracleSqlData.chunkDocuments,
+    "docEmbedStats"       -> OracleSqlData.docEmbedStats,
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
     "q1Pricing"           -> OracleSqlRel.q1Pricing,

@@ -813,6 +813,53 @@ object OracleSqlData {
        |    j -> (j * frames) // LEAST(frames, 8))) AS frame_idx
        |FROM med""".stripMargin
 
+  /** Chunking mirror ([[DataOps.chunkDocuments]]): same whitespace
+    * tokens, same ceil-by-stride chunk count in integer arithmetic. */
+  val chunkDocuments: String =
+    s"""WITH $wrdsCte,
+       |n AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok
+       |  FROM wrds WHERE len(w) > 0
+       |),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |         unnest(range(0, (n_tok + ${DataOps.ChunkStride - 1})
+       |           // ${DataOps.ChunkStride})) AS chunk_id
+       |  FROM n
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(chunk_id * ${DataOps.ChunkStride} AS BIGINT)
+       |         AS tok_start,
+       |       CAST(LEAST(${DataOps.ChunkTokens},
+       |         n_tok - chunk_id * ${DataOps.ChunkStride}) AS BIGINT)
+       |         AS chunk_len
+       |FROM c""".stripMargin
+
+  /** Cross-modal stats mirror ([[DataOps.docEmbedStats]]): the quality
+    * oracle inlined as a derived table, micro-int embedding norms,
+    * truncating-division means. */
+  def docEmbedStats: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0)
+       |             AS BIGINT)) AS em
+       |  FROM embeddings
+       |),
+       |vu AS (
+       |  SELECT vec_id, unnest(em) AS v FROM ev
+       |),
+       |nr AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nrm
+       |       FROM vu GROUP BY 1)
+       |SELECT d.lang, COUNT(*) AS docs,
+       |       CAST(SUM(q.quality_micro) // COUNT(*) AS BIGINT)
+       |         AS mean_quality_micro,
+       |       CAST(SUM(nr.nrm) // COUNT(*) AS BIGINT) AS mean_norm2
+       |FROM documents d
+       |JOIN ($textQuality) q ON q.doc_id = d.doc_id
+       |JOIN nr ON nr.vec_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
   /** Source-matrix mirror ([[DataOps.dupSourceMatrix]]): the minhash
     * pair oracle inlined as a derived table, joined to sources twice;
     * integer mean via truncating division of exact micro sums. */

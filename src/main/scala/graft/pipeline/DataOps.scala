@@ -1234,6 +1234,52 @@ object DataOps {
           j => floor(j * col("frames") / k).cast("long"))).as("frame_idx"))
   }
 
+  /** Overlapping-chunk geometry: 128-token chunks every 96 tokens (the
+    * RAG / embedding-pipeline chunker shape). */
+  val ChunkTokens = 128L
+  val ChunkStride = 96L
+
+  /** Document chunking with overlap: one row per (doc, chunk) with the
+    * token offset and chunk length — the deterministic pre-embedding
+    * split. Chunk starts step by [[ChunkStride]] while inside the doc,
+    * so consecutive chunks share `ChunkTokens - ChunkStride` tokens and
+    * the tail chunk keeps the remainder. Single-pass projection +
+    * bounded explode (chunks per doc = ⌈n_tok/stride⌉); no shuffle. */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.functions.WordGramsExpr.grams(spark, col("text"), 1,
+          distinct = false)).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      // n_chunks = ceil(n_tok / stride) in exact integer arithmetic
+      .withColumn("n_chunks",
+        expr(s"(n_tok + ${ChunkStride - 1}) div $ChunkStride"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("tok_start"),
+        least(lit(ChunkTokens),
+          col("n_tok") - col("chunk_id") * ChunkStride).as("chunk_len"))
+
+  /** Cross-modal join: documents ⋈ embeddings on the shared id, rolled
+    * up per language — docs, exact mean quality score and mean embedding
+    * norm² (truncating integer division of exact micro sums; norms stay
+    * int64: 64·(1e6)² < 2^63). The "does low-quality text correlate with
+    * degenerate embeddings" health query; one equi-join on the id, one
+    * hash aggregate. */
+  def docEmbedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality_micro"))
+    val lang = docs(spark, sfDir).select(col("doc_id"), col("lang"))
+    val nrm = emb(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("nrm"))
+    lang.join(q, Seq("doc_id")).join(nrm, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        expr("sum(quality_micro) div count(1)").as("mean_quality_micro"),
+        expr("sum(nrm) div count(1)").as("mean_norm2"))
+  }
+
   /** Cross-source near-dup contamination matrix — the dataset-health
     * view over the [[dedupMinhash]] pair graph: for every unordered
     * source pair touched by a near-dup edge, how many pairs link them
