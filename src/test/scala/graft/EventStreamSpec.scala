@@ -101,6 +101,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupExactStream evicts dedup state once the watermark passes") {
+    import graft.model.Model.TimedMessage
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedMessage]
+    val name = freshName("dedupev")
+    val q = graft.streaming.StreamingOps.dedupExactStream(in.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(
+        TimedMessage(1L, 0L, "ch", "a", "alpha"),
+        TimedMessage(2L, 1L, "ch", "b", "alpha")) // in-watermark dup
+      q.processAllAvailable()
+      // 10 s watermark: advance event time far ahead in its own batch
+      // (eviction uses the watermark as of batch START, so it lags one
+      // batch), then the repeated text must SURVIVE again — bounded
+      // state means horizon-scoped dedup, not global
+      in.addData(TimedMessage(3L, 1000L, "ch", "c", "advance"))
+      q.processAllAvailable()
+      in.addData(TimedMessage(4L, 1001L, "ch", "d", "alpha"))
+      q.processAllAvailable()
+      val got = spark.table(name).select("seq").as[Long].collect().toSet
+      assert(got.contains(1L) && !got.contains(2L), got.toString)
+      assert(got.contains(4L), "evicted hash must survive again: " + got)
+    } finally q.stop()
+  }
+
   test("streaming as-of attribution equals the batch plan") {
     val batch = EventOps.asofAttribution(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
