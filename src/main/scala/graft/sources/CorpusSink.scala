@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DataOps
+
+/**
+ * The publish step of the curation pipeline: write the retained corpus
+ * ([[DataOps.retentionDecision]] keep = 1) as parquet PARTITIONED BY
+ * LANGUAGE — the layout downstream training jobs prune on (`WHERE lang =
+ * 'en'` reads only that directory).
+ *
+ * Scale shape: `repartition(lang)` before the write gives one shuffle
+ * that routes each partition's rows to few writer tasks (without it,
+ * every task writes a file into every lang directory — the
+ * small-files explosion), and `maxRecordsPerFile` re-splits oversized
+ * partitions so a dominant language still parallelizes on read. At
+ * 100 TB the same two knobs are the difference between 10^3 and 10^6
+ * output files.
+ */
+object CorpusSink {
+
+  /** Write the curated corpus under `outDir/lang=<l>/...`; returns the
+    * kept-document frame that was written. */
+  def writeCurated(spark: SparkSession, sfDir: String, outDir: String,
+      maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    val kept = DataOps.retentionDecision(spark, sfDir)
+      .where(col("keep") === 1L)
+      .select(col("doc_id"))
+    val curated = spark.read.parquet(s"$sfDir/documents.parquet")
+      .join(kept, Seq("doc_id"))
+    curated
+      .repartition(col("lang"))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang")
+      .parquet(outDir)
+    curated
+  }
+}

@@ -137,6 +137,28 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.exists(_._7 == 1) && rows.exists(_._7 == 0))
   }
 
+  test("CorpusSink publishes kept docs partitioned by language") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curated").toString
+    val written =
+      graft.sources.CorpusSink.writeCurated(spark, sfDir, dir)
+    val back = spark.read.parquet(dir)
+    // round-trip parity with the retention verdict
+    val keptIds = DataOps.retentionDecision(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("keep") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(back.count() == keptIds.size && written.count() == keptIds.size)
+    assert(back.collect().map(_.getAs[Long]("doc_id")).toSet == keptIds)
+    // physical layout is lang-partitioned directories, prunable on read
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    assert(langDirs.length >= 4, langDirs.mkString(","))
+    val en = spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("lang") === "en")
+    val pruned = en.queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters"), pruned.take(400))
+  }
+
   test("stratifiedSample keeps disjoint per-language buckets at the rate") {
     val rows = DataOps.stratifiedSample(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
