@@ -77,6 +77,9 @@ object SparkEntry {
     "dupSourceMatrix"     -> (DataOps.dupSourceMatrix _),
     "chunkDocuments"      -> (DataOps.chunkDocuments _),
     "docEmbedStats"       -> (DataOps.docEmbedStats _),
+    "vocabCoverage"       -> (DataOps.vocabCoverage _),
+    "bpeMerges"           -> (DataOps.bpeMerges _),
+    "unigramSurprisal"    -> (DataOps.unigramSurprisal _),
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q1Pricing"           -> (RelOps.q1Pricing _),
@@ -90,12 +93,16 @@ object SparkEntry {
     "q7VolumeShipping"    -> (RelOps.q7VolumeShipping _),
     "q10Returns"          -> (RelOps.q10Returns _),
     "q18LargeOrders"      -> (RelOps.q18LargeOrders _),
+    "q6Forecast"          -> (RelOps.q6Forecast _),
+    "q13OrderDist"        -> (RelOps.q13OrderDist _),
+    "q15TopSupplier"      -> (RelOps.q15TopSupplier _),
     "sqlSourceStats"      -> (RelOps.sqlSourceStats _),
     // --- event-stream analytics (as-of join / sessions / JSON path) ---
     "asofAttribution"     -> (EventOps.asofAttribution _),
     "sessionize"          -> (EventOps.sessionize _),
     "rangeJoinRecentErrors" -> (EventOps.rangeJoinRecentErrors _),
     "jsonPropsStats"      -> (EventOps.jsonPropsStats _),
+    "latestEventState"    -> (EventOps.latestEventState _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -156,6 +163,9 @@ object SparkEntry {
     "dupSourceMatrix"     -> OracleSqlData.dupSourceMatrix,
     "chunkDocuments"      -> OracleSqlData.chunkDocuments,
     "docEmbedStats"       -> OracleSqlData.docEmbedStats,
+    "vocabCoverage"       -> OracleSqlData.vocabCoverage,
+    "bpeMerges"           -> OracleSqlData.bpeMerges,
+    "unigramSurprisal"    -> OracleSqlData.unigramSurprisal,
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
     "q1Pricing"           -> OracleSqlRel.q1Pricing,
@@ -169,10 +179,14 @@ object SparkEntry {
     "q7VolumeShipping"    -> OracleSqlRel.q7VolumeShipping,
     "q10Returns"          -> OracleSqlRel.q10Returns,
     "q18LargeOrders"      -> OracleSqlRel.q18LargeOrders,
+    "q6Forecast"          -> OracleSqlRel.q6Forecast,
+    "q13OrderDist"        -> OracleSqlRel.q13OrderDist,
+    "q15TopSupplier"      -> OracleSqlRel.q15TopSupplier,
     "sqlSourceStats"      -> OracleSqlRel.sqlSourceStats,
     "asofAttribution"     -> OracleSqlRel.asofAttribution,
     "sessionize"          -> OracleSqlRel.sessionize,
     "rangeJoinRecentErrors" -> OracleSqlRel.rangeJoinRecentErrors,
     "jsonPropsStats"      -> OracleSqlRel.jsonPropsStats,
+    "latestEventState"    -> OracleSqlRel.latestEventState,
   )
 }

@@ -738,6 +738,76 @@ object OracleSqlData {
        |  FROM cnts
        |) WHERE rnk <= 100""".stripMargin
 
+  /** Vocabulary-head mirror: same (tf desc, token asc) head-100 pick,
+    * rank and cumulative-coverage windows over the limited head only,
+    * truncating integer coverage division. */
+  val vocabCoverage: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),
+       |dt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT token, CAST(SUM(cnt) AS BIGINT) AS tf, COUNT(*) AS df
+       |  FROM dt GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot FROM vocab),
+       |head AS (
+       |  SELECT token, tf, df FROM vocab
+       |  ORDER BY tf DESC, token ASC LIMIT 100
+       |)
+       |SELECT token, tf, df,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS BIGINT)
+       |    AS rnk,
+       |  CAST((CAST(SUM(tf) OVER (ORDER BY tf DESC, token ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    * 1000000) // tot AS BIGINT) AS cum_cover_micro
+       |FROM head, tot""".stripMargin
+
+  /** BPE merge-candidate mirror: char pairs over the distinct-token
+    * vocabulary weighted by frequency, same (cnt desc, pair asc) rank. */
+  val bpeMerges: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT unnest(w) AS token FROM wrds),
+       |vocab AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY 1),
+       |pr AS (
+       |  SELECT substr(token, CAST(i AS INT), 2) AS pair, tf
+       |  FROM vocab, LATERAL unnest(range(1, length(token))) u(i)
+       |  WHERE length(token) >= 2
+       |),
+       |cnts AS (SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt
+       |         FROM pr GROUP BY 1)
+       |SELECT pair, cnt, rnk FROM (
+       |  SELECT pair, cnt,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC)
+       |           AS BIGINT) AS rnk
+       |  FROM cnts
+       |) WHERE rnk <= 20""".stripMargin
+
+  /** Unigram-surprisal mirror: identical exact-integer bits
+    * (length(bin(N // tf)) - 1), identical truncating micro division. */
+  val unigramSurprisal: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),
+       |dt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT token, CAST(SUM(cnt) AS BIGINT) AS tf FROM dt GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS tot FROM vocab),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(cnt * (length(bin(tot // tf)) - 1)) AS BIGINT)
+       |      AS surprisal_bits,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_tok
+       |  FROM dt JOIN vocab USING (token), tot
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.surprisal_bits, 0) AS BIGINT) AS surprisal_bits,
+       |  CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tok,
+       |  CAST(CASE WHEN COALESCE(p.n_tok, 0) > 0
+       |       THEN (p.surprisal_bits * 1000000) // p.n_tok
+       |       ELSE 0 END AS BIGINT) AS bits_per_tok_micro
+       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+
   /** Repetition-signal mirror: same micro-unit truncating-division
     * ratios, same thresholds, flag as 0/1 BIGINT. */
   val repetitionSignals: String =

@@ -193,6 +193,40 @@ object OracleSqlRel {
       |ORDER BY lost_micro DESC, c_custkey ASC
       |LIMIT 20""".stripMargin
 
+  val q6Forecast: String =
+    """SELECT COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 1000000.0)
+      |         AS BIGINT)) AS BIGINT) AS revenue_micro
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  val q13OrderDist: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1
+      |)
+      |GROUP BY 1""".stripMargin
+
+  val q15TopSupplier: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) *
+      |           1000000.0) AS BIGINT)) AS BIGINT) AS total_rev_micro
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1
+      |)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev_micro
+      |FROM rev r
+      |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE r.total_rev_micro = (SELECT MAX(total_rev_micro) FROM rev)""".stripMargin
+
   val q18LargeOrders: String =
     """WITH big AS (
       |  SELECT l_orderkey,
@@ -297,6 +331,30 @@ object OracleSqlRel {
       | AND p.tns - er.tns <= 21600000000000
       |WHERE p.event_type = 'purchase'
       |GROUP BY 1, 2""".stripMargin
+
+  /** Latest-state compaction mirror
+    * ([[graft.pipeline.EventOps.latestEventState]]): the per-user argmax
+    * by (ts, event_id) — the window form here, the max(struct) hash
+    * aggregate in Spark; (ts, event_id) is a total order so both pick
+    * the same row. */
+  val latestEventState: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type,
+      |         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+      |  FROM events
+      |),
+      |r AS (
+      |  SELECT user_id, tus, event_id, event_type, v,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY tus DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(tus AS BIGINT) AS last_tus,
+      |       event_id AS last_event_id,
+      |       event_type AS last_type, v AS last_value_micro,
+      |       CAST(n_events AS BIGINT) AS n_events
+      |FROM r WHERE rn = 1""".stripMargin
 
   /** JSON-props mirror ([[graft.pipeline.EventOps.jsonPropsStats]]):
     * same `$.k` path extraction, per-type aggregates. */

@@ -1120,6 +1120,106 @@ object DataOps {
         Window.orderBy(col("cnt").desc, col("gram").asc)).cast("long"))
   }
 
+  /** Per-(doc, token) occurrence counts — the shared first aggregate of
+    * the vocabulary tier: one native-tokenize explode, one hash
+    * aggregate; every downstream statistic (vocab frequencies, document
+    * frequencies, surprisal) derives from this bounded-width relation
+    * instead of re-scanning text. */
+  private def docTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(graft.functions.WordGramsExpr.grams(
+        spark, col("text"), 1, distinct = false)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Vocabulary head with Zipf coverage — the "how big must the vocab
+    * be" statistic of tokenizer design: the 100 most frequent tokens
+    * (ties token asc) with corpus frequency (tf), document frequency
+    * (df), rank, and the cumulative share of ALL token occurrences the
+    * head covers up to that rank (micro units, truncating div).
+    *
+    * Plan: (doc,token) aggregate → token aggregate → global top-100 via
+    * orderBy+limit (TakeOrderedAndProject: per-partition bounded top-k,
+    * driver merge — never a full vocabulary sort); the rank/cumsum
+    * windows run over the ALREADY-limited 100 rows and the corpus total
+    * joins as a broadcast one-row scalar. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = docTokenCounts(spark, sfDir)
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+    val total = vocab.agg(sum(col("tf")).as("tot"))
+    val w = Window.orderBy(col("tf").desc, col("token").asc)
+    vocab.orderBy(col("tf").desc, col("token").asc).limit(100)
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_tf", sum(col("tf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("token"), col("tf"), col("df"), col("rnk"),
+        expr("(cum_tf * 1000000) div tot").as("cum_cover_micro"))
+  }
+
+  /** BPE first-iteration merge candidates — the top-20 adjacent
+    * character pairs by corpus frequency (count = Σ over words of
+    * tf(word) × occurrences(pair in word); ties pair asc), i.e. the
+    * ranking a byte-pair-encoding tokenizer consults for its first
+    * merge (Sennrich et al. 2016, "Neural Machine Translation of Rare
+    * Words with Subword Units").
+    *
+    * Scale shape: the character explode runs over the DISTINCT-token
+    * vocabulary relation weighted by the aggregated frequency — bounded
+    * by vocabulary size, not corpus size — so the lambda projection
+    * (CodegenFallback, fine off the hot path) touches each distinct
+    * word once no matter how many times it occurs in 100 TB. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = docTokenCounts(spark, sfDir)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("tf"))
+    val pairs = vocab
+      .where(length(col("token")) >= 2)
+      .select(col("tf"), explode(expr(
+        "transform(sequence(1, length(token) - 1)," +
+          " i -> substring(token, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("tf")).as("cnt"))
+    pairs.orderBy(col("cnt").desc, col("pair").asc).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair").asc)).cast("long"))
+  }
+
+  /** Unigram-LM surprisal per document — the perplexity-proxy quality
+    * signal (the CCNet-style "how unusual is this text for the corpus"
+    * score, Wenzek et al. 2020) in EXACT integer arithmetic: each token
+    * occurrence contributes floor(log2(N div tf(token))) bits, N = total
+    * corpus token occurrences — common-token documents score low bits/
+    * token, rare-vocabulary documents high. floor-log2 is
+    * `length(bin(x)) - 1`, exact in both engines (no libm log).
+    *
+    * Plan: the (doc,token) aggregate joins the token-frequency relation
+    * on the token equi-key (broadcastable for bounded vocabularies,
+    * shuffled hash join at web scale), then one per-doc sum — no window,
+    * no raw-text rescan. */
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = persistUnlessLazy(docTokenCounts(spark, sfDir))
+    val vocab = dt.groupBy(col("token")).agg(sum(col("cnt")).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("tot"))
+    val per = dt
+      .join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("cnt"),
+        (length(bin(expr("tot div tf"))) - 1).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("bits")).as("surprisal_bits"),
+        sum(col("cnt")).as("n_tok"))
+    val out = docs(spark, sfDir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      .withColumn("bits_per_tok_micro",
+        when(col("n_tok") > 0,
+          expr("(surprisal_bits * 1000000) div n_tok"))
+          .otherwise(lit(0L)))
+    finish(out, dt)
+  }
+
   /** Repetition flag thresholds: distinct-token ratio < 0.35 or
     * most-frequent-bigram share > 0.10 (the Gopher §A1.2 "repetition
     * signals" shape — Rae et al. 2021 filter on fractions of duplicated

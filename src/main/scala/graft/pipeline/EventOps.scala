@@ -160,4 +160,30 @@ object EventOps {
         sum(col("k")).as("k_sum"),
         countDistinct(col("k")).as("k_distinct"),
         max(col("k")).as("k_max"))
+
+  /** CDC-style latest-state compaction: ONE row per user carrying the
+    * latest event by (ts, event_id) plus the user's event count — the
+    * "current state" materialization a changelog consumer ships (the
+    * compacted-topic / SCD-type-1 read).
+    *
+    * Plan: a single hash aggregate of `max(struct(tus, event_id, ...))` —
+    * struct ordering is lexicographic, (tus, event_id) is a total order,
+    * so the max IS the argmax, computed with map-side partials. No
+    * per-user window sort: a hot user with 10^9 events costs one
+    * combiner cell per map partition, same as a cold one.
+    *
+    * Time is exact integer MICROseconds (ns div 1000): DuckDB reads the
+    * table's TIMESTAMP(NANOS) at µs precision, so µs (+ event_id
+    * tiebreak) is the finest cross-engine-total order. */
+  def latestEventState(spark: SparkSession, sfDir: String): DataFrame =
+    RelOps.events(spark, sfDir)
+      .select(col("user_id"), struct(expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(max(col("s")).as("m"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("m.tus").as("last_tus"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"),
+        col("m.v").as("last_value_micro"), col("n_events"))
 }

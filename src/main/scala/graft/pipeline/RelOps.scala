@@ -302,6 +302,60 @@ object RelOps {
       .limit(20)
   }
 
+  /** TPC-H Q6-shaped: the pure scan-predicate revenue forecast — no
+    * join at all, every predicate (shipdate range, discount band,
+    * quantity cap) sits on the lineitem scan for parquet row-group
+    * pushdown, then one global sum. The ideal 100 TB plan: the scan IS
+    * the query; discount literals compare bit-identically in both
+    * engines (same decimal→binary parse). */
+  def q6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("l_extendedprice") * col("l_discount") *
+          lit(1000000.0)).cast("long")).as("revenue_micro"))
+
+  /** TPC-H Q13-shaped: customer order-count distribution — the
+    * double-aggregate over a left join (customers with zero orders must
+    * survive into the c_count=0 bucket). Both aggregates are hash
+    * aggregates on scaling-but-uniform keys (custkey, then the bounded
+    * count value); no window, no sort. */
+  def q13OrderDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer").select(col("c_custkey"))
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15-shaped: top supplier by quarterly revenue — the
+    * max-over-aggregate pattern (revenue per supplier, keep the
+    * supplier(s) hitting the global max). The max is a one-row scalar
+    * aggregate joined back (broadcast by construction); revenue is the
+    * exact integer micro sum so "equals max" can never float-drift. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("rev"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev")).as("total_rev_micro"))
+    val mx = rev.agg(max(col("total_rev_micro")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev_micro") === col("mx"))
+      .join(t(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_micro"))
+  }
+
   /** TPC-H Q18-shaped: large-volume orders — orders whose total quantity
     * exceeds a threshold (HAVING over an aggregate, then a semi-join
     * back onto the order row). Quantity in exact micro units. */

@@ -379,6 +379,74 @@ class DataOpsSpec extends SparkSpec {
     assert(recount == topCnt)
   }
 
+  test("vocabCoverage ranks the head with exact cumulative coverage") {
+    val rows = DataOps.vocabCoverage(spark, SF)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    assert(rows.nonEmpty && rows.size <= 100)
+    assert(rows.map(_._4) == (1L to rows.size))
+    val tfs = rows.map(_._2)
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
+    val cov = rows.map(_._5)
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    // the 31-word synthetic vocabulary fits in the head entirely, so the
+    // last rank covers the whole corpus: (tot*1e6) div tot = 1e6 exactly
+    assert(cov.last == 1000000L)
+    // driver-side recount of the top token's tf and df
+    val (topTok, topTf, topDf, _, _) = rows.head
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").as[String].collect().toSeq
+    val tf = texts.map(
+      _.split(" ").filter(_.nonEmpty).count(_ == topTok).toLong).sum
+    val df = texts.count(
+      _.split(" ").filter(_.nonEmpty).contains(topTok)).toLong
+    assert(tf == topTf && df == topDf)
+  }
+
+  test("bpeMerges counts frequency-weighted char pairs exactly") {
+    val rows = DataOps.bpeMerges(spark, SF)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(rows.size == 20)
+    assert(rows.map(_._3) == (1L to 20L))
+    assert(rows.forall(_._1.length == 2))
+    val cnts = rows.map(_._2)
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    rows.zip(rows.tail).foreach { case ((p1, c1, _), (p2, c2, _)) =>
+      if (c1 == c2) assert(p1 < p2)
+    }
+    // driver-side recount of the top pair across all token occurrences
+    val (topPair, topCnt, _) = rows.head
+    val recount = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .map(w => (0 until w.length - 1)
+        .count(i => w.substring(i, i + 2) == topPair).toLong)
+      .sum
+    assert(recount == topCnt)
+  }
+
+  test("unigramSurprisal equals the naive exact-integer bit count") {
+    val rows = DataOps.unigramSurprisal(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(rows.size == texts.size)
+    val allToks = texts.flatMap(_._2.split(" ").filter(_.nonEmpty))
+    val tf = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allToks.size.toLong
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = texts.map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      id -> (toks.map(w => bits(n / tf(w))).sum, toks.length.toLong)
+    }.toMap
+    rows.foreach { case (id, sb, ntok, bpt) =>
+      assert((sb, ntok) == expect(id), s"doc $id")
+      assert(bpt == (if (ntok > 0) sb * 1000000L / ntok else 0L))
+    }
+    // rare-vocab docs must score strictly above common-vocab docs
+    assert(rows.map(_._4).distinct.size > 1,
+      "fixture must show per-doc surprisal variance")
+  }
+
   test("sampleByHash keeps a stable, order-independent ~10% bucket") {
     val rows = DataOps.sampleByHash(spark, SF)
       .as[(Long, String, Long)].collect().toSeq

@@ -75,6 +75,21 @@ class EventOpsSpec extends SparkSpec {
     assert(got.exists(_._5 > 1), "fixture must contain multi-event sessions")
   }
 
+  test("latestEventState equals the naive per-user argmax") {
+    val rows = EventOps.latestEventState(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    assert(rows.size == byUser.size)
+    rows.foreach { case (uid, tus, eid, typ, v, n) =>
+      val evs = byUser(uid)
+      // (µs, event_id) argmax — µs is the finest cross-engine order
+      val last = evs.maxBy(e => (e._2 / 1000L, e._1))
+      assert(tus == last._2 / 1000L && eid == last._1 && typ == last._3)
+      assert(v == math.round(last._4 * 1000000.0))
+      assert(n == evs.size.toLong)
+    }
+  }
+
   test("jsonPropsStats extracts every k and sums exactly") {
     val rows = EventOps.jsonPropsStats(spark, sfDir).collect()
     val total = byUser.values.map(_.size.toLong).sum

@@ -58,6 +58,32 @@ class RelOpsSpec extends SparkSpec {
     assert(rows.forall(_._1 % 3600 == 0))
   }
 
+  test("q6Forecast applies every scan predicate (non-vacuous, bounded)") {
+    val r = RelOps.q6Forecast(spark, "/root/testdata/sf0.01").collect()
+    assert(r.length == 1)
+    val (cnt, rev) = (r(0).getLong(0), r(0).getLong(1))
+    assert(cnt > 0 && rev > 0)
+    // a predicate-free sum would be far larger: the filters must bite
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    assert(cnt < li.count() / 10)
+  }
+
+  test("q13OrderDist buckets every customer exactly once") {
+    val rows = RelOps.q13OrderDist(spark, SF)
+      .as[(Long, Long)].collect().toSeq
+    val cust = spark.read.parquet(s"$SF/customer.parquet").count()
+    assert(rows.map(_._2).sum == cust) // partition of the customer set
+    val orders = spark.read.parquet(s"$SF/orders.parquet").count()
+    assert(rows.map(r => r._1 * r._2).sum == orders) // counts re-add
+  }
+
+  test("q15TopSupplier returns the argmax supplier(s) of the quarter") {
+    val rows = RelOps.q15TopSupplier(spark, "/root/testdata/sf0.01")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).distinct.size == 1) // all carry the max value
+  }
+
   test("q1Pricing aggregates the six flag/status groups consistently") {
     val rows = RelOps.q1Pricing(spark, SF).collect()
     assert(rows.length == 6) // A/N/R x F/O with N-F present in this data
