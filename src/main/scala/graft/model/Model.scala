@@ -90,6 +90,8 @@ object Model {
   case class Attribution(purchase_id: Long, user_id: Long, click_id: Long,
       gap_sec: Long)
 
-  /** Per-user as-of state: the latest click seen so far. */
-  case class ClickState(click_id: Long, click_tns: Long)
+  /** Per-user as-of state: the latest click seen so far (event time in
+    * exact integer MICROseconds — the engine's cross-engine time grain,
+    * see [[graft.pipeline.EventOps]]). */
+  case class ClickState(click_id: Long, click_tus: Long)
 }

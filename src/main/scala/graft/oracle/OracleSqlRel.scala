@@ -248,65 +248,68 @@ object OracleSqlRel {
     * keyword, whose equal-ts tie handling is unspecified) — clicks sort
     * before purchases at equal ts, so `last_value(... IGNORE NULLS)` over
     * the unbounded-preceding frame is the as-of match in both engines.
-    * Gap seconds in exact integer ns arithmetic (`epoch_ns`). */
+    * Gap seconds in exact integer µs arithmetic: both engines truncate
+    * event time to `epoch_ns(ts) // 1000` microseconds first (DuckDB
+    * reads TIMESTAMP(NANOS) at µs precision, so µs is the finest
+    * cross-engine integer — same contract as latestEventState). */
   val asofAttribution: String =
     """WITH u AS (
-      |  SELECT user_id, ts, event_id,
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
       |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
       |  FROM events WHERE event_type IN ('click', 'purchase')
       |),
       |w AS (
-      |  SELECT user_id, ts, event_id, kind,
+      |  SELECT user_id, tus, event_id, kind,
       |         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
-      |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |           OVER (PARTITION BY user_id ORDER BY tus, kind, event_id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |           AS click_id,
-      |         last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
-      |           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |         last_value(CASE WHEN kind = 0 THEN tus END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY tus, kind, event_id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS click_ts
+      |           AS click_tus
       |  FROM u
       |)
       |SELECT event_id AS purchase_id, user_id,
       |       CAST(COALESCE(click_id, -1) AS BIGINT) AS click_id,
-      |       CAST(COALESCE((epoch_ns(ts) - epoch_ns(click_ts))
-      |         // 1000000000, -1) AS BIGINT) AS gap_sec
+      |       CAST(COALESCE((tus - click_tus) // 1000000, -1) AS BIGINT)
+      |         AS gap_sec
       |FROM w WHERE kind = 1""".stripMargin
 
   /** Sessionization mirror ([[graft.pipeline.EventOps.sessionize]]):
-    * gaps-and-islands with the same 30-min ns gap, (ts, event_id) order
+    * gaps-and-islands with the same 30-min µs gap, (tus, event_id) order
     * and micro-int value sums. */
   val sessionize: String =
     """WITH e AS (
-      |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
       |         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
       |  FROM events
       |),
       |l AS (
-      |  SELECT user_id, tns, event_id, v,
-      |         lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
-      |           AS prev_tns
+      |  SELECT user_id, tus, event_id, v,
+      |         lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |           AS prev_tus
       |  FROM e
       |),
       |b AS (
-      |  SELECT user_id, tns, v,
-      |         CASE WHEN prev_tns IS NULL
-      |                   OR tns - prev_tns > 1800000000000 THEN 1
+      |  SELECT user_id, tus, v,
+      |         CASE WHEN prev_tus IS NULL
+      |                   OR tus - prev_tus > 1800000000 THEN 1
       |              ELSE 0 END AS brk,
       |         event_id
       |  FROM l
       |),
       |s AS (
-      |  SELECT user_id, tns, v,
+      |  SELECT user_id, tus, v,
       |         CAST(SUM(brk) OVER (PARTITION BY user_id
-      |           ORDER BY tns, event_id
+      |           ORDER BY tus, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |           AS BIGINT) AS sess
       |  FROM b
       |)
       |SELECT user_id, sess,
-      |       CAST(MIN(tns) // 1000000000 AS BIGINT) AS start_sec,
-      |       CAST((MAX(tns) - MIN(tns)) // 1000000000 AS BIGINT) AS dur_sec,
+      |       CAST(MIN(tus) // 1000000 AS BIGINT) AS start_sec,
+      |       CAST((MAX(tus) - MIN(tus)) // 1000000 AS BIGINT) AS dur_sec,
       |       COUNT(*) AS n_events,
       |       CAST(SUM(v) AS BIGINT) AS val_micro
       |FROM s GROUP BY 1, 2""".stripMargin
@@ -317,18 +320,18 @@ object OracleSqlRel {
     * semantic difference). */
   val rangeJoinRecentErrors: String =
     """WITH e AS (
-      |  SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type
       |  FROM events
       |)
       |SELECT p.event_id AS purchase_id, p.user_id,
       |       COUNT(*) AS n_recent_errors,
-      |       CAST(MIN((p.tns - er.tns) // 1000000000) AS BIGINT)
+      |       CAST(MIN((p.tus - er.tus) // 1000000) AS BIGINT)
       |         AS min_gap_sec
       |FROM e p JOIN e er
       |  ON p.user_id = er.user_id
       | AND er.event_type = 'error'
-      | AND p.tns >= er.tns
-      | AND p.tns - er.tns <= 21600000000000
+      | AND p.tus >= er.tus
+      | AND p.tus - er.tus <= 21600000000
       |WHERE p.event_type = 'purchase'
       |GROUP BY 1, 2""".stripMargin
 

@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
  * sessionization, the two classic operators Spark has no single built-in
  * for, plus the semi-structured (JSON) column path.
  *
- * All three follow the engine's determinism contract: timestamps stay
- * exact integer nanoseconds (the events table ships ns parquet
- * timestamps, read via nanos-as-long — [[RelOps.events]]), money/value
- * doubles become per-row micro-unit BIGINTs before any aggregation, and
- * every window order carries `event_id` as the total-order tiebreaker so
- * ties cannot make the oracle hash flaky.
+ * All three follow the engine's determinism contract: event time is
+ * truncated to exact integer MICROseconds before any comparison or
+ * arithmetic (the events table ships ns parquet timestamps, read via
+ * nanos-as-long — [[RelOps.events]] — but DuckDB reads the same
+ * TIMESTAMP(NANOS) column at µs precision, so µs is the finest integer
+ * both engines agree on; see [[latestEventState]]), money/value doubles
+ * become per-row micro-unit BIGINTs before any aggregation, and every
+ * window order carries `event_id` as the total-order tiebreaker so ties
+ * cannot make the oracle hash flaky.
  *
  * Scale shape: each operator is ONE shuffle on `user_id` (the key whose
  * cardinality grows with the data — per-key partitions stay small at any
@@ -27,8 +30,8 @@ import org.apache.spark.sql.functions._
  */
 object EventOps {
 
-  /** 30-minute session gap, in integer nanoseconds. */
-  val SessionGapNs: Long = 1800L * 1000000000L
+  /** 30-minute session gap, in integer microseconds. */
+  val SessionGapUs: Long = 1800L * 1000000L
 
   /** AS-OF JOIN (attribution): for every `purchase` event, the latest
     * `click` by the same user at or before the purchase (the
@@ -49,24 +52,24 @@ object EventOps {
   def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val tagged = RelOps.events(spark, sfDir)
       .where(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_id"),
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
         when(col("event_type") === "click", lit(0)).otherwise(lit(1))
           .as("kind"))
     val asOf = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .orderBy(col("tus"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("click_id",
         last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
           .over(asOf))
-      .withColumn("click_ts",
-        last(when(col("kind") === 0, col("ts")), ignoreNulls = true)
+      .withColumn("click_tus",
+        last(when(col("kind") === 0, col("tus")), ignoreNulls = true)
           .over(asOf))
       .where(col("kind") === 1)
-      .withColumn("gap_ns", col("ts") - col("click_ts"))
+      .withColumn("gap_us", col("tus") - col("click_tus"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
         coalesce(col("click_id"), lit(-1L)).as("click_id"),
-        coalesce(expr("gap_ns div 1000000000"), lit(-1L)).as("gap_sec"))
+        coalesce(expr("gap_us div 1000000"), lit(-1L)).as("gap_sec"))
   }
 
   /** SESSIONIZATION (gaps-and-islands): events of one user belong to the
@@ -80,33 +83,33 @@ object EventOps {
     * gaps-and-islands form so DuckDB replays it verbatim. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("tus"), col("event_id"))
     RelOps.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"),
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"),
         round(col("value") * lit(1000000.0)).cast("long").as("v"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
       .withColumn("brk",
-        when(col("prev_ts").isNull ||
-          col("ts") - col("prev_ts") > lit(SessionGapNs), lit(1L))
+        when(col("prev_tus").isNull ||
+          col("tus") - col("prev_tus") > lit(SessionGapUs), lit(1L))
           .otherwise(lit(0L)))
       .withColumn("sess", sum(col("brk")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sess"))
       .agg(
-        min(col("ts")).as("start_ns"),
-        max(col("ts")).as("end_ns"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"),
         count(lit(1)).as("n_events"),
         sum(col("v")).as("val_micro"))
       .select(col("user_id"), col("sess"),
-        expr("start_ns div 1000000000").as("start_sec"),
-        expr("(end_ns - start_ns) div 1000000000").as("dur_sec"),
+        expr("start_us div 1000000").as("start_sec"),
+        expr("(end_us - start_us) div 1000000").as("dur_sec"),
         col("n_events"), col("val_micro"))
   }
 
   /** Range-join lookback window (6 h) and bucket width (1 h), both in
-    * integer nanoseconds. */
-  val LookbackNs: Long = 21600L * 1000000000L
-  val BucketNs: Long = 3600L * 1000000000L
+    * integer microseconds. */
+  val LookbackUs: Long = 21600L * 1000000L
+  val BucketUs: Long = 3600L * 1000000L
 
   /** RANGE (interval) JOIN: for every purchase, the same user's errors
     * in the 6 hours at-or-before it — the "recent failures before
@@ -126,21 +129,21 @@ object EventOps {
   def rangeJoinRecentErrors(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = RelOps.events(spark, sfDir)
     val errs = ev.where(col("event_type") === "error")
-      .select(col("user_id"), col("ts").as("e_ts"))
+      .select(col("user_id"), expr("ts div 1000").as("e_tus"))
       .withColumn("bk", explode(sequence(
-        expr(s"e_ts div ${BucketNs}L"),
-        expr(s"(e_ts + ${LookbackNs}L) div ${BucketNs}L"))))
+        expr(s"e_tus div ${BucketUs}L"),
+        expr(s"(e_tus + ${LookbackUs}L) div ${BucketUs}L"))))
     val purch = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user"), col("ts").as("p_ts"),
-        expr(s"ts div ${BucketNs}L").as("bk"))
+        col("user_id").as("p_user"), expr("ts div 1000").as("p_tus"),
+        expr(s"(ts div 1000) div ${BucketUs}L").as("bk"))
     purch.join(errs,
         col("p_user") === col("user_id") && purch("bk") === errs("bk") &&
-          col("p_ts") >= col("e_ts") &&
-          col("p_ts") - col("e_ts") <= lit(LookbackNs))
+          col("p_tus") >= col("e_tus") &&
+          col("p_tus") - col("e_tus") <= lit(LookbackUs))
       .groupBy(col("purchase_id"), col("user_id"))
       .agg(count(lit(1)).as("n_recent_errors"),
-        min(expr("(p_ts - e_ts) div 1000000000")).as("min_gap_sec"))
+        min(expr("(p_tus - e_tus) div 1000000")).as("min_gap_sec"))
   }
 
   /** Semi-structured column path: extract the integer `k` field from the
