@@ -129,12 +129,12 @@ object OracleSqlData {
        |  GROUP BY 1, 2
        |),
        |wh AS (
-       |  SELECT doc_id, cnt, ${h60("w_")} % 4294967296 AS h FROM wc
+       |  SELECT doc_id, cnt, ${h60("w_")} AS h FROM wc
        |),
        |sb AS (
        |  SELECT doc_id, j,
        |         SUM(CASE WHEN ((h >> j) & 1) = 1 THEN cnt ELSE -cnt END) AS s
-       |  FROM wh CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+       |  FROM wh CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
        |  GROUP BY 1, 2
        |),
        |sim AS (
@@ -144,7 +144,7 @@ object OracleSqlData {
        |  FROM sb GROUP BY 1
        |),
        |chunks AS (
-       |  SELECT doc_id, c, (simhash >> (8 * c)) & 255 AS chunk
+       |  SELECT doc_id, c, (simhash >> (15 * c)) & 32767 AS chunk
        |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS c)
        |),
        |cand AS (

@@ -240,7 +240,18 @@ object DataOps {
       .withColumn("keep", col("doc_id") === col("rep"))
   }
 
-  /** 32-bit SimHash over whitespace-token frequencies (Charikar 2002
+  /** SimHash signature width and chunk geometry. 60 bits (the full
+    * [[hash60]] word) split into 4 chunks of 15 bits ⇒ 32768 buckets per
+    * chunk, so bucket population is ~N/32768 and the candidate self-join
+    * stays near-linear as the corpus grows (the earlier 32-bit/8-bit
+    * form had only 256 buckets per chunk — quadratic at scale).
+    * Pigeonhole exactness for d ≤ 3 needs only ≥ 4 chunks, so the wider
+    * chunks lose nothing. */
+  val SimhashBits = 60
+  val SimhashChunks = 4
+  val SimhashChunkBits: Int = SimhashBits / SimhashChunks
+
+  /** 60-bit SimHash over whitespace-token frequencies (Charikar 2002
     * similarity estimation; chunk-bucketed pairing as in Manku et al.
     * 2007, "Detecting Near-Duplicates for Web Crawling"). */
   private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -250,29 +261,30 @@ object DataOps {
           distinct = false)).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", pmod(hash60(col("w")), lit(4294967296L)))
-    val sums = (0 until 32).map(j =>
+      .withColumn("h", hash60(col("w")))
+    val sums = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L,
         col("cnt")).otherwise(-col("cnt"))).as(s"s$j"))
     wc.groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(j =>
+        (0 until SimhashBits).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup: pairs at Hamming distance ≤ 3 over the 32-bit
-    * signature. Candidates via 4 byte-chunk buckets — EXACT for d ≤ 3 by
-    * pigeonhole (4 chunks, ≤ 3 differing bits ⇒ ≥ 1 equal chunk), so the
-    * bucket join loses nothing vs all-pairs. Output (doc_a, doc_b,
-    * hamming). */
+  /** SimHash near-dup: pairs at Hamming distance ≤ 3 over the
+    * [[SimhashBits]]-bit signature. Candidates via [[SimhashChunks]]
+    * 15-bit-chunk buckets — EXACT for d ≤ 3 by pigeonhole (4 chunks,
+    * ≤ 3 differing bits ⇒ ≥ 1 equal chunk), so the bucket join loses
+    * nothing vs all-pairs. Output (doc_a, doc_b, hamming). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     // Persisted: feeds the chunk self-join (twice) and both verify sides.
     val sig = simhashSigs(spark, sfDir).persist()
-    val chunkArr = array((0 until 4).map(c =>
+    val chunkArr = array((0 until SimhashChunks).map(c =>
       struct(lit(c).as("c"),
-        shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))
+        shiftright(col("simhash"), SimhashChunkBits * c)
+          .bitwiseAND(lit((1L << SimhashChunkBits) - 1))
           .as("chunk"))): _*)
     val chunks = sig.select(col("doc_id"), explode(chunkArr).as("ck"))
       .select(col("doc_id"), col("ck.c").as("c"), col("ck.chunk").as("chunk"))
@@ -533,11 +545,31 @@ object DataOps {
           .as("mae_micro"))
   }
 
-  /** ANN query set: every 50th vector (deterministic sample). */
-  private def annQueries(spark: SparkSession, sfDir: String): DataFrame =
-    emb(spark, sfDir).where(col("vec_id") % 50 === 0)
+  /** Hard cap on the ANN query side. All three ANN paths `broadcast()`
+    * the query relation (and, for LSH, its banded derivative) — but the
+    * stand-in derivation below (`vec_id % 50`) is 2% OF THE CORPUS and
+    * therefore GROWS WITH IT: by 100 TB the "tiny" side would be tens of
+    * GB and the broadcast a silent OOM. Assert the bound loudly instead
+    * (the [[MaxBenchmarkGrams]] pattern): 65536 64-dim micro-unit
+    * vectors ≈ 32 MB broadcast — generous for a real query workload,
+    * far below broadcast-breaking size. A real deployment passes a
+    * bounded query relation; the cap makes a corpus-scaling query side
+    * fail fast instead of OOMing an executor. */
+  val MaxAnnQueries: Long = 65536L
+
+  /** ANN query set: every 50th vector (deterministic sample), asserted
+    * ≤ [[MaxAnnQueries]] so every downstream `broadcast()` stays bounded
+    * as the corpus scales. */
+  private def annQueries(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = emb(spark, sfDir).where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("em").as("qem"),
         col("nrm").as("qn"))
+    val n = q.limit(MaxAnnQueries.toInt + 1).count()
+    require(n <= MaxAnnQueries,
+      s"ANN query side has >$MaxAnnQueries rows — not broadcastable; " +
+        "bound the query relation")
+    q
+  }
 
   /** (q_id, n_id, rnk, cos_micro) from scored candidate rows
     * (q_id, n_id, cs): per-query top-k through the BOUNDED
@@ -662,6 +694,8 @@ object DataOps {
       .select(col("vec_id"), posexplode(array((0 until LshBands).map(b =>
         pmod(shiftright(col("sig"), LshBandBits * b),
           lit(1L << LshBandBits))): _*)).as(Seq("b", "bv")))
+    // Same query set as annQueries (whose MaxAnnQueries assert below
+    // bounds this broadcast too: LshBands rows per query).
     val qb = banded.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("b"), col("bv"))
     val cand = banded.join(broadcast(qb), Seq("b", "bv"))

@@ -31,7 +31,7 @@ object EventStreamOps {
     * rule keeps an EXACTLY-30-min gap in one session (`> gap` breaks),
     * while `session_window` treats touching-but-not-overlapping windows
     * as separate; the two agree on every gap ≠ 30:00.000000 exactly —
-    * at nanosecond timestamps a measure-zero event, pinned equal on the
+    * at microsecond timestamps a measure-zero event, pinned equal on the
     * fixture by EventStreamSpec. Watermarked so sessions close and state
     * is evicted; append mode emits each session once, final. */
   def sessionizeStream(events: Dataset[StreamEvent],
@@ -51,9 +51,10 @@ object EventStreamOps {
     * state so expired errors are evicted — then a windowed aggregation
     * CHAINED after the join (multiple-stateful-operators; the 1-h window
     * on the group key is what lets append mode emit, each purchase lives
-    * in exactly one window). The residual predicates on the exact-ns
-    * `tns` columns refine the micro-precision timestamp bound so gap
-    * arithmetic matches the batch plan bit-for-bit. */
+    * in exactly one window). Gap arithmetic is on µs-truncated integers
+    * (`tns div 1000`) — the engine's cross-engine time grain
+    * ([[graft.pipeline.EventOps]]) — so the inclusion edge and
+    * floor-second gaps match the batch plan bit-for-bit. */
   def rangeJoinRecentErrorsStream(events: Dataset[StreamEvent],
       watermark: String = "1 hour"): DataFrame = {
     val e = withTs(events)
@@ -68,13 +69,15 @@ object EventStreamOps {
     purch.join(errs, expr(
         s"""user_id = e_user AND
            |p_ts >= e_ts AND p_ts <= e_ts + interval 6 hours AND
-           |p_tns >= e_tns AND
-           |p_tns - e_tns <= ${graft.pipeline.EventOps.LookbackNs}L
+           |p_tns div 1000 >= e_tns div 1000 AND
+           |p_tns div 1000 - e_tns div 1000 <=
+           |  ${graft.pipeline.EventOps.LookbackUs}L
            |""".stripMargin))
       .groupBy(window(col("p_ts"), "1 hour"), col("purchase_id"),
         col("user_id"))
       .agg(count(lit(1)).as("n_recent_errors"),
-        min(expr("(p_tns - e_tns) div 1000000000")).as("min_gap_sec"))
+        min(expr("(p_tns div 1000 - e_tns div 1000) div 1000000"))
+          .as("min_gap_sec"))
       .select(col("purchase_id"), col("user_id"), col("n_recent_errors"),
         col("min_gap_sec"))
   }
@@ -83,35 +86,48 @@ object EventStreamOps {
     * [[graft.pipeline.EventOps.asofAttribution]]): per user, remember
     * the latest click; every purchase emits its attribution row
     * immediately. Within a micro-batch the group's rows are replayed in
-    * exact (tns, kind, event_id) event order, so equal-ts ties resolve
-    * identically to the batch plan; across batches the state carries the
-    * last click forward (per-key arrival must respect event time across
-    * batches, the same contract as the reference's running reduces).
-    * State is O(1) per user and evictable via processing-time timeout. */
-  def asofAttributionStream(
-      events: Dataset[StreamEvent]): Dataset[Attribution] = {
+    * µs-truncated (tus, kind, event_id) event order — the batch plan's
+    * exact window order, so equal-µs ties resolve identically (clicks
+    * before purchases, max event_id click wins); across batches the
+    * state carries the last click forward (per-key arrival must respect
+    * event time across batches, the same contract as the reference's
+    * running reduces). State is ONE [[ClickState]] per user, evicted by
+    * a processing-time TTL (`stateTtl`): a user idle past the TTL drops
+    * their click and a later purchase attributes to -1 — the bounded
+    * -state tradeoff every long-running attribution stream makes. */
+  def asofAttributionStream(events: Dataset[StreamEvent],
+      stateTtl: String = "7 days"): Dataset[Attribution] = {
     import events.sparkSession.implicits._
     events
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
+        GroupStateTimeout.ProcessingTimeTimeout())(
         (uid: Long, it: Iterator[StreamEvent],
             state: GroupState[ClickState]) => {
-          val ordered = it.toSeq.sortBy(e =>
-            (e.tns, if (e.event_type == "click") 0 else 1, e.event_id))
-          var last = state.getOption
-          val out = Seq.newBuilder[Attribution]
-          ordered.foreach { e =>
-            if (e.event_type == "click")
-              last = Some(ClickState(e.event_id, e.tns))
-            else out += Attribution(e.event_id, uid,
-              last.map(_.click_id).getOrElse(-1L),
-              last.map(c => (e.tns - c.click_tns) / 1000000000L)
-                .getOrElse(-1L))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = it.toSeq.sortBy(e =>
+              (e.tns / 1000L, if (e.event_type == "click") 0 else 1,
+                e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[Attribution]
+            ordered.foreach { e =>
+              if (e.event_type == "click")
+                last = Some(ClickState(e.event_id, e.tns / 1000L))
+              else out += Attribution(e.event_id, uid,
+                last.map(_.click_id).getOrElse(-1L),
+                last.map(c => (e.tns / 1000L - c.click_tus) / 1000000L)
+                  .getOrElse(-1L))
+            }
+            last.foreach { c =>
+              state.update(c)
+              state.setTimeoutDuration(stateTtl)
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
         })
   }
 }

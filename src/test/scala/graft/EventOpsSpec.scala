@@ -27,18 +27,20 @@ class EventOpsSpec extends SparkSpec {
 
   test("asofAttribution equals the naive per-user linear scan") {
     val want = byUser.toSeq.flatMap { case (uid, evs) =>
-      // events sorted by (ts, event_id); at equal ts the click with the
-      // larger event_id must win, and an equal-ts click DOES match its
-      // purchase — replay the engine's (ts, kind, event_id) order.
+      // µs-truncated time (the cross-engine grain); at equal µs the
+      // click with the larger event_id must win, and an equal-µs click
+      // DOES match its purchase — replay the engine's
+      // (tus, kind, event_id) order.
       val ordered = evs
         .filter(e => e._3 == "click" || e._3 == "purchase")
-        .sortBy(e => (e._2, if (e._3 == "click") 0 else 1, e._1))
-      var lastClick: Option[(Long, Long)] = None // (event_id, ts)
+        .sortBy(e => (e._2 / 1000L, if (e._3 == "click") 0 else 1, e._1))
+      var lastClick: Option[(Long, Long)] = None // (event_id, tus)
       ordered.flatMap { case (id, ts, typ, _) =>
-        if (typ == "click") { lastClick = Some((id, ts)); None }
+        val tus = ts / 1000L
+        if (typ == "click") { lastClick = Some((id, tus)); None }
         else Some((id, uid,
           lastClick.map(_._1).getOrElse(-1L),
-          lastClick.map(c => (ts - c._2) / 1000000000L).getOrElse(-1L)))
+          lastClick.map(c => (tus - c._2) / 1000000L).getOrElse(-1L)))
       }
     }.sortBy(_._1)
     val got = EventOps.asofAttribution(spark, sfDir).collect()
@@ -53,15 +55,17 @@ class EventOpsSpec extends SparkSpec {
     val want = byUser.toSeq.flatMap { case (uid, evs) =>
       var sess = 0L
       var prev = Long.MinValue
+      // gaps on µs-truncated time — the engine's cross-engine grain
       val tagged = evs.map { case (_, ts, _, v) =>
-        if (prev == Long.MinValue || ts - prev > EventOps.SessionGapNs)
+        val tus = ts / 1000L
+        if (prev == Long.MinValue || tus - prev > EventOps.SessionGapUs)
           sess += 1
-        prev = ts
-        (sess, ts, math.round(v * 1000000.0))
+        prev = tus
+        (sess, tus, math.round(v * 1000000.0))
       }
       tagged.groupBy(_._1).map { case (s, rows) =>
-        val ts = rows.map(_._2)
-        (uid, s, ts.min / 1000000000L, (ts.max - ts.min) / 1000000000L,
+        val tus = rows.map(_._2)
+        (uid, s, tus.min / 1000000L, (tus.max - tus.min) / 1000000L,
           rows.size.toLong, rows.map(_._3).sum)
       }
     }.sortBy(r => (r._1, r._2))
@@ -103,15 +107,17 @@ class EventOpsSpec extends SparkSpec {
     val got = EventOps.rangeJoinRecentErrors(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq.sorted
-    // naive reference: direct per-purchase probe over the user's errors
+    // naive reference: direct per-purchase probe over the user's errors,
+    // on µs-truncated time (the cross-engine grain)
     val want = byUser.toSeq.flatMap { case (uid, evs) =>
-      val errs = evs.filter(_._3 == "error").map(_._2)
+      val errs = evs.filter(_._3 == "error").map(_._2 / 1000L)
       evs.filter(_._3 == "purchase").flatMap { case (id, ts, _, _) =>
+        val tus = ts / 1000L
         val recent = errs.filter(e =>
-          ts >= e && ts - e <= EventOps.LookbackNs)
+          tus >= e && tus - e <= EventOps.LookbackUs)
         if (recent.isEmpty) None
         else Some((id, uid, recent.size.toLong,
-          recent.map(e => (ts - e) / 1000000000L).min))
+          recent.map(e => (tus - e) / 1000000L).min))
       }
     }.sorted
     assert(got == want)
