@@ -103,6 +103,9 @@ object SparkEntry {
     "rangeJoinRecentErrors" -> (EventOps.rangeJoinRecentErrors _),
     "jsonPropsStats"      -> (EventOps.jsonPropsStats _),
     "latestEventState"    -> (EventOps.latestEventState _),
+    "funnelSteps"         -> (EventOps.funnelSteps _),
+    "retentionCohorts"    -> (EventOps.retentionCohorts _),
+    "activityGapfill"     -> (EventOps.activityGapfill _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -188,5 +191,8 @@ object SparkEntry {
     "rangeJoinRecentErrors" -> OracleSqlRel.rangeJoinRecentErrors,
     "jsonPropsStats"      -> OracleSqlRel.jsonPropsStats,
     "latestEventState"    -> OracleSqlRel.latestEventState,
+    "funnelSteps"         -> OracleSqlRel.funnelSteps,
+    "retentionCohorts"    -> OracleSqlRel.retentionCohorts,
+    "activityGapfill"     -> OracleSqlRel.activityGapfill,
   )
 }

@@ -359,6 +359,91 @@ object OracleSqlRel {
       |       CAST(n_events AS BIGINT) AS n_events
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** Ordered-funnel mirror ([[graft.pipeline.EventOps.funnelSteps]]):
+    * the same three chained conditional window minima over the per-user
+    * partition, -1 sentinels, depth 0-3. */
+  val funnelSteps: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')
+      |),
+      |v AS (
+      |  SELECT user_id, tus, event_type,
+      |         MIN(CASE WHEN event_type = 'view' THEN tus END)
+      |           OVER (PARTITION BY user_id) AS v_tus
+      |  FROM e
+      |),
+      |c AS (
+      |  SELECT user_id, tus, event_type, v_tus,
+      |         MIN(CASE WHEN event_type = 'click' AND tus >= v_tus
+      |                  THEN tus END)
+      |           OVER (PARTITION BY user_id) AS c_tus
+      |  FROM v
+      |),
+      |p AS (
+      |  SELECT user_id, v_tus, c_tus,
+      |         MIN(CASE WHEN event_type = 'purchase' AND tus >= c_tus
+      |                  THEN tus END)
+      |           OVER (PARTITION BY user_id) AS p_tus
+      |  FROM c
+      |),
+      |u AS (
+      |  SELECT user_id, MIN(v_tus) AS v_tus, MIN(c_tus) AS c_tus,
+      |         MIN(p_tus) AS p_tus
+      |  FROM p GROUP BY 1
+      |)
+      |SELECT user_id,
+      |       CAST(COALESCE(v_tus, -1) AS BIGINT) AS view_tus,
+      |       CAST(COALESCE(c_tus, -1) AS BIGINT) AS click_tus,
+      |       CAST(COALESCE(p_tus, -1) AS BIGINT) AS purchase_tus,
+      |       CAST(CASE WHEN p_tus IS NOT NULL THEN 3
+      |                 WHEN c_tus IS NOT NULL THEN 2
+      |                 WHEN v_tus IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS depth
+      |FROM u""".stripMargin
+
+  /** Retention-cohort mirror ([[graft.pipeline.EventOps.retentionCohorts]]):
+    * first-signup epoch-day cohort × active-day offset × distinct users. */
+  val retentionCohorts: String =
+    """WITH e AS (
+      |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |         event_type
+      |  FROM events
+      |),
+      |coh AS (
+      |  SELECT user_id, MIN(day) AS cohort_day
+      |  FROM e WHERE event_type = 'signup' GROUP BY 1
+      |)
+      |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+      |       CAST(day - cohort_day AS BIGINT) AS day_offset,
+      |       COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN coh ON e.user_id = coh.user_id
+      |WHERE day >= cohort_day
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Gap-filled hourly series mirror
+    * ([[graft.pipeline.EventOps.activityGapfill]]): generate_series over
+    * the corpus hour range × distinct types, left-joined onto observed
+    * counts with zero fill. */
+  val activityGapfill: String =
+    """WITH hourly AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS h,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t
+      |  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+      |              FROM bounds) g
+      |)
+      |SELECT CAST(grid.h * 3600 AS BIGINT) AS hour_sec, grid.event_type,
+      |       CAST(COALESCE(hourly.cnt, 0) AS BIGINT) AS cnt
+      |FROM grid LEFT JOIN hourly
+      |  ON grid.event_type = hourly.event_type AND grid.h = hourly.h""".stripMargin
+
   /** JSON-props mirror ([[graft.pipeline.EventOps.jsonPropsStats]]):
     * same `$.k` path extraction, per-type aggregates. */
   val jsonPropsStats: String =

@@ -146,6 +146,112 @@ object EventOps {
         min(expr("(p_tus - e_tus) div 1000000")).as("min_gap_sec"))
   }
 
+  /** ORDERED FUNNEL (view → click → purchase): per user, the first view,
+    * the first click at-or-after that view, and the first purchase
+    * at-or-after that click — the product-analytics conversion funnel
+    * with step ORDER enforced (a click before the first view does not
+    * count). Output one row per user that has ≥1 funnel-type event:
+    * user_id, view_tus / click_tus / purchase_tus (µs, -1 when the step
+    * was never reached) and depth 0-3.
+    *
+    * Spark-first plan: no joins — three chained full-partition window
+    * minima over the SAME user_id partitioning (min(view ts), then
+    * min(click ts ≥ that), then min(purchase ts ≥ that)), so the whole
+    * funnel costs ONE shuffle of the filtered event subset and linear
+    * per-user work. Equal-µs ties resolve by `>=` inclusion — identical
+    * in both engines on exact integers. A hot user with 10^6 events
+    * costs three unordered window passes, never a per-step join probe. */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    RelOps.events(spark, sfDir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_type"))
+      .withColumn("v_tus",
+        min(when(col("event_type") === "view", col("tus"))).over(byUser))
+      .withColumn("c_tus",
+        min(when(col("event_type") === "click" &&
+          col("tus") >= col("v_tus"), col("tus"))).over(byUser))
+      .withColumn("p_tus",
+        min(when(col("event_type") === "purchase" &&
+          col("tus") >= col("c_tus"), col("tus"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_tus")).as("view_tus0"),
+        min(col("c_tus")).as("click_tus0"),
+        min(col("p_tus")).as("purchase_tus0"))
+      .select(col("user_id"),
+        coalesce(col("view_tus0"), lit(-1L)).as("view_tus"),
+        coalesce(col("click_tus0"), lit(-1L)).as("click_tus"),
+        coalesce(col("purchase_tus0"), lit(-1L)).as("purchase_tus"),
+        (when(col("purchase_tus0").isNotNull, lit(3L))
+          .when(col("click_tus0").isNotNull, lit(2L))
+          .when(col("view_tus0").isNotNull, lit(1L))
+          .otherwise(lit(0L))).as("depth"))
+  }
+
+  /** Microseconds per day, for cohort/retention day bucketing. */
+  val DayUs: Long = 86400L * 1000000L
+
+  /** RETENTION COHORTS: users cohorted by their first `signup` day;
+    * for each (cohort_day, day_offset ≥ 0) the count of DISTINCT cohort
+    * users active (any event) that day — the classic triangular
+    * retention matrix. Days are exact integer epoch-days of the µs
+    * event time.
+    *
+    * Plan: one hash aggregate for first-signup per user (map-side
+    * partials), then an equi-join back to the event stream ON user_id —
+    * both sides hash-partition on the same key, so AQE plans a
+    * co-partitioned join (broadcast at small SF) — then one distinct
+    * aggregate on (cohort, offset, user) and one count. Nothing is ever
+    * ordered; every stage is a hash aggregate keyed by columns whose
+    * per-key volume stays bounded as the corpus grows. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = RelOps.events(spark, sfDir)
+      .select(col("user_id"), expr("(ts div 1000) div " + DayUs).as("day"),
+        col("event_type"))
+    val cohorts = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .where(col("day") >= col("cohort_day"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Microseconds per hour, for the dense-series bucket grid. */
+  val HourUs: Long = 3600L * 1000000L
+
+  /** DENSE TIME SERIES (gap-fill): hourly event counts per type with
+    * ZERO rows for silent hours — the densification a downstream
+    * forecasting/anomaly model needs (sparse aggregates hide gaps).
+    * Output (hour_sec = epoch-second of the hour bucket, event_type,
+    * cnt), covering every hour from the corpus min to max for every
+    * type.
+    *
+    * Plan: the observed counts are one scan + hash aggregate; the dense
+    * grid is sequence(min_hour, max_hour) exploded against the DISTINCT
+    * type relation — both derived from one-row/tiny aggregates carried
+    * via `broadcast()` — and the zero-fill is a left join of grid onto
+    * counts on (hour, type). Grid size is (time-span hours × types):
+    * bounded by the clock, not the corpus, so it broadcasts at any SF
+    * while the fact side never shuffles twice. */
+  def activityGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = RelOps.events(spark, sfDir)
+      .select(col("event_type"), expr("(ts div 1000) div " + HourUs).as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val types = hourly.select(col("event_type")).distinct()
+    val grid = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select((col("h") * lit(3600L)).as("hour_sec"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Semi-structured column path: extract the integer `k` field from the
     * JSON `props` column (`get_json_object` — Spark's codegen'd JSON
     * path expression) and aggregate per event type. The decode happens

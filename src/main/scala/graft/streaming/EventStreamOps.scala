@@ -91,18 +91,31 @@ object EventStreamOps {
     * before purchases, max event_id click wins); across batches the
     * state carries the last click forward (per-key arrival must respect
     * event time across batches, the same contract as the reference's
-    * running reduces). State is ONE [[ClickState]] per user, evicted by
-    * a processing-time TTL (`stateTtl`): a user idle past the TTL drops
-    * their click and a later purchase attributes to -1 — the bounded
-    * -state tradeoff every long-running attribution stream makes. */
+    * running reduces).
+    *
+    * State is ONE [[ClickState]] (two longs) per user, evicted by an
+    * EVENT-TIME TTL: the state's timeout is set to click time + `ttlMs`
+    * and fires once the watermark passes it, so a user idle past the TTL
+    * drops their click and a later purchase attributes to -1 — the
+    * bounded-state tradeoff every long-running attribution stream makes.
+    * Event-time (not processing-time) timeout on purpose: eviction is
+    * keyed to the DATA's clock — deterministic and replayable — and the
+    * micro-batch engine only re-fires a batch when the watermark moves,
+    * where a processing-time timeout makes `shouldRunAnotherBatch`
+    * return true unconditionally and the query busy-spins empty
+    * micro-batches forever. `watermark` bounds how out-of-order events
+    * may arrive (late rows beyond it are dropped by the engine). */
   def asofAttributionStream(events: Dataset[StreamEvent],
-      stateTtl: String = "7 days"): Dataset[Attribution] = {
+      watermark: String = "1 hour",
+      ttlMs: Long = 7L * 86400L * 1000L): Dataset[Attribution] = {
     import events.sparkSession.implicits._
-    events
+    withTs(events)
+      .withWatermark("ts", watermark)
+      .as[StreamEvent]
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.ProcessingTimeTimeout())(
+        GroupStateTimeout.EventTimeTimeout())(
         (uid: Long, it: Iterator[StreamEvent],
             state: GroupState[ClickState]) => {
           if (state.hasTimedOut) {
@@ -124,7 +137,12 @@ object EventStreamOps {
             }
             last.foreach { c =>
               state.update(c)
-              state.setTimeoutDuration(stateTtl)
+              // click event-time + TTL, clamped above the current
+              // watermark (setting a timeout at-or-before the watermark
+              // is an error — such state is due NOW, next watermark move)
+              state.setTimeoutTimestamp(math.max(
+                c.click_tus / 1000L + ttlMs,
+                state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
           }

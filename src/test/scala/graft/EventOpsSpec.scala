@@ -127,6 +127,72 @@ class EventOpsSpec extends SparkSpec {
       "some purchases must have no recent errors")
   }
 
+  test("funnelSteps equals the naive ordered-step scan") {
+    val want = byUser.toSeq.flatMap { case (uid, evs) =>
+      val f = evs.filter(e =>
+        e._3 == "view" || e._3 == "click" || e._3 == "purchase")
+      if (f.isEmpty) None
+      else {
+        val v = f.filter(_._3 == "view").map(_._2 / 1000L)
+          .minOption
+        val c = v.flatMap(vt => f.filter(e => e._3 == "click" &&
+          e._2 / 1000L >= vt).map(_._2 / 1000L).minOption)
+        val p = c.flatMap(ct => f.filter(e => e._3 == "purchase" &&
+          e._2 / 1000L >= ct).map(_._2 / 1000L).minOption)
+        val depth = if (p.isDefined) 3L else if (c.isDefined) 2L
+          else if (v.isDefined) 1L else 0L
+        Some((uid, v.getOrElse(-1L), c.getOrElse(-1L), p.getOrElse(-1L),
+          depth))
+      }
+    }.sortBy(_._1)
+    val got = EventOps.funnelSteps(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == want)
+    // full-depth conversions exist (the fixture is dense — at sf0.001
+    // every user converts; partial depths are covered by the model
+    // equality above, which includes the -1 sentinel branches), and the
+    // step order invariant holds on every full-depth row
+    assert(got.exists(_._5 == 3), got.map(_._5).distinct.mkString(","))
+    got.filter(_._5 == 3).foreach { case (_, v, c, p, _) =>
+      assert(v <= c && c <= p)
+    }
+  }
+
+  test("retentionCohorts equals the naive cohort × active-day count") {
+    val dayUs = EventOps.DayUs
+    val want = byUser.toSeq.flatMap { case (uid, evs) =>
+      evs.filter(_._3 == "signup").map(_._2 / 1000L / dayUs).minOption
+        .toSeq.flatMap { cohort =>
+          evs.map(_._2 / 1000L / dayUs).filter(_ >= cohort).distinct
+            .map(d => ((cohort, d - cohort), uid))
+        }
+    }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = EventOps.retentionCohorts(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want)
+    // day-0 rows exist (signup day itself is active) and offsets spread
+    assert(got.keys.exists(_._2 == 0L) && got.keys.exists(_._2 > 0L))
+  }
+
+  test("activityGapfill is dense over the hour range and preserves totals") {
+    val hourUs = EventOps.HourUs
+    val all = byUser.values.flatten.toSeq
+    val hourly = all.groupBy(e => (e._3, e._2 / 1000L / hourUs))
+      .view.mapValues(_.size.toLong).toMap
+    val hours = all.map(_._2 / 1000L / hourUs)
+    val (h0, h1) = (hours.min, hours.max)
+    val types = all.map(_._3).distinct
+    val got = EventOps.activityGapfill(spark, sfDir).collect()
+      .map(r => ((r.getString(1), r.getLong(0) / 3600L), r.getLong(2)))
+      .toMap
+    assert(got.size == types.size * (h1 - h0 + 1).toInt,
+      s"grid ${got.size} vs ${types.size} × ${h1 - h0 + 1}")
+    hourly.foreach { case (k, n) => assert(got(k) == n, k.toString) }
+    assert(got.values.sum == all.size.toLong)
+    assert(got.values.exists(_ == 0L), "gap-fill must emit zero rows")
+  }
+
   test("bloom tier is a sound prefilter of exact decontamination") {
     val b = DataOps.bloomDecontaminate(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

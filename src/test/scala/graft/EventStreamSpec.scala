@@ -86,12 +86,15 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  private def runAsof(batches: Seq[Seq[StreamEvent]]): Seq[(Long, Long,
+  /** TTL above the fixture's 30-day span so the batch-parity runs never
+    * evict state mid-stream; the eviction test passes its own. */
+  private def runAsof(batches: Seq[Seq[StreamEvent]],
+      ttlMs: Long = 60L * 86400L * 1000L): Seq[(Long, Long,
       Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
     val name = freshName("asof")
-    val q = EventStreamOps.asofAttributionStream(in.toDS())
+    val q = EventStreamOps.asofAttributionStream(in.toDS(), ttlMs = ttlMs)
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
@@ -99,6 +102,24 @@ class EventStreamSpec extends SparkSpec {
       spark.table(name)
         .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     } finally q.stop()
+  }
+
+  test("as-of click state evicts past the event-time TTL") {
+    val day = 86400L * 1000000000L // ns
+    // user 1 clicks at day 0 and purchases at day 1 (attributed);
+    // user 2's traffic pushes the watermark past day0 + 7d TTL, firing
+    // the event-time timeout; user 1's purchase at day 21 then finds no
+    // state and attributes to -1 — bounded state, by design
+    val got = runAsof(Seq(
+      Seq(StreamEvent(10L, 0L * day + 1000000L, 1L, "click", 0L),
+        StreamEvent(11L, 1L * day, 1L, "purchase", 0L)),
+      Seq(StreamEvent(20L, 20L * day, 2L, "view", 0L)),
+      Seq(StreamEvent(12L, 21L * day, 1L, "purchase", 0L))),
+      ttlMs = 7L * 86400L * 1000L)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(11L)._3 == 10L, got.toString) // pre-TTL: attributed
+    assert(byId(12L)._3 == -1L && byId(12L)._4 == -1L,
+      got.toString) // post-eviction: no click state
   }
 
   test("dedupExactStream evicts dedup state once the watermark passes") {
