@@ -80,6 +80,7 @@ object SparkEntry {
     "vocabCoverage"       -> (DataOps.vocabCoverage _),
     "bpeMerges"           -> (DataOps.bpeMerges _),
     "unigramSurprisal"    -> (DataOps.unigramSurprisal _),
+    "pmiBigrams"          -> (DataOps.pmiBigrams _),
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> (RelOps.eventsHourly _),
     "q1Pricing"           -> (RelOps.q1Pricing _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "funnelSteps"         -> (EventOps.funnelSteps _),
     "retentionCohorts"    -> (EventOps.retentionCohorts _),
     "activityGapfill"     -> (EventOps.activityGapfill _),
+    "anomalousHours"      -> (EventOps.anomalousHours _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -169,6 +171,7 @@ object SparkEntry {
     "vocabCoverage"       -> OracleSqlData.vocabCoverage,
     "bpeMerges"           -> OracleSqlData.bpeMerges,
     "unigramSurprisal"    -> OracleSqlData.unigramSurprisal,
+    "pmiBigrams"          -> OracleSqlData.pmiBigrams,
     // --- general relational surface (SURVEY.md §2.6) ---
     "eventsHourly"        -> OracleSqlRel.eventsHourly,
     "q1Pricing"           -> OracleSqlRel.q1Pricing,
@@ -194,5 +197,6 @@ object SparkEntry {
     "funnelSteps"         -> OracleSqlRel.funnelSteps,
     "retentionCohorts"    -> OracleSqlRel.retentionCohorts,
     "activityGapfill"     -> OracleSqlRel.activityGapfill,
+    "anomalousHours"      -> OracleSqlRel.anomalousHours,
   )
 }

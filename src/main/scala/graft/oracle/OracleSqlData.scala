@@ -808,6 +808,46 @@ object OracleSqlData {
        |       ELSE 0 END AS BIGINT) AS bits_per_tok_micro
        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** PMI-collocation mirror ([[graft.pipeline.DataOps.pmiBigrams]]):
+    * same top-50 bigram head (cnt desc, gram asc), same HUGEINT triple
+    * product and floor division, same `length(bin(x))−1` floor-log2. */
+  val pmiBigrams: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT unnest(w) AS token FROM wrds),
+       |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+       |        FROM t GROUP BY 1),
+       |nu AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_uni FROM uni),
+       |bgl AS (
+       |  SELECT CASE WHEN len(w) >= 2 THEN
+       |           list_transform(range(1, len(w)),
+       |             i -> w[i] || ' ' || w[i+1])
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |bg AS (SELECT unnest(gs) AS gram FROM bgl),
+       |bcnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+       |         FROM bg GROUP BY 1),
+       |nb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_bi FROM bcnt),
+       |top AS (
+       |  SELECT gram, cnt,
+       |         ROW_NUMBER() OVER (ORDER BY cnt DESC, gram ASC) AS rnk,
+       |         split_part(gram, ' ', 1) AS t1,
+       |         split_part(gram, ' ', 2) AS t2
+       |  FROM bcnt QUALIFY rnk <= 50
+       |)
+       |SELECT top.gram, top.cnt,
+       |       CAST((CAST(top.cnt AS HUGEINT) * n_uni * n_uni * 1000000) //
+       |           (CAST(u1.tf AS HUGEINT) * u2.tf * n_bi)
+       |         AS BIGINT) AS lift_micro,
+       |       CAST(length(bin(CAST(
+       |         (CAST(top.cnt AS HUGEINT) * n_uni * n_uni) //
+       |           (CAST(u1.tf AS HUGEINT) * u2.tf * n_bi)
+       |         AS BIGINT))) - 1 AS BIGINT) AS pmi_bits,
+       |       CAST(top.rnk AS BIGINT) AS rnk
+       |FROM top
+       |JOIN uni u1 ON u1.token = top.t1
+       |JOIN uni u2 ON u2.token = top.t2, nu, nb""".stripMargin
+
   /** Repetition-signal mirror: same micro-unit truncating-division
     * ratios, same thresholds, flag as 0/1 BIGINT. */
   val repetitionSignals: String =

@@ -444,6 +444,44 @@ object OracleSqlRel {
       |FROM grid LEFT JOIN hourly
       |  ON grid.event_type = hourly.event_type AND grid.h = hourly.h""".stripMargin
 
+  /** Anomaly-flag mirror ([[graft.pipeline.EventOps.anomalousHours]]):
+    * same gap-filled grid, same 24-row trailing frame, same
+    * integer-exact (n·x−s)² > 9·(n·ssq−s²) comparison in HUGEINT. */
+  val anomalousHours: String =
+    """WITH hourly AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS h,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t
+      |  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+      |              FROM bounds) g
+      |),
+      |dense AS (
+      |  SELECT grid.h, grid.event_type,
+      |         CAST(COALESCE(hourly.cnt, 0) AS BIGINT) AS cnt
+      |  FROM grid LEFT JOIN hourly
+      |    ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+      |),
+      |win AS (
+      |  SELECT h, event_type, cnt,
+      |         COUNT(*) OVER tw AS n,
+      |         SUM(cnt) OVER tw AS s,
+      |         SUM(CAST(cnt AS HUGEINT) * cnt) OVER tw AS ssq
+      |  FROM dense
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT CAST(h * 3600 AS BIGINT) AS hour_sec, event_type, cnt,
+      |       CAST((s * 1000000) // n AS BIGINT) AS mean_micro,
+      |       CAST(CASE WHEN CAST(n * cnt - s AS HUGEINT) * (n * cnt - s)
+      |                      > 9 * (n * ssq - CAST(s AS HUGEINT) * s)
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM win WHERE n = 24""".stripMargin
+
   /** JSON-props mirror ([[graft.pipeline.EventOps.jsonPropsStats]]):
     * same `$.k` path extraction, per-type aggregates. */
   val jsonPropsStats: String =

@@ -1154,6 +1154,57 @@ object DataOps {
         Window.orderBy(col("cnt").desc, col("gram").asc)).cast("long"))
   }
 
+  /** PMI collocations — pointwise-mutual-information strength for the
+    * corpus's top-50 bigrams (Church & Hanks 1990, "Word Association
+    * Norms, Mutual Information, and Lexicography"): the
+    * tokenizer/phrase-mining statistic separating true collocations
+    * ("San Francisco") from merely-frequent pairs ("of the").
+    *
+    * EXACT integer arithmetic end-to-end: PPMI floor-bits =
+    * floor(log2(c_ab·N_uni² ÷ (c_a·c_b·N_bi))) via the same
+    * `length(bin(x))−1` floor-log2 as [[unigramSurprisal]] (no libm),
+    * with the triple product carried in DECIMAL(38,0) (DuckDB: HUGEINT)
+    * so it cannot overflow int64 at web scale; ratios < 1 floor to 0 —
+    * exactly the standard PPMI clamp.
+    *
+    * Plan: bigram + unigram hash aggregates (one pass each), global
+    * top-50 via TakeOrderedAndProject, then the 50-row head BROADCASTS
+    * into the unigram-frequency relation twice (never the reverse — the
+    * vocabulary scales with the corpus, the head is fixed) and the two
+    * corpus totals ride along as broadcast one-row scalars. */
+  def pmiBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = persistUnlessLazy(docTokenCounts(spark, sfDir))
+    val uni = dt.groupBy(col("token")).agg(sum(col("cnt")).as("tf"))
+    val nUni = uni.agg(sum(col("tf")).as("n_uni"))
+    val bg = docs(spark, sfDir)
+      .select(explode(graft.functions.WordGramsExpr.grams(spark,
+        col("text"), 2, distinct = false)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val nBi = bg.agg(sum(col("cnt")).as("n_bi"))
+    val top = bg.orderBy(col("cnt").desc, col("gram").asc).limit(50)
+      .withColumn("t1", split(col("gram"), " ").getItem(0))
+      .withColumn("t2", split(col("gram"), " ").getItem(1))
+    val u1 = uni.select(col("token").as("t1"), col("tf").as("tf1"))
+    val u2 = uni.select(col("token").as("t2"), col("tf").as("tf2"))
+    val j1 = u1.join(broadcast(top), Seq("t1"))   // ≤ 50 rows out
+    val out = u2.join(broadcast(j1), Seq("t2"))   // ≤ 50 rows out
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("gram"), col("cnt"),
+        // association lift ×10^6 (lift = PMI's argument before the log):
+        // exact truncating division; the scaled triple product stays
+        // inside DECIMAL(38,0) up to ~10^12-token corpora — beyond
+        // that, pre-reduce the N²/N_bi factor
+        expr("CAST(cnt AS DECIMAL(38,0)) * n_uni * n_uni * 1000000 div " +
+          "(CAST(tf1 AS DECIMAL(38,0)) * tf2 * n_bi)").as("lift_micro"),
+        (length(bin(expr(
+          "CAST(cnt AS DECIMAL(38,0)) * n_uni * n_uni div " +
+            "(CAST(tf1 AS DECIMAL(38,0)) * tf2 * n_bi)"))) - 1)
+          .cast("long").as("pmi_bits"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("gram").asc)).cast("long"))
+    finish(out, dt)
+  }
+
   /** Per-(doc, token) occurrence counts — the shared first aggregate of
     * the vocabulary tier: one native-tokenize explode, one hash
     * aggregate; every downstream statistic (vocab frequencies, document

@@ -252,6 +252,42 @@ object EventOps {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** ANOMALY FLAGS over the dense hourly series: for every (hour, type)
+    * with a full 24-hour trailing baseline, flag counts outside 3
+    * standard deviations of that baseline — the threshold alerting rule
+    * every ops/monitoring pipeline runs, in EXACT integer arithmetic:
+    * (x − x̄)² > 9σ² multiplies through by n² into
+    * (n·x − s)² > 9·(n·ssq − s²), all integer counts, no float mean or
+    * libm sqrt anywhere — both engines compare identical integers. The
+    * quadratic terms are carried in DECIMAL(38,0) (DuckDB: HUGEINT):
+    * (n·x − s)² overflows int64 once an hour tops ~4×10^8 events, which
+    * a 100 TB stream does reach. Output (hour_sec, event_type, cnt,
+    * mean_micro = µ-scaled trailing mean, anomaly 0/1).
+    *
+    * Plan: chains on [[activityGapfill]] — gap-fill is what makes a
+    * ROWS window ≡ a 24-HOUR window (silent hours are present as
+    * zeros, so 24 rows back is exactly 24 hours back; on a sparse
+    * series the same frame would silently span weeks). The window
+    * partitions by type and orders by the hour ordinal: per-partition
+    * volume is bounded by the CLOCK (8760 rows/type/year), so the sort
+    * inside each partition stays trivial at any corpus size. */
+  def anomalousHours(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_sec"))
+      .rowsBetween(-24, -1)
+    activityGapfill(spark, sfDir)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ssq",
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt")).over(w))
+      .where(col("n") === 24)
+      .select(col("hour_sec"), col("event_type"), col("cnt"),
+        expr("(s * 1000000) div n").as("mean_micro"),
+        when(
+          expr("CAST(n * cnt - s AS DECIMAL(38,0)) * (n * cnt - s)") >
+            expr("9 * (n * ssq - CAST(s AS DECIMAL(38,0)) * s)"),
+          lit(1L)).otherwise(lit(0L)).as("anomaly"))
+  }
+
   /** Semi-structured column path: extract the integer `k` field from the
     * JSON `props` column (`get_json_object` — Spark's codegen'd JSON
     * path expression) and aggregate per event type. The decode happens

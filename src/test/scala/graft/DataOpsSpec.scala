@@ -379,6 +379,33 @@ class DataOpsSpec extends SparkSpec {
     assert(recount == topCnt)
   }
 
+  test("pmiBigrams equals the naive exact-integer PPMI over the head") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").as[String].collect()
+    val words = texts.map(_.split(" ").filter(_.nonEmpty).toSeq)
+    val uni = words.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val nUni = uni.values.sum
+    val bi = words.flatMap(w => w.zip(w.tail).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBi = bi.values.sum
+    val want = bi.toSeq.sortBy { case (g, c) => (-c, g) }.take(50)
+      .zipWithIndex.map { case ((g, c), i) =>
+        val Array(t1, t2) = g.split(" ")
+        val den = BigInt(uni(t1)) * uni(t2) * nBi
+        val q = (BigInt(c) * nUni * nUni) / den
+        val lift = (BigInt(c) * nUni * nUni * 1000000L) / den
+        val bits = if (q < 1) 0L else q.bitLength.toLong - 1L
+        (g, c, lift.toLong, bits, i + 1L)
+      }.sortBy(_._1)
+    val got = DataOps.pmiBigrams(spark, SF)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+    // the micro-lift must discriminate pairs (floor-bits alone collapse
+    // to 0 on the fixture's collocation-free uniform text)
+    assert(got.map(_._3).distinct.size > 1, got.map(_._3).mkString(","))
+  }
+
   test("vocabCoverage ranks the head with exact cumulative coverage") {
     val rows = DataOps.vocabCoverage(spark, SF)
       .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)

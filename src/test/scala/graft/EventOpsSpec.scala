@@ -193,6 +193,34 @@ class EventOpsSpec extends SparkSpec {
     assert(got.values.exists(_ == 0L), "gap-fill must emit zero rows")
   }
 
+  test("anomalousHours equals the naive integer 3-sigma scan") {
+    val hourUs = EventOps.HourUs
+    val all = byUser.values.flatten.toSeq
+    val hourly = all.groupBy(e => (e._3, e._2 / 1000L / hourUs))
+      .view.mapValues(_.size.toLong).toMap
+    val hours = all.map(_._2 / 1000L / hourUs)
+    val (h0, h1) = (hours.min, hours.max)
+    val want = all.map(_._3).distinct.flatMap { typ =>
+      val dense = (h0 to h1).map(h => h -> hourly.getOrElse((typ, h), 0L))
+      dense.zipWithIndex.collect { case ((h, x), i) if i >= 24 =>
+        val trail = dense.slice(i - 24, i).map(_._2)
+        val n = 24L
+        val s = trail.sum
+        val ssq = trail.map(c => BigInt(c) * c).sum
+        val lhs = BigInt(n * x - s) * BigInt(n * x - s)
+        val rhs = 9 * (n * ssq - BigInt(s) * s)
+        ((h * 3600L, typ),
+          (x, s * 1000000L / n, if (lhs > rhs) 1L else 0L))
+      }
+    }.toMap
+    val got = EventOps.anomalousHours(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._3 == 1L), "fixture must contain anomalies")
+    assert(got.values.exists(_._3 == 0L))
+  }
+
   test("bloom tier is a sound prefilter of exact decontamination") {
     val b = DataOps.bloomDecontaminate(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
