@@ -97,6 +97,10 @@ object SparkEntry {
     "q6Forecast"          -> (RelOps.q6Forecast _),
     "q13OrderDist"        -> (RelOps.q13OrderDist _),
     "q15TopSupplier"      -> (RelOps.q15TopSupplier _),
+    "q4LateOrders"        -> (RelOps.q4LateOrders _),
+    "q12PriorityClass"    -> (RelOps.q12PriorityClass _),
+    "q17SmallQtyRevenue"  -> (RelOps.q17SmallQtyRevenue _),
+    "q19BrandRevenue"     -> (RelOps.q19BrandRevenue _),
     "sqlSourceStats"      -> (RelOps.sqlSourceStats _),
     // --- event-stream analytics (as-of join / sessions / JSON path) ---
     "asofAttribution"     -> (EventOps.asofAttribution _),
@@ -188,6 +192,10 @@ object SparkEntry {
     "q6Forecast"          -> OracleSqlRel.q6Forecast,
     "q13OrderDist"        -> OracleSqlRel.q13OrderDist,
     "q15TopSupplier"      -> OracleSqlRel.q15TopSupplier,
+    "q4LateOrders"        -> OracleSqlRel.q4LateOrders,
+    "q12PriorityClass"    -> OracleSqlRel.q12PriorityClass,
+    "q17SmallQtyRevenue"  -> OracleSqlRel.q17SmallQtyRevenue,
+    "q19BrandRevenue"     -> OracleSqlRel.q19BrandRevenue,
     "sqlSourceStats"      -> OracleSqlRel.sqlSourceStats,
     "asofAttribution"     -> OracleSqlRel.asofAttribution,
     "sessionize"          -> OracleSqlRel.sessionize,

@@ -243,6 +243,66 @@ object OracleSqlRel {
       |       b.total_qty_micro
       |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey""".stripMargin
 
+  /** Q4-shape mirror ([[graft.pipeline.RelOps.q4LateOrders]]): the
+    * EXISTS form DuckDB plans as its own semi join. */
+  val q4LateOrders: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY 1""".stripMargin
+
+  /** Q12-shape mirror ([[graft.pipeline.RelOps.q12PriorityClass]]):
+    * same 0/1 priority class before the conditional sums. */
+  val q12PriorityClass: String =
+    """SELECT l.l_returnflag,
+      |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS high_line_count,
+      |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT)
+      |         AS low_line_count
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** Q17-shape mirror ([[graft.pipeline.RelOps.q17SmallQtyRevenue]]):
+    * identical integer cross-multiplied 20%-of-average predicate. */
+  val q17SmallQtyRevenue: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |         CAST(ROUND(l_quantity * 1000000.0) AS BIGINT) AS qty,
+      |         CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT) AS price
+      |  FROM lineitem
+      |),
+      |pp AS (
+      |  SELECT l_partkey AS a_partkey,
+      |         CAST(SUM(qty) AS BIGINT) AS sq,
+      |         CAST(COUNT(*) AS BIGINT) AS cq
+      |  FROM li GROUP BY 1
+      |)
+      |SELECT CAST(SUM(price) // 7 AS BIGINT) AS avg_yearly_micro
+      |FROM li
+      |JOIN part ON li.l_partkey = part.p_partkey
+      |JOIN pp ON li.l_partkey = pp.a_partkey
+      |WHERE part.p_brand = 'Brand#12'
+      |  AND 5 * qty * cq < sq""".stripMargin
+
+  /** Q19-shape mirror ([[graft.pipeline.RelOps.q19BrandRevenue]]):
+    * the same OR-of-ANDs disjunction as the join condition. */
+  val q19BrandRevenue: String =
+    """SELECT COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+      |         * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_micro
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** As-of attribution mirror ([[graft.pipeline.EventOps.asofAttribution]]):
     * the identical union-tagged running-last plan (not DuckDB's ASOF JOIN
     * keyword, whose equal-ts tie handling is unspecified) — clicks sort

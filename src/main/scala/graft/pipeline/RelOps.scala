@@ -374,4 +374,97 @@ object RelOps {
       .select(col("o_orderkey"), col("o_custkey"), col("total_micro"),
         col("total_qty_micro"))
   }
+
+  /** TPC-H Q4-shaped: orders per priority that had at least one line
+    * shipped AFTER the order date (EXISTS → LEFT SEMI join with an
+    * equi-key + inequality residual). The semi join keeps orders-side
+    * columns only and never duplicates an order however many late lines
+    * it has — the dedup is IN the join operator, no distinct. Both
+    * sides shuffle once on the orderkey; the date residual evaluates
+    * inside the join, and each side's scan reads two columns. */
+  def q4LateOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q12-shaped: per return flag, how many lines belong to
+    * high-priority (1-URGENT / 2-HIGH) vs low-priority orders — the
+    * conditional-aggregation-after-join shape (`sum(case when ...)`),
+    * one equi-join on the orderkey and one hash aggregate on a bounded
+    * key; the priority class burns down to a 0/1 integer before the
+    * aggregate so the shuffle carries no strings. */
+  def q12PriorityClass(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+          .otherwise(lit(0L)).as("hi"))
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("hi")).as("high_line_count"),
+        sum(lit(1L) - col("hi")).as("low_line_count"))
+  }
+
+  /** TPC-H Q17-shaped: revenue lost to small orders — lines of one
+    * brand's parts whose quantity is below 20% of that part's average
+    * quantity, total extended price div 7 (the Q17 "avg yearly" form).
+    * The correlated scalar subquery (`l_quantity < 0.2 * avg(...)`)
+    * becomes a per-part aggregate JOINED BACK on the partkey, and the
+    * fraction compares in EXACT integers: qty < sum/(5·cnt) ⇔
+    * 5·qty·cnt < sum (micro units) — no float division anywhere.
+    * Both lineitem derivatives hash-partition on l_partkey, so the
+    * self-join reuses one exchange; the brand filter prunes the part
+    * side at the scan before its join. */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_quantity") * lit(1000000.0)).cast("long").as("qty"),
+        round(col("l_extendedprice") * lit(1000000.0)).cast("long")
+          .as("price"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+      .withColumnRenamed("l_partkey", "a_partkey")
+    val brand = t(spark, sfDir, "part")
+      .where(col("p_brand") === "Brand#12")
+      .select(col("p_partkey"))
+    li.join(brand, col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("a_partkey"))
+      .where(lit(5L) * col("qty") * col("cq") < col("sq"))
+      .agg(sum(col("price")).as("sp"))
+      .select(expr("sp div 7").as("avg_yearly_micro"))
+  }
+
+  /** TPC-H Q19-shaped: revenue under a DISJUNCTION of brand/size/
+    * quantity conjuncts — the OR-of-ANDs predicate that exercises
+    * CNF conversion: Catalyst pushes the common `p_size >= 1` bound and
+    * the union of brands/quantity ranges to the scans while the full
+    * disjunction evaluates as the join residual. One equi-join on the
+    * partkey, one global aggregate; revenue in exact micro units. */
+  def q19BrandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = t(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("rev"))
+    li.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 15) &&
+          col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 25) &&
+          col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 35) &&
+          col("l_quantity").between(20.0, 30.0))))
+      .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("revenue_micro"))
+  }
 }

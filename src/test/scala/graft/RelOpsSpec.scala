@@ -103,4 +103,48 @@ class RelOpsSpec extends SparkSpec {
     val full = spark.read.parquet(s"$SF/lineitem.parquet").count()
     assert(total < full && total > 0)
   }
+
+  test("q4LateOrders counts each order at most once per priority") {
+    val rows = RelOps.q4LateOrders(spark, SF)
+      .as[(String, Long)].collect().toSeq
+    val orders = spark.read.parquet(s"$SF/orders.parquet").count()
+    assert(rows.map(_._2).sum <= orders) // semi join cannot duplicate
+    assert(rows.map(_._2).sum > 0)
+    assert(rows.map(_._1).distinct.size == rows.size)
+  }
+
+  test("q12PriorityClass partitions every joined line into one class") {
+    val rows = RelOps.q12PriorityClass(spark, SF)
+      .as[(String, Long, Long)].collect().toSeq
+    val li = spark.read.parquet(s"$SF/lineitem.parquet").count()
+    // inner join on a key orders always has: classes partition the lines
+    assert(rows.map(r => r._2 + r._3).sum == li)
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0))
+  }
+
+  test("q17SmallQtyRevenue is one bounded row (the filters bite)") {
+    val r = RelOps.q17SmallQtyRevenue(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) > 0)
+    // small-quantity lines of one brand: far below total revenue
+    val all = spark.read
+      .parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("l_extendedprice") * 1e6)
+          .cast("long"))).head.getLong(0)
+    assert(r(0).getLong(0) < all / 100)
+  }
+
+  test("q19BrandRevenue applies the disjunction non-vacuously") {
+    val r = RelOps.q19BrandRevenue(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(r.length == 1)
+    val (cnt, rev) = (r(0).getLong(0), r(0).getLong(1))
+    assert(cnt > 0 && rev > 0)
+    val li = spark.read
+      .parquet("/root/testdata/sf0.01/lineitem.parquet").count()
+    assert(cnt < li / 10) // the brand/size/qty conjuncts must prune
+  }
 }
