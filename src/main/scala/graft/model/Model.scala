@@ -94,4 +94,14 @@ object Model {
     * exact integer MICROseconds — the engine's cross-engine time grain,
     * see [[graft.pipeline.EventOps]]). */
   case class ClickState(click_id: Long, click_tus: Long)
+
+  /** Per-user streaming funnel state: first view / first click ≥ view /
+    * first purchase ≥ click, µs event time, -1 = step not reached
+    * ([[graft.streaming.EventStreamOps.funnelStream]]). */
+  case class FunnelState(v: Long, c: Long, p: Long)
+
+  /** Streaming funnel changelog row — last row per user equals the
+    * batch [[graft.pipeline.EventOps.funnelSteps]] answer. */
+  case class FunnelRow(user_id: Long, view_tus: Long, click_tus: Long,
+      purchase_tus: Long, depth: Long)
 }

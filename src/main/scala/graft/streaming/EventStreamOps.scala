@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.Model.{Attribution, ClickState, StreamEvent}
+import graft.model.Model.{Attribution, ClickState, FunnelRow, FunnelState, StreamEvent}
 
 /**
  * Structured Streaming forms of the event-analytics operators
@@ -80,6 +80,67 @@ object EventStreamOps {
           .as("min_gap_sec"))
       .select(col("purchase_id"), col("user_id"), col("n_recent_errors"),
         col("min_gap_sec"))
+  }
+
+  /** Streaming ordered funnel (the stateful twin of
+    * [[graft.pipeline.EventOps.funnelSteps]]): per user, track the first
+    * view, first click at-or-after it, and first purchase at-or-after
+    * that, across micro-batches. Each batch that touches a user emits
+    * the user's UPDATED funnel row — the LAST row per user equals the
+    * batch plan's final answer (a changelog the sink compacts by key,
+    * the same read pattern as [[graft.pipeline.EventOps.latestEventState]]).
+    *
+    * Within a batch the group's rows replay in µs-truncated (tus,
+    * event_id) event order; across batches arrival must respect event
+    * time per key (the engine contract shared with
+    * [[asofAttributionStream]]). State is THREE optional longs per user
+    * — O(1), never a buffered event — evicted by the same event-time
+    * TTL measured from the user's LAST funnel progress. */
+  def funnelStream(events: Dataset[StreamEvent],
+      watermark: String = "1 hour",
+      ttlMs: Long = 30L * 86400L * 1000L): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    withTs(events)
+      .withWatermark("ts", watermark)
+      .as[StreamEvent]
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, it: Iterator[StreamEvent],
+            state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            // at equal µs a view must replay before a click before a
+            // purchase — the batch plan's `>=` step inclusion admits
+            // same-µs progressions regardless of event_id order
+            val kindRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+            it.toSeq.sortBy(e =>
+                (e.tns / 1000L, kindRank(e.event_type), e.event_id))
+              .foreach { e =>
+                val tus = e.tns / 1000L
+                e.event_type match {
+                  case "view" if s.v < 0 => s = s.copy(v = tus)
+                  case "click" if s.c < 0 && s.v >= 0 && tus >= s.v =>
+                    s = s.copy(c = tus)
+                  case "purchase" if s.p < 0 && s.c >= 0 && tus >= s.c =>
+                    s = s.copy(p = tus)
+                  case _ => ()
+                }
+              }
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(
+              Seq(s.v, s.c, s.p).max / 1000L + ttlMs,
+              state.getCurrentWatermarkMs() + 1L))
+            val depth = if (s.p >= 0) 3L else if (s.c >= 0) 2L
+              else if (s.v >= 0) 1L else 0L
+            Iterator.single(FunnelRow(uid, s.v, s.c, s.p, depth))
+          }
+        })
   }
 
   /** Streaming as-of attribution (the stateful twin of

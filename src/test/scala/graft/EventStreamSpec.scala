@@ -104,6 +104,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel compacts to the batch funnel across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("funnel")
+    val q = EventStreamOps.funnelStream(in.toDS(),
+        ttlMs = 60L * 86400L * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // three batches split by global event time — per-key event-time
+      // order holds across the boundaries
+      val sorted = fixtureEvents
+      val (a, rest) = sorted.splitAt(sorted.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 3)
+      Seq(a, b, c).foreach { batch =>
+        in.addData(batch); q.processAllAvailable()
+      }
+      // changelog compaction: per user the depth only grows and step
+      // times never change once set, so the max-depth row IS the latest
+      // (order-independent — memory-sink row order is not contractual)
+      val streamed = spark.table(name)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._5) }
+        .toSeq.sortBy(_._1)
+      val batch = EventOps.funnelSteps(spark, SF)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(streamed == batch)
+      // at least one user's funnel must progress across a boundary
+      // (multiple emitted rows with different depths)
+      val multi = spark.table(name)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).values.filter(_.map(_._5).distinct.size > 1)
+      assert(multi.nonEmpty, "no cross-batch funnel progression")
+    } finally q.stop()
+  }
+
   test("as-of click state evicts past the event-time TTL") {
     val day = 86400L * 1000000000L // ns
     // user 1 clicks at day 0 and purchases at day 1 (attributed);
