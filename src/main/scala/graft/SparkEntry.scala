@@ -90,6 +90,7 @@ object SparkEntry {
     "rollupRevenue"       -> (RelOps.rollupRevenue _),
     "distinctUsers"       -> (RelOps.distinctUsers _),
     "hllDistinctUsers"    -> (RelOps.hllDistinctUsers _),
+    "hllRollingUsers"     -> (RelOps.hllRollingUsers _),
     "q14PromoShare"       -> (RelOps.q14PromoShare _),
     "q7VolumeShipping"    -> (RelOps.q7VolumeShipping _),
     "q10Returns"          -> (RelOps.q10Returns _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "rollupRevenue"       -> OracleSqlRel.rollupRevenue,
     "distinctUsers"       -> OracleSqlRel.distinctUsers,
     "hllDistinctUsers"    -> OracleSqlRel.hllDistinctUsers,
+    "hllRollingUsers"     -> OracleSqlRel.hllRollingUsers,
     "q14PromoShare"       -> OracleSqlRel.q14PromoShare,
     "q7VolumeShipping"    -> OracleSqlRel.q7VolumeShipping,
     "q10Returns"          -> OracleSqlRel.q10Returns,

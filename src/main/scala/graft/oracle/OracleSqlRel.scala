@@ -130,6 +130,67 @@ object OracleSqlRel {
       |FROM sx JOIN ex ON sx.event_type = ex.event_type""".stripMargin
   }
 
+  /** Rolling-HLL mirror ([[graft.pipeline.RelOps.hllRollingUsers]]):
+    * identical per-day registers, RANGE(-6..0) merge on the day
+    * ordinal, identical integer s per day → identical double divide. */
+  val hllRollingUsers: String = {
+    val numerator = 0.709 * 4096.0 * 1.8014398509481984e16
+    s"""WITH ev AS (
+      |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day
+      |  FROM events
+      |),
+      |hv AS (
+      |  SELECT day, user_id,
+      |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) AS h
+      |  FROM ev
+      |),
+      |w0 AS (SELECT day, h, h // 64 AS w FROM hv),
+      |m1 AS (SELECT day, h, (w | (w >> 1))  AS w FROM w0),
+      |m2 AS (SELECT day, h, (w | (w >> 2))  AS w FROM m1),
+      |m4 AS (SELECT day, h, (w | (w >> 4))  AS w FROM m2),
+      |m8 AS (SELECT day, h, (w | (w >> 8))  AS w FROM m4),
+      |m16 AS (SELECT day, h, (w | (w >> 16)) AS w FROM m8),
+      |m32 AS (SELECT day, h, (w | (w >> 32)) AS w FROM m16),
+      |rv AS (
+      |  SELECT day, h % 64 AS bucket,
+      |         LEAST(55 - bit_count(w), 54) AS rho
+      |  FROM m32
+      |),
+      |regs AS (SELECT day, bucket, MAX(rho) AS mj FROM rv GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.day, b.bucket
+      |  FROM (SELECT DISTINCT day FROM ev) d
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+      |),
+      |mg AS (
+      |  SELECT g.day,
+      |         MAX(r.mj) OVER (PARTITION BY g.bucket ORDER BY g.day
+      |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mmj
+      |  FROM grid g LEFT JOIN regs r
+      |    ON g.day = r.day AND g.bucket = r.bucket
+      |),
+      |sx AS (
+      |  SELECT day,
+      |         CAST(SUM(CAST(1 AS BIGINT) <<
+      |           CAST(54 - COALESCE(mmj, 0) AS INTEGER)) AS BIGINT) AS s
+      |  FROM mg GROUP BY 1
+      |),
+      |ex AS (
+      |  SELECT wday AS day, COUNT(DISTINCT user_id) AS exact
+      |  FROM (SELECT user_id,
+      |          unnest(generate_series(day, day + 6)) AS wday
+      |        FROM ev) e
+      |  JOIN (SELECT DISTINCT day FROM ev) d ON e.wday = d.day
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(sx.day AS BIGINT) AS day,
+      |       CAST(ROUND($numerator / CAST(sx.s AS DOUBLE)
+      |         * 1000000.0) AS BIGINT) AS est_micro,
+      |       ex.exact
+      |FROM sx JOIN ex ON sx.day = ex.day""".stripMargin
+  }
+
   val q14PromoShare: String =
     """WITH j AS (
       |  SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m')

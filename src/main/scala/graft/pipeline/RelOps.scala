@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -151,6 +152,69 @@ object RelOps {
       .agg(countDistinct(col("user_id")).as("exact"))
     sExact.join(exact, Seq("event_type"))
       .select(col("event_type"),
+        round(lit(numerator) / col("s").cast("double") * lit(1000000.0))
+          .cast("long").as("est_micro"),
+        col("exact"))
+  }
+
+  /** ROLLING 7-DAY DISTINCT USERS via MERGED per-day HLL sketches — the
+    * statement of WHY sketches, not exact sets, are the 100 TB
+    * aggregation pattern: per-day registers are tiny (64 longs),
+    * partial-aggregable map-side, and MERGE by a plain `max` per bucket,
+    * so a rolling window over days recombines daily sketches without
+    * ever re-touching the raw events — the nightly-batch sketch-merge
+    * every large-scale uniques pipeline runs. Same md5-based register
+    * computation as [[hllDistinctUsers]] (exact bit-smear ρ, both
+    * engines replay it bit-for-bit); the estimate divides identical
+    * integers in both engines, so the float is cross-engine stable.
+    *
+    * The merge window is RANGE-framed on the day ordinal (−6..0), so
+    * absent days cost nothing and partial leading windows are
+    * well-defined. The exact rolling baseline rides along for
+    * parity/quality reading: it joins each event into the ≤7 day-windows
+    * it influences (the [[graft.pipeline.EventOps.rangeJoinRecentErrors]]
+    * explode-into-buckets shape, O(7·|events|)) — at 100 TB you would
+    * ship ONLY the sketch path; the baseline column is the demonstration
+    * that the estimate tracks truth. Output per active day:
+    * (day, est_micro, exact). */
+  def hllRollingUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 64
+    val h = graft.functions.HashFns.hash60(col("user_id").cast("string"))
+    val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("w")) {
+      (acc, s) => acc.bitwiseOR(shiftright(acc, s))
+    }
+    val rho = least(lit(55L) - bit_count(smear).cast("long"), lit(54L))
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000")
+        .as("day"))
+    // per-(day, bucket) register: one hash aggregate, map-side partials
+    val regs = ev.withColumn("h", h)
+      .withColumn("w", expr("h div 64"))
+      .select(col("day"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    // dense (day × bucket) grid so empty registers merge as ρ=0
+    val days = ev.select(col("day")).distinct()
+    val grid = days.crossJoin(spark.range(m).select(col("id").as("bucket")))
+    val merged = grid.join(regs, Seq("day", "bucket"), "left")
+      .withColumn("mmj", max(col("mj")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("day"))
+          .rangeBetween(-6, 0)))
+      .select(col("day"),
+        expr("shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(54 - coalesce(mmj, 0) AS INT))").as("term"))
+      .groupBy(col("day")).agg(sum(col("term")).as("s"))
+    val numerator = 0.709 * 4096.0 * 1.8014398509481984e16
+    // exact rolling baseline: each event influences ≤7 day-windows
+    val exact = ev
+      .withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+      .join(days.withColumnRenamed("day", "wday"), Seq("wday"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .withColumnRenamed("wday", "day")
+    merged.join(exact, Seq("day"))
+      .select(col("day"),
         round(lit(numerator) / col("s").cast("double") * lit(1000000.0))
           .cast("long").as("est_micro"),
         col("exact"))

@@ -51,6 +51,19 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("hllRollingUsers merges daily sketches within tolerance") {
+    val rows = RelOps.hllRollingUsers(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.size >= 25) // one row per active day of the 30-day span
+    rows.foreach { case (day, estMicro, exact) =>
+      assert(exact > 0)
+      assert(math.abs(estMicro / 1e6 - exact) / exact <= 0.4,
+        s"day $day: est ${estMicro / 1e6} vs exact $exact")
+    }
+    // full 7-day windows must see a large share of the 150-user pool
+    assert(rows.map(_._3).max >= 100)
+  }
+
   test("eventsHourly buckets cover the event range with exact counts") {
     val rows = RelOps.eventsHourly(spark, SF)
       .as[(Long, String, Long, Long)].collect().toSeq
