@@ -91,6 +91,7 @@ object SparkEntry {
     "distinctUsers"       -> (RelOps.distinctUsers _),
     "hllDistinctUsers"    -> (RelOps.hllDistinctUsers _),
     "hllRollingUsers"     -> (RelOps.hllRollingUsers _),
+    "thetaOverlapUsers"   -> (RelOps.thetaOverlapUsers _),
     "q14PromoShare"       -> (RelOps.q14PromoShare _),
     "q7VolumeShipping"    -> (RelOps.q7VolumeShipping _),
     "q10Returns"          -> (RelOps.q10Returns _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "distinctUsers"       -> OracleSqlRel.distinctUsers,
     "hllDistinctUsers"    -> OracleSqlRel.hllDistinctUsers,
     "hllRollingUsers"     -> OracleSqlRel.hllRollingUsers,
+    "thetaOverlapUsers"   -> OracleSqlRel.thetaOverlapUsers,
     "q14PromoShare"       -> OracleSqlRel.q14PromoShare,
     "q7VolumeShipping"    -> OracleSqlRel.q7VolumeShipping,
     "q10Returns"          -> OracleSqlRel.q10Returns,

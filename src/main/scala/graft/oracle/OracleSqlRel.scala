@@ -191,6 +191,62 @@ object OracleSqlRel {
       |FROM sx JOIN ex ON sx.day = ex.day""".stripMargin
   }
 
+  /** Theta-overlap mirror ([[graft.pipeline.RelOps.thetaOverlapUsers]]):
+    * same k-smallest KMV samples (window-ranked here — the oracle does
+    * not need the bounded aggregate), same θ = min rule with the
+    * exact-side fallback, same integer match count and single double
+    * multiply. */
+  val thetaOverlapUsers: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |hv AS (
+      |  SELECT event_type, user_id,
+      |         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) AS h
+      |  FROM tu
+      |),
+      |r AS (
+      |  SELECT event_type, h,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+      |           AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM hv
+      |),
+      |sk AS (SELECT event_type, h, rn, n FROM r WHERE rn <= 128),
+      |th AS (
+      |  SELECT event_type,
+      |         CASE WHEN MAX(n) >= 128
+      |              THEN MAX(CASE WHEN rn = 128 THEN h END)
+      |              ELSE 1152921504606846976 END AS theta
+      |  FROM sk GROUP BY 1
+      |),
+      |mm AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         LEAST(ta.theta, tb.theta) AS theta,
+      |         CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM sk a
+      |  JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+      |  JOIN th ta ON ta.event_type = a.event_type
+      |  JOIN th tb ON tb.event_type = b.event_type
+      |  WHERE a.h < LEAST(ta.theta, tb.theta)
+      |  GROUP BY 1, 2, 3
+      |),
+      |ex AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         COUNT(DISTINCT a.user_id) AS exact
+      |  FROM tu a
+      |  JOIN tu b ON a.user_id = b.user_id
+      |            AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ex.type_a, ex.type_b,
+      |       CAST(ROUND(COALESCE(mm.m, 0)
+      |         * (CAST(1152921504606846976 AS DOUBLE)
+      |            / CAST(COALESCE(mm.theta, 1152921504606846976) AS DOUBLE))
+      |         * 1000000.0) AS BIGINT) AS est_micro,
+      |       ex.exact
+      |FROM ex LEFT JOIN mm
+      |  ON ex.type_a = mm.type_a AND ex.type_b = mm.type_b""".stripMargin
+
   val q14PromoShare: String =
     """WITH j AS (
       |  SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m')

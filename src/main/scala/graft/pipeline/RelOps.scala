@@ -220,6 +220,78 @@ object RelOps {
         col("exact"))
   }
 
+  /** Theta-sketch bound: retained-sample size per event-type sketch. */
+  val ThetaK: Int = 128
+
+  /** Hash space size of [[graft.functions.HashFns.hash60]] (2^60) —
+    * exactly representable as a double in both engines. */
+  val ThetaU: Long = 1152921504606846976L
+
+  /** AUDIENCE OVERLAP via THETA (KMV) SKETCHES: estimated distinct-user
+    * intersection for every event-type pair — the set operation HLL
+    * cannot do (HLL unions; theta sketches intersect). Per type the
+    * sketch is the [[ThetaK]] SMALLEST md5 hashes of its distinct
+    * users (a KMV sample; Beyer et al. 2007 "On Synopses for Distinct-
+    * Value Estimation under Multiset Operations"); for a pair, θ =
+    * min(θ_a, θ_b) (θ_t = k-th smallest, or the full 2^60 space when
+    * the type has < k users — then its side is exact), and the estimate
+    * is |{h ∈ S_a ∩ S_b : h < θ}| · (2^60/θ): integer hash arithmetic
+    * throughout, one double multiply of identical integers at the end.
+    *
+    * Scale shape: the k-smallest sample per type is the bounded
+    * [[graft.functions.TopKAgg]] aggregate (O(k) buffer per map
+    * partition, map-side partial trim — never a per-type sort of the
+    * distinct-user relation); after sketching, everything operates on
+    * ≤ 5·k rows. The exact baseline (distinct users in BOTH types)
+    * rides along for quality reading via one co-partitioned self-join
+    * on the user key. Output (type_a, type_b, est_micro, exact),
+    * type_a < type_b. */
+  def thetaOverlapUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val tu = events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", graft.functions.HashFns.hash60(
+        col("user_id").cast("string")))
+    // k smallest hashes per type: bounded top-k of the NEGATED hash
+    val sket = tu.groupBy(col("event_type"))
+      .agg(
+        graft.functions.TopKAgg.topK(spark, col("h") * lit(-1L), ThetaK)
+          .as("negs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("transform(negs, x -> -x)").as("hs"), // ascending h
+        when(col("n") >= ThetaK,
+          expr(s"element_at(transform(negs, x -> -x), $ThetaK)"))
+          .otherwise(lit(ThetaU)).as("theta"),
+        col("n"))
+    val a = sket.select(col("event_type").as("type_a"),
+      col("hs").as("hs_a"), col("theta").as("th_a"))
+    val b = sket.select(col("event_type").as("type_b"),
+      col("hs").as("hs_b"), col("theta").as("th_b"))
+    // 5 types ⇒ 10 pairs of ≤k-element arrays: trivially broadcastable
+    val pairs = a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("theta", least(col("th_a"), col("th_b")))
+      .select(col("type_a"), col("type_b"), col("theta"),
+        explode(col("hs_a")).as("h"), col("hs_b"))
+      .where(col("h") < col("theta") &&
+        array_contains(col("hs_b"), col("h")))
+      .groupBy(col("type_a"), col("type_b"), col("theta"))
+      .agg(count(lit(1)).as("m"))
+    val exact = tu.select(col("event_type").as("type_a"),
+        col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    pairs.join(exact, Seq("type_a", "type_b"), "right")
+      .select(col("type_a"), col("type_b"),
+        round(coalesce(col("m"), lit(0L)).cast("double") *
+          (lit(ThetaU).cast("double") /
+            coalesce(col("theta"), lit(ThetaU)).cast("double")) *
+          lit(1000000.0)).cast("long").as("est_micro"),
+        col("exact"))
+  }
+
   /** TPC-H Q1-shaped pricing summary: the canonical scan-heavy
     * aggregate — one pass over lineitem with the shipdate predicate on
     * the scan (parquet pushdown), per-row micro-unit conversion, then a

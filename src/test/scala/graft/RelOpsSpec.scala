@@ -64,6 +64,26 @@ class RelOpsSpec extends SparkSpec {
     assert(rows.map(_._3).max >= 100)
   }
 
+  test("thetaOverlapUsers estimates pair overlap within KMV tolerance") {
+    val rows = RelOps.thetaOverlapUsers(spark, "/root/testdata/sf0.01")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(rows.size == 10) // C(5,2) event-type pairs
+    rows.foreach { case (a, b, estMicro, exact) =>
+      assert(a < b)
+      assert(exact > 0)
+      // k=128 KMV at ~150 distincts/side: generous 3-sigma-ish bound
+      assert(math.abs(estMicro / 1e6 - exact) / exact <= 0.5,
+        s"$a/$b: est ${estMicro / 1e6} vs exact $exact")
+    }
+    // sf0.001 has 15 users/type < k: the sketch IS the set — exact
+    val small = RelOps.thetaOverlapUsers(spark, SF)
+      .as[(String, String, Long, Long)].collect().toSeq
+    small.foreach { case (a, b, estMicro, exact) =>
+      assert(estMicro == exact * 1000000L,
+        s"$a/$b: sub-k sketch must be exact")
+    }
+  }
+
   test("eventsHourly buckets cover the event range with exact counts") {
     val rows = RelOps.eventsHourly(spark, SF)
       .as[(Long, String, Long, Long)].collect().toSeq
