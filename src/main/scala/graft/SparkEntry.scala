@@ -114,6 +114,7 @@ object SparkEntry {
     "retentionCohorts"    -> (EventOps.retentionCohorts _),
     "activityGapfill"     -> (EventOps.activityGapfill _),
     "anomalousHours"      -> (EventOps.anomalousHours _),
+    "eventHistoryScd2"    -> (EventOps.eventHistoryScd2 _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -210,5 +211,6 @@ object SparkEntry {
     "retentionCohorts"    -> OracleSqlRel.retentionCohorts,
     "activityGapfill"     -> OracleSqlRel.activityGapfill,
     "anomalousHours"      -> OracleSqlRel.anomalousHours,
+    "eventHistoryScd2"    -> OracleSqlRel.eventHistoryScd2,
   )
 }

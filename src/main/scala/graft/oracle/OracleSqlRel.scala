@@ -659,6 +659,22 @@ object OracleSqlRel {
       |                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM win WHERE n = 24""".stripMargin
 
+  /** SCD2 mirror ([[graft.pipeline.EventOps.eventHistoryScd2]]): same
+    * per-user (tus, event_id) order, same lead-based validity window. */
+  val eventHistoryScd2: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, event_type,
+      |       CAST(tus AS BIGINT) AS valid_from_tus,
+      |       CAST(COALESCE(lead(tus) OVER w, -1) AS BIGINT)
+      |         AS valid_to_tus,
+      |       CAST(CASE WHEN lead(tus) OVER w IS NULL THEN 1 ELSE 0 END
+      |         AS BIGINT) AS is_current
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin
+
   /** JSON-props mirror ([[graft.pipeline.EventOps.jsonPropsStats]]):
     * same `$.k` path extraction, per-type aggregates. */
   val jsonPropsStats: String =

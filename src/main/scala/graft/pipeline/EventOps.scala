@@ -306,6 +306,31 @@ object EventOps {
         countDistinct(col("k")).as("k_distinct"),
         max(col("k")).as("k_max"))
 
+  /** SCD TYPE-2 HISTORY: the full validity-interval form of the CDC
+    * surface ([[latestEventState]] is the Type-1 compaction) — one row
+    * per event carrying its validity window: valid_from = the event's
+    * µs time, valid_to = the user's NEXT event time (-1 while current),
+    * is_current flag. This is the warehouse "as of any time T" table: a
+    * point-in-time join needs only `valid_from ≤ T < valid_to`.
+    *
+    * Plan: one shuffle on the user key + a per-user ordered `lead` —
+    * the window order carries event_id so equal-µs successions are a
+    * total order in both engines. Per-user partitions scale with user
+    * activity, not corpus count. */
+  def eventHistoryScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    RelOps.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("tus"), 1).over(byUser))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("tus").as("valid_from_tus"),
+        coalesce(col("nxt"), lit(-1L)).as("valid_to_tus"),
+        when(col("nxt").isNull, lit(1L)).otherwise(lit(0L))
+          .as("is_current"))
+  }
+
   /** CDC-style latest-state compaction: ONE row per user carrying the
     * latest event by (ts, event_id) plus the user's event count — the
     * "current state" materialization a changelog consumer ships (the

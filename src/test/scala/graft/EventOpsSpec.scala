@@ -193,6 +193,24 @@ class EventOpsSpec extends SparkSpec {
     assert(got.values.exists(_ == 0L), "gap-fill must emit zero rows")
   }
 
+  test("eventHistoryScd2 chains validity intervals per user") {
+    val got = EventOps.eventHistoryScd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == byUser.values.map(_.size).sum)
+    got.groupBy(_._1).foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      // intervals chain: each valid_to = next valid_from; exactly one
+      // current row per user, and it is the (tus, event_id) max
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a._5 == b._4 && a._6 == 0L, s"user $uid")
+      }
+      assert(ordered.last._5 == -1L && ordered.last._6 == 1L)
+      val want = byUser(uid).maxBy(e => (e._2 / 1000L, e._1))
+      assert(ordered.last._2 == want._1)
+    }
+  }
+
   test("anomalousHours equals the naive integer 3-sigma scan") {
     val hourUs = EventOps.HourUs
     val all = byUser.values.flatten.toSeq
