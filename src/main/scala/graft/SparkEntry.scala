@@ -115,6 +115,7 @@ object SparkEntry {
     "activityGapfill"     -> (EventOps.activityGapfill _),
     "anomalousHours"      -> (EventOps.anomalousHours _),
     "eventHistoryScd2"    -> (EventOps.eventHistoryScd2 _),
+    "stateAsOfMidmonth"   -> (EventOps.stateAsOfMidmonth _),
     // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
     // No oracleSql entry: LBFGS float reduction order is
     // partition-dependent, so the driver records a rows-only check.
@@ -212,5 +213,6 @@ object SparkEntry {
     "activityGapfill"     -> OracleSqlRel.activityGapfill,
     "anomalousHours"      -> OracleSqlRel.anomalousHours,
     "eventHistoryScd2"    -> OracleSqlRel.eventHistoryScd2,
+    "stateAsOfMidmonth"   -> OracleSqlRel.stateAsOfMidmonth,
   )
 }

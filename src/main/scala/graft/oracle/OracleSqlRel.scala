@@ -659,6 +659,25 @@ object OracleSqlRel {
       |                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM win WHERE n = 24""".stripMargin
 
+  /** As-of-T mirror ([[graft.pipeline.EventOps.stateAsOfMidmonth]]):
+    * same filtered (tus, event_id) argmax at T = 2024-01-15T00:00:00Z. */
+  val stateAsOfMidmonth: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type
+      |  FROM events
+      |  WHERE epoch_ns(ts) // 1000 <= 1705276800000000
+      |),
+      |r AS (
+      |  SELECT user_id, tus, event_id, event_type,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY tus DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(tus AS BIGINT) AS tus, event_id, event_type,
+      |       CAST(n AS BIGINT) AS n_events_to_t
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** SCD2 mirror ([[graft.pipeline.EventOps.eventHistoryScd2]]): same
     * per-user (tus, event_id) order, same lead-based validity window. */
   val eventHistoryScd2: String =

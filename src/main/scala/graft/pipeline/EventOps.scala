@@ -331,6 +331,33 @@ object EventOps {
           .as("is_current"))
   }
 
+  /** Point-in-time probe: 2024-01-15T00:00:00Z in epoch microseconds
+    * (mid-span of the 30-day fixture). */
+  val MidmonthTus: Long = 1705276800L * 1000000L
+
+  /** POINT-IN-TIME STATE (the as-of-T read the SCD2 table exists for):
+    * each user's latest event at-or-before [[MidmonthTus]], plus their
+    * event count up to T. Semantically ≡ filtering
+    * [[eventHistoryScd2]] to `valid_from ≤ T < valid_to` (pinned by
+    * EventOpsSpec) — but PLANNED as the [[latestEventState]] shape with
+    * the time predicate pushed to the scan: one filtered pass, one
+    * `max(struct)` hash aggregate with map-side partials, no window, no
+    * history materialization. At 100 TB this is the difference between
+    * touching the events at-or-before T once and sorting every user's
+    * full history. */
+  def stateAsOfMidmonth(spark: SparkSession, sfDir: String): DataFrame =
+    RelOps.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"))
+      .where(col("tus") <= lit(MidmonthTus))
+      .select(col("user_id"), struct(col("tus"), col("event_id"),
+        col("event_type")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(max(col("s")).as("m"), count(lit(1)).as("n_events_to_t"))
+      .select(col("user_id"), col("m.tus").as("tus"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("n_events_to_t"))
+
   /** CDC-style latest-state compaction: ONE row per user carrying the
     * latest event by (ts, event_id) plus the user's event count — the
     * "current state" materialization a changelog consumer ships (the

@@ -211,6 +211,33 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("stateAsOfMidmonth equals the SCD2 interval read at T") {
+    val T = EventOps.MidmonthTus
+    // the as-of read the SCD2 table defines: the row whose validity
+    // interval contains T
+    val viaScd2 = EventOps.eventHistoryScd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+      .filter { case (_, _, _, from, to) =>
+        from <= T && (to == -1L || to > T) }
+      .map { case (uid, eid, typ, from, _) => (uid, from, eid, typ) }
+      .toSeq.sortBy(_._1)
+    val got = EventOps.stateAsOfMidmonth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == viaScd2)
+    // T is mid-span: some users' state is NOT their final state
+    val finalState = EventOps.latestEventState(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.exists { case (uid, _, eid, _) => finalState(uid) != eid })
+    // count column: events at-or-before T only
+    val counts = EventOps.stateAsOfMidmonth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    counts.foreach { case (uid, n) =>
+      assert(n == byUser(uid).count(_._2 / 1000L <= T))
+    }
+  }
+
   test("anomalousHours equals the naive integer 3-sigma scan") {
     val hourUs = EventOps.HourUs
     val all = byUser.values.flatten.toSeq
