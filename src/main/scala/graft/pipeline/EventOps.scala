@@ -347,9 +347,13 @@ object EventOps {
     * full history. */
   def stateAsOfMidmonth(spark: SparkSession, sfDir: String): DataFrame =
     RelOps.events(spark, sfDir)
+      // the at-or-before-T predicate on the RAW ns column so it reaches
+      // the parquet scan as a pushed range filter (ts div 1000 ≤ T ⇔
+      // ts < (T+1)·1000 for non-negative epoch ns); filtering the
+      // µs-derived column instead would evaluate post-scan
+      .where(col("ts") < lit((MidmonthTus + 1L) * 1000L))
       .select(col("user_id"), expr("ts div 1000").as("tus"),
         col("event_id"), col("event_type"))
-      .where(col("tus") <= lit(MidmonthTus))
       .select(col("user_id"), struct(col("tus"), col("event_id"),
         col("event_type")).as("s"))
       .groupBy(col("user_id"))
