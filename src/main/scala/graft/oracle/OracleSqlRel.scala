@@ -580,6 +580,33 @@ object OracleSqlRel {
       |                 ELSE 0 END AS BIGINT) AS depth
       |FROM u""".stripMargin
 
+  /** Conversion-latency mirror
+    * ([[graft.pipeline.EventOps.conversionLatency]]): the funnel oracle
+    * as a derived table, then the same histogram rank-pick. */
+  val conversionLatency: String =
+    s"""WITH lat AS (
+       |  SELECT (purchase_tus - view_tus) // 1000000 AS sec
+       |  FROM ($funnelSteps) fu WHERE depth = 3
+       |),
+       |h AS (SELECT sec, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM lat GROUP BY 1),
+       |c AS (
+       |  SELECT sec, cnt,
+       |         SUM(cnt) OVER (ORDER BY sec
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         SUM(cnt) OVER () AS n
+       |  FROM h
+       |)
+       |SELECT CAST(SUM(cnt) AS BIGINT) AS n_conversions,
+       |       CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN sec END)
+       |         AS BIGINT) AS p50_sec,
+       |       CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN sec END)
+       |         AS BIGINT) AS p90_sec,
+       |       CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN sec END)
+       |         AS BIGINT) AS p99_sec,
+       |       CAST(MAX(sec) AS BIGINT) AS max_sec
+       |FROM c""".stripMargin
+
   /** Retention-cohort mirror ([[graft.pipeline.EventOps.retentionCohorts]]):
     * first-signup epoch-day cohort × active-day offset × distinct users. */
   val retentionCohorts: String =

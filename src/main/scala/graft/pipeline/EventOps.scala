@@ -331,6 +331,38 @@ object EventOps {
           .as("is_current"))
   }
 
+  /** CONVERSION LATENCY QUANTILES: exact p50/p90/p99 of the
+    * view→purchase latency (whole seconds) over fully-converted funnel
+    * users — the "how long does conversion take" product statistic,
+    * with the engine's exact-quantile discipline: the element AT a rank
+    * (engines never disagree on that) rather than float interpolation
+    * (they do). Same bounded-histogram rank-pick as the length-quantile
+    * operator: aggregate to (latency_sec, count) first — the histogram
+    * is bounded by the latency DOMAIN, not the user count — then one
+    * cumulative window over the histogram only. Output one row:
+    * (n_conversions, p50_sec, p90_sec, p99_sec, max_sec). */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val lat = funnelSteps(spark, sfDir)
+      .where(col("depth") === 3L)
+      .select(expr("(purchase_tus - view_tus) div 1000000").as("sec"))
+      .groupBy(col("sec")).agg(count(lit(1)).as("cnt"))
+    lat
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("sec").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(lit(1))))
+      .agg(
+        sum(col("cnt")).as("n_conversions"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("sec")))
+          .as("p50_sec"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("sec")))
+          .as("p90_sec"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("sec")))
+          .as("p99_sec"),
+        max(col("sec")).as("max_sec"))
+  }
+
   /** Point-in-time probe: 2024-01-15T00:00:00Z in epoch microseconds
     * (mid-span of the 30-day fixture). */
   val MidmonthTus: Long = 1705276800L * 1000000L

@@ -159,6 +159,30 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("conversionLatency equals the naive rank-picked quantiles") {
+    // replay the funnel model, keep full conversions, rank-pick
+    val lats = byUser.toSeq.flatMap { case (_, evs) =>
+      val f = evs.filter(e =>
+        e._3 == "view" || e._3 == "click" || e._3 == "purchase")
+      val v = f.filter(_._3 == "view").map(_._2 / 1000L).minOption
+      val c = v.flatMap(vt => f.filter(e => e._3 == "click" &&
+        e._2 / 1000L >= vt).map(_._2 / 1000L).minOption)
+      val p = c.flatMap(ct => f.filter(e => e._3 == "purchase" &&
+        e._2 / 1000L >= ct).map(_._2 / 1000L).minOption)
+      for (vt <- v; pt <- p) yield (pt - vt) / 1000000L
+    }.sorted
+    val n = lats.size.toLong
+    def at(rank: Long): Long = lats((rank - 1).toInt)
+    val r = EventOps.conversionLatency(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == at((n + 1) / 2))
+    assert(r.getLong(2) == at((9 * n + 9) / 10))
+    assert(r.getLong(3) == at((99 * n + 99) / 100))
+    assert(r.getLong(4) == lats.max)
+    assert(lats.nonEmpty && r.getLong(1) <= r.getLong(2) &&
+      r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+  }
+
   test("retentionCohorts equals the naive cohort × active-day count") {
     val dayUs = EventOps.DayUs
     val want = byUser.toSeq.flatMap { case (uid, evs) =>
