@@ -580,6 +580,36 @@ object OracleSqlRel {
       |                 ELSE 0 END AS BIGINT) AS depth
       |FROM u""".stripMargin
 
+  /** Cadence mirror ([[graft.pipeline.EventOps.userCadence]]): same
+    * per-user (tus, event_id)-ordered lag gaps, truncating divisions
+    * and cross-multiplied burstiness flag. */
+  val userCadence: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id
+      |  FROM events
+      |),
+      |g AS (
+      |  SELECT user_id,
+      |         tus - lag(tus) OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id) AS gap
+      |  FROM e
+      |),
+      |a AS (
+      |  SELECT user_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+      |         CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+      |         CAST(MAX(gap) AS BIGINT) AS max_gap_us
+      |  FROM g GROUP BY 1
+      |)
+      |SELECT user_id, n_events,
+      |       CAST((sum_gap_us // n_gaps) // 1000000 AS BIGINT)
+      |         AS mean_gap_sec,
+      |       CAST(max_gap_us // 1000000 AS BIGINT) AS max_gap_sec,
+      |       CAST(CASE WHEN max_gap_us * n_gaps > 4 * sum_gap_us
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS bursty
+      |FROM a WHERE n_gaps > 0""".stripMargin
+
   /** Conversion-latency mirror
     * ([[graft.pipeline.EventOps.conversionLatency]]): the funnel oracle
     * as a derived table, then the same histogram rank-pick. */

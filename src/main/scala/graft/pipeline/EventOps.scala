@@ -331,6 +331,38 @@ object EventOps {
           .as("is_current"))
   }
 
+  /** PER-USER CADENCE FEATURES — the behavioral-signature extraction an
+    * abuse/bot-detection pipeline feeds a model: per user, the count,
+    * mean and max of inter-event gaps (whole seconds, truncating µs
+    * arithmetic) and a burstiness flag (max gap > 4× mean gap on the
+    * exact µs values — cross-multiplied, no division). A metronomic bot
+    * shows near-zero gap variance; a human shows bursts.
+    *
+    * Plan: one shuffle on the user key, a per-user ordered `lag`, one
+    * hash aggregate — the sessionize shape without the island labels. */
+  def userCadence(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    RelOps.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"))
+      .withColumn("gap",
+        col("tus") - lag(col("tus"), 1).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        sum(col("gap")).as("sum_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .where(col("n_gaps") > 0)
+      .select(col("user_id"), col("n_events"),
+        expr("(sum_gap_us div n_gaps) div 1000000").as("mean_gap_sec"),
+        expr("max_gap_us div 1000000").as("max_gap_sec"),
+        // max > 4·mean ⇔ max·n_gaps > 4·sum — exact integers
+        when(col("max_gap_us") * col("n_gaps") >
+          lit(4L) * col("sum_gap_us"), lit(1L)).otherwise(lit(0L))
+          .as("bursty"))
+  }
+
   /** CONVERSION LATENCY QUANTILES: exact p50/p90/p99 of the
     * view→purchase latency (whole seconds) over fully-converted funnel
     * users — the "how long does conversion take" product statistic,

@@ -183,6 +183,23 @@ class EventOpsSpec extends SparkSpec {
       r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
   }
 
+  test("userCadence equals the naive per-user gap scan") {
+    val want = byUser.toSeq.flatMap { case (uid, evs) =>
+      val tus = evs.sortBy(e => (e._2 / 1000L, e._1)).map(_._2 / 1000L)
+      val gaps = tus.zip(tus.tail).map { case (a, b) => b - a }
+      if (gaps.isEmpty) None
+      else Some((uid, evs.size.toLong,
+        gaps.sum / gaps.size / 1000000L,
+        gaps.max / 1000000L,
+        if (gaps.max * gaps.size > 4L * gaps.sum) 1L else 0L))
+    }.sortBy(_._1)
+    val got = EventOps.userCadence(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
+
   test("retentionCohorts equals the naive cohort × active-day count") {
     val dayUs = EventOps.DayUs
     val want = byUser.toSeq.flatMap { case (uid, evs) =>
