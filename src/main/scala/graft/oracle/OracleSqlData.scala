@@ -102,6 +102,75 @@ object OracleSqlData {
        |) WHERE jac_micro >= 500000""".stripMargin
   }
 
+  /** Recall-eval mirror ([[graft.pipeline.DataOps.minhashRecallEval]]):
+    * same hash sample, complete common-shingle ground truth, and the
+    * dedupMinhash signature/band candidates restricted to the sample
+    * (string band keys here vs the engine's 64-bit band hash — identical
+    * pair sets except under a ~2^-64 collision, the documented
+    * with-high-probability contract). */
+  val minhashRecallEval: String = {
+    val k = DataOps.MinhashK
+    s"""WITH $wrdsCte,
+       |$shCte,
+       |sub AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE ${h60("'recall:' || doc_id")} % 5 = 0
+       |),
+       |shs AS (SELECT sh.doc_id, sh.sh FROM sh JOIN sub USING (doc_id)),
+       |nsh AS (SELECT doc_id, COUNT(*) AS nsh FROM shs GROUP BY 1),
+       |tr AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM shs sa JOIN shs sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM tr
+       |  JOIN nsh na ON na.doc_id = tr.doc_a
+       |  JOIN nsh nb ON nb.doc_id = tr.doc_b
+       |  WHERE CAST(ROUND(CAST(inter AS DOUBLE) /
+       |    CAST(na.nsh + nb.nsh - inter AS DOUBLE) * $MIC) AS BIGINT)
+       |    >= 500000
+       |),
+       |shh AS (SELECT doc_id, ${h60("sh")} % $P AS hp FROM shs),
+       |perm AS (SELECT unnest(range(0, $k)) AS i),
+       |sig AS (
+       |  SELECT s.doc_id, p.i,
+       |         MIN(((((2 * p.i + 1) * 2654435761) % $P) * s.hp +
+       |              ((p.i * 2246822519) % $P)) % $P) AS m
+       |  FROM shh s CROSS JOIN perm p
+       |  GROUP BY 1, 2
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // ${DataOps.MinhashR} AS band,
+       |         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |),
+       |hit AS (
+       |  SELECT c.doc_a FROM cand c
+       |  JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |),
+       |agg AS (
+       |  SELECT (SELECT COUNT(*) FROM sub) AS n_docs,
+       |         (SELECT COUNT(*) FROM truth) AS n_true,
+       |         (SELECT COUNT(*) FROM cand) AS n_cand,
+       |         (SELECT COUNT(*) FROM hit) AS n_hit
+       |)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_true AS BIGINT) AS n_true,
+       |       CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(CASE WHEN n_true > 0 THEN (n_hit * 1000000) // n_true
+       |                 ELSE 1000000 END AS BIGINT) AS recall_micro,
+       |       CAST(CASE WHEN n_cand > 0 THEN (n_hit * 1000000) // n_cand
+       |                 ELSE 1000000 END AS BIGINT) AS precision_micro
+       |FROM agg""".stripMargin
+  }
+
   /** Connected components over the minhash pair graph via WITH RECURSIVE:
     * rep(doc) = min doc_id reachable through near-dup edges. */
   val dedupClusters: String =

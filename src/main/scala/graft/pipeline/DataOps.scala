@@ -157,6 +157,85 @@ object DataOps {
       sh, bands)
   }
 
+  /** Hard cap on the recall-evaluation sample: the eval computes the
+    * TRUE near-dup pair set (complete all-pairs-with-a-common-shingle
+    * ground truth), which is quadratic in the sample — sound for QC on
+    * a bounded sample, never a production dedup path. The assert makes
+    * a corpus-scaling sample fail loudly (the [[MaxAnnQueries]] /
+    * [[MaxBenchmarkGrams]] pattern). */
+  val MaxRecallEvalDocs: Long = 4096L
+
+  /** MinHash/LSH RECALL EVALUATION — the sketch-QC pass beside the
+    * dedup operator itself (as [[langConfusion]] is to [[langId]]): on
+    * a deterministic ~20% hash sample of documents, compare the banded
+    * LSH candidate pairs against the complete ground truth (every pair
+    * with exact Jaccard ≥ 0.5 — complete because J ≥ 0.5 implies a
+    * shared shingle, so the common-shingle join misses nothing).
+    * Output one row: (n_docs, n_true, n_cand, n_hit, recall_micro,
+    * precision_micro) — recall is the S-curve guarantee actually
+    * delivered on this corpus; precision is the verify-stage workload
+    * the bands admit.
+    *
+    * Candidate parity note: the engine's band buckets key on a 64-bit
+    * hash, the oracle's on the signature string — identical pair sets
+    * except under a ~2^-64 hash collision (same documented
+    * with-high-probability contract as [[dedupMinhash]]). */
+  def minhashRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    // deterministic sample, salt decorrelated from sampleByHash/strat
+    val ids = docs(spark, sfDir).select(col("doc_id"))
+      .where(pmod(graft.functions.HashFns.hash60(
+        concat(lit("recall:"), col("doc_id"))), lit(5L)) === 0L)
+    val n = ids.limit(MaxRecallEvalDocs.toInt + 1).count()
+    require(n <= MaxRecallEvalDocs,
+      s"recall-eval sample has >$MaxRecallEvalDocs docs — the all-pairs " +
+        "ground truth would go quadratic; shrink the sample rate")
+    val sh = shingleRows(spark, sfDir)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .withColumn("hp", hashP(col("sh")))
+      .persist()
+    // exact ground truth: common-shingle pairs + Jaccard >= 0.5
+    val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val truth = sh.as("sa").join(sh.as("sb"),
+        col("sa.sh") === col("sb.sh") &&
+          col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .where(round(col("inter").cast("double") /
+        (col("na.nsh") + col("nb.nsh") - col("inter")).cast("double") *
+        lit(MICRO)).cast("long") >= 500000L)
+      .select(col("doc_a"), col("doc_b"))
+    // LSH candidates: same signature/band plan as dedupMinhash
+    val mins = (0 until MinhashK).map(i =>
+      min(permHash(i, col("hp"))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandArr = array((0 until MinhashB).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until MinhashR).map(r =>
+          col(s"m${b * MinhashR + r}")): _*).as("bkey"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("bk"))
+      .select(col("doc_id"),
+        xxhash64(col("bk.band"), col("bk.bkey")).as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val out = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(lit(n).as("n_docs"), col("n_true"), col("n_cand"),
+        col("n_hit"),
+        expr("CASE WHEN n_true > 0 THEN (n_hit * 1000000) div n_true " +
+          "ELSE 1000000 END").as("recall_micro"),
+        expr("CASE WHEN n_cand > 0 THEN (n_hit * 1000000) div n_cand " +
+          "ELSE 1000000 END").as("precision_micro"))
+    finish(out, sh)
+  }
+
   /** Min-label connected components over an undirected edge list
     * (doc_a, doc_b): returns (doc_id, rep) for every node APPEARING IN AN
     * EDGE, rep = minimum id reachable — with O(log n) convergence and

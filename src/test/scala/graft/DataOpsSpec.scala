@@ -406,6 +406,20 @@ class DataOpsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.size > 1, got.map(_._3).mkString(","))
   }
 
+  test("minhashRecallEval grounds the LSH candidates in exact truth") {
+    val r = DataOps.minhashRecallEval(spark, SF).collect()(0)
+    val (nDocs, nTrue, nCand, nHit) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDocs > 0 && nDocs <= DataOps.MaxRecallEvalDocs)
+    assert(nHit <= math.min(nTrue, nCand))
+    assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+    // pinned fixture: the sampled near-dup pair exists and the bands
+    // catch it (deterministic given the fixed permutations)
+    assert(nTrue >= 1 && r.getLong(4) == 1000000L,
+      s"true=$nTrue recall=${r.getLong(4)}")
+  }
+
   test("vocabCoverage ranks the head with exact cumulative coverage") {
     val rows = DataOps.vocabCoverage(spark, SF)
       .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
