@@ -50,6 +50,9 @@ object SparkEntry {
     "dedupClusters"       -> (DataOps.dedupClusters _),
     "dedupSimhash"        -> (DataOps.dedupSimhash _),
     "dedupNgramSource"    -> (DataOps.dedupNgramSource _),
+    // fixture-proportionate run length; production default is 50
+    "dedupSubstring"      -> ((s: SparkSession, dir: String) =>
+      DataOps.dedupSubstring(s, dir, DataOps.SubstringRunFixture)),
     "dedupEmbed"          -> (DataOps.dedupEmbed _),
     "annBrute"            -> (DataOps.annBrute _),
     "annIvf"              -> (DataOps.annIvf _),
@@ -152,6 +155,7 @@ object SparkEntry {
     "dedupClusters"       -> OracleSqlData.dedupClusters,
     "dedupSimhash"        -> OracleSqlData.dedupSimhash,
     "dedupNgramSource"    -> OracleSqlData.dedupNgramSource,
+    "dedupSubstring"      -> OracleSqlData.dedupSubstring,
     "dedupEmbed"          -> OracleSqlData.dedupEmbed,
     "annBrute"            -> OracleSqlData.annBrute,
     "annIvf"              -> OracleSqlData.annIvf,

@@ -253,6 +253,56 @@ object OracleSqlData {
        |  JOIN ntok nb ON nb.doc_id = i.doc_b
        |) WHERE jac_micro >= 800000""".stripMargin
 
+  /** Substring-dedup mirror ([[DataOps.dedupSubstring]] at the fixture
+    * run length): same sliding g-token grams with 0-based positions,
+    * same hash60 fingerprints, same min-doc duplicated-occurrence rule
+    * and interval merge (new run when pos > lag(pos) + g). */
+  val dedupSubstring: String = {
+    val g = DataOps.SubstringRunFixture
+    s"""WITH $wrdsCte,
+       |gl AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+       |         CASE WHEN len(w) >= $g THEN
+       |           list_transform(range(1, len(w) - ${g - 2}),
+       |             i -> ${(0 until g).map(o => s"w[i+$o]").mkString(" || ' ' || ")})
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |occ0 AS (
+       |  SELECT doc_id, n_tok,
+       |         CAST(generate_subscripts(gs, 1) - 1 AS BIGINT) AS pos,
+       |         unnest(gs) AS gram
+       |  FROM gl
+       |),
+       |occ AS (SELECT doc_id, n_tok, pos, ${h60("gram")} AS gh FROM occ0),
+       |mind AS (SELECT gh, MIN(doc_id) AS mind FROM occ GROUP BY 1),
+       |dup AS (
+       |  SELECT o.doc_id, o.n_tok, o.pos
+       |  FROM occ o JOIN mind m USING (gh) WHERE m.mind < o.doc_id
+       |),
+       |brk AS (
+       |  SELECT doc_id, n_tok, pos,
+       |         CASE WHEN pos > COALESCE(LAG(pos) OVER
+       |             (PARTITION BY doc_id ORDER BY pos),
+       |           ${Long.MinValue / 2}) + $g THEN 1 ELSE 0 END AS brk
+       |  FROM dup
+       |),
+       |runs AS (
+       |  SELECT doc_id, n_tok, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+       |  FROM brk
+       |),
+       |ragg AS (
+       |  SELECT doc_id, n_tok, run_id,
+       |         MAX(pos) - MIN(pos) + $g AS run_len
+       |  FROM runs GROUP BY 1, 2, 3
+       |)
+       |SELECT doc_id, n_tok AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |       CAST(SUM(run_len) AS BIGINT) AS dup_tokens,
+       |       CAST(MAX(run_len) AS BIGINT) AS max_run
+       |FROM ragg GROUP BY 1, 2""".stripMargin
+  }
+
   // =================================================================
   // Embedding similarity family
   // =================================================================

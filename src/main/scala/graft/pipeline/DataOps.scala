@@ -457,6 +457,79 @@ object DataOps {
       tok)
   }
 
+  /** Verbatim-run length for substring dedup. Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") uses
+    * 50 BPE tokens on web corpora; the fixture documents average 54
+    * whitespace tokens (max 99), so the registry entry runs at 20 —
+    * same plan, fixture-proportionate threshold. The operator takes the
+    * length as a parameter; 50 stays the production default. */
+  val SubstringRunDefault = 50
+  val SubstringRunFixture = 20
+
+  /** SUBSTRING-level exact dedup (Lee et al. 2022): flag documents that
+    * share a ≥ g-token VERBATIM token run with an EARLIER document —
+    * the dedup mode that catches boilerplate/quotation overlap between
+    * otherwise-distinct documents, which whole-document hashing
+    * ([[dedupExact]]) and set-similarity ([[dedupMinhash]] /
+    * [[dedupNgramSource]]) both miss.
+    *
+    * Shape (suffix-array-free, relational): every g-token sliding gram
+    * becomes a 60-bit fingerprint at its token position; a gram
+    * occurrence in doc d is DUPLICATED iff the corpus-wide minimum
+    * doc_id holding that fingerprint is < d (the earliest document
+    * keeps its copy — the same survivor discipline as [[dedupExact]]);
+    * each doc's duplicated occurrences [p, p+g−1] then interval-merge
+    * into maximal duplicated runs (two intervals merge when they
+    * overlap or touch: p ≤ prev_p + g).
+    *
+    * Output, one row per document with ≥ 1 duplicated run:
+    * (doc_id, n_tokens, n_runs, dup_tokens, max_run) — dup_tokens is
+    * the merged coverage a trim pass would cut.
+    *
+    * 100 TB plan notes: the gram STRING dies in the first projection —
+    * only (gh, doc_id, pos) shuffles (the [[dedupExact]] discipline);
+    * the min-doc aggregate is map-side combinable and its exchange is
+    * reused by the duplicated-occurrence join (same gh key); the
+    * interval-merge windows partition by doc_id over DUPLICATED
+    * occurrences only, bounded by document length — no all-pairs stage,
+    * no per-pair alignment, no suffix array. */
+  def dedupSubstring(spark: SparkSession, sfDir: String,
+      g: Int = SubstringRunDefault): DataFrame = {
+    // Persisted: the occurrence relation feeds the min-doc aggregate and
+    // the duplicated-occurrence join side.
+    val occ = docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok"),
+        posexplode(graft.functions.WordGramsExpr.grams(spark, col("text"),
+          g, distinct = false)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_tok"), col("pos").cast("long").as("pos"),
+        hash60(col("gram")).as("gh"))
+      .persist()
+    val mind = occ.groupBy(col("gh")).agg(min(col("doc_id")).as("mind"))
+    val dup = occ.join(mind, Seq("gh"))
+      .where(col("mind") < col("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // Positions ascend within a doc, so lag(pos) IS the running max and
+    // the previous interval's end is lag + g − 1; a new run starts when
+    // pos > lag + g (strictly past overlap-or-touch).
+    val runs = dup
+      .withColumn("brk",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(w),
+          lit(Long.MinValue / 2)) + g, 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("n_tok"), col("run_id"))
+      .agg((max(col("pos")) - min(col("pos")) + g).as("run_len"))
+    finish(runs
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("dup_tokens"),
+        max(col("run_len")).as("max_run"))
+      .select(col("doc_id"), col("n_tok").as("n_tokens"), col("n_runs"),
+        col("dup_tokens"), col("max_run")),
+      occ)
+  }
+
   // =================================================================
   // Embedding similarity family
   // =================================================================

@@ -586,4 +586,42 @@ class DataOpsSpec extends SparkSpec {
       }.toSet
     assert(rows.map(r => (r._1, r._2)).toSet == expected)
   }
+
+  test("dedupSubstring merges duplicated runs: overlap, touch, split") {
+    val dir = Files.createTempDirectory("graft-substr").toString
+    val texts = Seq(
+      0L -> "a b c d e f g h",             // earliest: never flagged
+      1L -> "x a b c d y z w q r",         // overlap-merge -> run [1,4]
+      2L -> "a b c q q q f g h p p p",     // two separated runs of 3
+      3L -> "no overlap here at all",      // absent from output
+      4L -> "a b c d e f",                 // fully duplicated doc
+      6L -> "a b c f g h")                 // touching intervals -> one run
+    texts.map { case (id, t) => (id, t, "en", "s0", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = DataOps.dedupSubstring(spark, dir, g = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq(
+      (1L, 10L, 1L, 4L, 4L),
+      (2L, 12L, 2L, 6L, 3L),
+      (4L, 6L, 1L, 6L, 6L),
+      (6L, 6L, 1L, 6L, 6L)))
+  }
+
+  test("dedupSubstring: sub-run docs and the earliest copy never flag") {
+    // All grams of doc 0 have min doc 0; docs shorter than g yield no
+    // grams at all — neither can appear in the output.
+    val out = DataOps.dedupSubstring(spark, tinyDir, g = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // tinyDir: doc 1 is an exact copy of doc 0 (10 tokens -> 6 grams,
+    // one merged run covering all 10), doc 2 differs in one token (runs
+    // left+right of the change); docs 3-5 share nothing / are sub-gram.
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.head == ((1L, 10L, 1L, 10L, 10L)))
+    val d2 = out(1)
+    // "lazy cat" change at token 8: dup 5-grams at positions 0..3 ->
+    // one run [0, 7]; trailing grams touched by "cat" are unique.
+    assert(d2 == ((2L, 10L, 1L, 8L, 8L)))
+  }
 }
