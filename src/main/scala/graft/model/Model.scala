@@ -66,8 +66,10 @@ object Model {
       thumb_w: Long, thumb_h: Long)
 
   /** Keyed mood record feeding the streaming count-window operator
-    * (value in micro units; `seq` = arrival order within the key). */
-  case class MoodRec(key: String, seq: Long, mood_micro: Long)
+    * (value in micro units; `seq` = arrival order within the key,
+    * `tsec` = event-time seconds after the fixture epoch — what the
+    * opt-in event-time state TTL keys eviction to). */
+  case class MoodRec(key: String, seq: Long, tsec: Long, mood_micro: Long)
 
   /** One fired toxicity count window (reference
     * SentimentAnalysis.scala:304-311): the grp-th complete window of N

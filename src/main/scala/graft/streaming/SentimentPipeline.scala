@@ -143,7 +143,8 @@ final class SentimentPipeline(val messages: Dataset[TimedMessage]) {
     StreamingOps.toxicWindows(
       ParityQueries.withSentiment(messages.toDF())
         .select(explode(graft.functions.EntityMentionsExpr.mentions(spark,
-          col("text"))).as("key"), col("seq"), col("mood_micro"))
+          col("text"))).as("key"), col("seq"), col("tsec"),
+          col("mood_micro"))
         .as[graft.model.Model.MoodRec],
       25, -20L * 1000000L)
   }

@@ -100,28 +100,43 @@ object StreamingOps {
     * explicit arrival order); across batches, state carries over — the
     * streaming-prefix ≡ batch-twin property tested in StreamingSpec.
     *
-    * `stateTtl` (SURVEY.md §4's optional state TTL): by default state
+    * `ttlMs` (SURVEY.md §4's optional state TTL): by default state
     * never expires — Flink-faithful (reference :285 holds running state
     * forever), but on an unbounded stream with unbounded key churn the
-    * store grows forever too. With a TTL (e.g. `Some("24 hours")`), a key
-    * idle for that processing-time duration is evicted and RESTARTS FROM
-    * ZERO (running total, open partial window and window numbering reset)
-    * when it next appears — the standard state-store trade, made explicit
-    * and opt-in.
+    * store grows forever too. With a TTL, a key idle for that duration
+    * of EVENT time is evicted and RESTARTS FROM ZERO (running total,
+    * open partial window and window numbering reset) when it next
+    * appears — the standard state-store trade, made explicit and opt-in.
     *
-    * Trigger note: with ProcessingTimeTimeout registered, Spark's
-    * `shouldRunAnotherBatch` is always true (processing time always
-    * advances), so a TTL query MUST set a real trigger interval
-    * (`Trigger.ProcessingTime(...)`) — the default 0 ms trigger would
-    * busy-loop empty batches evaluating timers. */
+    * Eviction is by EVENT-TIME timeout (the key's last event time +
+    * TTL, fired by the watermark — the [[EventStreamOps]] pattern):
+    * deterministic, replayable, and idle-stream-safe, where a
+    * processing-time timeout makes `shouldRunAnotherBatch` return true
+    * unconditionally and an idle query busy-spins empty micro-batches.
+    * Timing is watermark-granular and best-effort (the shared
+    * [[EventStreamOps]] contract): a timer fires only in a batch AFTER
+    * the watermark passes it, and only for keys WITHOUT data in that
+    * batch — a key whose next records arrive in the very batch that
+    * first reveals its expiry continues its old state. `watermark`
+    * bounds event-time disorder; records later than it are dropped by
+    * the engine (TTL mode only — without a TTL no watermark is applied
+    * and nothing is ever dropped or evicted). */
   def toxicWindows(moods: Dataset[MoodRec], n: Int,
       thresholdMicro: Long,
-      stateTtl: Option[String] = None): Dataset[ToxWindow] = {
+      ttlMs: Option[Long] = None,
+      watermark: String = "0 seconds"): Dataset[ToxWindow] = {
     import moods.sparkSession.implicits._
+    val src =
+      if (ttlMs.isDefined)
+        moods.toDF()
+          .withColumn("ts", timestamp_seconds(lit(BaseEpoch) + col("tsec")))
+          .withWatermark("ts", watermark)
+          .as[MoodRec]
+      else moods
     val timeoutConf =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    moods.groupByKey(_.key)
+    src.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, it: Iterator[MoodRec], state: GroupState[ToxState]) =>
           if (state.hasTimedOut) {
@@ -132,7 +147,9 @@ object StreamingOps {
           } else {
             var s = state.getOption.getOrElse(ToxState(0L, 0L, 0L, 0L))
             val fired = Seq.newBuilder[ToxWindow]
+            var maxTsec = Long.MinValue
             it.toSeq.sortBy(_.seq).foreach { r =>
+              if (r.tsec > maxTsec) maxTsec = r.tsec
               val run = s.runMicro + r.mood_micro
               var (cnt, win, grp) = (s.cnt + 1, s.winMicro + run, s.grp)
               if (cnt == n) {
@@ -142,7 +159,13 @@ object StreamingOps {
               s = ToxState(run, cnt, win, grp)
             }
             state.update(s)
-            stateTtl.foreach(state.setTimeoutDuration)
+            // last event time + TTL, clamped above the current watermark
+            // (a timeout at-or-before the watermark is an engine error)
+            ttlMs.foreach { ttl =>
+              state.setTimeoutTimestamp(math.max(
+                (BaseEpoch + maxTsec) * 1000L + ttl,
+                state.getCurrentWatermarkMs() + 1L))
+            }
             fired.result().iterator
           }
       }
@@ -186,7 +209,7 @@ object StreamingOps {
   def perRecordMoods(msgs: Dataset[TimedMessage]): Dataset[MoodRec] = {
     import msgs.sparkSession.implicits._
     ParityQueries.withSentiment(msgs.toDF())
-      .select(col("user").as("key"), col("seq"),
+      .select(col("user").as("key"), col("seq"), col("tsec"),
         col("mood_micro")).as[MoodRec]
   }
 }

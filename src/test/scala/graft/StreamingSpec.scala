@@ -218,7 +218,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     // 25 records of -2M for one key: windows of 10 fire at records 10 and
     // 20 regardless of how the stream is chopped into batches.
-    val recs = (1 to 25).map(i => MoodRec("u", i.toLong, -2000000L))
+    val recs = (1 to 25).map(i => MoodRec("u", i.toLong, i.toLong, -2000000L))
     val in = MemoryStream[MoodRec]
     val name = freshQueryName("toxsplit")
     val q = StreamingOps.toxicWindows(in.toDS(), 10, -10L * 1000000L)
@@ -241,37 +241,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("toxicWindows state TTL evicts idle keys; fresh keys restart at zero") {
+  test("toxicWindows event-time TTL evicts idle keys; fresh keys restart at zero") {
     implicit val sqlCtx = spark.sqlContext
-    // ProcessingTimeTimeout queries run timer-evaluation batches forever
-    // (shouldRunAnotherBatch is always true once timeouts register), so
-    // processAllAvailable never observes a no-new-data quiesce — poll the
-    // sink with a deadline instead, exactly as a production monitor
-    // would. TTL queries also need a real trigger interval (documented on
-    // toxicWindows); the default 0 ms trigger would busy-loop.
-    def pollUntil(deadlineSec: Int)(cond: => Boolean): Boolean = {
-      val end = System.nanoTime() + deadlineSec * 1000000000L
-      while (!cond && System.nanoTime() < end) Thread.sleep(200)
-      cond
-    }
+    // EVENT-time TTL (no trigger interval, no wall-clock sleeps, no
+    // busy-spin): eviction is keyed to the data's clock and fired by the
+    // watermark, so the test advances time by feeding records — fully
+    // deterministic.
     val in = MemoryStream[MoodRec]
     val name = freshQueryName("toxttl")
     val q = StreamingOps.toxicWindows(in.toDS(), 10, -10L * 1000000L,
-        stateTtl = Some("2 seconds"))
+        ttlMs = Some(30000L)) // 30 s of event time
       .toDF().writeStream.outputMode("append").format("memory")
-      .trigger(org.apache.spark.sql.streaming.Trigger
-        .ProcessingTime("200 milliseconds"))
       .queryName(name).start()
     try {
-      in.addData((1 to 10).map(i => MoodRec("u", i.toLong, -2000000L)))
-      assert(pollUntil(60)(spark.table(name).count() == 1),
-        "first window did not fire")
-      // Let the 2 s TTL expire while the key is idle (timer batches keep
-      // ticking), then feed a second run of 10.
-      Thread.sleep(5000)
-      in.addData((11 to 20).map(i => MoodRec("u", i.toLong, -2000000L)))
-      assert(pollUntil(60)(spark.table(name).count() == 2),
-        "post-expiry window did not fire")
+      // run 1: key u, event times 1..10 s -> timer set at 10 s + 30 s
+      in.addData((1 to 10).map(i =>
+        MoodRec("u", i.toLong, i.toLong, -2000000L)))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1, "first window did not fire")
+      // Advance the watermark past u's 40 s timeout with another key:
+      // the w@100 batch moves the watermark to 100 s; the w@101 batch
+      // then runs with that watermark and fires u's timer (u has no data
+      // in it — the best-effort eviction contract).
+      in.addData(Seq(MoodRec("w", 1L, 100L, 1000000L)))
+      q.processAllAvailable()
+      in.addData(Seq(MoodRec("w", 2L, 101L, 1000000L)))
+      q.processAllAvailable()
+      // run 2: u returns later than the watermark — state restarted
+      in.addData((11 to 20).map(i =>
+        MoodRec("u", i.toLong, 110L + i, -2000000L)))
+      q.processAllAvailable()
       val rows = spark.table(name).as[(String, Long, Long)]
         .collect().toSeq.sorted
       // State was evicted: the second run restarts the running total AND
