@@ -122,9 +122,10 @@ object SparkEntry {
     "stateAsOfMidmonth"   -> (EventOps.stateAsOfMidmonth _),
     "conversionLatency"   -> (EventOps.conversionLatency _),
     "userCadence"         -> (EventOps.userCadence _),
-    // --- MLlib-backed scorer (SURVEY.md §2.5 X1 model tier) ---
-    // No oracleSql entry: LBFGS float reduction order is
-    // partition-dependent, so the driver records a rows-only check.
+    // --- trained-model scorer (SURVEY.md §2.5 X1 model tier) ---
+    // Closed-form deterministic trainer — oracle-checked like every
+    // other entry (the MLlib LBFGS tier stays as a spec-tested library
+    // API; its float combine order is not replayable).
     "x1SentimentMl"       -> (graft.nlp.MlSentiment.x1SentimentMl _),
   )
 
@@ -224,5 +225,6 @@ object SparkEntry {
     "stateAsOfMidmonth"   -> OracleSqlRel.stateAsOfMidmonth,
     "conversionLatency"   -> OracleSqlRel.conversionLatency,
     "userCadence"         -> OracleSqlRel.userCadence,
+    "x1SentimentMl"       -> OracleSql.x1SentimentMl,
   )
 }

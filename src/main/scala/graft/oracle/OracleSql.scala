@@ -240,6 +240,45 @@ object OracleSql {
        |SELECT wsec, channel, username, score_micro, mag_micro
        |FROM sent""".stripMargin
 
+  /** Trained-model sentiment tier mirror
+    * ([[graft.nlp.MlSentiment.x1SentimentMl]]): same lexicon labels,
+    * same tokenization, same parts-per-billion Laplace class rates with
+    * truncating integer division (`//` here, `div` in Spark — identical
+    * on the non-negative operands), same sign rule. All-integer, so the
+    * trained model's every prediction replays bit-for-bit. */
+  val x1SentimentMl: String =
+    s"""$sentW1,
+       |lbl AS (
+       |  SELECT w.wsec, w.channel, w.username, w.text,
+       |         CASE WHEN s.score_micro > 0 THEN 1 ELSE 0 END AS label
+       |  FROM w1 w JOIN sent s ON w.wsec = s.wsec AND w.channel = s.channel
+       |                        AND w.username = s.username
+       |),
+       |${tokCte("mtok", "lbl", "wsec, channel, username, label")},
+       |cls AS (
+       |  SELECT t, SUM(label) AS cpos, SUM(1 - label) AS cneg
+       |  FROM mtok GROUP BY 1
+       |),
+       |tot AS (
+       |  SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg, COUNT(*) AS v FROM cls
+       |),
+       |wts AS (
+       |  SELECT t,
+       |         (CAST(cpos + 1 AS HUGEINT) * 1000000000) // (npos + v)
+       |       - (CAST(cneg + 1 AS HUGEINT) * 1000000000) // (nneg + v) AS w
+       |  FROM cls CROSS JOIN tot
+       |),
+       |sc AS (
+       |  SELECT m.wsec, m.channel, m.username, SUM(w.w) AS score
+       |  FROM mtok m JOIN wts w ON m.t = w.t
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT b.wsec, b.channel, b.username,
+       |       CAST(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END
+       |         AS BIGINT) AS pred_pos
+       |FROM w1 b LEFT JOIN sc s ON b.wsec = s.wsec AND b.channel = s.channel
+       |                         AND b.username = s.username""".stripMargin
+
   val x2Entities: String =
     s"""WITH ${Lexicons.valenceCte},
        |$entityCtes

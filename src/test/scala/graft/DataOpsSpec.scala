@@ -90,8 +90,27 @@ class DataOpsSpec extends SparkSpec {
     rows.foreach { case (_, r, _) => assert(rep(r) == r) }
   }
 
-  test("x1SentimentMl scores every W1 block with a binary polarity") {
+  test("x1SentimentMl scores every W1 block and fits its training labels") {
     val ml = graft.nlp.MlSentiment.x1SentimentMl(spark, SF)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val labels = graft.pipeline.ParityQueries.sentimented(spark, SF)
+      .select(col("wsec"), col("channel"), col("username"),
+        (col("score_micro") > 0).cast("long"))
+      .as[(Long, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(ml.size == labels.size)
+    assert(ml.forall(r => r._4 == 0L || r._4 == 1L))
+    // degeneracy guard: the closed-form trainer must beat the ~0.57
+    // majority class decisively (checked here, NOT eagerly at query
+    // construction — plan-only paths stay lazy)
+    val acc = ml.count(r => labels((r._1, r._2, r._3)) == r._4).toDouble /
+      ml.size
+    assert(acc >= graft.nlp.MlSentiment.MinTrainAcc,
+      f"train accuracy $acc%.3f below floor")
+  }
+
+  test("x1SentimentLbfgs (MLlib float tier) scores every W1 block") {
+    val ml = graft.nlp.MlSentiment.x1SentimentLbfgs(spark, SF)
       .as[(Long, String, String, Long)].collect().toSeq
     val w1Rows = graft.pipeline.ParityQueries.w1(spark, SF).count()
     assert(ml.size.toLong == w1Rows)
