@@ -904,12 +904,39 @@ object DataOps {
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Stateless projection form of [[langId]] — the shape the streaming
+    * ingest twin runs: per-language occurrence hits via broadcast-literal
+    * profile arrays, argmax by (hits desc, lang asc) through one
+    * `greatest` over ordered structs, 'und' on zero hits. Semantically
+    * identical to the batch join+window plan (profiles are distinct-word
+    * sets, so join-count ≡ occurrence-count) with ZERO shuffles — pinned
+    * stream ≡ batch in StreamingSpec. Input needs (doc_id, text); adds
+    * (lang_pred, hits). */
+  def langIdCols(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Lexicons.langProfiles.sortBy(_._1).zipWithIndex.map {
+      case ((l, ws), i) =>
+        struct(
+          size(filter(toks, t => array_contains(typedLit(ws), t)))
+            .cast("long").as("hits"),
+          lit(-i).as("nr"), // lexicographic struct order ⇒ lang-asc ties
+          lit(l).as("lang_pred"))
+    }
+    df.withColumn("m", greatest(scored: _*))
+      .withColumn("lang_pred",
+        when(col("m.hits") === 0L, lit("und")).otherwise(col("m.lang_pred")))
+      .withColumn("hits", col("m.hits"))
+      .drop("m")
+  }
+
   /** Text-quality scoring: token/stopword/punctuation ratios and a fixed
-    * quality formula, all micro-unit BIGINTs. Single-pass projection. */
-  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    * quality formula, all micro-unit BIGINTs. Single-pass projection.
+    * Column form over any (doc_id, text) frame — shared by the batch
+    * query and the streaming ingest twin. */
+  def textQualityCols(d: DataFrame): DataFrame = {
     val stopArr = typedLit(Lexicons.stopwords)
     val toks = tokens(col("text"))
-    docs(spark, sfDir)
+    d
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("n_stop",
         size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
@@ -937,6 +964,9 @@ object DataOps {
             greatest(col("nchars"), lit(1L)).cast("double")) * lit(0.2)) *
           lit(MICRO)).cast("long").as("quality_micro"))
   }
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    textQualityCols(docs(spark, sfDir))
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs | digit runs | single non-alnum). */
@@ -1135,17 +1165,23 @@ object DataOps {
     * [[sampleByHash]]'s eval split), and each LANGUAGE stratum keeps its
     * own bucket range — per-stratum rates without a shuffle, stable
     * under reordering/repartitioning, disjoint strata by construction.
-    * Single-pass projection + filter at any scale. */
-  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    * Single-pass projection + filter at any scale. Column form over any
+    * (doc_id, lang) frame — shared by the batch query and the streaming
+    * ingest twin. */
+  def stratifiedKeep(d: DataFrame): DataFrame = {
     val rate = StratRates.foldRight(lit(0L): Column) { case ((l, r), e) =>
       when(col("lang") === l, lit(r)).otherwise(e)
     }
-    docs(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
+    d
+      .withColumn("bucket",
         pmod(hash60(concat(col("doc_id").cast("string"), lit(":strat"))),
-          lit(10000L)).as("bucket"))
+          lit(10000L)))
       .where(col("bucket") < rate)
   }
+
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedKeep(docs(spark, sfDir))
+      .select(col("doc_id"), col("lang"), col("bucket"))
 
   /** Set-operation surface (SURVEY.md §2.6): snapshot vocabulary drift —
     * the distinct [[ContamN]]-token n-grams present in crawl snapshot

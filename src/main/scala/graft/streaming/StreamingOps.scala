@@ -203,6 +203,32 @@ object StreamingOps {
         graft.pipeline.DataOps.contamGramHashes(col("text")), bench))
   }
 
+  /** Ingest-time language ID — the streaming twin of
+    * [[graft.pipeline.DataOps.langId]]: the stateless projection form
+    * ([[graft.pipeline.DataOps.langIdCols]] — broadcast-literal profile
+    * arrays, one `greatest`-over-structs argmax), so the operator is
+    * append-mode clean with NO shuffle, no state, no watermark — a pure
+    * per-record enrichment at any stream rate. Pinned stream ≡ batch in
+    * StreamingSpec. Input needs (doc_id, text); adds (lang_pred, hits). */
+  def langIdStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.langIdCols(docStream)
+
+  /** Ingest-time quality scoring — the streaming twin of
+    * [[graft.pipeline.DataOps.textQuality]]: the exact batch column
+    * expressions ([[graft.pipeline.DataOps.textQualityCols]]), stateless
+    * single-pass projection. */
+  def textQualityStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.textQualityCols(docStream)
+
+  /** Ingest-time stratified sampling — the streaming twin of
+    * [[graft.pipeline.DataOps.stratifiedSample]]: the same salted-hash
+    * bucket filter ([[graft.pipeline.DataOps.stratifiedKeep]]), stateless
+    * and deterministic, so the stream keeps exactly the rows the batch
+    * pass would keep regardless of micro-batch boundaries. Keeps all
+    * input columns plus the bucket. */
+  def stratifiedSampleStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.stratifiedKeep(docStream)
+
   /** Per-record mood projection (R7, SentimentAnalysis.scala:249-255) of a
     * message stream keyed by user — the stateless front of the live E2
     * chain feeding [[toxicWindows]]. */

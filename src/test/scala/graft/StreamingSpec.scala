@@ -9,6 +9,11 @@ import graft.pipeline.ParityQueries
 import graft.sources.Messages
 import graft.streaming.{SentimentPipeline, StreamingOps}
 
+/** Document row for MemoryStream-fed ingest-twin tests (mirrors the
+  * driver's documents.parquet schema). */
+case class DocRow(doc_id: Long, text: String, lang: String, source: String,
+    n_chars: Long)
+
 /** Streaming tests (SURVEY.md §5.4): MemoryStream-driven assertions that
   * every streaming operator's output equals its batch twin on the same
   * input, that count-window state survives micro-batch boundaries, and
@@ -278,6 +283,54 @@ class StreamingSpec extends SparkSpec {
       // surviving state it would be (grp 1, -310M).
       assert(rows == Seq(("u", 0L, -110000000L), ("u", 0L, -110000000L)))
     } finally q.stop()
+  }
+
+  test("ingest twins (langId/textQuality/stratifiedSample) ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // The sf0.001 documents streamed in two micro-batches: stateless
+    // projections must reproduce the batch operators' rows exactly,
+    // regardless of where the batch boundary falls.
+    val docRows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    val (firstHalf, secondHalf) = docRows.splitAt(docRows.size / 2)
+
+    def runTwin(tag: String, twin: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val in = MemoryStream[DocRow]
+      val name = freshQueryName(tag)
+      val q = twin(in.toDF()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(firstHalf)
+        q.processAllAvailable()
+        in.addData(secondHalf)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+    }
+
+    val lid = runTwin("lids", StreamingOps.langIdStream)
+      .select("doc_id", "lang_pred", "hits")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val lidBatch = graft.pipeline.DataOps.langId(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(lid.nonEmpty && lid == lidBatch)
+
+    val tq = runTwin("tqs", StreamingOps.textQualityStream)
+      .select("doc_id", "n_tok", "n_stop", "stop_ratio_micro",
+        "punct_ratio_micro", "avg_wlen_micro", "quality_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val tqBatch = graft.pipeline.DataOps.textQuality(spark, SF)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(tq.nonEmpty && tq == tqBatch)
+
+    val ss = runTwin("sss", StreamingOps.stratifiedSampleStream)
+      .select("doc_id", "lang", "bucket")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val ssBatch = graft.pipeline.DataOps.stratifiedSample(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(ss.nonEmpty && ss == ssBatch)
   }
 
   test("parseWire keeps commas in text; short lines degrade PERMISSIVEly") {
