@@ -106,4 +106,17 @@ object Model {
     * batch [[graft.pipeline.EventOps.funnelSteps]] answer. */
   case class FunnelRow(user_id: Long, view_tus: Long, click_tus: Long,
       purchase_tus: Long, depth: Long)
+
+  /** Per-user SCD2 stream state: the one OPEN (current) validity row
+    * ([[graft.streaming.EventStreamOps.scd2Stream]]). */
+  case class Scd2Open(event_id: Long, event_type: String,
+      valid_from_tus: Long)
+
+  /** SCD2 changelog row — mirrors the batch
+    * [[graft.pipeline.EventOps.eventHistoryScd2]] schema: each event is
+    * first emitted current (valid_to −1), then re-emitted once closed;
+    * compacting per (user_id, event_id) preferring the closed row
+    * reproduces the batch table. */
+  case class Scd2Row(user_id: Long, event_id: Long, event_type: String,
+      valid_from_tus: Long, valid_to_tus: Long, is_current: Long)
 }

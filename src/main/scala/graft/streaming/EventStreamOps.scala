@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.Model.{Attribution, ClickState, FunnelRow, FunnelState, StreamEvent}
+import graft.model.Model.{Attribution, ClickState, FunnelRow, FunnelState, Scd2Open, Scd2Row, StreamEvent}
 
 /**
  * Structured Streaming forms of the event-analytics operators
@@ -139,6 +139,62 @@ object EventStreamOps {
             val depth = if (s.p >= 0) 3L else if (s.c >= 0) 2L
               else if (s.v >= 0) 1L else 0L
             Iterator.single(FunnelRow(uid, s.v, s.c, s.p, depth))
+          }
+        })
+  }
+
+  /** Streaming SCD TYPE-2 history (the CDC twin of
+    * [[graft.pipeline.EventOps.eventHistoryScd2]]): per user, keep the
+    * ONE open validity row in state; each new event emits the previous
+    * row's CLOSURE (valid_to = the new event's µs time, is_current 0)
+    * and the new row as current (valid_to −1, is_current 1). The stream
+    * is a changelog: every event is emitted current exactly once and
+    * closed at most once, so compacting per (user_id, event_id) —
+    * prefer the closed row — reproduces the batch SCD2 table exactly
+    * (pinned across micro-batch boundaries in EventStreamSpec).
+    *
+    * Within a batch the group's rows replay in µs-truncated
+    * (tus, event_id) order — the batch plan's exact window order;
+    * across batches per-key arrival must respect event time (the
+    * engine contract shared with [[asofAttributionStream]]). State is
+    * ONE [[Scd2Open]] (two longs + a type tag) per user, evicted by
+    * the same event-time TTL measured from the open row's start; an
+    * evicted user's current row simply stays current in the sink — the
+    * bounded-state trade, and why the TTL default is generous. */
+  def scd2Stream(events: Dataset[StreamEvent],
+      watermark: String = "1 hour",
+      ttlMs: Long = 30L * 86400L * 1000L): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    withTs(events)
+      .withWatermark("ts", watermark)
+      .as[StreamEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, it: Iterator[StreamEvent],
+            state: GroupState[Scd2Open]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[Scd2Row]
+            var open = state.getOption
+            it.toSeq.sortBy(e => (e.tns / 1000L, e.event_id)).foreach { e =>
+              val tus = e.tns / 1000L
+              open.foreach { o =>
+                out += Scd2Row(uid, o.event_id, o.event_type,
+                  o.valid_from_tus, tus, 0L)
+              }
+              open = Some(Scd2Open(e.event_id, e.event_type, tus))
+              out += Scd2Row(uid, e.event_id, e.event_type, tus, -1L, 1L)
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(math.max(
+                o.valid_from_tus / 1000L + ttlMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
         })
   }

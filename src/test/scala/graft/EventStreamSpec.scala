@@ -205,4 +205,46 @@ class EventStreamSpec extends SparkSpec {
     val clicksA = a.filter(_.event_type == "click").map(_.user_id).toSet
     assert((usersB & clicksA).nonEmpty)
   }
+
+  test("streaming SCD2 changelog compacts to the batch history table") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("scd2")
+    val q = EventStreamOps.scd2Stream(in.toDS(),
+        ttlMs = 60L * 86400L * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // three batches split by global event time — per-key event-time
+      // order holds across the boundaries
+      val (a, rest) = fixtureEvents.splitAt(fixtureEvents.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 3)
+      Seq(a, b, c).foreach { batch =>
+        in.addData(batch); q.processAllAvailable()
+      }
+      val emitted = spark.table(name)
+        .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+      // changelog compaction: per (user, event) a row is emitted current
+      // exactly once and closed at most once — prefer the closed row
+      val compacted = emitted.groupBy(r => (r._1, r._2))
+        .map { case (_, rows) =>
+          assert(rows.size <= 2 && rows.count(_._6 == 1L) == 1)
+          rows.minBy(_._6)
+        }.toSeq.sorted
+      val batchTable = EventOps.eventHistoryScd2(spark, SF)
+        .select("user_id", "event_id", "event_type", "valid_from_tus",
+          "valid_to_tus", "is_current")
+        .as[(Long, Long, String, Long, Long, Long)].collect().toSeq.sorted
+      assert(compacted == batchTable)
+      // at least one validity row must CLOSE across a batch boundary
+      // (opened in one micro-batch, closed in a later one) — otherwise
+      // the cross-batch state carry is untested
+      val openedIn = a.map(_.event_id).toSet
+      val closedLater = emitted.filter(r => r._6 == 0L &&
+        openedIn.contains(r._2) &&
+        !a.exists(e => e.user_id == r._1 && e.tns / 1000L == r._5))
+      assert(emitted.count(_._6 == 0L) > 0)
+      assert(closedLater.nonEmpty, "no cross-batch closure")
+    } finally q.stop()
+  }
 }
