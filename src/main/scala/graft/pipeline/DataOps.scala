@@ -413,7 +413,8 @@ object DataOps {
       // arithmetic (⌈4·nt/5⌉ = (4·nt+4) div 5) — a float ceil could round
       // 4.0 up spuriously and silently drop true pairs.
       .where(col("r") <= col("nt") - expr("(nt * 4 + 4) div 5") + 1)
-      .select(col("doc_id"), col("source"), col("w"), col("nt"))
+      .select(col("doc_id"), col("source"), col("w"), col("nt"),
+        col("r").cast("long").as("r"))
     // Candidate join on a 64-bit (source, token) hash — narrower shuffle
     // than the raw strings; collisions only add candidates, and the exact
     // set-intersection verify below discards them. The PPJoin LENGTH
@@ -422,14 +423,30 @@ object DataOps {
     // drops a true pair — it cut the surviving candidate pairs 47%
     // (606k → 322k at sf0.1) before the expensive verify join.
     val pref = ranked.select(
-      col("doc_id"), col("source"), col("nt"),
+      col("doc_id"), col("source"), col("nt"), col("r"),
       xxhash64(col("source"), col("w")).as("wh"))
+    // PPJoin POSITION filter (Xiao et al. 2008 §3.2) as a join residual:
+    // a matching token at 1-based global-order ranks (r_a, r_b) bounds
+    // the remaining overlap by min(nt_a − r_a, nt_b − r_b) + 1, and
+    // J ≥ 4/5 needs overlap O with 9·O ≥ 4·(nt_a + nt_b) exactly (O
+    // integer). A true pair always survives via its FIRST common token:
+    // every common token sits at rank ≥ r on both sides there, so the
+    // bound ≥ O holds — the filter only prunes candidates the verify
+    // would reject, for free (a join residual, no extra shuffle).
+    // Measured on the adversarial sf0.1 fixture: 322k → 304k verify
+    // pairs (~6% — the 31-word uniform vocabulary that defeats prefix
+    // pruning makes positions near-uninformative too; on a Zipfian
+    // real-corpus vocabulary the prefix ranks separate and this filter
+    // is the classic PPJoin win).
     val cand = pref.as("a").join(pref.as("b"),
         col("a.wh") === col("b.wh") &&
           col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.nt") * 5 >= col("b.nt") * 4 &&
-          col("b.nt") * 5 >= col("a.nt") * 4)
+          col("b.nt") * 5 >= col("a.nt") * 4 &&
+          lit(9L) * (least(col("a.nt") - col("a.r"),
+            col("b.nt") - col("b.r")) + 1L) >=
+            lit(4L) * (col("a.nt") + col("b.nt")))
       .select(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"))
       .distinct()
