@@ -237,15 +237,23 @@ object OracleSqlRel {
       |  JOIN tu b ON a.user_id = b.user_id
       |            AND a.event_type < b.event_type
       |  GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  -- every type_a < type_b pair emits a row, zero-filled (the
+      |  -- engine's full-grid contract — pairs with no shared users
+      |  -- report est 0 / exact 0 instead of vanishing)
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM th a JOIN th b ON a.event_type < b.event_type
       |)
-      |SELECT ex.type_a, ex.type_b,
+      |SELECT g.type_a, g.type_b,
       |       CAST(ROUND(COALESCE(mm.m, 0)
       |         * (CAST(1152921504606846976 AS DOUBLE)
       |            / CAST(COALESCE(mm.theta, 1152921504606846976) AS DOUBLE))
       |         * 1000000.0) AS BIGINT) AS est_micro,
-      |       ex.exact
-      |FROM ex LEFT JOIN mm
-      |  ON ex.type_a = mm.type_a AND ex.type_b = mm.type_b""".stripMargin
+      |       CAST(COALESCE(ex.exact, 0) AS BIGINT) AS exact
+      |FROM grid g
+      |LEFT JOIN mm ON g.type_a = mm.type_a AND g.type_b = mm.type_b
+      |LEFT JOIN ex ON g.type_a = ex.type_a AND g.type_b = ex.type_b""".stripMargin
 
   val q14PromoShare: String =
     """WITH j AS (

@@ -182,13 +182,22 @@ object DataOps {
     * with-high-probability contract as [[dedupMinhash]]). */
   def minhashRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     // deterministic sample, salt decorrelated from sampleByHash/strat
-    val ids = docs(spark, sfDir).select(col("doc_id"))
+    val ids0 = docs(spark, sfDir).select(col("doc_id"))
       .where(pmod(graft.functions.HashFns.hash60(
         concat(lit("recall:"), col("doc_id"))), lit(5L)) === 0L)
-    val n = ids.limit(MaxRecallEvalDocs.toInt + 1).count()
-    require(n <= MaxRecallEvalDocs,
-      s"recall-eval sample has >$MaxRecallEvalDocs docs — the all-pairs " +
-        "ground truth would go quadratic; shrink the sample rate")
+    val ndocs = ids0.agg(count(lit(1)).as("n_docs"))
+    // The size-cap guard rides INSIDE the plan (assert_true over the
+    // broadcast count) instead of an eager driver-side count(), so
+    // CONSTRUCTING this query runs no job (plan-only paths — explain,
+    // registry audits — stay lazy). The guarded sample feeds every
+    // downstream branch, so an oversized sample fails in the first
+    // stage that reads it, before any quadratic work.
+    val ids = ids0.crossJoin(broadcast(ndocs))
+      .select(when(assert_true(col("n_docs") <= lit(MaxRecallEvalDocs),
+          lit(s"recall-eval sample has >$MaxRecallEvalDocs docs — the " +
+            "all-pairs ground truth would go quadratic; shrink the " +
+            "sample rate")).isNull,
+        col("doc_id")).as("doc_id"))
     val sh = shingleRows(spark, sfDir)
       .join(ids, Seq("doc_id"), "left_semi")
       .withColumn("hp", hashP(col("sh")))
@@ -227,7 +236,8 @@ object DataOps {
     val out = truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
-      .select(lit(n).as("n_docs"), col("n_true"), col("n_cand"),
+      .crossJoin(broadcast(ndocs))
+      .select(col("n_docs"), col("n_true"), col("n_cand"),
         col("n_hit"),
         expr("CASE WHEN n_true > 0 THEN (n_hit * 1000000) div n_true " +
           "ELSE 1000000 END").as("recall_micro"),
@@ -1396,9 +1406,13 @@ object DataOps {
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .select(col("gram"), col("cnt"),
         // association lift ×10^6 (lift = PMI's argument before the log):
-        // exact truncating division; the scaled triple product stays
-        // inside DECIMAL(38,0) up to ~10^12-token corpora — beyond
-        // that, pre-reduce the N²/N_bi factor
+        // exact truncating division. Headroom honestly: the numerator
+        // is cnt·N_uni²·10^6, so a HEAD bigram (cnt ~ N) drives it to
+        // ~N³·10^6 — precision 38 holds to ~10^10 tokens there (~10^12
+        // only when cnt ≪ N). Past that the engines DIVERGE on
+        // overflow (Spark non-ANSI decimal yields NULL, DuckDB HUGEINT
+        // raises), so a >10^10-token corpus must pre-reduce the
+        // fraction (e.g. divide N_uni² by n_bi first) before this query
         expr("CAST(cnt AS DECIMAL(38,0)) * n_uni * n_uni * 1000000 div " +
           "(CAST(tf1 AS DECIMAL(38,0)) * tf2 * n_bi)").as("lift_micro"),
         (length(bin(expr(

@@ -283,13 +283,21 @@ object RelOps {
       .where(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(countDistinct(col("user_id")).as("exact"))
-    pairs.join(exact, Seq("type_a", "type_b"), "right")
+    // Full pair grid from the sketch relation itself, so EVERY
+    // type_a < type_b pair emits a row — a pair with no shared users
+    // reports (est 0, exact 0) instead of silently vanishing (the
+    // scaladoc contract; previously the exact side keyed the output).
+    val grid = a.select(col("type_a"))
+      .join(broadcast(b.select(col("type_b"))),
+        col("type_a") < col("type_b"))
+    grid.join(pairs, Seq("type_a", "type_b"), "left")
+      .join(exact, Seq("type_a", "type_b"), "left")
       .select(col("type_a"), col("type_b"),
         round(coalesce(col("m"), lit(0L)).cast("double") *
           (lit(ThetaU).cast("double") /
             coalesce(col("theta"), lit(ThetaU)).cast("double")) *
           lit(1000000.0)).cast("long").as("est_micro"),
-        col("exact"))
+        coalesce(col("exact"), lit(0L)).as("exact"))
   }
 
   /** TPC-H Q1-shaped pricing summary: the canonical scan-heavy

@@ -95,7 +95,15 @@ object EventStreamOps {
     * time per key (the engine contract shared with
     * [[asofAttributionStream]]). State is THREE optional longs per user
     * — O(1), never a buffered event — evicted by the same event-time
-    * TTL measured from the user's LAST funnel progress. */
+    * TTL measured from the user's LAST funnel progress.
+    *
+    * Cost note: O(1) refers to STATE carried across batches; the
+    * in-batch sort (`it.toSeq.sortBy`) materializes one key's rows for
+    * ONE micro-batch in executor memory — bounded by per-key batch
+    * volume (trigger interval × key rate), not by stream length. A hot
+    * key on a long trigger pays that buffer; shorten the trigger or
+    * pre-bucket the key if a single key's per-batch volume is itself a
+    * problem. */
   def funnelStream(events: Dataset[StreamEvent],
       watermark: String = "1 hour",
       ttlMs: Long = 30L * 86400L * 1000L): Dataset[FunnelRow] = {
@@ -160,7 +168,10 @@ object EventStreamOps {
     * ONE [[Scd2Open]] (two longs + a type tag) per user, evicted by
     * the same event-time TTL measured from the open row's start; an
     * evicted user's current row simply stays current in the sink — the
-    * bounded-state trade, and why the TTL default is generous. */
+    * bounded-state trade, and why the TTL default is generous. The
+    * [[funnelStream]] per-batch buffering note and the
+    * [[asofAttributionStream]] best-effort eviction-timing note apply
+    * here too. */
   def scd2Stream(events: Dataset[StreamEvent],
       watermark: String = "1 hour",
       ttlMs: Long = 30L * 86400L * 1000L): Dataset[Scd2Row] = {
@@ -221,7 +232,18 @@ object EventStreamOps {
     * where a processing-time timeout makes `shouldRunAnotherBatch`
     * return true unconditionally and the query busy-spins empty
     * micro-batches forever. `watermark` bounds how out-of-order events
-    * may arrive (late rows beyond it are dropped by the engine). */
+    * may arrive (late rows beyond it are dropped by the engine).
+    *
+    * Eviction timing is WATERMARK-GRANULAR and best-effort, not an
+    * exact TTL cutoff (the contract shared by every event-time-TTL
+    * operator here): a timer fires only in a batch AFTER the watermark
+    * passes it, and only for keys WITHOUT data in that batch — since
+    * data is processed before timeout handling, a purchase arriving in
+    * the same micro-batch that first reveals the expiry still
+    * attributes to the expired click. Consumers needing exact TTL
+    * semantics must filter on the emitted gap instead. The same
+    * per-batch buffering note as [[funnelStream]] applies to the
+    * in-batch `toSeq` sort. */
   def asofAttributionStream(events: Dataset[StreamEvent],
       watermark: String = "1 hour",
       ttlMs: Long = 7L * 86400L * 1000L): Dataset[Attribution] = {
