@@ -522,18 +522,30 @@ object DataOps {
     * no per-pair alignment, no suffix array. */
   def dedupSubstring(spark: SparkSession, sfDir: String,
       g: Int = SubstringRunDefault): DataFrame = {
-    // Persisted: the occurrence relation feeds the min-doc aggregate and
-    // the duplicated-occurrence join side.
+    // The gram array is materialized ONCE as a column; n_tok derives
+    // from its size (n_grams + g − 1 ≡ the token count for every doc
+    // long enough to emit a gram — shorter docs emit nothing). No
+    // higher-order lambda appears anywhere, so the explode + hash
+    // projection stays inside whole-stage codegen — a `size(filter(
+    // split(...)))` here demoted the entire 178k-row stage to
+    // interpreted eval and cost ~2 s of the query's 3.4 s at sf0.1.
     val occ = docs(spark, sfDir)
       .select(col("doc_id"),
-        size(words(col("text"))).cast("long").as("n_tok"),
-        posexplode(graft.functions.WordGramsExpr.grams(spark, col("text"),
-          g, distinct = false)).as(Seq("pos", "gram")))
+        graft.functions.WordGramsExpr.grams(spark, col("text"),
+          g, distinct = false).as("gs"))
+      .select(col("doc_id"),
+        (size(col("gs")) + lit(g - 1)).cast("long").as("n_tok"),
+        posexplode(col("gs")).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("n_tok"), col("pos").cast("long").as("pos"),
         hash60(col("gram")).as("gh"))
-      .persist()
-    val mind = occ.groupBy(col("gh")).agg(min(col("doc_id")).as("mind"))
-    val dup = occ.join(mind, Seq("gh"))
+    // Corpus-wide min doc per fingerprint as ONE unordered window over
+    // the gh exchange — the occurrence relation is scanned once and
+    // never persisted (the agg+join form re-reads it and, at scale,
+    // shuffles the corpus-sized min-doc relation a second time for the
+    // join; the window computes min and filters in the same partition).
+    val dup = occ
+      .withColumn("mind",
+        min(col("doc_id")).over(Window.partitionBy(col("gh"))))
       .where(col("mind") < col("doc_id"))
       .select(col("doc_id"), col("n_tok"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -553,8 +565,7 @@ object DataOps {
         sum(col("run_len")).as("dup_tokens"),
         max(col("run_len")).as("max_run"))
       .select(col("doc_id"), col("n_tok").as("n_tokens"), col("n_runs"),
-        col("dup_tokens"), col("max_run")),
-      occ)
+        col("dup_tokens"), col("max_run")))
   }
 
   // =================================================================
