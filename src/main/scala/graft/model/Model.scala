@@ -112,6 +112,13 @@ object Model {
   case class Scd2Open(event_id: Long, event_type: String,
       valid_from_tus: Long)
 
+  /** Keyed document for the streaming per-source cap
+    * ([[graft.streaming.StreamingOps.sourceCapStream]]). */
+  case class CapDoc(doc_id: Long, source: String)
+
+  /** An admitted document with its per-source admission rank. */
+  case class CapAdmit(source: String, doc_id: Long, rk: Long)
+
   /** SCD2 changelog row — mirrors the batch
     * [[graft.pipeline.EventOps.eventHistoryScd2]] schema: each event is
     * first emitted current (valid_to −1), then re-emitted once closed;

@@ -971,7 +971,10 @@ object DataOps {
     * quality formula, all micro-unit BIGINTs. Single-pass projection.
     * Column form over any (doc_id, text) frame — shared by the batch
     * query and the streaming ingest twin. */
-  def textQualityCols(d: DataFrame): DataFrame = {
+  /** The raw quality metric columns added onto any (doc_id, text) frame
+    * (input columns kept) — the composition point for
+    * [[graft.streaming.StreamingOps.curationStream]]. */
+  def textQualityMetrics(d: DataFrame): DataFrame = {
     val stopArr = typedLit(Lexicons.stopwords)
     val toks = tokens(col("text"))
     d
@@ -983,6 +986,19 @@ object DataOps {
       .withColumn("nchars", length(col("text")).cast("long"))
       .withColumn("punct",
         length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long"))
+      .withColumn("quality_micro",
+        round((least(col("n_tok"), lit(50L)).cast("double") / lit(50.0) *
+          lit(0.5) +
+          least(col("n_stop").cast("double") * lit(3.0) /
+            greatest(col("n_tok"), lit(1L)).cast("double"), lit(1.0)) *
+            lit(0.3) +
+          (lit(1.0) - col("punct").cast("double") /
+            greatest(col("nchars"), lit(1L)).cast("double")) * lit(0.2)) *
+          lit(MICRO)).cast("long"))
+  }
+
+  def textQualityCols(d: DataFrame): DataFrame =
+    textQualityMetrics(d)
       .select(col("doc_id"), col("n_tok"), col("n_stop"),
         when(col("n_tok") === 0, lit(0L)).otherwise(
           round(col("n_stop").cast("double") / col("n_tok").cast("double") *
@@ -993,23 +1009,16 @@ object DataOps {
         when(col("n_tok") === 0, lit(0L)).otherwise(
           round(col("alpha").cast("double") / col("n_tok").cast("double") *
             lit(MICRO)).cast("long")).as("avg_wlen_micro"),
-        round((least(col("n_tok"), lit(50L)).cast("double") / lit(50.0) *
-          lit(0.5) +
-          least(col("n_stop").cast("double") * lit(3.0) /
-            greatest(col("n_tok"), lit(1L)).cast("double"), lit(1.0)) *
-            lit(0.3) +
-          (lit(1.0) - col("punct").cast("double") /
-            greatest(col("nchars"), lit(1L)).cast("double")) * lit(0.2)) *
-          lit(MICRO)).cast("long").as("quality_micro"))
-  }
+        col("quality_micro"))
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     textQualityCols(docs(spark, sfDir))
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
-    * (letter runs | digit runs | single non-alnum). */
-  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).select(
+    * (letter runs | digit runs | single non-alnum). Column form over any
+    * (doc_id, text) frame — shared by batch and the streaming twin. */
+  def tokenCountCols(d: DataFrame): DataFrame =
+    d.select(
       col("doc_id"),
       size(words(col("text"))).cast("long").as("ws_tokens"),
       // whitespace spelled explicitly: Java \s includes \x0B, RE2's does
@@ -1020,23 +1029,29 @@ object DataOps {
         .cast("long").as("bpe_tokens"),
       length(col("text")).cast("long").as("nchars"))
 
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    tokenCountCols(docs(spark, sfDir))
+
   /** Document fingerprint: the 4 smallest distinct char-5-gram hash60
     * values (winnowing-style min-sketch), re-hashed to one MD5 — robust
     * to small edits, one projection pass. Output (doc_id, fp, n_grams).
     */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+  def fingerprintCols(d: DataFrame): DataFrame = {
     val lt = lower(col("text"))
     val grams = when(length(lt) >= 5,
       transform(sequence(lit(1), length(lt) - 4),
         i => lt.substr(i, lit(5))))
       .otherwise(array().cast("array<string>"))
     val hs = array_sort(array_distinct(transform(grams, g => hash60(g))))
-    docs(spark, sfDir).select(
+    d.select(
       col("doc_id"),
       md5(array_join(transform(slice(hs, 1, 4), x => x.cast("string")),
         ",")).as("fp"),
       size(hs).cast("long").as("n_grams"))
   }
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprintCols(docs(spark, sfDir))
 
   /** Contamination shingle width: contiguous token n-grams compared
     * against the benchmark set. (Real pipelines use 8-13; the synthetic
@@ -1205,8 +1220,10 @@ object DataOps {
     * under reordering/repartitioning, disjoint strata by construction.
     * Single-pass projection + filter at any scale. Column form over any
     * (doc_id, lang) frame — shared by the batch query and the streaming
-    * ingest twin. */
-  def stratifiedKeep(d: DataFrame): DataFrame = {
+    * ingest twin. [[stratBits]] exposes the decision as a 0/1 column
+    * (the [[graft.streaming.StreamingOps.curationStream]] composition
+    * point); [[stratifiedKeep]] applies it as a filter. */
+  def stratBits(d: DataFrame): DataFrame = {
     val rate = StratRates.foldRight(lit(0L): Column) { case ((l, r), e) =>
       when(col("lang") === l, lit(r)).otherwise(e)
     }
@@ -1214,8 +1231,11 @@ object DataOps {
       .withColumn("bucket",
         pmod(hash60(concat(col("doc_id").cast("string"), lit(":strat"))),
           lit(10000L)))
-      .where(col("bucket") < rate)
+      .withColumn("strat_keep", (col("bucket") < rate).cast("long"))
   }
+
+  def stratifiedKeep(d: DataFrame): DataFrame =
+    stratBits(d).where(col("strat_keep") === 1L).drop("strat_keep")
 
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
     stratifiedKeep(docs(spark, sfDir))

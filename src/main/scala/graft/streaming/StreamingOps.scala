@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.Model.{MoodRec, TimedMessage, ToxState, ToxWindow}
+import graft.model.Model.{CapAdmit, CapDoc, MoodRec, TimedMessage, ToxState, ToxWindow}
 import graft.ops.ChatOps.orderedConcat
 import graft.pipeline.ParityQueries
 import graft.pipeline.ParityQueries.BaseEpoch
@@ -228,6 +228,78 @@ object StreamingOps {
     * input columns plus the bucket. */
   def stratifiedSampleStream(docStream: DataFrame): DataFrame =
     graft.pipeline.DataOps.stratifiedKeep(docStream)
+
+  /** Ingest-time token counting — the streaming twin of
+    * [[graft.pipeline.DataOps.tokenCount]] (stateless projection of the
+    * exact batch expressions). */
+  def tokenCountStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.tokenCountCols(docStream)
+
+  /** Ingest-time document fingerprinting — the streaming twin of
+    * [[graft.pipeline.DataOps.fingerprint]] (stateless projection of the
+    * exact batch expressions). */
+  def fingerprintStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.fingerprintCols(docStream)
+
+  /** Ingest-time per-source document cap — the streaming counterpart of
+    * [[graft.pipeline.DataOps.sourceCap]]: admit at most `k` documents
+    * per source, holding ONE long (the admitted count) per source in
+    * state. Semantics differ from the batch operator BY NECESSITY and
+    * on purpose: the batch cap keeps the k salted-hash-minimal docs
+    * (order-independent — it sees the whole corpus), while an unbounded
+    * stream cannot revisit admissions, so the stream admits the FIRST k
+    * per source, in (micro-batch, doc_id) order — deterministic given
+    * the batch boundaries. This is the C4/RefinedWeb-style online
+    * domain-balancing gate; state is bounded by the domain count, so no
+    * TTL is needed at any stream length. */
+  def sourceCapStream(docStream: DataFrame,
+      k: Int = graft.pipeline.DataOps.SourceCapK): Dataset[CapAdmit] = {
+    import docStream.sparkSession.implicits._
+    docStream.select(col("doc_id"), col("source")).as[CapDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[CapDoc], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[CapAdmit]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (admitted < k) {
+              admitted += 1
+              out += CapAdmit(src, d.doc_id, admitted)
+            }
+          }
+          state.update(admitted)
+          out.result().iterator
+      }
+  }
+
+  /** COMPOSED ingest-time curation — the streaming analog of the
+    * stateless tiers of [[graft.pipeline.DataOps.retentionDecision]] in
+    * ONE pass: language ID, quality score, benchmark decontamination and
+    * the stratified-sampling decision, each as a 0/1 keep bit, plus
+    * their conjunction `keep` (language identified ∧ quality ≥ floor ∧
+    * uncontaminated — benchmark documents flag contaminated by
+    * construction, matching the batch verdict's "benchmark docs always
+    * dropped"). Entirely stateless (the decontamination gram set rides
+    * as a broadcast literal), so the operator is append-clean at any
+    * stream rate. The two batch-only gates — repetition signals and
+    * near-dup cluster survivorship — need corpus-wide aggregation and
+    * deliberately stay out of the streaming verdict; run the batch
+    * [[graft.pipeline.DataOps.retentionDecision]] over the landed
+    * corpus for the full five-gate decision. */
+  def curationStream(docStream: DataFrame, sfDir: String): DataFrame = {
+    import graft.pipeline.DataOps
+    val enriched = decontaminateStream(
+      DataOps.stratBits(
+        DataOps.textQualityMetrics(DataOps.langIdCols(docStream))), sfDir)
+    enriched
+      .withColumn("lang_keep", (col("lang_pred") =!= "und").cast("long"))
+      .withColumn("quality_keep",
+        (col("quality_micro") >= DataOps.QualityFloorMicro).cast("long"))
+      .withColumn("contam_keep", lit(1L) - col("contaminated").cast("long"))
+      .withColumn("keep",
+        col("lang_keep") * col("quality_keep") * col("contam_keep"))
+  }
 
   /** Per-record mood projection (R7, SentimentAnalysis.scala:249-255) of a
     * message stream keyed by user — the stateless front of the live E2

@@ -331,6 +331,105 @@ class StreamingSpec extends SparkSpec {
     val ssBatch = graft.pipeline.DataOps.stratifiedSample(spark, SF)
       .as[(Long, String, Long)].collect().toSeq.sorted
     assert(ss.nonEmpty && ss == ssBatch)
+
+    val tc = runTwin("tcs", StreamingOps.tokenCountStream)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val tcBatch = graft.pipeline.DataOps.tokenCount(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(tc.nonEmpty && tc == tcBatch)
+
+    val fp = runTwin("fps", StreamingOps.fingerprintStream)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val fpBatch = graft.pipeline.DataOps.fingerprint(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(fp.nonEmpty && fp == fpBatch)
+  }
+
+  test("curationStream keep bits equal the batch stateless gates") {
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    val (h1, h2) = docRows.splitAt(docRows.size / 2)
+    val in = MemoryStream[DocRow]
+    val name = freshQueryName("cur")
+    val q = StreamingOps.curationStream(in.toDF(), SF)
+      .select("doc_id", "lang_keep", "quality_keep", "contam_keep",
+        "strat_keep", "keep")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .map(r => r._1 -> r).toMap
+    assert(got.size == docRows.size)
+    // each stream bit ≡ its batch source
+    val langB = graft.pipeline.DataOps.langId(spark, SF)
+      .select(col("doc_id"), (col("lang_pred") =!= "und").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val qualB = graft.pipeline.DataOps.textQuality(spark, SF)
+      .select(col("doc_id"), (col("quality_micro") >=
+        graft.pipeline.DataOps.QualityFloorMicro).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // batch decontaminate omits benchmark docs (they are the bench set
+    // itself); the stream flags them contaminated — both mean "dropped"
+    val contB = graft.pipeline.DataOps.decontaminate(spark, SF)
+      .select(col("doc_id"), lit(1L) - col("contaminated"))
+      .as[(Long, Long)].collect().toMap
+    val stratB = graft.pipeline.DataOps.stratifiedSample(spark, SF)
+      .select("doc_id").as[Long].collect().toSet
+    docRows.foreach { d =>
+      val (_, lk, qk, ck, sk, keep) = got(d.doc_id)
+      assert(lk == langB(d.doc_id), s"lang_keep doc ${d.doc_id}")
+      assert(qk == qualB(d.doc_id), s"quality_keep doc ${d.doc_id}")
+      assert(ck == contB.getOrElse(d.doc_id, 0L),
+        s"contam_keep doc ${d.doc_id}")
+      assert(sk == (if (stratB(d.doc_id)) 1L else 0L),
+        s"strat_keep doc ${d.doc_id}")
+      assert(keep == lk * qk * ck)
+    }
+  }
+
+  test("sourceCapStream admits exactly the first K per source") {
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    // tiny first batch: the fixture is 20 sources round-robin, so 30
+    // docs give every source 1-2 admissions — all partially filled at
+    // the boundary, topped up from state in batch 2
+    val (h1, h2) = docRows.splitAt(30)
+    val k = 3
+    val in = MemoryStream[DocRow]
+    val name = freshQueryName("cap")
+    val q = StreamingOps.sourceCapStream(in.toDF(), k)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    // expected: first k per source in (batch, doc_id) arrival order —
+    // replayed driver-side; state must carry counts across the boundary
+    val expected = (h1.map(d => (0, d)) ++ h2.map(d => (1, d)))
+      .groupBy(_._2.source).toSeq.flatMap { case (src, ds) =>
+        ds.sortBy { case (b, d) => (b, d.doc_id) }.take(k).zipWithIndex
+          .map { case ((_, d), i) => (src, d.doc_id, (i + 1).toLong) }
+      }.sorted
+    assert(got.nonEmpty && got == expected)
+    assert(got.groupBy(_._1).values.forall(_.size <= k))
+    // at least one source must span the batch boundary partially filled
+    // (admitted < k in batch 1, topped up in batch 2) for the state
+    // carry to be exercised
+    val perSrcB1 = h1.groupBy(_.source).view.mapValues(_.size)
+    assert(docRows.groupBy(_.source).exists { case (s, all) =>
+      perSrcB1.getOrElse(s, 0) < k && all.size > perSrcB1.getOrElse(s, 0)
+    })
   }
 
   test("parseWire keeps commas in text; short lines degrade PERMISSIVEly") {
