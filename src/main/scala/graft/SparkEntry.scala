@@ -58,6 +58,7 @@ object SparkEntry {
     "annIvf"              -> (DataOps.annIvf _),
     "annLsh"              -> (DataOps.annLsh _),
     "embedQuantize"       -> (DataOps.embedQuantize _),
+    "embedPq"             -> (DataOps.embedPq _),
     "langId"              -> (DataOps.langId _),
     "langConfusion"       -> (DataOps.langConfusion _),
     "textQuality"         -> (DataOps.textQuality _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "annIvf"              -> OracleSqlData.annIvf,
     "annLsh"              -> OracleSqlData.annLsh,
     "embedQuantize"       -> OracleSqlData.embedQuantize,
+    "embedPq"             -> OracleSqlData.embedPq,
     "langId"              -> OracleSqlData.langId,
     "langConfusion"       -> OracleSqlData.langConfusion,
     "textQuality"         -> OracleSqlData.textQuality,

@@ -435,6 +435,81 @@ object OracleSqlData {
        |    AS DOUBLE) / (254.0 * len(em))) AS BIGINT) AS mae_micro
        |FROM q""".stripMargin
 
+  /** Product-quantization mirror ([[DataOps.embedPq]]): same
+    * hash-stratified seeds, same one-Lloyd-step codebook with
+    * truncating-integer means (`//` here, `div` in Spark — both
+    * truncate toward zero, verified on negatives), same exact
+    * squared-L2 assignment with (distance, cid) tie-break. */
+  val embedPq: String = {
+    val k = DataOps.PqK
+    val sd = DataOps.PqSubDim
+    s"""WITH $embCtes,
+       |el AS (
+       |  SELECT vec_id, CAST((i - 1) // $sd AS INTEGER) AS m,
+       |         (i - 1) % $sd AS j, v AS x
+       |  FROM vu
+       |),
+       |sds AS (
+       |  SELECT stratum AS cid, vec_id AS cvid FROM (
+       |    SELECT vec_id, h, h % $k AS stratum,
+       |           ROW_NUMBER() OVER (PARTITION BY h % $k
+       |             ORDER BY h, vec_id) AS rnk
+       |    FROM (SELECT vec_id,
+       |            ${h60("'pq:' || CAST(vec_id AS VARCHAR)")} AS h FROM ev)
+       |  ) WHERE rnk = 1
+       |),
+       |sel AS (
+       |  SELECT s.cid, e.m, e.j, e.x AS c
+       |  FROM sds s JOIN el e ON e.vec_id = s.cvid
+       |),
+       |d0 AS (
+       |  SELECT e.vec_id, e.m, c.cid, SUM((e.x - c.c) * (e.x - c.c)) AS d
+       |  FROM el e JOIN sel c ON c.m = e.m AND c.j = e.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |a0 AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |             ORDER BY d, cid) AS rnk
+       |    FROM d0
+       |  ) WHERE rnk = 1
+       |),
+       |ref AS (
+       |  SELECT e.m, a.cid, e.j, SUM(e.x) // COUNT(*) AS c
+       |  FROM a0 a JOIN el e ON e.vec_id = a.vec_id AND e.m = a.m
+       |  GROUP BY 1, 2, 3
+       |),
+       |d1 AS (
+       |  SELECT e.vec_id, e.m, r.cid, SUM((e.x - r.c) * (e.x - r.c)) AS d
+       |  FROM el e JOIN ref r ON r.m = e.m AND r.j = e.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |a1 AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |             ORDER BY d, cid) AS rnk
+       |    FROM d1
+       |  ) WHERE rnk = 1
+       |),
+       |code AS (
+       |  SELECT vec_id,
+       |         string_agg(CAST(cid AS VARCHAR), '_' ORDER BY m) AS code
+       |  FROM a1 GROUP BY 1
+       |),
+       |mae AS (
+       |  SELECT a.vec_id,
+       |         CAST(SUM(ABS(e.x - r.c)) // 64 AS BIGINT) AS mae_micro
+       |  FROM a1 a
+       |  JOIN el e ON e.vec_id = a.vec_id AND e.m = a.m
+       |  JOIN ref r ON r.m = a.m AND r.cid = a.cid AND r.j = e.j
+       |  GROUP BY 1
+       |)
+       |SELECT c.vec_id, c.code, m.mae_micro
+       |FROM code c JOIN mae m ON m.vec_id = c.vec_id""".stripMargin
+  }
+
   val annBrute: String =
     s"""WITH $embCtes,
        |qd AS (

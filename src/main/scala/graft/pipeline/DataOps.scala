@@ -1053,6 +1053,82 @@ object DataOps {
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     fingerprintCols(docs(spark, sfDir))
 
+  /** Product-quantization geometry (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" / FAISS PQ): the 64-dim
+    * embedding splits into [[PqM]] sub-spaces of [[PqSubDim]] dims, each
+    * coded against [[PqK]] centroids ⇒ an 8-byte code per vector (16×
+    * compression over the int8 scalar tier [[embedQuantize]]). */
+  val PqM = 8
+  val PqK = 16
+  val PqSubDim = 8
+
+  /** PRODUCT QUANTIZATION of the embedding column — the vector-store
+    * compression tier between scalar int8 ([[embedQuantize]]) and raw
+    * vectors: per vector, one centroid id per sub-space (the PQ code)
+    * plus the exact-integer reconstruction MAE. Fully deterministic and
+    * oracle-replayable by the same discipline as the IVF coarse
+    * quantizer ([[centroids]]): hash-stratified seed picks, ONE Lloyd
+    * step with member-wise truncating-integer means, assignment by
+    * EXACT int64 squared-L2 distance with (distance, cid) tie-break.
+    * Output (vec_id, code = "c0_c1_…", mae_micro).
+    *
+    * 100 TB shape: the codebook is KB-sized at any corpus scale
+    * (M·K·subdim = 1024 ints) and BROADCASTS into both assignment
+    * passes — each pass is one scan + map-side join + hash aggregate,
+    * linear in the corpus with no unbounded shuffle. */
+  def embedPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    // element relation: (vec_id, m = sub-space, j = dim within it, x).
+    // Persisted: it feeds the seed-cell assignment, the Lloyd means,
+    // the coding assignment and the MAE join — four plan branches.
+    val el = v.select(col("vec_id"), posexplode(col("em")).as(Seq("i", "x")))
+      .select(col("vec_id"),
+        (col("i") / PqSubDim).cast("int").as("m"),
+        pmod(col("i"), lit(PqSubDim)).as("j"), col("x"))
+      .persist()
+    // hash-stratified seed vectors (insert-order independent), one per
+    // stratum; their sub-vectors seed every sub-space's codebook
+    val seeds = v
+      .withColumn("h",
+        hash60(concat(lit("pq:"), col("vec_id").cast("string"))))
+      .withColumn("stratum", pmod(col("h"), lit(PqK.toLong)))
+      .groupBy(col("stratum"))
+      .agg(min(struct(col("h"), col("vec_id"))).as("mn"))
+      .select(col("stratum").cast("int").as("cid"),
+        col("mn.vec_id").as("cvid"))
+    val seedEl = seeds.join(el, col("cvid") === col("vec_id"))
+      .select(col("cid"), col("m"), col("j"), col("x").as("c"))
+    // exact squared-L2 assignment of every sub-vector to its best cell:
+    // the argmin is min(struct(d, cid)) — lexicographic struct order IS
+    // the (distance asc, cid asc) tie-break — so both passes are pure
+    // hash aggregates with map-side partials; a row_number window here
+    // cost a full sort exchange of |vectors|·M·K rows per pass
+    def assign(cents: DataFrame): DataFrame =
+      el.join(broadcast(cents), Seq("m", "j"))
+        .groupBy(col("vec_id"), col("m"), col("cid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
+    // one Lloyd step: member-wise truncating-integer means (exact and
+    // identical in Spark `div` / DuckDB `//` — both truncate toward 0)
+    val refined = pin(assign(seedEl).join(el, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("cid"), col("j"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("m"), col("cid"), col("j"), expr("s div cnt").as("c")))
+    val coded = assign(refined)
+    val code = coded.groupBy(col("vec_id"))
+      .agg(concat_ws("_",
+        transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+          e => e.getField("cid").cast("string"))).as("code"))
+    val mae = coded.join(el, Seq("vec_id", "m"))
+      .join(broadcast(refined), Seq("m", "cid", "j"))
+      .groupBy(col("vec_id"))
+      .agg(expr("sum(abs(x - c)) div 64").as("mae_micro"))
+    finish(code.join(mae, Seq("vec_id"))
+      .select(col("vec_id"), col("code"), col("mae_micro")), el)
+  }
+
   /** Contamination shingle width: contiguous token n-grams compared
     * against the benchmark set. (Real pipelines use 8-13; the synthetic
     * corpus's short word-salad docs only collide at 4.) */

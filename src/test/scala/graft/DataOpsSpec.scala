@@ -195,6 +195,28 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedPq codes every vector with M in-range sub-codes") {
+    val rows = DataOps.embedPq(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq
+    val n = spark.read.parquet(s"$SF/embeddings.parquet").count()
+    assert(rows.size.toLong == n)
+    rows.foreach { case (_, code, mae) =>
+      val parts = code.split("_")
+      assert(parts.length == DataOps.PqM)
+      assert(parts.forall(p => p.toInt >= 0 && p.toInt < DataOps.PqK))
+      assert(mae >= 0L)
+    }
+    // the codebook must actually discriminate: more than one distinct
+    // code, and reconstruction beats the all-zero-codebook strawman
+    assert(rows.map(_._2).distinct.size > 1)
+    val meanAbs = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(explode(col("embedding")).as("x"))
+      .select(avg(abs(round(col("x") * 1000000)))).head().getDouble(0)
+    val meanMae = rows.map(_._3).sum.toDouble / rows.size
+    assert(meanMae < meanAbs,
+      s"PQ reconstruction ($meanMae) no better than zero codebook ($meanAbs)")
+  }
+
   test("annBrute returns a full ranked top-10 per query on sf0.001") {
     val rows = DataOps.annBrute(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
