@@ -57,6 +57,7 @@ object SparkEntry {
     "annBrute"            -> (DataOps.annBrute _),
     "annIvf"              -> (DataOps.annIvf _),
     "annLsh"              -> (DataOps.annLsh _),
+    "annPq"               -> (DataOps.annPq _),
     "embedQuantize"       -> (DataOps.embedQuantize _),
     "embedPq"             -> (DataOps.embedPq _),
     "langId"              -> (DataOps.langId _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "annBrute"            -> OracleSqlData.annBrute,
     "annIvf"              -> OracleSqlData.annIvf,
     "annLsh"              -> OracleSqlData.annLsh,
+    "annPq"               -> OracleSqlData.annPq,
     "embedQuantize"       -> OracleSqlData.embedQuantize,
     "embedPq"             -> OracleSqlData.embedPq,
     "langId"              -> OracleSqlData.langId,

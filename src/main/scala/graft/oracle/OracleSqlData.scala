@@ -435,15 +435,16 @@ object OracleSqlData {
        |    AS DOUBLE) / (254.0 * len(em))) AS BIGINT) AS mae_micro
        |FROM q""".stripMargin
 
-  /** Product-quantization mirror ([[DataOps.embedPq]]): same
-    * hash-stratified seeds, same one-Lloyd-step codebook with
-    * truncating-integer means (`//` here, `div` in Spark — both
-    * truncate toward zero, verified on negatives), same exact
-    * squared-L2 assignment with (distance, cid) tie-break. */
-  val embedPq: String = {
+  /** Shared product-quantization CTE chain (mirror of
+    * [[DataOps.pqParts]]): element relation, hash-stratified seeds,
+    * one-Lloyd-step codebook with truncating-integer means (`//` here,
+    * `div` in Spark — both truncate toward zero, verified on
+    * negatives), exact squared-L2 assignments with (distance, cid)
+    * tie-break. Ends with `ref` (codebook) and `a1` (codes). */
+  private val pqCtes: String = {
     val k = DataOps.PqK
     val sd = DataOps.PqSubDim
-    s"""WITH $embCtes,
+    s"""$embCtes,
        |el AS (
        |  SELECT vec_id, CAST((i - 1) // $sd AS INTEGER) AS m,
        |         (i - 1) % $sd AS j, v AS x
@@ -492,7 +493,11 @@ object OracleSqlData {
        |             ORDER BY d, cid) AS rnk
        |    FROM d1
        |  ) WHERE rnk = 1
-       |),
+       |)""".stripMargin
+  }
+
+  val embedPq: String =
+    s"""WITH $pqCtes,
        |code AS (
        |  SELECT vec_id,
        |         string_agg(CAST(cid AS VARCHAR), '_' ORDER BY m) AS code
@@ -508,6 +513,60 @@ object OracleSqlData {
        |)
        |SELECT c.vec_id, c.code, m.mae_micro
        |FROM code c JOIN mae m ON m.vec_id = c.vec_id""".stripMargin
+
+  /** PQ ADC+refine ANN mirror ([[DataOps.annPq]]): same distance
+    * tables (exact int64), same code-lookup sum, same (adc, n_id)
+    * shortlist, same exact-cosine re-rank as the annBrute mirror. */
+  val annPq: String = {
+    val short = DataOps.PqShortlist
+    s"""WITH $pqCtes,
+       |qel AS (
+       |  SELECT vec_id AS q_id, m, j, x AS qx FROM el
+       |  WHERE vec_id % 50 = 0
+       |),
+       |dt AS (
+       |  SELECT q.q_id, q.m, r.cid,
+       |         SUM((q.qx - r.c) * (q.qx - r.c)) AS dtv
+       |  FROM qel q JOIN ref r ON r.m = q.m AND r.j = q.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |adc AS (
+       |  SELECT t.q_id, a.vec_id AS n_id, SUM(t.dtv) AS adc
+       |  FROM a1 a JOIN dt t ON t.m = a.m AND t.cid = a.cid
+       |  WHERE t.q_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY adc, n_id) AS srnk
+       |    FROM adc
+       |  ) WHERE srnk <= $short
+       |),
+       |qd AS (
+       |  SELECT s.q_id, s.n_id, SUM(a.v * b.v) AS d
+       |  FROM short s
+       |  JOIN vu a ON a.vec_id = s.n_id
+       |  JOIN vu b ON b.vec_id = s.q_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT qd.q_id, qd.n_id,
+       |         CAST(qd.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM qd
+       |  JOIN nrm nn ON nn.vec_id = qd.n_id
+       |  JOIN nrm nq ON nq.vec_id = qd.q_id
+       |)
+       |SELECT q_id, n_id, rnk, CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro
+       |FROM (
+       |  SELECT q_id, n_id, cs,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 10""".stripMargin
   }
 
   val annBrute: String =
