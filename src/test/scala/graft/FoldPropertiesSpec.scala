@@ -73,6 +73,52 @@ class FoldPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedupSubstring equals the naive run-merge model on random corpora") {
+    // naive reference: per doc, every g-gram occurrence whose gram also
+    // appears in a LOWER doc_id is duplicated; merge [p, p+g-1]
+    // intervals that overlap or touch; report per-doc run stats
+    def model(texts: Seq[(Long, String)], g: Int)
+        : Seq[(Long, Long, Long, Long, Long)] = {
+      val toks = texts.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      val occ = texts.flatMap { case (id, _) =>
+        toks(id).sliding(g).zipWithIndex.collect {
+          case (w, p) if w.size == g => (id, p, w.mkString(" ")) } }
+      val minDoc = occ.groupBy(_._3).map { case (gr, os) =>
+        gr -> os.map(_._1).min }
+      occ.filter { case (id, _, gr) => minDoc(gr) < id }
+        .groupBy(_._1).toSeq.map { case (id, os) =>
+          val ps = os.map(_._2).sorted
+          val runs = ps.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, p) if p <= e + 1 =>
+              (s, math.max(e, p + g - 1)) :: rest
+            case (acc, p) => (p, p + g - 1) :: acc
+          }.reverse
+          (id, toks(id).size.toLong, runs.size.toLong,
+            runs.map(r => r._2 - r._1 + 1L).sum,
+            runs.map(r => r._2 - r._1 + 1L).max)
+        }.sortBy(_._1)
+    }
+    // tiny vocab forces heavy gram collisions — the hard case
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val corpus = Gen.listOfN(6, doc)
+    for ((texts, i) <- cases(corpus, 6).zipWithIndex) {
+      val g = 2 + (i % 3)
+      val rows = texts.zipWithIndex.map { case (t, j) =>
+        (j.toLong, t, "en", "s0", t.length.toLong) }
+      val dir = java.nio.file.Files.createTempDirectory("substr-prop")
+        .toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = graft.pipeline.DataOps.dedupSubstring(spark, dir, g)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val want = model(rows.map(r => (r._1, r._2)), g)
+      assert(got == want, s"case g=$g texts=$texts")
+    }
+  }
+
   test("top_k equals the sorted-take model for any values and k") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L)).map(_.take(12))
     for ((vs, i) <- cases(gen).zipWithIndex) {
