@@ -118,7 +118,14 @@ object RelOps {
     * harmonic-mean denominator is the EXACT integer Σ 2^(54−M_j), so the
     * only double step is the final α·m²·2^54 / S division, mirrored
     * operand-for-operand. Output (event_type, est_micro, exact). */
-  def hllDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+  /** HLL register relation of any (event_type, user_id) frame:
+    * (event_type, bucket, mj) with 64 md5-keyed registers per type —
+    * shared by [[hllDistinctUsers]] and the streaming twin
+    * ([[graft.streaming.EventStreamOps.hllRegisterStream]]); `max` is
+    * monotone, so the same expression is an incrementally-maintainable
+    * update-mode streaming aggregation with state BOUNDED at
+    * types × 64 rows regardless of stream length. */
+  private[graft] def hllRegisters(df: DataFrame): DataFrame = {
     val m = 64
     val h = graft.functions.HashFns.hash60(col("user_id").cast("string"))
     // bit_length via smear-to-ones + popcount (exact in both engines);
@@ -127,13 +134,18 @@ object RelOps {
       (acc, s) => acc.bitwiseOR(shiftright(acc, s))
     }
     val rho = least(lit(55L) - bit_count(smear).cast("long"), lit(54L))
-    val regs = events(spark, sfDir)
+    df
       .select(col("event_type"), col("user_id")).withColumn("h", h)
       .withColumn("w", expr("h div 64"))
       .select(col("event_type"), col("user_id"),
         pmod(col("h"), lit(m.toLong)).as("bucket"), rho.as("rho"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("mj"))
+  }
+
+  def hllDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 64
+    val regs = hllRegisters(events(spark, sfDir))
     // every (event_type, bucket) pair, empty registers included
     val allBuckets = events(spark, sfDir)
       .select(col("event_type")).distinct()

@@ -151,6 +151,22 @@ object EventStreamOps {
         })
   }
 
+  /** Streaming HLL registers — the live-sketch twin of
+    * [[graft.pipeline.RelOps.hllDistinctUsers]]'s register build: the
+    * SAME md5-keyed (event_type, bucket) → max(ρ) aggregation runs as
+    * an UPDATE-mode streaming aggregation, because `max` is monotone —
+    * each micro-batch can only raise registers, so the streaming state
+    * IS the sketch and is BOUNDED at types × 64 rows at any stream
+    * length (the sketch-vs-exact-set argument, live: counting distinct
+    * users exactly would hold per-user state). The estimator runs over
+    * the 64-row-per-type register table wherever it lands (sink side /
+    * the batch query's own tail) — chaining it in-stream would need a
+    * second stateful aggregation. Pinned stream-registers ≡ batch in
+    * EventStreamSpec. */
+  def hllRegisterStream(events: Dataset[StreamEvent]): DataFrame =
+    graft.pipeline.RelOps.hllRegisters(
+      events.toDF().select(col("event_type"), col("user_id")))
+
   /** Streaming SCD TYPE-2 history (the CDC twin of
     * [[graft.pipeline.EventOps.eventHistoryScd2]]): per user, keep the
     * ONE open validity row in state; each new event emits the previous

@@ -206,6 +206,48 @@ class EventStreamSpec extends SparkSpec {
     assert((usersB & clicksA).nonEmpty)
   }
 
+  test("streaming HLL registers converge to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("hll")
+    val q = EventStreamOps.hllRegisterStream(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      def regsOf(evs: Seq[StreamEvent]) =
+        graft.pipeline.RelOps.hllRegisters(
+          evs.toDF().select(col("event_type"), col("user_id")))
+          .as[(String, Long, Long)].collect().toSeq.sorted
+      // tiny first batch so batch 2 genuinely extends the sketch
+      val (a, b) = fixtureEvents.splitAt(50)
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(s1.sorted == regsOf(a), "trigger-1 registers != batch(a)")
+      in.addData(b); q.processAllAvailable()
+      // trigger 2's UPDATE rows = (all sink rows) minus trigger 1's —
+      // each must ALREADY equal the full-corpus register for its key:
+      // the new max folds the carried batch-1 state, so a state loss
+      // (batch-2-only max) shows as a lower value here, which a
+      // max-compaction over the sink would have masked
+      val all = spark.table(name)
+        .as[(String, Long, Long)].collect().toSeq
+      val s2 = all.diff(s1)
+      val full = regsOf(fixtureEvents).map(r => (r._1, r._2) -> r._3).toMap
+      assert(s2.nonEmpty)
+      s2.foreach { case (t, bkt, mj) =>
+        assert(mj == full((t, bkt)), s"register ($t,$bkt) lost state")
+      }
+      // final state: trigger-2 rows + untouched trigger-1 rows ≡ batch
+      val finalRegs = (s2.map(r => (r._1, r._2) -> r._3).toMap ++
+        Map.empty).foldLeft(s1.map(r => (r._1, r._2) -> r._3).toMap)(_ + _)
+      assert(finalRegs == full)
+      // the boundary is real: trigger 2 re-emitted keys trigger 1 set
+      assert(s2.map(r => (r._1, r._2)).toSet
+        .intersect(s1.map(r => (r._1, r._2)).toSet).nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming SCD2 changelog compacts to the batch history table") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
