@@ -53,6 +53,8 @@ object SparkEntry {
     // fixture-proportionate run length; production default is 50
     "dedupSubstring"      -> ((s: SparkSession, dir: String) =>
       DataOps.dedupSubstring(s, dir, DataOps.SubstringRunFixture)),
+    "trimSubstringDups"   -> ((s: SparkSession, dir: String) =>
+      DataOps.trimSubstringDups(s, dir, DataOps.SubstringRunFixture)),
     "dedupEmbed"          -> (DataOps.dedupEmbed _),
     "annBrute"            -> (DataOps.annBrute _),
     "annIvf"              -> (DataOps.annIvf _),
@@ -159,6 +161,7 @@ object SparkEntry {
     "dedupSimhash"        -> OracleSqlData.dedupSimhash,
     "dedupNgramSource"    -> OracleSqlData.dedupNgramSource,
     "dedupSubstring"      -> OracleSqlData.dedupSubstring,
+    "trimSubstringDups"   -> OracleSqlData.trimSubstringDups,
     "dedupEmbed"          -> OracleSqlData.dedupEmbed,
     "annBrute"            -> OracleSqlData.annBrute,
     "annIvf"              -> OracleSqlData.annIvf,

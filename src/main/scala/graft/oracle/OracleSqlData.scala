@@ -253,13 +253,15 @@ object OracleSqlData {
        |  JOIN ntok nb ON nb.doc_id = i.doc_b
        |) WHERE jac_micro >= 800000""".stripMargin
 
-  /** Substring-dedup mirror ([[DataOps.dedupSubstring]] at the fixture
-    * run length): same sliding g-token grams with 0-based positions,
-    * same hash60 fingerprints, same min-doc duplicated-occurrence rule
-    * and interval merge (new run when pos > lag(pos) + g). */
-  val dedupSubstring: String = {
+  /** Shared substring-dedup CTE chain (mirror of
+    * [[DataOps.substringRuns]] at the fixture run length): sliding
+    * g-token grams with 0-based positions, hash60 fingerprints, min-doc
+    * duplicated-occurrence rule, interval merge (new run when
+    * pos > lag(pos) + g). Ends with `ragg` = (doc_id, n_tok, run_id,
+    * s, e). */
+  private val substringRunCtes: String = {
     val g = DataOps.SubstringRunFixture
-    s"""WITH $wrdsCte,
+    s"""$wrdsCte,
        |gl AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
        |         CASE WHEN len(w) >= $g THEN
@@ -294,14 +296,50 @@ object OracleSqlData {
        |),
        |ragg AS (
        |  SELECT doc_id, n_tok, run_id,
-       |         MAX(pos) - MIN(pos) + $g AS run_len
+       |         MIN(pos) AS s, MAX(pos) + ${g - 1} AS e
        |  FROM runs GROUP BY 1, 2, 3
-       |)
-       |SELECT doc_id, n_tok AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_runs,
-       |       CAST(SUM(run_len) AS BIGINT) AS dup_tokens,
-       |       CAST(MAX(run_len) AS BIGINT) AS max_run
-       |FROM ragg GROUP BY 1, 2""".stripMargin
+       |)""".stripMargin
   }
+
+  val dedupSubstring: String =
+    s"""WITH $substringRunCtes
+       |SELECT doc_id, n_tok AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       |       CAST(MAX(e - s + 1) AS BIGINT) AS max_run
+       |FROM ragg GROUP BY 1, 2""".stripMargin
+
+  /** Trim mirror ([[DataOps.trimSubstringDups]]): same runs, tokens
+    * outside every [s, e] re-joined by single spaces in position order;
+    * a fully duplicated doc trims to the empty string. */
+  val trimSubstringDups: String =
+    s"""WITH $substringRunCtes,
+       |flagged AS (
+       |  SELECT doc_id, n_tok,
+       |         CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+       |  FROM ragg GROUP BY 1, 2
+       |),
+       |tok AS (
+       |  SELECT w.doc_id,
+       |         CAST(generate_subscripts(w.w, 1) - 1 AS BIGINT) AS pos,
+       |         unnest(w.w) AS tk
+       |  FROM wrds w JOIN flagged f ON f.doc_id = w.doc_id
+       |),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tk
+       |  FROM tok t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ragg r
+       |    WHERE r.doc_id = t.doc_id AND t.pos BETWEEN r.s AND r.e)
+       |),
+       |rebuilt AS (
+       |  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean,
+       |         CAST(COUNT(*) AS BIGINT) AS n_clean
+       |  FROM kept GROUP BY 1
+       |)
+       |SELECT f.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+       |       CAST(COALESCE(r.n_clean, 0) AS BIGINT) AS n_clean,
+       |       f.dup_tokens, f.n_tok AS n_tokens
+       |FROM flagged f LEFT JOIN rebuilt r ON r.doc_id = f.doc_id""".stripMargin
 
   // =================================================================
   // Embedding similarity family

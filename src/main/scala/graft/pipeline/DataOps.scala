@@ -520,8 +520,11 @@ object DataOps {
     * interval-merge windows partition by doc_id over DUPLICATED
     * occurrences only, bounded by document length — no all-pairs stage,
     * no per-pair alignment, no suffix array. */
-  def dedupSubstring(spark: SparkSession, sfDir: String,
-      g: Int = SubstringRunDefault): DataFrame = {
+  /** The merged duplicated-run intervals behind [[dedupSubstring]] /
+    * [[trimSubstringDups]]: (doc_id, n_tok, run_id, s, e) — one row per
+    * maximal duplicated token run [s, e] (0-based, inclusive). */
+  private def substringRuns(spark: SparkSession, sfDir: String,
+      g: Int): DataFrame = {
     // The gram array is materialized ONCE as a column; n_tok derives
     // from its size (n_grams + g − 1 ≡ the token count for every doc
     // long enough to emit a gram — shorter docs emit nothing). No
@@ -552,20 +555,69 @@ object DataOps {
     // Positions ascend within a doc, so lag(pos) IS the running max and
     // the previous interval's end is lag + g − 1; a new run starts when
     // pos > lag + g (strictly past overlap-or-touch).
-    val runs = dup
+    dup
       .withColumn("brk",
         when(col("pos") > coalesce(lag(col("pos"), 1).over(w),
           lit(Long.MinValue / 2)) + g, 1L).otherwise(0L))
       .withColumn("run_id", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("n_tok"), col("run_id"))
-      .agg((max(col("pos")) - min(col("pos")) + g).as("run_len"))
-    finish(runs
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(g - 1)).as("e"))
+  }
+
+  def dedupSubstring(spark: SparkSession, sfDir: String,
+      g: Int = SubstringRunDefault): DataFrame =
+    finish(substringRuns(spark, sfDir, g)
+      .withColumn("run_len", col("e") - col("s") + 1L)
       .groupBy(col("doc_id"), col("n_tok"))
       .agg(count(lit(1)).as("n_runs"),
         sum(col("run_len")).as("dup_tokens"),
         max(col("run_len")).as("max_run"))
       .select(col("doc_id"), col("n_tok").as("n_tokens"), col("n_runs"),
         col("dup_tokens"), col("max_run")))
+
+  /** SUBSTRING-DEDUP TRIM — the removal step of Lee et al. 2022 beside
+    * the [[dedupSubstring]] report: for every document with a
+    * duplicated run, reconstruct the text with the merged duplicated
+    * intervals CUT OUT (tokens re-joined by single spaces — the
+    * engine's tokenization contract). Output one row per affected doc:
+    * (doc_id, text_clean, n_clean, dup_tokens, n_tokens); a fully
+    * duplicated document trims to the empty string.
+    *
+    * 100 TB shape: every stage after the shared run computation touches
+    * FLAGGED documents only (the semi/anti joins prune the rest at the
+    * scan); the anti join is doc_id-equi with a per-doc bounded range
+    * residual, and the rebuild is one ordered-array aggregate per
+    * affected doc — never a corpus-wide re-tokenization. */
+  def trimSubstringDups(spark: SparkSession, sfDir: String,
+      g: Int = SubstringRunDefault): DataFrame = {
+    // Persisted: the run relation feeds the per-doc totals, the anti
+    // join and (via the semi join) the token explode.
+    val runs = persistUnlessLazy(substringRuns(spark, sfDir, g))
+    val flagged = runs.groupBy(col("doc_id"), col("n_tok"))
+      .agg(sum(col("e") - col("s") + 1L).as("dup_tokens"))
+    val toks = docs(spark, sfDir)
+      .join(flagged.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordGramsExpr.grams(spark, col("text"),
+          1, distinct = false)).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(runs.as("r"),
+      toks("doc_id") === col("r.doc_id") &&
+        col("pos") >= col("r.s") && col("pos") <= col("r.e"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok"))).as("text_clean"),
+        count(lit(1)).as("n_clean"))
+    finish(flagged.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        col("dup_tokens"), col("n_tok").as("n_tokens")),
+      runs)
   }
 
   // =================================================================

@@ -677,6 +677,28 @@ class DataOpsSpec extends SparkSpec {
       (6L, 6L, 1L, 6L, 6L)))
   }
 
+  test("trimSubstringDups cuts exactly the merged runs from the text") {
+    val dir = Files.createTempDirectory("graft-trim").toString
+    val texts = Seq(
+      0L -> "a b c d e f g h",
+      1L -> "x a b c d y z w q r",
+      2L -> "a b c q q q f g h p p p",
+      3L -> "no overlap here at all",
+      4L -> "a b c d e f",
+      6L -> "a b c f g h")
+    texts.map { case (id, t) => (id, t, "en", "s0", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = DataOps.trimSubstringDups(spark, dir, g = 3)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq(
+      (1L, "x y z w q r", 6L, 4L, 10L),
+      (2L, "q q q p p p", 6L, 6L, 12L),
+      (4L, "", 0L, 6L, 6L),       // fully duplicated -> empty
+      (6L, "", 0L, 6L, 6L)))      // touching runs cover everything
+  }
+
   test("dedupSubstring: sub-run docs and the earliest copy never flag") {
     // All grams of doc 0 have min doc 0; docs shorter than g yield no
     // grams at all — neither can appear in the output.
