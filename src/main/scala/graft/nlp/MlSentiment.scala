@@ -97,19 +97,15 @@ object MlSentiment {
     val score = toks.join(wts, Seq("t"))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("w")).as("score"))
-    val out = blocks.select(keys.map(col): _*)
-      .join(score, keys, "left")
-      .select(col("wsec"), col("channel"), col("username"),
-        when(coalesce(col("score"), lit(0L)) > 0, 1L).otherwise(0L)
-          .as("pred_pos"))
     // Materialize the small result and release the token relation —
-    // callers get a lineage-free frame (the DataOps `finish` hygiene).
-    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) out
-    else {
-      val r = out.localCheckpoint(true)
-      toks.unpersist()
-      r
-    }
+    // the shared registry cache-hygiene discipline.
+    graft.pipeline.DataOps.finish(
+      blocks.select(keys.map(col): _*)
+        .join(score, keys, "left")
+        .select(col("wsec"), col("channel"), col("username"),
+          when(coalesce(col("score"), lit(0L)) > 0, 1L).otherwise(0L)
+            .as("pred_pos")),
+      toks)
   }
 
   /** MLlib float tier: Tokenizer → HashingTF(1024) →

@@ -47,7 +47,7 @@ object DataOps {
     * skips the materialization so the full physical plan stays auditable;
     * in that mode nothing executes, so the persist markers also never
     * allocate storage. */
-  private def finish(out: DataFrame, caches: DataFrame*): DataFrame =
+  private[graft] def finish(out: DataFrame, caches: DataFrame*): DataFrame =
     if (java.lang.Boolean.getBoolean("graft.lazyPlans")) out
     else {
       val r = out.localCheckpoint(true)
@@ -185,7 +185,10 @@ object DataOps {
     val ids0 = docs(spark, sfDir).select(col("doc_id"))
       .where(pmod(graft.functions.HashFns.hash60(
         concat(lit("recall:"), col("doc_id"))), lit(5L)) === 0L)
-    val ndocs = ids0.agg(count(lit(1)).as("n_docs"))
+    // Persisted: the one-row count feeds both the in-plan guard and the
+    // output row — without it the documents scan + count would execute
+    // once per use (exchange reuse does not span the persist boundary).
+    val ndocs = persistUnlessLazy(ids0.agg(count(lit(1)).as("n_docs")))
     // The size-cap guard rides INSIDE the plan (assert_true over the
     // broadcast count) instead of an eager driver-side count(), so
     // CONSTRUCTING this query runs no job (plan-only paths — explain,
@@ -243,7 +246,7 @@ object DataOps {
           "ELSE 1000000 END").as("recall_micro"),
         expr("CASE WHEN n_cand > 0 THEN (n_hit * 1000000) div n_cand " +
           "ELSE 1000000 END").as("precision_micro"))
-    finish(out, sh)
+    finish(out, sh, ndocs)
   }
 
   /** Min-label connected components over an undirected edge list

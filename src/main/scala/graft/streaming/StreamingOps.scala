@@ -120,11 +120,14 @@ object StreamingOps {
     * first reveals its expiry continues its old state. `watermark`
     * bounds event-time disorder; records later than it are dropped by
     * the engine (TTL mode only — without a TTL no watermark is applied
-    * and nothing is ever dropped or evicted). */
+    * and nothing is ever dropped or evicted). The default delay matches
+    * the sibling event-time-TTL operators ([[EventStreamOps]]): a
+    * 0-second delay would silently drop CROSS-key disorder the per-key
+    * ordering contract explicitly allows. */
   def toxicWindows(moods: Dataset[MoodRec], n: Int,
       thresholdMicro: Long,
       ttlMs: Option[Long] = None,
-      watermark: String = "0 seconds"): Dataset[ToxWindow] = {
+      watermark: String = "1 hour"): Dataset[ToxWindow] = {
     import moods.sparkSession.implicits._
     val src =
       if (ttlMs.isDefined)
@@ -278,9 +281,9 @@ object StreamingOps {
     * ONE pass: language ID, quality score, benchmark decontamination and
     * the stratified-sampling decision, each as a 0/1 keep bit, plus
     * their conjunction `keep` (language identified ∧ quality ≥ floor ∧
-    * uncontaminated — benchmark documents flag contaminated by
-    * construction, matching the batch verdict's "benchmark docs always
-    * dropped"). Entirely stateless (the decontamination gram set rides
+    * uncontaminated — benchmark documents are dropped UNCONDITIONALLY,
+    * the batch verdict's "benchmark docs always dropped" rule, not just
+    * via gram self-overlap). Entirely stateless (the decontamination gram set rides
     * as a broadcast literal), so the operator is append-clean at any
     * stream rate. The two batch-only gates — repetition signals and
     * near-dup cluster survivorship — need corpus-wide aggregation and
@@ -296,7 +299,14 @@ object StreamingOps {
       .withColumn("lang_keep", (col("lang_pred") =!= "und").cast("long"))
       .withColumn("quality_keep",
         (col("quality_micro") >= DataOps.QualityFloorMicro).cast("long"))
-      .withColumn("contam_keep", lit(1L) - col("contaminated").cast("long"))
+      // benchmark documents (the doc_id ≡ 0 mod 97 stand-in, the same
+      // rule as DataOps.decontaminate) are ALWAYS dropped — matching the
+      // batch verdict unconditionally, not only when they happen to
+      // share a gram with themselves (a sub-ContamN-token benchmark doc
+      // has no grams and would otherwise slip through)
+      .withColumn("contam_keep",
+        when(col("doc_id") % 97 === 0, lit(0L))
+          .otherwise(lit(1L) - col("contaminated").cast("long")))
       .withColumn("keep",
         col("lang_keep") * col("quality_keep") * col("contam_keep"))
   }

@@ -254,8 +254,10 @@ class StreamingSpec extends SparkSpec {
     // deterministic.
     val in = MemoryStream[MoodRec]
     val name = freshQueryName("toxttl")
+    // zero watermark delay keeps the test's clock arithmetic tight;
+    // the production default is "1 hour" of allowed disorder
     val q = StreamingOps.toxicWindows(in.toDS(), 10, -10L * 1000000L,
-        ttlMs = Some(30000L)) // 30 s of event time
+        ttlMs = Some(30000L), watermark = "0 seconds") // 30 s event-time TTL
       .toDF().writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
@@ -390,6 +392,8 @@ class StreamingSpec extends SparkSpec {
       assert(sk == (if (stratB(d.doc_id)) 1L else 0L),
         s"strat_keep doc ${d.doc_id}")
       assert(keep == lk * qk * ck)
+      // benchmark documents are dropped unconditionally
+      if (d.doc_id % 97 == 0) assert(ck == 0L && keep == 0L)
     }
   }
 
