@@ -100,6 +100,38 @@ object DataOps {
   val MinhashR = 4
   val MinhashB = 12
 
+  /** Distinct-shingle HASHES of any (doc_id, text) frame: (doc_id, h)
+    * with the full 60-bit [[hash60]] — the signature/verify input
+    * shared with the persistent index ([[graft.sources.MinhashIndex]]);
+    * verify-stage equality keeps the 2^-60 collision contract, and the
+    * mod-P reduction the permutations need happens at signature time. */
+  private[graft] def shingleHashes(spark: SparkSession,
+      d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 3,
+        distinct = true)).as("sh"))
+      .select(col("doc_id"), hash60(col("sh")).as("h"))
+
+  /** LSH band buckets of a (doc_id, h) shingle-hash relation:
+    * (doc_id, bh) with one 64-bit bucket hash per band — the same
+    * banding math as [[dedupMinhash]]'s inline form (kept inline there
+    * because that operator's verify stage — and its oracle — compare
+    * shingle STRINGS, so its source relation carries `sh`, not `h`). */
+  private[graft] def minhashBandsOf(sh: DataFrame): DataFrame = {
+    val mins = (0 until MinhashK).map(i =>
+      min(permHash(i, pmod(col("h"), lit(graft.functions.HashFns.P))))
+        .as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandArr = array((0 until MinhashB).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until MinhashR).map(r =>
+          col(s"m${b * MinhashR + r}")): _*).as("bkey"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandArr).as("bk"))
+      .select(col("doc_id"),
+        xxhash64(col("bk.band"), col("bk.bkey")).as("bh"))
+  }
+
   /** MinHash+LSH near-dup: 3-word shingles → 48-permutation signature →
     * 12 bands of 4 → bucket self-join → exact-Jaccard verify ≥ 0.5.
     * Output: (doc_a, doc_b, jac_micro), doc_a < doc_b.

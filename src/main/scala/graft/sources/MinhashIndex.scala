@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.nlp.NlpFunctions.MICRO
+import graft.pipeline.DataOps
+
+/**
+ * PERSISTENT MinHash index — the incremental-ingest form of
+ * [[DataOps.dedupMinhash]]: a 100 TB corpus cannot re-shingle itself
+ * every time a crawl snapshot lands, so the corpus's shingle hashes and
+ * LSH band buckets are written ONCE and each new snapshot dedups
+ * against the store — the standard two-phase incremental dedup (new-vs-
+ * corpus here; new-vs-new via [[DataOps.dedupMinhash]] over the
+ * snapshot alone).
+ *
+ * Determinism: a document's signature/bands depend only on its own
+ * text, so the banded candidates of a (new, indexed) pair are
+ * IDENTICAL to what the batch operator would produce over the union —
+ * pinned in MinhashIndexSpec against [[DataOps.dedupMinhash]]'s cross
+ * pairs. The exact-Jaccard verify runs on the stored 60-bit shingle
+ * hashes rather than shingle strings (what makes the store compact:
+ * 8 bytes per shingle, no text retained); a 2^-60 hash collision can
+ * only merge two shingles — the same with-high-probability contract as
+ * the band-bucket hash, documented on [[DataOps.dedupMinhash]].
+ *
+ * Layout (`indexDir/`): `shingles/` = (doc_id, hp) and `bands/` =
+ * (doc_id, bh), plain parquet. 100 TB notes: both relations shuffle
+ * only hashes; at cluster scale write `bands` bucketed by `bh` (and
+ * `shingles` by `doc_id`) so the snapshot probe co-locates without a
+ * corpus-side shuffle — the layout knob, not a plan change.
+ */
+object MinhashIndex {
+
+  /** Build (overwrite) the index from a (doc_id, text) corpus frame. */
+  def build(spark: SparkSession, corpus: DataFrame,
+      indexDir: String): Unit = {
+    val sh = DataOps.shingleHashes(spark, corpus).persist()
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    DataOps.minhashBandsOf(sh).write.mode("overwrite")
+      .parquet(s"$indexDir/bands")
+    sh.unpersist()
+  }
+
+  /** Near-duplicates of `newDocs` AGAINST the stored corpus: banded
+    * candidates (new bands ⋈ stored bands), exact-Jaccard verify ≥ 0.5
+    * over shingle hashes. Output (doc_id, dup_of, jac_micro) — doc_id
+    * from the snapshot, dup_of from the index. The snapshot side is
+    * computed fresh (it is the small side); the corpus side is READ,
+    * never recomputed. */
+  def dedupAgainst(spark: SparkSession, newDocs: DataFrame,
+      indexDir: String): DataFrame = {
+    // Persisted: the snapshot shingle relation feeds its bands, the
+    // verify join and its size aggregate.
+    val shNew = DataOps.shingleHashes(spark, newDocs).persist()
+    val bandsNew = DataOps.minhashBandsOf(shNew)
+    val bandsIdx = spark.read.parquet(s"$indexDir/bands")
+    val shIdx = spark.read.parquet(s"$indexDir/shingles")
+    val cand = bandsNew.as("n").join(bandsIdx.as("o"),
+        col("n.bh") === col("o.bh") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val nshNew = shNew.groupBy(col("doc_id").as("new_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val nshIdx = shIdx.groupBy(col("doc_id").as("old_id"))
+      .agg(count(lit(1)).as("n_old"))
+    val inter = cand
+      .join(shNew.as("a"), col("new_id") === col("a.doc_id"))
+      .join(shIdx.as("b"),
+        col("old_id") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("inter"))
+    DataOps.finish(inter
+      .join(nshNew, Seq("new_id"))
+      .join(nshIdx, Seq("old_id"))
+      .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"),
+        round(col("inter").cast("double") /
+          (col("n_new") + col("n_old") - col("inter")).cast("double") *
+          lit(MICRO)).cast("long").as("jac_micro"))
+      .where(col("jac_micro") >= 500000L),
+      shNew)
+  }
+}

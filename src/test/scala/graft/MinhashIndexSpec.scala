@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DataOps
+import graft.sources.MinhashIndex
+
+/** The persistent-index incremental dedup ([[MinhashIndex]]) must agree
+  * with the batch operator: a document's signature depends only on its
+  * own text, so new-vs-indexed banded candidates and their exact-Jaccard
+  * verdicts are exactly the batch run's cross pairs. */
+class MinhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  test("incremental dedup against the index equals the batch cross pairs") {
+    val indexDir = Files.createTempDirectory("graft-mhidx").toString
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    // corpus = even doc_ids (indexed once), snapshot = odd doc_ids
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val snapshot = docs.where(col("doc_id") % 2 === 1)
+    MinhashIndex.build(spark, corpus, indexDir)
+
+    val inc = MinhashIndex.dedupAgainst(spark, snapshot, indexDir)
+      .as[(Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    // batch over the union, restricted to (even, odd) pairs, re-oriented
+    // as (snapshot doc, indexed doc)
+    val batch = DataOps.dedupMinhash(spark, SF)
+      .as[(Long, Long, Long)].collect().toSeq
+      .filter(p => (p._1 % 2 == 0) != (p._2 % 2 == 0))
+      .map { case (a, b, j) =>
+        (if (a % 2 == 1) (a, b) else (b, a)) -> j
+      }.toMap
+
+    assert(inc.nonEmpty, "no cross near-dup pairs on the fixture")
+    assert(inc == batch)
+    // index-only scope: never a snapshot-snapshot or corpus-corpus pair
+    assert(inc.keys.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
+  }
+
+  test("the index is reusable: a second snapshot probes the same store") {
+    val indexDir = Files.createTempDirectory("graft-mhidx2").toString
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    MinhashIndex.build(spark, docs.where(col("doc_id") % 2 === 0), indexDir)
+    // two disjoint snapshots against one build
+    val s1 = MinhashIndex.dedupAgainst(spark,
+      docs.where(col("doc_id") % 4 === 1), indexDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val s2 = MinhashIndex.dedupAgainst(spark,
+      docs.where(col("doc_id") % 4 === 3), indexDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val all = MinhashIndex.dedupAgainst(spark,
+      docs.where(col("doc_id") % 2 === 1), indexDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert((s1 ++ s2) == all)
+    assert(s1.map(_._1).forall(_ % 4 == 1) && s2.map(_._1).forall(_ % 4 == 3))
+  }
+}
