@@ -428,6 +428,188 @@ object OracleSqlRel {
       |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
       |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** Q2-shape mirror ([[graft.pipeline.RelOps.q2MinCostSupp]]): same
+    * derived min-discounted-line-price supply cost (the schema has no
+    * partsupp), same per-part MIN join-back with all-ties output. */
+  val q2MinCostSupp: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         MIN(CAST(ROUND(l_extendedprice * (1.0 - l_discount) *
+      |           1000000.0) AS BIGINT)) AS cost_micro
+      |  FROM lineitem GROUP BY 1, 2
+      |),
+      |eu AS (
+      |  SELECT s.s_suppkey, s.s_name,
+      |         CAST(ROUND(s.s_acctbal * 1000000.0) AS BIGINT) AS acct_micro
+      |  FROM supplier s
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE'
+      |),
+      |pc AS (
+      |  SELECT c.l_partkey, c.cost_micro, e.s_name, e.acct_micro
+      |  FROM cost c JOIN eu e ON c.l_suppkey = e.s_suppkey
+      |),
+      |mn AS (SELECT l_partkey, MIN(cost_micro) AS m FROM pc GROUP BY 1)
+      |SELECT p.p_partkey, p.p_name, pc.s_name, pc.acct_micro,
+      |       pc.cost_micro
+      |FROM pc
+      |JOIN mn ON pc.l_partkey = mn.l_partkey AND pc.cost_micro = mn.m
+      |JOIN part p ON pc.l_partkey = p.p_partkey
+      |WHERE p.p_type = 'STANDARD' AND p.p_size <= 25""".stripMargin
+
+  /** Q8-shape mirror ([[graft.pipeline.RelOps.q8MarketShare]]): share
+    * as exact integers — numerator, denominator, ppm by integer
+    * division. */
+  val q8MarketShare: String =
+    """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |       CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+      |         THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
+      |           1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num_micro,
+      |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
+      |         1000000.0) AS BIGINT)) AS BIGINT) AS den_micro,
+      |       CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+      |           THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
+      |             1000000.0) AS BIGINT) ELSE 0 END) * 1000000
+      |         // SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
+      |           1000000.0) AS BIGINT)) AS BIGINT) AS share_ppm
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |JOIN region r ON cn.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'AMERICA'
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** Q9-shape mirror ([[graft.pipeline.RelOps.q9ProfitByNation]]): the
+    * same modeled cost (retail·qty·0.5, identical operand order) rounded
+    * per row before the difference. */
+  val q9ProfitByNation: String =
+    """SELECT sn.n_name AS nation,
+      |       CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+      |       CAST(SUM(
+      |         CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
+      |           1000000.0) AS BIGINT)
+      |         - CAST(ROUND(p.p_retailprice * l.l_quantity * 0.5 *
+      |           1000000.0) AS BIGINT)) AS BIGINT) AS profit_micro
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q11-shape mirror ([[graft.pipeline.RelOps.q11ImportantParts]]):
+    * same cross-multiplied 0.1%-of-total threshold on the scalar
+    * subquery. */
+  val q11ImportantParts: String =
+    """WITH v AS (
+      |  SELECT l.l_partkey,
+      |         CAST(SUM(CAST(ROUND(l.l_extendedprice * 1000000.0)
+      |           AS BIGINT)) AS BIGINT) AS val_micro
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |    AND n.n_name = 'NATION_7'
+      |  GROUP BY 1
+      |)
+      |SELECT l_partkey, val_micro FROM v
+      |WHERE val_micro * 1000 > (SELECT SUM(val_micro) FROM v)""".stripMargin
+
+  /** Q16-shape mirror ([[graft.pipeline.RelOps.q16SupplierCnt]]): the
+    * observed DISTINCT part↔supplier pairs stand in for partsupp;
+    * negative balances stand in for complaints. */
+  val q16SupplierCnt: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p.p_brand, p.p_type, p.p_size,
+      |       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps
+      |JOIN part p ON ps.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#1'
+      |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM supplier s
+      |    WHERE s.s_suppkey = ps.l_suppkey AND s.s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q20-shape mirror ([[graft.pipeline.RelOps.q20ExcessShippers]]):
+    * same exact-integer more-than-half-of-shipments test. */
+  val q20ExcessShippers: String =
+    """WITH sq AS (
+      |  SELECT l.l_partkey, l.l_suppkey,
+      |         CAST(SUM(CAST(ROUND(l.l_quantity * 1000000.0) AS BIGINT))
+      |           AS BIGINT) AS sq
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |    AND p.p_name LIKE 'small%'
+      |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2
+      |),
+      |st AS (SELECT l_partkey, SUM(sq) AS st FROM sq GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE EXISTS (
+      |  SELECT 1 FROM sq
+      |  JOIN st ON sq.l_partkey = st.l_partkey
+      |  WHERE sq.l_suppkey = s.s_suppkey AND 2 * sq.sq > st.st)""".stripMargin
+
+  /** Q21-shape mirror ([[graft.pipeline.RelOps.q21WaitingSupp]]): the
+    * same unique-latest-shipper derivation via per-order aggregates. */
+  val q21WaitingSupp: String =
+    """WITH ls AS (
+      |  SELECT l.l_orderkey, l.l_suppkey, MAX(l.l_shipdate) AS mx
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    AND o.o_orderstatus = 'F'
+      |  GROUP BY 1, 2
+      |),
+      |os AS (
+      |  SELECT l_orderkey, COUNT(*) AS ns, MAX(mx) AS omax
+      |  FROM ls GROUP BY 1
+      |),
+      |ach AS (
+      |  SELECT ls.l_orderkey, COUNT(*) AS nach
+      |  FROM ls JOIN os ON ls.l_orderkey = os.l_orderkey
+      |    AND ls.mx = os.omax
+      |  GROUP BY 1
+      |)
+      |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM ls
+      |JOIN os ON ls.l_orderkey = os.l_orderkey
+      |  AND ls.mx = os.omax AND os.ns > 1
+      |JOIN ach ON ls.l_orderkey = ach.l_orderkey AND ach.nach = 1
+      |JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+      |GROUP BY 1""".stripMargin
+
+  /** Q22-shape mirror ([[graft.pipeline.RelOps.q22GlobalSales]]): the
+    * same exact-integer above-positive-average filter and date-cutoff
+    * dormancy anti join. */
+  val q22GlobalSales: String =
+    """WITH pos AS (
+      |  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 1000000.0) AS BIGINT))
+      |           AS BIGINT) AS pos_sum,
+      |         COUNT(*) AS pos_n
+      |  FROM customer
+      |  WHERE CAST(ROUND(c_acctbal * 1000000.0) AS BIGINT) > 0
+      |)
+      |SELECT c.c_mktsegment,
+      |       CAST(COUNT(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(CAST(ROUND(c.c_acctbal * 1000000.0) AS BIGINT))
+      |         AS BIGINT) AS totacct_micro
+      |FROM customer c, pos
+      |WHERE CAST(ROUND(c.c_acctbal * 1000000.0) AS BIGINT) * pos.pos_n
+      |        > pos.pos_sum
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY 1""".stripMargin
+
   /** As-of attribution mirror ([[graft.pipeline.EventOps.asofAttribution]]):
     * the identical union-tagged running-last plan (not DuckDB's ASOF JOIN
     * keyword, whose equal-ts tie handling is unspecified) — clicks sort

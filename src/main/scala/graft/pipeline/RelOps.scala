@@ -623,4 +623,267 @@ object RelOps {
           col("l_quantity").between(20.0, 30.0))))
       .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("revenue_micro"))
   }
+
+  /** EUROPE suppliers with micro-unit account balances — the shared
+    * dimension side of Q2/Q20-shaped queries. nation (25 rows) and
+    * region (5 rows) are unconditionally broadcast; supplier scales
+    * with SF so its join strategy is left to AQE. */
+  private def regionSuppliers(spark: SparkSession, sfDir: String,
+      regionName: String): DataFrame =
+    t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")
+          .where(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal") * lit(1000000.0)).cast("long")
+          .as("acct_micro"))
+
+  /** TPC-H Q2-shaped: the min-cost EUROPE supplier per STANDARD part.
+    * The schema has no partsupp table, so "supply cost" is DERIVED from
+    * observed trade: the cheapest discounted line price each supplier
+    * ever quoted for the part (exact micro-int MIN, deterministic). The
+    * Q2 correlated `= (SELECT MIN(ps_supplycost) ...)` becomes a
+    * per-part MIN aggregate joined back on (partkey, cost) — ties keep
+    * every achieving supplier, exactly like the reference query. Both
+    * the per-(part,supp) aggregate and the per-part MIN partition on
+    * the partkey, so the join-back reuses one exchange; the part-side
+    * type/size filter prunes at the scan. */
+  def q2MinCostSupp(spark: SparkSession, sfDir: String): DataFrame = {
+    val eu = regionSuppliers(spark, sfDir, "EUROPE")
+    val cost = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("c"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("c")).as("cost_micro"))
+    val pc = cost.join(eu, col("l_suppkey") === col("s_suppkey"))
+    val mn = pc.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost_micro")).as("m"))
+    val parts = t(spark, sfDir, "part")
+      .where(col("p_type") === "STANDARD" && col("p_size") <= 25)
+      .select(col("p_partkey"), col("p_name"))
+    pc.join(mn, col("l_partkey") === col("m_partkey") &&
+        col("cost_micro") === col("m"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("acct_micro"), col("cost_micro"))
+  }
+
+  /** TPC-H Q8-shaped: NATION_5's market share of ECONOMY-part revenue
+    * sold into AMERICA during 1995-1996, per order year. The share is
+    * emitted as exact integers — numerator, denominator, and
+    * `share_ppm = num·10⁶ div den` — never a float division. One pass
+    * over lineitem; the 0/1 nation indicator burns down BEFORE the
+    * aggregate so the shuffle carries two longs per year. nation and
+    * region broadcast unconditionally; customer/supplier/part joins are
+    * AQE's choice (broadcast at small SF, shuffled hash at 100 TB). */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = broadcast(t(spark, sfDir, "nation"))
+    val custAmerica = t(spark, sfDir, "customer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")
+          .where(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(custAmerica, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    val suppNation = t(spark, sfDir, "supplier")
+      .join(nat.select(col("n_nationkey").as("sn_nationkey"),
+        col("n_name").as("sn_name")),
+        col("s_nationkey") === col("sn_nationkey"))
+      .select(col("s_suppkey"),
+        (col("sn_name") === "NATION_5").cast("long").as("is_target"))
+    val econParts = t(spark, sfDir, "part")
+      .where(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long").as("vol"))
+      .join(econParts, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("yr"))
+      .agg(sum(col("is_target") * col("vol")).as("num_micro"),
+        sum(col("vol")).as("den_micro"))
+      .select(col("yr"), col("num_micro"), col("den_micro"),
+        expr("num_micro * 1000000 div den_micro").as("share_ppm"))
+  }
+
+  /** TPC-H Q9-shaped: profit on red parts per supplier nation and ship
+    * year. No partsupp → cost is MODELED as half the part's list price
+    * per unit (`retail·qty·0.5`), rounded to micro units per row with
+    * the same operand order in both engines, so
+    * `profit = rev_micro − cost_micro` stays exact-integer under any
+    * aggregation order. The `p_name LIKE 'red%'` prefix filter pushes
+    * to the part scan (StartsWith pushdown); grouping key is
+    * (25 nations × years) — bounded, so the final aggregate is tiny. */
+  def q9ProfitByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = t(spark, sfDir, "part")
+      .where(col("p_name").startsWith("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t(spark, sfDir, "lineitem")
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("nation"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(1000000.0)).cast("long") -
+         round(col("p_retailprice") * col("l_quantity") * lit(0.5) *
+          lit(1000000.0)).cast("long")).as("p"))
+      .groupBy(col("nation"), col("yr"))
+      .agg(sum(col("p")).as("profit_micro"))
+  }
+
+  /** TPC-H Q11-shaped: parts whose NATION_7-supplied trade value
+    * exceeds 0.1% of that nation's total. No partsupp → "stock value"
+    * is the micro-int sum of extended prices NATION_7's suppliers
+    * actually shipped per part. The Q11 scalar subquery (`> SUM(...) ×
+    * fraction`) becomes a single-row aggregate broadcast-cross-joined
+    * onto the per-part values, compared in exact cross-multiplied
+    * integers (`val·1000 > total`) — no float fraction. The nation
+    * filter reaches the supplier scan; lineitem shuffles once, on the
+    * partkey. */
+  def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val supp7 = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")
+          .where(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * lit(1000000.0)).cast("long")
+          .as("x"))
+      .join(supp7, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("x")).as("val_micro"))
+    val tot = v.agg(sum(col("val_micro")).as("tot"))
+    v.join(broadcast(tot))
+      .where(col("val_micro") * lit(1000L) > col("tot"))
+      .select(col("l_partkey"), col("val_micro"))
+  }
+
+  /** TPC-H Q16-shaped: how many distinct suppliers actually shipped
+    * parts of each (brand, type, size) combo, for selected sizes and
+    * excluding one brand. No partsupp → the part↔supplier relation is
+    * the DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem;
+    * Q16's complaints-suppliers NOT IN becomes a LEFT ANTI join against
+    * negative-balance suppliers. The pair-dedup and the COUNT(DISTINCT)
+    * both partition on the partkey side keys — Spark plans the distinct
+    * aggregate as a two-phase expand without a raw-row re-shuffle. */
+  def q16SupplierCnt(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complainers = t(spark, sfDir, "supplier")
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = t(spark, sfDir, "part")
+      .where(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    pairs.join(complainers, col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20-shaped: suppliers who dominated 1997 shipments of any
+    * small* part — shipped MORE THAN HALF of that part's total shipped
+    * quantity. No partsupp availqty → Q20's `ps_availqty > 0.5 ×
+    * sum(l_quantity)` becomes a share-of-shipments test in exact
+    * cross-multiplied micro ints (`2·sq > st`). The per-(part,supp)
+    * aggregate and per-part total partition identically, so the
+    * join-back reuses the exchange; the date range and the name prefix
+    * both push to their scans. Output dedups via the final DISTINCT on
+    * the bounded supplier side. */
+  def q20ExcessShippers(spark: SparkSession, sfDir: String): DataFrame = {
+    val smallParts = t(spark, sfDir, "part")
+      .where(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val sq = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity") * lit(1000000.0)).cast("long").as("q"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("sq"))
+    val st = sq.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("sq")).as("st"))
+    val winners = sq.join(st, col("l_partkey") === col("t_partkey") &&
+        col("sq") * lit(2L) > col("st"))
+      .select(col("l_suppkey")).distinct()
+    t(spark, sfDir, "supplier")
+      .join(winners, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** TPC-H Q21-shaped: suppliers who were the SOLE latest shipper on
+    * multi-supplier finalized orders. The schema has no
+    * receipt/commit dates, so "kept the order waiting" is re-expressed
+    * on shipdate: this supplier's last line shipped strictly after
+    * every other supplier's (Q21's EXISTS(other supplier) ∧ NOT
+    * EXISTS(other supplier shipping later-or-equal) — the unique-max
+    * form). Both correlated subqueries collapse into window aggregates
+    * over ONE per-(order, supplier) pre-aggregate: supplier count,
+    * order max, and achiever count share a single hash partition on the
+    * orderkey (three Window ops, one exchange). The orderstatus filter
+    * pushes to the orders scan. */
+  def q21WaitingSupp(spark: SparkSession, sfDir: String): DataFrame = {
+    val fOrders = t(spark, sfDir, "orders")
+      .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val ls = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("mx"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    ls.withColumn("ns", count(lit(1)).over(w))
+      .withColumn("omax", max(col("mx")).over(w))
+      .withColumn("nach",
+        sum(when(col("mx") === col("omax"), 1L).otherwise(0L)).over(w))
+      .where(col("ns") > 1 && col("mx") === col("omax") &&
+        col("nach") === 1)
+      .join(t(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22-shaped: dormant-but-wealthy customers per market
+    * segment. No phone country codes → the segment key stands in, and
+    * "no orders in 7 years" becomes no orders since 1999-01-01 (every
+    * synthetic customer has SOME order). The scalar average-balance
+    * subquery compares in exact cross-multiplied integers
+    * (`acct_micro·n > sum_micro`, positive balances only), broadcast as
+    * a single row; the dormancy NOT EXISTS is a LEFT ANTI join against
+    * the date-pruned orders scan. */
+  def q22GlobalSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * lit(1000000.0)).cast("long")
+          .as("acct_micro"))
+    val pos = cust.where(col("acct_micro") > 0)
+      .agg(sum(col("acct_micro")).as("pos_sum"),
+        count(lit(1)).as("pos_n"))
+    val recent = t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(pos))
+      .where(col("acct_micro") * col("pos_n") > col("pos_sum"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("acct_micro")).as("totacct_micro"))
+  }
 }

@@ -180,4 +180,57 @@ class RelOpsSpec extends SparkSpec {
       .parquet("/root/testdata/sf0.01/lineitem.parquet").count()
     assert(cnt < li / 10) // the brand/size/qty conjuncts must prune
   }
+
+  test("q2MinCostSupp keeps exactly the per-part min cost (ties and all)") {
+    val rows = RelOps.q2MinCostSupp(spark, "/root/testdata/sf0.01")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // every row for a part carries the same (minimal) cost
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._5).distinct.size == 1)
+    }
+  }
+
+  test("q8MarketShare emits exact integer shares within bounds") {
+    val rows = RelOps.q8MarketShare(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq(1995L, 1996L))
+    rows.foreach { case (_, num, den, ppm) =>
+      assert(num >= 0 && num <= den)
+      assert(ppm == num * 1000000L / den)
+    }
+  }
+
+  test("q21WaitingSupp: sole-latest wait counts stay within order count") {
+    val rows = RelOps.q21WaitingSupp(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0))
+    // each waited order contributes exactly one (order, sole supplier)
+    // pair, so the total cannot exceed the finalized-order count
+    val fOrders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .where($"o_orderstatus" === "F").count()
+    assert(rows.map(_._2).sum <= fOrders)
+  }
+
+  test("q22GlobalSales only keeps above-average dormant balances") {
+    val rows = RelOps.q22GlobalSales(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // per-segment average of kept customers must exceed the global
+    // positive average (each kept balance does individually)
+    val cust = spark.read
+      .parquet("/root/testdata/sf0.01/customer.parquet")
+      .select(org.apache.spark.sql.functions.round($"c_acctbal" * 1e6)
+        .cast("long").as("a"))
+    val pos = cust.where($"a" > 0)
+      .agg(org.apache.spark.sql.functions.sum($"a"),
+        org.apache.spark.sql.functions.count($"a")).head
+    val (s, n) = (pos.getLong(0), pos.getLong(1))
+    rows.foreach { case (_, numcust, tot) =>
+      assert(numcust > 0)
+      assert(tot * n > s * numcust) // avg(kept) > avg(positive)
+    }
+  }
 }
