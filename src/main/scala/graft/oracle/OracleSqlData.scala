@@ -1302,4 +1302,81 @@ object OracleSqlData {
        |JOIN ($repetitionSignals) r ON r.doc_id = d.doc_id
        |JOIN ($dedupClusters) c ON c.doc_id = d.doc_id
        |LEFT JOIN ($decontaminate) x ON x.doc_id = d.doc_id""".stripMargin
+
+  /** Gopher-rule filter mirror ([[graft.pipeline.DataOps.gopherFilter]]):
+    * identical cross-multiplied integer rules, identical fixed-order
+    * reason join. */
+  val gopherFilter: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '' AND list_contains(${Lexicons.stopListSql}, x)))
+       |      AS BIGINT) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       |      AS BIGINT) AS alpha,
+       |    CAST(length(text) AS BIGINT) AS nchars,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |      AS BIGINT) AS punct
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT doc_id,
+       |    n_tok < 20 AS r_short, n_tok > 100000 AS r_long,
+       |    alpha < 4 * n_tok AS r_wlow, alpha > 10 * n_tok AS r_whigh,
+       |    10 * punct > nchars AS r_sym, n_stop = 0 AS r_nostop
+       |  FROM m
+       |)
+       |SELECT doc_id,
+       |  NOT (r_short OR r_long OR r_wlow OR r_whigh OR r_sym OR r_nostop)
+       |    AS keep,
+       |  concat_ws(',',
+       |    CASE WHEN r_short THEN 'too_short' END,
+       |    CASE WHEN r_long THEN 'too_long' END,
+       |    CASE WHEN r_wlow THEN 'word_len_low' END,
+       |    CASE WHEN r_whigh THEN 'word_len_high' END,
+       |    CASE WHEN r_sym THEN 'symbol_heavy' END,
+       |    CASE WHEN r_nostop THEN 'no_stopwords' END) AS reasons
+       |FROM r""".stripMargin
+
+  /** Mix-quota mirror ([[graft.pipeline.DataOps.mixQuotas]]): identical
+    * corrected integer sqrt and Hamilton largest-remainder
+    * apportionment. */
+  val mixQuotas: String = {
+    val B = DataOps.MixBudget
+    s"""WITH ps AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT))
+       |      AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT source, tokens,
+       |    CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)
+       |      - CASE WHEN CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)
+       |               * CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)
+       |               > tokens THEN 1 ELSE 0 END AS w0
+       |  FROM ps
+       |),
+       |wt AS (
+       |  SELECT source, tokens,
+       |    w0 + CASE WHEN (w0 + 1) * (w0 + 1) <= tokens THEN 1 ELSE 0 END
+       |      AS weight
+       |  FROM w
+       |),
+       |b AS (
+       |  SELECT source, tokens, weight,
+       |    $B * weight // (SELECT SUM(weight) FROM wt) AS base,
+       |    ($B * weight) % (SELECT SUM(weight) FROM wt) AS rem
+       |  FROM wt
+       |)
+       |SELECT source, tokens, weight,
+       |  CAST(base + CASE WHEN
+       |      ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+       |        <= $B - (SELECT SUM(base) FROM b)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM b""".stripMargin
+  }
 }

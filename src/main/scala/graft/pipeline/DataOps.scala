@@ -1104,16 +1104,20 @@ object DataOps {
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs | digit runs | single non-alnum). Column form over any
     * (doc_id, text) frame — shared by batch and the streaming twin. */
+  /** BPE-ish token count of `text`: letter runs | digit runs | single
+    * non-alnum. Whitespace spelled explicitly: Java \s includes \x0B,
+    * RE2's does not — an implicit \s would let exotic whitespace split
+    * the engines. */
+  private def bpeTokens(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
+      .cast("long")
+
   def tokenCountCols(d: DataFrame): DataFrame =
     d.select(
       col("doc_id"),
       size(words(col("text"))).cast("long").as("ws_tokens"),
-      // whitespace spelled explicitly: Java \s includes \x0B, RE2's does
-      // not — an implicit \s would let exotic whitespace split the
-      // engines. The class below is identical in both.
-      size(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
-        .cast("long").as("bpe_tokens"),
+      bpeTokens(col("text")).as("bpe_tokens"),
       length(col("text")).cast("long").as("nchars"))
 
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -2010,5 +2014,93 @@ object DataOps {
         coalesce(col("contam_keep"), lit(0L)).as("contam_keep"))
       .withColumn("keep", col("lang_keep") * col("quality_keep") *
         col("rep_keep") * col("dup_keep") * col("contam_keep"))
+  }
+
+  // =================================================================
+  // Rule-based quality filter + data mixing
+  // =================================================================
+
+  /** Gopher-style RULE filter (Rae et al. 2021 §A1.1): unlike
+    * [[textQuality]]'s continuous score, each document gets a hard
+    * keep/drop VERDICT plus the named list of rules it violated — the
+    * form curation pipelines audit ("why was this dropped?"). Every rule
+    * compares in exact integers (ratios cross-multiplied, never divided):
+    *  - too_short      n_tok < 20          (ref: 50; fixture docs are
+    *                                        10-99 words)
+    *  - too_long       n_tok > 100000
+    *  - word_len_low   alpha < 4·n_tok     (mean alpha word length < 4;
+    *                                        ref bounds 3-10)
+    *  - word_len_high  alpha > 10·n_tok
+    *  - symbol_heavy   10·punct > nchars   (symbol ratio > 0.1)
+    *  - no_stopwords   n_stop = 0          (not natural language)
+    * Single-pass projection over [[textQualityMetrics]] — codegen'd, no
+    * shuffle, no UDF; at 100 TB this runs at scan speed. `reasons` is
+    * the fixed-order comma join of fired rule names ('' when kept). */
+  def gopherFilter(spark: SparkSession, sfDir: String): DataFrame =
+    textQualityMetrics(docs(spark, sfDir))
+      .select(col("doc_id"),
+        (col("n_tok") < 20L).as("r_short"),
+        (col("n_tok") > 100000L).as("r_long"),
+        (col("alpha") < lit(4L) * col("n_tok")).as("r_wlow"),
+        (col("alpha") > lit(10L) * col("n_tok")).as("r_whigh"),
+        (lit(10L) * col("punct") > col("nchars")).as("r_sym"),
+        (col("n_stop") === 0L).as("r_nostop"))
+      .select(col("doc_id"),
+        (!(col("r_short") || col("r_long") || col("r_wlow") ||
+          col("r_whigh") || col("r_sym") || col("r_nostop"))).as("keep"),
+        concat_ws(",",
+          when(col("r_short"), "too_short"),
+          when(col("r_long"), "too_long"),
+          when(col("r_wlow"), "word_len_low"),
+          when(col("r_whigh"), "word_len_high"),
+          when(col("r_sym"), "symbol_heavy"),
+          when(col("r_nostop"), "no_stopwords")).as("reasons"))
+
+  /** Token budget distributed by [[mixQuotas]] (fixture constant; a
+    * production run passes its own). */
+  val MixBudget = 100000L
+
+  /** Exact integer square root — `floor(sqrt(x))` with both IEEE
+    * rounding edges corrected, so the result is libm-independent and
+    * replayable cross-engine. */
+  private def isqrt(x: Column): Column = {
+    val f = floor(sqrt(x.cast("double"))).cast("long")
+    val down = f - (f * f > x).cast("long")
+    down + ((down + 1L) * (down + 1L) <= x).cast("long")
+  }
+
+  /** Training-mix quotas per source: how many of the token budget
+    * ([[MixBudget]]) to draw from each source, with temperature
+    * flattening — weight = isqrt(tokens), the α=½ rule that keeps
+    * long-tail sources represented (multilingual-sampling practice,
+    * e.g. mC4/XLM-R). The fractional shares become EXACT integer
+    * quotas by largest-remainder (Hamilton) apportionment:
+    * `base = B·w div W`, then the B − Σbase leftover units go to the
+    * largest remainders (ties → source asc), so Σquota = B exactly —
+    * no float shares that "roughly" sum to the budget.
+    *
+    * Scale shape: one hash-aggregate over the corpus (tokens per
+    * source), then all apportionment arithmetic runs on the BOUNDED
+    * per-source frame (thousands of rows at worst) — the window sort
+    * never touches raw documents. Output
+    * (source, tokens, weight, quota). */
+  def mixQuotas(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = docs(spark, sfDir)
+      .select(col("source"), bpeTokens(col("text")).as("bt"))
+      .groupBy(col("source"))
+      .agg(sum(col("bt")).as("tokens"))
+      .withColumn("weight", isqrt(col("tokens")))
+    val tot = perSource.agg(sum(col("weight")).as("wsum"))
+    val based = perSource.join(broadcast(tot))
+      .withColumn("base", expr(s"$MixBudget * weight div wsum"))
+      .withColumn("rem", expr(s"($MixBudget * weight) % wsum"))
+    val leftover = based.agg(
+      (lit(MixBudget) - sum(col("base"))).as("leftover"))
+    based.join(broadcast(leftover))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .select(col("source"), col("tokens"), col("weight"),
+        (col("base") +
+          (col("rnk") <= col("leftover")).cast("long")).as("quota"))
   }
 }

@@ -714,4 +714,37 @@ class DataOpsSpec extends SparkSpec {
     // one run [0, 7]; trailing grams touched by "cat" are unique.
     assert(d2 == ((2L, 10L, 1L, 8L, 8L)))
   }
+
+  test("gopherFilter: verdict is exactly the absence of reasons") {
+    val rows = DataOps.gopherFilter(spark, SF)
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, keep, reasons) =>
+      assert(keep == reasons.isEmpty)
+      val names = Set("too_short", "too_long", "word_len_low",
+        "word_len_high", "symbol_heavy", "no_stopwords")
+      if (reasons.nonEmpty)
+        assert(reasons.split(",").forall(names.contains))
+    }
+    // the fixture corpus must exercise both verdicts
+    assert(rows.exists(_._2) && rows.exists(!_._2))
+  }
+
+  test("mixQuotas: Hamilton apportionment sums exactly to the budget") {
+    val rows = DataOps.mixQuotas(spark, SF)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).sum == DataOps.MixBudget)
+    rows.foreach { case (_, tokens, weight, quota) =>
+      // weight is the exact integer sqrt of the token count
+      assert(weight * weight <= tokens && (weight + 1) * (weight + 1) > tokens)
+      assert(quota >= 0)
+    }
+    // each quota is within one unit of its exact fractional share
+    val w = rows.map(_._3).sum
+    rows.foreach { case (_, _, weight, quota) =>
+      val base = DataOps.MixBudget * weight / w
+      assert(quota == base || quota == base + 1)
+    }
+  }
 }
