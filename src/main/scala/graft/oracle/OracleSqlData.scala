@@ -1343,8 +1343,9 @@ object OracleSqlData {
   /** Mix-quota mirror ([[graft.pipeline.DataOps.mixQuotas]]): identical
     * corrected integer sqrt and Hamilton largest-remainder
     * apportionment. */
-  val mixQuotas: String = {
-    val B = DataOps.MixBudget
+  val mixQuotas: String = mixQuotasSql(DataOps.MixBudget)
+
+  private def mixQuotasSql(B: Long): String =
     s"""WITH ps AS (
        |  SELECT source,
        |    CAST(SUM(CAST(len(regexp_extract_all(lower(text),
@@ -1378,5 +1379,29 @@ object OracleSqlData {
        |        <= $B - (SELECT SUM(base) FROM b)
        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
        |FROM b""".stripMargin
-  }
+
+  /** Quota-sample mirror ([[graft.pipeline.DataOps.quotaSample]]): the
+    * straightforward full-sort form — per source, the greedy prefix in
+    * (h, doc_id) order whose running token sum fits the quota. The Spark
+    * side's bucket decomposition orders by (h div 2^44, h, doc_id) ≡
+    * (h, doc_id), so the kept sets are identical. */
+  val quotaSample: String =
+    s"""WITH q AS (${mixQuotasSql(DataOps.SampleBudget)}),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT)
+       |      AS tokens,
+       |    ${h60("concat('mix|', CAST(doc_id AS VARCHAR))")} AS h
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, source, tokens,
+       |    SUM(tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d WHERE tokens > 0
+       |)
+       |SELECT c.doc_id, c.source, c.tokens
+       |FROM c JOIN q ON c.source = q.source
+       |WHERE c.cum <= q.quota""".stripMargin
 }

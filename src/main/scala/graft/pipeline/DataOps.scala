@@ -2084,7 +2084,11 @@ object DataOps {
     * per-source frame (thousands of rows at worst) — the window sort
     * never touches raw documents. Output
     * (source, tokens, weight, quota). */
-  def mixQuotas(spark: SparkSession, sfDir: String): DataFrame = {
+  def mixQuotas(spark: SparkSession, sfDir: String): DataFrame =
+    mixQuotasFor(spark, sfDir, MixBudget)
+
+  private def mixQuotasFor(spark: SparkSession, sfDir: String,
+      budget: Long): DataFrame = {
     val perSource = docs(spark, sfDir)
       .select(col("source"), bpeTokens(col("text")).as("bt"))
       .groupBy(col("source"))
@@ -2092,15 +2096,72 @@ object DataOps {
       .withColumn("weight", isqrt(col("tokens")))
     val tot = perSource.agg(sum(col("weight")).as("wsum"))
     val based = perSource.join(broadcast(tot))
-      .withColumn("base", expr(s"$MixBudget * weight div wsum"))
-      .withColumn("rem", expr(s"($MixBudget * weight) % wsum"))
+      .withColumn("base", expr(s"$budget * weight div wsum"))
+      .withColumn("rem", expr(s"($budget * weight) % wsum"))
     val leftover = based.agg(
-      (lit(MixBudget) - sum(col("base"))).as("leftover"))
+      (lit(budget) - sum(col("base"))).as("leftover"))
     based.join(broadcast(leftover))
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("rem").desc, col("source").asc)))
       .select(col("source"), col("tokens"), col("weight"),
         (col("base") +
           (col("rnk") <= col("leftover")).cast("long")).as("quota"))
+  }
+
+  /** Token budget for [[quotaSample]] — deliberately SMALLER than the
+    * fixture corpus (~23k bpe tokens at sf0.01) so the prefix cutoff
+    * bites. */
+  val SampleBudget = 10000L
+
+  /** Draw the [[mixQuotas]] mix: per source, take documents in
+    * deterministic hash order until the source's token quota is filled
+    * (greedy prefix, no overshoot — the last doc that would cross the
+    * quota is left out). Zero-token docs are excluded up front (they
+    * cannot consume quota).
+    *
+    * Scale shape — the naive form sorts every source's documents to take
+    * a prefix; instead the hash order is split on its own top 16 bits
+    * (`hb = h div 2^44`, so (hb, h, doc_id) order ≡ (h, doc_id) order):
+    *  1. histogram pass: token sums per (source, hb) — ≤ 65536 bounded
+    *     rows per source, map-side combined;
+    *  2. the running bucket cumsum finds each source's cutoff bucket on
+    *     that BOUNDED frame (one row per source, broadcast back);
+    *  3. docs below the cutoff bucket keep outright with no shuffle;
+    *     only the single boundary bucket per source (~corpus/65536)
+    *     sorts for the exact doc-level prefix.
+    * At 100 TB nothing ever sorts more than one hash bucket per source.
+    * Output (doc_id, source, tokens). */
+  def quotaSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = mixQuotasFor(spark, sfDir, SampleBudget)
+      .select(col("source"), col("quota"))
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        bpeTokens(col("text")).as("tokens"),
+        hash60(concat(lit("mix|"), col("doc_id").cast("string"))).as("h"))
+      .where(col("tokens") > 0)
+      .withColumn("hb", expr("h div 17592186044416")) // 2^44: top 16 bits
+    val hist = d.groupBy(col("source"), col("hb"))
+      .agg(sum(col("tokens")).as("bsum"))
+    val wb = Window.partitionBy(col("source")).orderBy(col("hb"))
+    val marked = hist.withColumn("cum", sum(col("bsum")).over(wb))
+      .join(broadcast(q), Seq("source"))
+    // cum is monotone in hb, so the fully-kept buckets are a prefix;
+    // one row per source: first bucket that crosses the quota, plus the
+    // tokens consumed before it.
+    val cuts = marked.groupBy(col("source"), col("quota")).agg(
+      min(when(col("cum") > col("quota"), col("hb"))).as("cut_hb"),
+      min(when(col("cum") > col("quota"), col("cum") - col("bsum")))
+        .as("cut_before"))
+    val dd = d.join(broadcast(cuts), Seq("source"))
+    val keptFull = dd
+      .where(col("cut_hb").isNull || col("hb") < col("cut_hb"))
+      .select(col("doc_id"), col("source"), col("tokens"))
+    val wDoc = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val keptBoundary = dd.where(col("hb") === col("cut_hb"))
+      .withColumn("dcum", sum(col("tokens")).over(wDoc))
+      .where(col("cut_before") + col("dcum") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("tokens"))
+    keptFull.union(keptBoundary)
   }
 }

@@ -747,4 +747,46 @@ class DataOpsSpec extends SparkSpec {
       assert(quota == base || quota == base + 1)
     }
   }
+
+  test("quotaSample: bucket-decomposed prefix equals the naive greedy") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = DataOps.quotaSample(spark, sf01)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // naive model: per source, sort docs by (hash60("mix|"+id), id) and
+    // take the longest prefix whose token sum fits the quota
+    val docRows = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
+          .cast("long").as("t"),
+        graft.functions.HashFns.hash60(
+          concat(lit("mix|"), col("doc_id").cast("string"))).as("h"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // recompute sample-budget quotas with the same integer arithmetic
+    val perSource = docRows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    def isqrt(x: Long): Long = {
+      val f = math.sqrt(x.toDouble).toLong
+      val d = if (f * f > x) f - 1 else f
+      if ((d + 1) * (d + 1) <= x) d + 1 else d
+    }
+    val ws = perSource.mapValues(isqrt).toMap
+    val wsum = ws.values.sum
+    val B = DataOps.SampleBudget
+    val base = ws.map { case (s, w) => s -> B * w / wsum }
+    val rem = ws.map { case (s, w) => s -> B * w % wsum }
+    val leftover = (B - base.values.sum).toInt
+    val bumped = rem.toSeq.sortBy { case (s, r) => (-r, s) }
+      .take(leftover).map(_._1).toSet
+    val quota = base.map { case (s, b) =>
+      s -> (b + (if (bumped(s)) 1L else 0L)) }
+    val expect = docRows.filter(_._3 > 0).groupBy(_._2).flatMap {
+      case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (d._4, d._1)).takeWhile { d =>
+          cum += d._3; cum <= quota(src)
+        }.map(d => (d._1, src, d._3))
+    }.toSet
+    assert(got == expect)
+  }
 }
