@@ -956,4 +956,49 @@ object OracleSqlRel {
       |       COUNT(DISTINCT k) AS k_distinct,
       |       CAST(MAX(k) AS BIGINT) AS k_max
       |FROM e GROUP BY 1""".stripMargin
+
+  /** Transition-matrix mirror ([[graft.pipeline.EventOps.eventTransitions]]):
+    * same (µs, event_id) order, same truncating ppm division. */
+  val eventTransitions: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type
+      |  FROM events
+      |),
+      |p AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM e
+      |),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, cnt,
+      |       CAST(cnt * 1000000 // SUM(cnt) OVER (PARTITION BY from_type)
+      |         AS BIGINT) AS prob_ppm
+      |FROM c""".stripMargin
+
+  /** Entry-path mirror ([[graft.pipeline.EventOps.topPaths]]): the
+    * row_number form of the first-3 pick (the Spark side's bounded
+    * top-k aggregate selects the identical set and order). */
+  val topPaths: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type
+      |  FROM events
+      |),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id) AS rn
+      |  FROM e
+      |),
+      |p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY 1
+      |)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM p GROUP BY 1
+      |ORDER BY n_users DESC, path ASC
+      |LIMIT 20""".stripMargin
 }

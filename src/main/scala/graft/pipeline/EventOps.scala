@@ -451,4 +451,63 @@ object EventOps {
         col("m.event_id").as("last_event_id"),
         col("m.event_type").as("last_type"),
         col("m.v").as("last_value_micro"), col("n_events"))
+
+  /** MARKOV TRANSITION MATRIX over per-user event sequences: for each
+    * ordered pair of consecutive events of one user, count the
+    * (from_type → to_type) transition and its probability among all
+    * transitions leaving from_type — the behavioral-model / next-event
+    * predictor input. Probability in exact ppm integers:
+    * `prob_ppm = cnt·10⁶ div from_total` (truncating, no float
+    * division).
+    *
+    * Plan: ONE shuffle on user_id for the ordered `lag`, a hash
+    * aggregate onto the BOUNDED (types × types) pair frame, and the
+    * denominator window runs over that bounded frame only — at 100 TB
+    * the post-shuffle state is ≤ |types|² rows. Order is the engine's
+    * (µs, event_id) cross-engine total order. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val pairs = RelOps.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs
+      .withColumn("from_total",
+        sum(col("cnt")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000000 div from_total").as("prob_ppm"))
+  }
+
+  /** TOP ENTRY PATHS: each user's first up-to-3 events joined into a
+    * `a>b>c` path string, then the 20 most common paths (ties path asc)
+    * — the onboarding-funnel discovery query ("how do users actually
+    * start?").
+    *
+    * Plan: the per-user first-3 is the bounded [[graft.functions.TopKAgg]]
+    * aggregate over NEGATED (µs, event_id) — O(3) state per (map
+    * partition, user), so a hot user never triggers a full per-user
+    * window sort; the path frame is one row per user; the final top-20
+    * is TakeOrdered. */
+  def topPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val firsts = RelOps.events(spark, sfDir)
+      .select(col("user_id"),
+        struct((-expr("ts div 1000")).as("ntus"),
+          (-col("event_id")).as("nid"),
+          col("event_type")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(graft.functions.TopKAgg.topK(spark, col("s"), 3).as("top"))
+      // topK keeps the LARGEST by struct order; negated (µs, id) makes
+      // those the 3 EARLIEST events, already ordered first→last
+      .select(col("user_id"),
+        array_join(transform(col("top"), e => e.getField("event_type")),
+          ">").as("path"))
+    firsts.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(20)
+  }
 }

@@ -371,4 +371,40 @@ class EventOpsSpec extends SparkSpec {
     val byLang = rows.groupBy(_._2).view.mapValues(_.size).toMap
     assert(rates.keySet == byLang.keySet)
   }
+
+  test("eventTransitions equals the naive per-user bigram count") {
+    val got = EventOps.eventTransitions(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // naive: per user, sort by (us, event_id), count consecutive pairs
+    val naive = byUser.toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2 / 1000, e._1))
+      ordered.zip(ordered.tail).map { case (a, b) => (a._3, b._3) }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == naive.keySet)
+    val fromTotals = naive.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    got.foreach { case (pair, (cnt, ppm)) =>
+      assert(cnt == naive(pair))
+      assert(ppm == cnt * 1000000L / fromTotals(pair._1))
+    }
+    // probabilities leaving each state sum to ~1 (truncation slack only)
+    got.groupBy(_._1._1).foreach { case (from, rs) =>
+      val s = rs.values.map(_._2).sum
+      assert(s <= 1000000L && s > 1000000L - rs.size)
+    }
+  }
+
+  test("topPaths equals the naive first-3 path count") {
+    val got = EventOps.topPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.size <= 20 && got.nonEmpty)
+    val naivePaths = byUser.toSeq.map { case (_, evs) =>
+      evs.sortBy(e => (e._2 / 1000, e._1)).take(3).map(_._3)
+        .mkString(">")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (p, n) => (p, n) }
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got == naivePaths)
+  }
 }
