@@ -2037,7 +2037,12 @@ object DataOps {
     * shuffle, no UDF; at 100 TB this runs at scan speed. `reasons` is
     * the fixed-order comma join of fired rule names ('' when kept). */
   def gopherFilter(spark: SparkSession, sfDir: String): DataFrame =
-    textQualityMetrics(docs(spark, sfDir))
+    gopherFilterCols(docs(spark, sfDir))
+
+  /** Column form of [[gopherFilter]] over any (doc_id, text) frame — the
+    * composition point for the streaming ingest twin. */
+  def gopherFilterCols(d: DataFrame): DataFrame =
+    textQualityMetrics(d)
       .select(col("doc_id"),
         (col("n_tok") < 20L).as("r_short"),
         (col("n_tok") > 100000L).as("r_long"),
@@ -2089,11 +2094,15 @@ object DataOps {
 
   private def mixQuotasFor(spark: SparkSession, sfDir: String,
       budget: Long): DataFrame = {
-    val perSource = docs(spark, sfDir)
+    // Pinned ([[pin]]): the one corpus-touching aggregate collapses to a
+    // bounded per-source frame HERE — the scalar-total, remainder and
+    // rank stages below all derive from it and would otherwise each
+    // re-run the corpus scan.
+    val perSource = pin(docs(spark, sfDir)
       .select(col("source"), bpeTokens(col("text")).as("bt"))
       .groupBy(col("source"))
       .agg(sum(col("bt")).as("tokens"))
-      .withColumn("weight", isqrt(col("tokens")))
+      .withColumn("weight", isqrt(col("tokens"))))
     val tot = perSource.agg(sum(col("weight")).as("wsum"))
     val based = perSource.join(broadcast(tot))
       .withColumn("base", expr(s"$budget * weight div wsum"))
@@ -2147,11 +2156,12 @@ object DataOps {
       .join(broadcast(q), Seq("source"))
     // cum is monotone in hb, so the fully-kept buckets are a prefix;
     // one row per source: first bucket that crosses the quota, plus the
-    // tokens consumed before it.
-    val cuts = marked.groupBy(col("source"), col("quota")).agg(
+    // tokens consumed before it. Pinned ([[pin]]) so the quota + histogram
+    // chain runs ONCE, not once under each union branch below.
+    val cuts = pin(marked.groupBy(col("source"), col("quota")).agg(
       min(when(col("cum") > col("quota"), col("hb"))).as("cut_hb"),
       min(when(col("cum") > col("quota"), col("cum") - col("bsum")))
-        .as("cut_before"))
+        .as("cut_before")))
     val dd = d.join(broadcast(cuts), Seq("source"))
     val keptFull = dd
       .where(col("cut_hb").isNull || col("hb") < col("cut_hb"))

@@ -244,6 +244,13 @@ object StreamingOps {
   def fingerprintStream(docStream: DataFrame): DataFrame =
     graft.pipeline.DataOps.fingerprintCols(docStream)
 
+  /** Ingest-time Gopher-rule filtering — the streaming twin of
+    * [[graft.pipeline.DataOps.gopherFilter]] (stateless projection of
+    * the exact batch rule expressions: keep/drop verdict + named
+    * violated rules per document). */
+  def gopherFilterStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.gopherFilterCols(docStream)
+
   /** Ingest-time per-source document cap — the streaming counterpart of
     * [[graft.pipeline.DataOps.sourceCap]]: admit at most `k` documents
     * per source, holding ONE long (the admitted count) per source in

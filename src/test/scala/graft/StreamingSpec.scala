@@ -345,6 +345,12 @@ class StreamingSpec extends SparkSpec {
     val fpBatch = graft.pipeline.DataOps.fingerprint(spark, SF)
       .as[(Long, String, Long)].collect().toSeq.sorted
     assert(fp.nonEmpty && fp == fpBatch)
+
+    val gf = runTwin("gfs", StreamingOps.gopherFilterStream)
+      .as[(Long, Boolean, String)].collect().toSeq.sorted
+    val gfBatch = graft.pipeline.DataOps.gopherFilter(spark, SF)
+      .as[(Long, Boolean, String)].collect().toSeq.sorted
+    assert(gf.nonEmpty && gf == gfBatch)
   }
 
   test("curationStream keep bits equal the batch stateless gates") {
