@@ -1303,6 +1303,32 @@ object OracleSqlData {
        |JOIN ($dedupClusters) c ON c.doc_id = d.doc_id
        |LEFT JOIN ($decontaminate) x ON x.doc_id = d.doc_id""".stripMargin
 
+  /** Keyword mirror ([[graft.pipeline.DataOps.keywordsTfidf]]): same
+    * integer floor-log2 IDF bits, same (score desc, token asc) top-3. */
+  val keywordsTfidf: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),
+       |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY 1, 2),
+       |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+       |          FROM dt GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |scored AS (
+       |  SELECT dt.doc_id, dt.token, dt.tf,
+       |         CAST(length(bin(n.n // dfreq.df)) - 1 AS BIGINT)
+       |           AS idf_bits,
+       |         CAST(dt.tf * (length(bin(n.n // dfreq.df)) - 1)
+       |           AS BIGINT) AS score
+       |  FROM dt JOIN dfreq USING (token), n
+       |),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, token ASC) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, token, tf, idf_bits, score, rk
+       |FROM r WHERE rk <= 3""".stripMargin
+
   /** Gopher-rule filter mirror ([[graft.pipeline.DataOps.gopherFilter]]):
     * identical cross-multiplied integer rules, identical fixed-order
     * reason join. */

@@ -2061,6 +2061,37 @@ object DataOps {
           when(col("r_sym"), "symbol_heavy"),
           when(col("r_nostop"), "no_stopwords")).as("reasons"))
 
+  /** TF-IDF KEYWORD EXTRACTION, log-table-free: each document's top-3
+    * most distinctive tokens by `score = tf · floor_log2(N div df)` —
+    * term frequency weighted by integer IDF bits (the engine's exact
+    * `length(bin(x))−1` floor-log2, no libm), ties token asc. The
+    * doc-tagging / search-indexing primitive next to [[vocabCoverage]]'s
+    * corpus-global head.
+    *
+    * Scale shape: document frequencies come off the SAME bounded
+    * (doc, token, cnt) relation every text statistic uses; the doc
+    * count is a broadcast scalar; the per-doc top-3 window partitions
+    * on doc_id where the partition is one document's distinct tokens —
+    * bounded by document length, not corpus size. Output
+    * (doc_id, token, tf, idf_bits, score, rk). */
+  def keywordsTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = persistUnlessLazy(docTokenCounts(spark, sfDir))
+    val dfreq = dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ndocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val scored = dt.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(ndocs))
+      .select(col("doc_id"), col("token"), col("cnt").as("tf"),
+        (length(bin(expr("n div df"))) - 1).cast("long").as("idf_bits"))
+      .withColumn("score", col("tf") * col("idf_bits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    val out = scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("idf_bits"),
+        col("score"), col("rk"))
+    finish(out, dt)
+  }
+
   /** Token budget distributed by [[mixQuotas]] (fixture constant; a
     * production run passes its own). */
   val MixBudget = 100000L

@@ -748,6 +748,23 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("keywordsTfidf: per-doc top-3 ordered by exact integer score") {
+    val rows = DataOps.keywordsTfidf(spark, SF)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, tf, bits, score, _) =>
+      assert(score == tf * bits && bits >= 0)
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_._6)
+      assert(byRk.map(_._6) == (1L to byRk.size).toSeq && byRk.size <= 3)
+      // ordered by (score desc, token asc)
+      byRk.zip(byRk.tail).foreach { case (a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._2 < b._2))
+      }
+    }
+  }
+
   test("quotaSample: bucket-decomposed prefix equals the naive greedy") {
     val sf01 = "/root/testdata/sf0.01"
     val got = DataOps.quotaSample(spark, sf01)
