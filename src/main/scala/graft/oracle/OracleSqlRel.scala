@@ -468,9 +468,9 @@ object OracleSqlRel {
       |           1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS num_micro,
       |       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
       |         1000000.0) AS BIGINT)) AS BIGINT) AS den_micro,
-      |       CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+      |       CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
       |           THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
-      |             1000000.0) AS BIGINT) ELSE 0 END) * 1000000
+      |             1000000.0) AS BIGINT) ELSE 0 END) AS HUGEINT) * 1000000
       |         // SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) *
       |           1000000.0) AS BIGINT)) AS BIGINT) AS share_ppm
       |FROM lineitem l
@@ -518,7 +518,8 @@ object OracleSqlRel {
       |  GROUP BY 1
       |)
       |SELECT l_partkey, val_micro FROM v
-      |WHERE val_micro * 1000 > (SELECT SUM(val_micro) FROM v)""".stripMargin
+      |WHERE CAST(val_micro AS HUGEINT) * 1000
+      |        > (SELECT SUM(val_micro) FROM v)""".stripMargin
 
   /** Q16-shape mirror ([[graft.pipeline.RelOps.q16SupplierCnt]]): the
     * observed DISTINCT part↔supplier pairs stand in for partsupp;
@@ -602,7 +603,8 @@ object OracleSqlRel {
       |       CAST(SUM(CAST(ROUND(c.c_acctbal * 1000000.0) AS BIGINT))
       |         AS BIGINT) AS totacct_micro
       |FROM customer c, pos
-      |WHERE CAST(ROUND(c.c_acctbal * 1000000.0) AS BIGINT) * pos.pos_n
+      |WHERE CAST(CAST(ROUND(c.c_acctbal * 1000000.0) AS BIGINT)
+      |          AS HUGEINT) * pos.pos_n
       |        > pos.pos_sum
       |  AND NOT EXISTS (
       |    SELECT 1 FROM orders o

@@ -1101,9 +1101,6 @@ object DataOps {
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     textQualityCols(docs(spark, sfDir))
 
-  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
-    * (letter runs | digit runs | single non-alnum). Column form over any
-    * (doc_id, text) frame — shared by batch and the streaming twin. */
   /** BPE-ish token count of `text`: letter runs | digit runs | single
     * non-alnum. Whitespace spelled explicitly: Java \s includes \x0B,
     * RE2's does not — an implicit \s would let exotic whitespace split
@@ -1113,6 +1110,9 @@ object DataOps {
       lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
       .cast("long")
 
+  /** Token counting: whitespace tokens and the BPE-ish segmentation.
+    * Column form over any (doc_id, text) frame — shared by batch and
+    * the streaming twin. */
   def tokenCountCols(d: DataFrame): DataFrame =
     d.select(
       col("doc_id"),
@@ -2174,12 +2174,15 @@ object DataOps {
   def quotaSample(spark: SparkSession, sfDir: String): DataFrame = {
     val q = mixQuotasFor(spark, sfDir, SampleBudget)
       .select(col("source"), col("quota"))
-    val d = docs(spark, sfDir)
+    // Persisted: the histogram pass and both union branches below read
+    // this projection — without the persist each re-runs the full-text
+    // regexp tokenization + md5. Narrow (4 longs + source), text dropped.
+    val d = persistUnlessLazy(docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
         bpeTokens(col("text")).as("tokens"),
         hash60(concat(lit("mix|"), col("doc_id").cast("string"))).as("h"))
       .where(col("tokens") > 0)
-      .withColumn("hb", expr("h div 17592186044416")) // 2^44: top 16 bits
+      .withColumn("hb", expr("h div 17592186044416"))) // 2^44: top 16 bits
     val hist = d.groupBy(col("source"), col("hb"))
       .agg(sum(col("tokens")).as("bsum"))
     val wb = Window.partitionBy(col("source")).orderBy(col("hb"))
@@ -2203,6 +2206,6 @@ object DataOps {
       .withColumn("dcum", sum(col("tokens")).over(wDoc))
       .where(col("cut_before") + col("dcum") <= col("quota"))
       .select(col("doc_id"), col("source"), col("tokens"))
-    keptFull.union(keptBoundary)
+    finish(keptFull.union(keptBoundary), d)
   }
 }

@@ -624,10 +624,10 @@ object RelOps {
       .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("revenue_micro"))
   }
 
-  /** EUROPE suppliers with micro-unit account balances — the shared
-    * dimension side of Q2/Q20-shaped queries. nation (25 rows) and
-    * region (5 rows) are unconditionally broadcast; supplier scales
-    * with SF so its join strategy is left to AQE. */
+  /** Suppliers of one region with micro-unit account balances — the
+    * dimension side of [[q2MinCostSupp]]. nation (25 rows) and region
+    * (5 rows) are unconditionally broadcast; supplier scales with SF so
+    * its join strategy is left to AQE. */
   private def regionSuppliers(spark: SparkSession, sfDir: String,
       regionName: String): DataFrame =
     t(spark, sfDir, "supplier")
@@ -711,8 +711,12 @@ object RelOps {
       .groupBy(col("yr"))
       .agg(sum(col("is_target") * col("vol")).as("num_micro"),
         sum(col("vol")).as("den_micro"))
+      // num_micro·10⁶ outgrows int64 near SF 100 — ride the product in
+      // DECIMAL(38) (DuckDB: HUGEINT), the engine's unbounded-
+      // intermediate discipline (see pmiBigrams)
       .select(col("yr"), col("num_micro"), col("den_micro"),
-        expr("num_micro * 1000000 div den_micro").as("share_ppm"))
+        expr("CAST(CAST(num_micro AS DECIMAL(38,0)) * 1000000 " +
+          "div den_micro AS BIGINT)").as("share_ppm"))
   }
 
   /** TPC-H Q9-shaped: profit on red parts per supplier nation and ship
@@ -768,7 +772,9 @@ object RelOps {
       .agg(sum(col("x")).as("val_micro"))
     val tot = v.agg(sum(col("val_micro")).as("tot"))
     v.join(broadcast(tot))
-      .where(col("val_micro") * lit(1000L) > col("tot"))
+      // val_micro·1000 rides in DECIMAL(38): a hot part's micro value
+      // can pass int64/1000 at extreme SF
+      .where(expr("CAST(val_micro AS DECIMAL(38,0)) * 1000") > col("tot"))
       .select(col("l_partkey"), col("val_micro"))
   }
 
@@ -881,7 +887,10 @@ object RelOps {
       .select(col("o_custkey"))
     cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(pos))
-      .where(col("acct_micro") * col("pos_n") > col("pos_sum"))
+      // acct_micro·pos_n rides in DECIMAL(38): a billion-customer corpus
+      // pushes the product past int64
+      .where(expr("CAST(acct_micro AS DECIMAL(38,0)) * pos_n") >
+        col("pos_sum"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("numcust"),
         sum(col("acct_micro")).as("totacct_micro"))

@@ -214,6 +214,66 @@ class RelOpsSpec extends SparkSpec {
     assert(rows.map(_._2).sum <= fOrders)
   }
 
+  test("q9ProfitByNation covers all supplier nations with bounded years") {
+    val rows = RelOps.q9ProfitByNation(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // years come from l_shipdate's 1995-2001 domain
+    assert(rows.forall(r => r._2 >= 1995L && r._2 <= 2001L))
+    // the (nation, year) grid is bounded: ≤ 25 nations × 7 ship years
+    // (at sf0.01 every cell is populated — red parts ship everywhere)
+    assert(rows.size <= 25 * 7)
+    // grouping key is unique
+    assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size)
+  }
+
+  test("q11ImportantParts keeps only above-threshold shares of the total") {
+    val rows = RelOps.q11ImportantParts(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // recompute the nation-wide total the threshold compares against
+    val total = {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val supp = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+      val nat = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+        .where(col("n_name") === "NATION_7")
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .agg(sum(round(col("l_extendedprice") * 1e6).cast("long")))
+        .head.getLong(0)
+    }
+    rows.foreach { case (_, v) =>
+      assert(BigInt(v) * 1000 > BigInt(total))
+    }
+  }
+
+  test("q16SupplierCnt excludes negative-balance suppliers from counts") {
+    val rows = RelOps.q16SupplierCnt(spark, "/root/testdata/sf0.01")
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 > 0))
+    assert(rows.forall(r => r._1 != "Brand#1"))
+    val sizes = Set(1, 4, 9, 16, 25, 36, 49)
+    assert(rows.forall(r => sizes.contains(r._3)))
+    // counts can never exceed the clean-supplier population
+    val clean = spark.read
+      .parquet("/root/testdata/sf0.01/supplier.parquet")
+      .where($"s_acctbal" >= 0).count()
+    assert(rows.forall(_._4 <= clean))
+  }
+
+  test("q20ExcessShippers winners each dominate some small-part's 1997 qty") {
+    val rows = RelOps.q20ExcessShippers(spark, "/root/testdata/sf0.01")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    // strictly fewer than all suppliers qualify (the share test bites)
+    val supp = spark.read
+      .parquet("/root/testdata/sf0.01/supplier.parquet").count()
+    assert(rows.size < supp)
+    assert(rows.map(_._1).distinct.size == rows.size)
+  }
+
   test("q22GlobalSales only keeps above-average dormant balances") {
     val rows = RelOps.q22GlobalSales(spark, "/root/testdata/sf0.01")
       .as[(String, Long, Long)].collect().toSeq
