@@ -1303,6 +1303,16 @@ object OracleSqlData {
        |JOIN ($dedupClusters) c ON c.doc_id = d.doc_id
        |LEFT JOIN ($decontaminate) x ON x.doc_id = d.doc_id""".stripMargin
 
+  /** Common-vocabulary mirror ([[graft.pipeline.DataOps.commonVocab]]):
+    * the same per-source distinct-token sets, INTERSECT instead of
+    * EXCEPT. */
+  val commonVocab: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT source, unnest(list_distinct(w)) AS token FROM wrds)
+       |SELECT token FROM t WHERE source = 'src0'
+       |INTERSECT
+       |SELECT token FROM t WHERE source = 'src1'""".stripMargin
+
   /** Keyword mirror ([[graft.pipeline.DataOps.keywordsTfidf]]): same
     * integer floor-log2 IDF bits, same (score desc, token asc) top-3. */
   val keywordsTfidf: String =

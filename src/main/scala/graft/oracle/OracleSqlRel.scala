@@ -67,6 +67,37 @@ object OracleSqlRel {
       |FROM orders
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin
 
+  /** CUBE mirror ([[graft.pipeline.RelOps.cubeRevenue]]). */
+  val cubeRevenue: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COUNT(*) AS cnt,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT))
+      |         AS BIGINT) AS total_micro
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** Pivot mirror ([[graft.pipeline.RelOps.pivotDailyValues]]): the
+    * conditional-sum spelling of the same fixed-domain pivot. */
+  val pivotDailyValues: String =
+    """WITH e AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+      |         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+      |  FROM events
+      |)
+      |SELECT day,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN v END), 0)
+      |    AS BIGINT) AS click_micro,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN v END), 0)
+      |    AS BIGINT) AS error_micro,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN v END), 0)
+      |    AS BIGINT) AS purchase_micro,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN v END), 0)
+      |    AS BIGINT) AS signup_micro,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN v END), 0)
+      |    AS BIGINT) AS view_micro
+      |FROM e GROUP BY 1""".stripMargin
+
   val distinctUsers: String =
     """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS cnt
       |FROM events GROUP BY 1""".stripMargin

@@ -2061,6 +2061,19 @@ object DataOps {
           when(col("r_sym"), "symbol_heavy"),
           when(col("r_nostop"), "no_stopwords")).as("reasons"))
 
+  /** Set-INTERSECTION surface beside [[snapshotDiff]]'s EXCEPT: the
+    * tokens two crawl snapshots (sources src0, src1) SHARE — the
+    * stable-vocabulary view of drift analysis. `intersect` plans as
+    * per-side hash dedup + one semi join; each side's source filter
+    * pushes to its scan, and only distinct tokens ever shuffle. */
+  def commonVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    def toks(src: String) = docs(spark, sfDir)
+      .where(col("source") === src)
+      .select(explode(graft.functions.WordGramsExpr.grams(
+        spark, col("text"), 1, distinct = true)).as("token"))
+    toks("src0").intersect(toks("src1"))
+  }
+
   /** TF-IDF KEYWORD EXTRACTION, log-table-free: each document's top-3
     * most distinctive tokens by `score = tf · floor_log2(N div df)` —
     * term frequency weighted by integer IDF bits (the engine's exact

@@ -100,6 +100,39 @@ object RelOps {
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         col("cnt"), col("total_micro"))
 
+  /** CUBE grouping sets beside [[rollupRevenue]]'s hierarchy: all four
+    * (priority, status) subtotal combinations — the full OLAP
+    * cross-tabulation Expand plan. Grouping NULLs coalesce to 'ALL' so
+    * both engines emit identical marker rows. */
+  def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * lit(1000000.0)).cast("long").as("tp"))
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("tp")).as("total_micro"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("total_micro"))
+
+  /** PIVOT: per-day event VALUE totals cross-tabulated into one column
+    * per event type (zero-filled) — the wide dashboard/report shape.
+    * The pivot value list is the FIXED event-type domain (pivoting on
+    * discovered values would scan twice and make the schema
+    * data-dependent); day = exact integer epoch-day from the ns
+    * timestamp. One scan, one hash aggregate with 5 conditional sums —
+    * the same plan the oracle's CASE mirror spells out. */
+  def pivotDailyValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val piv = events(spark, sfDir)
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(sum(col("v")))
+    piv.select(col("day") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(s"${t}_micro")): _*)
+  }
+
   /** Distinct aggregation: exact distinct active users per event type
     * (partial-aggregated distinct, the HLL-exact tier). */
   def distinctUsers(spark: SparkSession, sfDir: String): DataFrame = {

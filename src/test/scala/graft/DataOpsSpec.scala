@@ -748,6 +748,17 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("commonVocab tokens occur in both snapshot sources") {
+    val common = DataOps.commonVocab(spark, SF).as[String].collect().toSet
+    assert(common.nonEmpty)
+    def vocab(src: String) = spark.read.parquet(s"$SF/documents.parquet")
+      .where($"source" === src)
+      .select(explode(split($"text", " ")).as("t"))
+      .where($"t" =!= "").as[String].collect().toSet
+    val (v0, v1) = (vocab("src0"), vocab("src1"))
+    assert(common == (v0 intersect v1))
+  }
+
   test("keywordsTfidf: per-doc top-3 ordered by exact integer score") {
     val rows = DataOps.keywordsTfidf(spark, SF)
       .as[(Long, String, Long, Long, Long, Long)].collect().toSeq

@@ -214,6 +214,39 @@ class RelOpsSpec extends SparkSpec {
     assert(rows.map(_._2).sum <= fOrders)
   }
 
+  test("cubeRevenue adds the column marginals rollup omits") {
+    val cube = RelOps.cubeRevenue(spark, SF)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val roll = RelOps.rollupRevenue(spark, SF)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // cube ⊇ rollup, and the extra rows are exactly the (ALL, status)
+    // marginals for each non-ALL status
+    assert(roll.toSet.subsetOf(cube.toSet))
+    val extra = cube.toSet -- roll.toSet
+    assert(extra.nonEmpty && extra.forall(r => r._1 == "ALL" && r._2 != "ALL"))
+    // the status marginals also sum to the grand total
+    val grand = cube.find(r => r._1 == "ALL" && r._2 == "ALL").get
+    assert(extra.toSeq.map(_._4).sum == grand._4)
+  }
+
+  test("pivotDailyValues cross-tab columns re-sum to per-type totals") {
+    val rows = RelOps.pivotDailyValues(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 30) // one row per active epoch-day of the fixture
+    val fromPivot = Map(
+      "click" -> rows.map(_._2).sum, "error" -> rows.map(_._3).sum,
+      "purchase" -> rows.map(_._4).sum, "signup" -> rows.map(_._5).sum,
+      "view" -> rows.map(_._6).sum)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val direct = spark.read
+      .parquet("/root/testdata/sf0.01/events.parquet")
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round($"value" * 1e6).cast("long")))
+      .as[(String, Long)].collect().toMap
+    assert(fromPivot == direct)
+  }
+
   test("q9ProfitByNation covers all supplier nations with bounded years") {
     val rows = RelOps.q9ProfitByNation(spark, "/root/testdata/sf0.01")
       .as[(String, Long, Long)].collect().toSeq
