@@ -1339,6 +1339,55 @@ object OracleSqlData {
        |SELECT doc_id, token, tf, idf_bits, score, rk
        |FROM r WHERE rk <= 3""".stripMargin
 
+  /** Typo-pair mirror ([[graft.pipeline.DataOps.typoPairs]]): the
+    * DEFINITIONAL all-pairs Levenshtein join over the same
+    * length-capped vocabulary — correct by construction at oracle scale,
+    * which is exactly what the deletion-neighborhood plan must match. */
+  val typoPairs: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT unnest(w) AS token FROM wrds),
+       |v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+       |      FROM t WHERE length(token) <= ${DataOps.MaxTypoTokenLen}
+       |      GROUP BY 1)
+       |SELECT a.token AS tok_a, b.token AS tok_b,
+       |       CAST(levenshtein(a.token, b.token) AS BIGINT) AS dist,
+       |       a.tf AS tf_a, b.tf AS tf_b
+       |FROM v a JOIN v b ON a.token < b.token
+       |WHERE levenshtein(a.token, b.token) <= 2""".stripMargin
+
+  /** KMV quantile-sketch mirror
+    * ([[graft.pipeline.DataOps.kmvQuantiles]]): same salted hash order
+    * (ties by doc_id), same k-smallest sample, same rank-pick
+    * convention as the exact lengthQuantiles mirror. */
+  val kmvQuantiles: String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id, n_chars,
+       |         ${h60("'kmvq:' || CAST(doc_id AS VARCHAR)")} AS h,
+       |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+       |           AS docs
+       |  FROM documents
+       |),
+       |k AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY h, doc_id) AS hrk FROM h)
+       |  WHERE hrk <= ${DataOps.KmvQuantK}
+       |),
+       |r AS (
+       |  SELECT source, docs, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY n_chars ASC) AS rn,
+       |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS m
+       |  FROM k
+       |)
+       |SELECT source, MAX(docs) AS docs, MAX(m) AS sample_n,
+       |  MAX(CASE WHEN rn = (m + 1) // 2 THEN n_chars END) AS p50_est,
+       |  MAX(CASE WHEN rn = (9 * m + 9) // 10 THEN n_chars END)
+       |    AS p90_est,
+       |  MAX(CASE WHEN rn = (99 * m + 99) // 100 THEN n_chars END)
+       |    AS p99_est
+       |FROM r GROUP BY source""".stripMargin
+
   /** Gopher-rule filter mirror ([[graft.pipeline.DataOps.gopherFilter]]):
     * identical cross-multiplied integer rules, identical fixed-order
     * reason join. */

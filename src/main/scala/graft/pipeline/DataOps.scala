@@ -2105,6 +2105,130 @@ object DataOps {
     finish(out, dt)
   }
 
+  /** Tokens longer than this are excluded from typo-pair analysis (they
+    * are never typo canonicals, and the deletion-neighborhood blowup is
+    * quadratic in token length). The oracle mirrors the same filter. */
+  val MaxTypoTokenLen = 24
+
+  /** EDIT-DISTANCE vocabulary pairing, SymSpell-style (Garbe 2012): all
+    * distinct-token pairs within Levenshtein distance ≤ 2, with the
+    * exact distance and both corpus frequencies — the typo-normalization
+    * / OCR-noise view of dedup (a rare token one edit from a frequent
+    * one is a misspelling candidate). Completes the dedup family's
+    * string tier: exact ([[dedupExact]]), set ([[dedupNgramSource]]),
+    * sketch ([[dedupMinhash]]/[[dedupSimhash]]), substring
+    * ([[dedupSubstring]]), and now CHARACTER-EDIT similarity.
+    *
+    * Candidate generation is the deletion-neighborhood join, never
+    * all-pairs: each ≤[[MaxTypoTokenLen]]-char vocabulary token expands
+    * to its ≤2-deletion variants (delete any 0, 1, or 2 character
+    * positions — O(len²/2) variants, bounded by the length cap, over the
+    * DISTINCT vocabulary only, never the corpus). Two tokens within
+    * Levenshtein distance d share a variant after deleting ≤ d chars
+    * from each (delete the substituted/unmatched characters of an
+    * optimal alignment from both sides), so the variant-hash equi-join
+    * admits EVERY true pair; the codegen `levenshtein` verify kills the
+    * false admits (pairs sharing a variant at distance > 2, plus any
+    * astronomically-unlikely hash60 collision — a collision can only add
+    * a candidate, and candidates are verified, so hashing the variant
+    * string to 60 bits keeps the shuffle narrow at zero risk).
+    *
+    * Scale shape: vocabulary-sized throughout — one (doc,token)
+    * aggregate off the shared [[docTokenCounts]] relation, a bounded
+    * variant explode, one equi-join on the 60-bit variant hash (bucket
+    * sizes are variant-collision counts, never a cross product), then a
+    * distinct + verify on the surviving pairs. Output
+    * (tok_a, tok_b, dist, tf_a, tf_b), tok_a < tok_b. */
+  def typoPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = docTokenCounts(spark, sfDir)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("tf"))
+      .where(length(col("token")) <= MaxTypoTokenLen)
+    // (i, j) deletion-position pairs, 0 = "no deletion at this slot":
+    // (0,0) = the token itself; (0,j) = delete j; (i<j) = delete both.
+    val variants = persistUnlessLazy(vocab
+      .select(col("token"), col("tf"),
+        explode(sequence(lit(0), length(col("token")))).as("i"))
+      .select(col("token"), col("tf"), col("i"),
+        explode(sequence(col("i"), length(col("token")))).as("j"))
+      .where(col("i") === 0 || col("j") > col("i"))
+      .select(col("token"), col("tf"), hash60(expr(
+        """CASE
+          |  WHEN i = 0 AND j = 0 THEN token
+          |  WHEN i = 0 THEN concat(substring(token, 1, j - 1),
+          |                         substring(token, j + 1))
+          |  ELSE concat(substring(token, 1, i - 1),
+          |              substring(token, i + 1, j - i - 1),
+          |              substring(token, j + 1))
+          |END""".stripMargin)).as("vh"))
+      .distinct())
+    val cand = variants
+      .select(col("token").as("tok_a"), col("tf").as("tf_a"), col("vh"))
+      .join(variants.select(col("token").as("tok_b"),
+        col("tf").as("tf_b"), col("vh")), Seq("vh"))
+      .where(col("tok_a") < col("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("tf_a"), col("tf_b"))
+      .distinct()
+    val out = cand
+      .withColumn("dist",
+        levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      .where(col("dist") <= 2)
+      .select(col("tok_a"), col("tok_b"), col("dist"),
+        col("tf_a"), col("tf_b"))
+    finish(out, variants)
+  }
+
+  /** Sample size of the [[kmvQuantiles]] sketch (registers per source).
+    * 16 keeps the fixture's 25-doc sources genuinely SAMPLED (est ≠
+    * exact); a production run sizes k to its error target (~1/√k). */
+  val KmvQuantK = 16
+
+  /** MERGEABLE QUANTILE SKETCH — KMV uniform-sample quantiles per
+    * source: the k documents with the smallest salted doc_id hashes form
+    * a deterministic uniform sample, and the estimated p50/p90/p99 of
+    * n_chars are exact rank picks over that sample (the engine's
+    * element-AT-a-rank discipline — no interpolation). Completes the
+    * sketch family: HLL counts distinct ([[graft.pipeline.RelOps.hllDistinctUsers]]),
+    * theta intersects ([[graft.pipeline.RelOps.thetaOverlapUsers]]), KMV
+    * samples a DISTRIBUTION.
+    *
+    * Why this beats [[lengthQuantiles]] at scale: the exact histogram
+    * rank-pick needs a bounded value domain (fine for n_chars, wrong for
+    * unbounded or continuous measures), while the KMV buffer is O(k) per
+    * source per map partition, MERGEABLE (partial buffers combine by
+    * keep-k-smallest, the same [[graft.functions.TopKAgg]] partial
+    * aggregation), and domain-independent — the nightly-rollup shape
+    * where per-shard sketches recombine without re-touching raw rows.
+    * Hash order is decorrelated from every other sampling salt
+    * (`kmvq:`), so the sample is unbiased w.r.t. doc_id structure.
+    *
+    * One hash aggregate; the only per-source state is the k-row buffer;
+    * ties on the (astronomically unlikely) equal hash break by doc_id so
+    * both engines pick the identical sample. Output
+    * (source, docs, sample_n, p50_est, p90_est, p99_est). */
+  def kmvQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = docs(spark, sfDir)
+      .select(col("source"), col("n_chars"),
+        hash60(concat(lit("kmvq:"), col("doc_id").cast("string")))
+          .as("h"),
+        col("doc_id"))
+    val sket = hashed.groupBy(col("source"))
+      .agg(
+        graft.functions.TopKAgg.topK(spark,
+          struct((-col("h")).as("nh"), (-col("doc_id")).as("nid"),
+            col("n_chars").as("nc")), KmvQuantK).as("top"),
+        count(lit(1)).as("docs"))
+      .select(col("source"), col("docs"),
+        expr("array_sort(transform(top, x -> x.nc))").as("vals"))
+    sket.select(col("source"), col("docs"),
+      size(col("vals")).cast("long").as("sample_n"),
+      expr("element_at(vals, cast((size(vals) + 1) div 2 as int))")
+        .as("p50_est"),
+      expr("element_at(vals, cast((9 * size(vals) + 9) div 10 as int))")
+        .as("p90_est"),
+      expr("element_at(vals, cast((99 * size(vals) + 99) div 100 as int))")
+        .as("p99_est"))
+  }
+
   /** Token budget distributed by [[mixQuotas]] (fixture constant; a
     * production run passes its own). */
   val MixBudget = 100000L

