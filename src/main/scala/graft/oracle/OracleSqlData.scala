@@ -1388,6 +1388,20 @@ object OracleSqlData {
        |    AS p99_est
        |FROM r GROUP BY source""".stripMargin
 
+  /** Heavy-hitter mirror ([[graft.pipeline.DataOps.heavyHitters]]): the
+    * DEFINITIONAL full-vocabulary aggregate + share filter — exactly
+    * what the two-phase candidate plan must reproduce (a phase-1
+    * completeness failure would surface as missing rows here). */
+  val heavyHitters: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT unnest(w) AS token FROM wrds),
+       |v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+       |      FROM t GROUP BY 1),
+       |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM v)
+       |SELECT token, tf,
+       |       CAST(tf * 1000000 // n.n AS BIGINT) AS support_ppm
+       |FROM v, n WHERE tf * ${DataOps.HeavyInv} >= n.n""".stripMargin
+
   /** Gopher-rule filter mirror ([[graft.pipeline.DataOps.gopherFilter]]):
     * identical cross-multiplied integer rules, identical fixed-order
     * reason join. */

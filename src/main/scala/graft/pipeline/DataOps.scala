@@ -1630,6 +1630,83 @@ object DataOps {
         Window.orderBy(col("cnt").desc, col("gram").asc)).cast("long"))
   }
 
+  /** Support denominator of [[heavyHitters]]: heavy = token occurrence
+    * share ≥ 1/[[HeavyInv]] of the corpus (cross-multiplied — no float
+    * division). 29 makes the near-uniform fixture vocabulary exercise
+    * both branches (a handful of tokens pass, most fail). */
+  val HeavyInv = 29L
+
+  /** EXACT HEAVY HITTERS over an unbounded key domain — the two-phase
+    * Misra-Gries candidates + exact-recount plan (Misra & Gries 1982;
+    * the standard distributed frequent-items shape): every token whose
+    * occurrence share is ≥ 1/[[HeavyInv]], with its exact count and
+    * support in ppm.
+    *
+    * Why not just the [[vocabCoverage]] hash aggregate? That plan's
+    * aggregation state is VOCABULARY-sized — fine for word tokens,
+    * wrong when the key domain doesn't fit memory (URLs, n-grams,
+    * user-agents at 100 TB). Here no full-domain aggregate ever runs:
+    *
+    *  - Phase 1 (candidates): each scan partition streams its tokens
+    *    through a k=[[HeavyInv]] Misra-Gries summary — O(k) state, no
+    *    shuffle. Completeness: a token with global share ≥ 1/k has,
+    *    by weighted averaging, share ≥ 1/k in SOME partition, and MG(k)
+    *    retains every key with partition share > 1/(k+1) — so the union
+    *    of per-partition candidates is a SUPERSET of the true heavy
+    *    set (≤ partitions·k keys, broadcastable at any corpus size).
+    *  - Phase 2 (exact): one more scan counts ONLY candidate tokens
+    *    (broadcast semi-join prunes before the aggregate, so per-task
+    *    aggregation state is candidate-bounded) plus the keyless corpus
+    *    total; the exact cross-multiplied filter tf·[[HeavyInv]] ≥ N
+    *    then drops phase-1 overshoot.
+    *
+    * The output is EXACT and partitioning-independent — phase-1's
+    * order-sensitivity only varies the candidate superset, never the
+    * filtered result — which is precisely what the definitional DuckDB
+    * oracle checks (it also proves the MG completeness argument holds
+    * on real data). Tokenization matches [[docTokenCounts]]'s
+    * whitespace-word rule exactly (a phase-1/phase-2 mismatch would
+    * break the superset guarantee). */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = HeavyInv.toInt
+    val cands = docs(spark, sfDir).select(col("text")).as[String]
+      .mapPartitions { texts =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        texts.foreach { t =>
+          t.split(" ").foreach { w =>
+            if (w.nonEmpty) {
+              counters.get(w) match {
+                case Some(c) => counters(w) = c + 1
+                case None if counters.size < k => counters(w) = 1L
+                case None =>
+                  // decrement-all: drop every counter by 1, evict zeros
+                  val dead = List.newBuilder[String]
+                  counters.keysIterator.foreach { key =>
+                    val c = counters(key) - 1
+                    if (c == 0) dead += key else counters(key) = c
+                  }
+                  dead.result().foreach(counters.remove)
+              }
+            }
+          }
+        }
+        counters.keysIterator
+      }.toDF("token").distinct()
+    val pc = persistUnlessLazy(cands)
+    val tok = docs(spark, sfDir)
+      .select(explode(graft.functions.WordGramsExpr.grams(spark,
+        col("text"), 1, distinct = false)).as("token"))
+    val n = tok.agg(count(lit(1)).as("n"))
+    val out = tok.join(broadcast(pc), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(n))
+      .where(col("tf") * lit(HeavyInv) >= col("n"))
+      .select(col("token"), col("tf"),
+        expr("tf * 1000000 div n").as("support_ppm"))
+    finish(out, pc)
+  }
+
   /** PMI collocations — pointwise-mutual-information strength for the
     * corpus's top-50 bigrams (Church & Hanks 1990, "Word Association
     * Norms, Mutual Information, and Lexicography"): the

@@ -809,6 +809,40 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters equals the definitional share filter, exactly") {
+    val got = DataOps.heavyHitters(spark, SF)
+      .as[(String, Long, Long)].collect().toSet
+    val tf = spark.read.parquet(s"$SF/documents.parquet")
+      .select(explode(split($"text", " ")).as("t")).where($"t" =!= "")
+      .groupBy($"t").count().as[(String, Long)].collect().toMap
+    val n = tf.values.sum
+    val naive = tf.collect {
+      case (t, c) if c * DataOps.HeavyInv >= n =>
+        (t, c, c * 1000000L / n)
+    }.toSet
+    assert(got == naive)
+    // the threshold genuinely splits the fixture vocabulary
+    assert(naive.nonEmpty && naive.size < tf.size)
+  }
+
+  test("heavyHitters finds a hitter spread thin across partitions") {
+    // one heavy token diluted over many partitions, against a churn of
+    // partition-local distinct fillers that pressure the MG counters —
+    // the weighted-averaging completeness case
+    val dir = Files.createTempDirectory("graft-heavy").toString
+    val docs = (0 until 64).map { i =>
+      val fillers = (0 until 20).map(j => s"f${i}_$j").mkString(" ")
+      (i.toLong, s"heavy $fillers heavy", "en", s"src${i % 4}", 10L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(16).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // heavy share = 128 / (64*22) ≈ 9.1% ≥ 1/29; every filler ≪ 1/29
+    val rows = DataOps.heavyHitters(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("heavy", 128L, 128L * 1000000L / (64L * 22L))))
+  }
+
   test("keywordsTfidf: per-doc top-3 ordered by exact integer score") {
     val rows = DataOps.keywordsTfidf(spark, SF)
       .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
