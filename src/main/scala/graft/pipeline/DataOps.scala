@@ -2282,8 +2282,18 @@ object DataOps {
     * ties on the (astronomically unlikely) equal hash break by doc_id so
     * both engines pick the identical sample. Output
     * (source, docs, sample_n, p50_est, p90_est, p99_est). */
-  def kmvQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashed = docs(spark, sfDir)
+  def kmvQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    kmvQuantilesFrame(spark, docs(spark, sfDir))
+
+  /** Column plan of [[kmvQuantiles]] over ANY documents frame. Every
+    * aggregate here is mergeable and monotone under accumulation (the
+    * k-smallest sample only ever improves, the count only grows), so
+    * the identical expressions also run as an UPDATE-mode streaming
+    * aggregation whose state IS the sketch —
+    * [[graft.streaming.StreamingOps.kmvQuantilesStream]]. */
+  private[graft] def kmvQuantilesFrame(spark: SparkSession,
+      docsDf: DataFrame): DataFrame = {
+    val hashed = docsDf
       .select(col("source"), col("n_chars"),
         hash60(concat(lit("kmvq:"), col("doc_id").cast("string")))
           .as("h"),

@@ -251,6 +251,23 @@ object StreamingOps {
   def gopherFilterStream(docStream: DataFrame): DataFrame =
     graft.pipeline.DataOps.gopherFilterCols(docStream)
 
+  /** LIVE per-source quantile sketch — the streaming twin of
+    * [[graft.pipeline.DataOps.kmvQuantiles]], same pattern as the live
+    * HLL registers ([[graft.streaming.EventStreamOps.hllRegisterStream]]):
+    * the KMV k-smallest-hash sample is MONOTONE under accumulation (a
+    * new document either displaces a larger hash or leaves the sample
+    * unchanged) and the doc count only grows, so the exact batch
+    * expressions run as an update-mode streaming aggregation whose
+    * state IS the sketch — O(k) + one long per source at any stream
+    * length, no TTL needed (state is bounded by the domain count, not
+    * the stream). Each update row carries the full rank-picked
+    * p50/p90/p99 estimates for its source — the live ingest-distribution
+    * dashboard feed. Pinned per-trigger ≡ batch-over-prefix (including
+    * that trigger-2 samples fold trigger-1 state) in StreamingSpec. */
+  def kmvQuantilesStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.kmvQuantilesFrame(
+      docStream.sparkSession, docStream)
+
   /** Ingest-time per-source document cap — the streaming counterpart of
     * [[graft.pipeline.DataOps.sourceCap]]: admit at most `k` documents
     * per source, holding ONE long (the admitted count) per source in

@@ -353,6 +353,48 @@ class StreamingSpec extends SparkSpec {
     assert(gf.nonEmpty && gf == gfBatch)
   }
 
+  test("kmvQuantilesStream: sketch state folds across triggers ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    // split INSIDE sources so trigger 2 genuinely extends trigger-1
+    // samples (doc_id order interleaves sources on this fixture)
+    val (a, b) = docRows.splitAt(docRows.size / 2)
+    def batchOf(rows: Seq[DocRow]) = graft.pipeline.DataOps
+      .kmvQuantilesFrame(spark, rows.toDF())
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val in = MemoryStream[DocRow]
+    val name = freshQueryName("kmvs")
+    val q = StreamingOps.kmvQuantilesStream(in.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(s1.sorted == batchOf(a).sorted, "trigger 1 != batch(a)")
+      in.addData(b); q.processAllAvailable()
+      // every trigger-2 update row must already equal the FULL-corpus
+      // sketch for its source — the new k-smallest folds the carried
+      // trigger-1 sample, so state loss shows as a worse sample here
+      val all = spark.table(name)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      val s2 = all.diff(s1)
+      val full = batchOf(docRows).map(r => r._1 -> r).toMap
+      assert(s2.nonEmpty)
+      s2.foreach { r =>
+        assert(r == full(r._1), s"source ${r._1} lost sketch state")
+      }
+      // final sink state (trigger-2 rows over trigger-1 rows) ≡ batch
+      val finalRows =
+        s1.map(r => r._1 -> r).toMap ++ s2.map(r => r._1 -> r).toMap
+      assert(finalRows == full)
+      // the micro-batch boundary genuinely re-emitted carried keys
+      assert(s2.map(_._1).toSet.intersect(s1.map(_._1).toSet).nonEmpty)
+    } finally q.stop()
+  }
+
   test("curationStream keep bits equal the batch stateless gates") {
     implicit val sqlCtx = spark.sqlContext
     val docRows = spark.read.parquet(s"$SF/documents.parquet")
