@@ -1339,6 +1339,17 @@ object OracleSqlData {
        |SELECT doc_id, token, tf, idf_bits, score, rk
        |FROM r WHERE rk <= 3""".stripMargin
 
+  /** Triangle mirror ([[graft.pipeline.DataOps.dupTriangles]]): the
+    * definitional three-way join over the inlined [[dedupMinhash]] pair
+    * set (pairs are doc_a < doc_b, so each triangle matches exactly
+    * once and arrives id-sorted). */
+  val dupTriangles: String =
+    s"""WITH pairs AS ($dedupMinhash)
+       |SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
+       |FROM pairs e1
+       |JOIN pairs e2 ON e1.doc_b = e2.doc_a
+       |JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b""".stripMargin
+
   /** Typo-pair mirror ([[graft.pipeline.DataOps.typoPairs]]): the
     * DEFINITIONAL all-pairs Levenshtein join over the same
     * length-capped vocabulary — correct by construction at oracle scale,

@@ -364,6 +364,55 @@ object DataOps {
       .withColumn("keep", col("doc_id") === col("rep"))
   }
 
+  /** TRIANGLE ENUMERATION over the near-dup pair graph — the
+    * transitivity QC of the dedup pass (graph-analytics tier beside
+    * [[dedupClusters]]'s connected components): every doc triple whose
+    * three pairs all verified as near-dups in [[dedupMinhash]]. Dense
+    * triangle support says a cluster is a genuine dup family; an edge
+    * in no triangle is more likely an LSH borderline pair.
+    *
+    * The plan is the DEGREE-ORDERED ORIENTED wedge join (the standard
+    * O(m^1.5) distributed triangle scheme — e.g. Suri & Vassilvitskii
+    * 2011): orient each undirected edge from its lower-(degree, id)
+    * endpoint to the higher; every triangle then has exactly ONE vertex
+    * with both triangle edges outgoing, so wedges (pairs of
+    * out-neighbors) enumerate each triangle once, and a hot hub's wedge
+    * count is bounded by its ORIENTED out-degree (≤ √(2m) amortized),
+    * never its raw degree — the difference between a celebrity node
+    * producing deg² wedges and the provably-linear-ish plan. The wedge
+    * close is one equi-join back on the (a<b) undirected pair set.
+    * Output (doc_a, doc_b, doc_c), id-sorted. */
+  def dupTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = persistUnlessLazy(
+      dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b")))
+    val deg = p.select(col("doc_a").as("v"))
+      .union(p.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val oriented = p
+      .join(deg.select(col("v").as("doc_a"), col("d").as("da")),
+        Seq("doc_a"))
+      .join(deg.select(col("v").as("doc_b"), col("d").as("db")),
+        Seq("doc_b"))
+      .select(
+        when(struct(col("da"), col("doc_a")) <
+          struct(col("db"), col("doc_b")), col("doc_a"))
+          .otherwise(col("doc_b")).as("src"),
+        when(struct(col("da"), col("doc_a")) <
+          struct(col("db"), col("doc_b")), col("doc_b"))
+          .otherwise(col("doc_a")).as("dst"))
+    val wedges = oriented.select(col("src"), col("dst").as("w1"))
+      .join(oriented.select(col("src"), col("dst").as("w2")), Seq("src"))
+      .where(col("w1") < col("w2"))
+    val out = wedges
+      .join(p.select(col("doc_a").as("w1"), col("doc_b").as("w2")),
+        Seq("w1", "w2"))
+      .select(expr("array_sort(array(src, w1, w2))").as("t"))
+      .select(col("t").getItem(0).as("doc_a"),
+        col("t").getItem(1).as("doc_b"),
+        col("t").getItem(2).as("doc_c"))
+    finish(out, p)
+  }
+
   /** SimHash signature width and chunk geometry. 60 bits (the full
     * [[hash60]] word) split into 4 chunks of 15 bits ⇒ 32768 buckets per
     * chunk, so bucket population is ~N/32768 and the candidate self-join

@@ -759,6 +759,21 @@ class DataOpsSpec extends SparkSpec {
     assert(common == (v0 intersect v1))
   }
 
+  test("dupTriangles equals the naive three-way join, each once") {
+    val pairs = DataOps.dedupMinhash(spark, SF)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val naive = for {
+      (a, b) <- pairs; (b2, c) <- pairs
+      if b2 == b && pairs.contains((a, c))
+    } yield (a, b, c)
+    val got = DataOps.dupTriangles(spark, SF)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.toSet == naive)
+    assert(got.size == naive.size, "a triangle was emitted twice")
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c) => assert(a < b && b < c) }
+  }
+
   test("typoPairs equals the naive all-pairs levenshtein join") {
     val got = DataOps.typoPairs(spark, SF)
       .as[(String, String, Long, Long, Long)].collect().toSet
