@@ -1413,6 +1413,37 @@ object OracleSqlData {
        |       CAST(tf * 1000000 // n.n AS BIGINT) AS support_ppm
        |FROM v, n WHERE tf * ${DataOps.HeavyInv} >= n.n""".stripMargin
 
+  /** Count-Min mirror ([[graft.pipeline.DataOps.cmsFrequency]]): same
+    * salts, same bucket arithmetic, same min-over-rows estimate. */
+  val cmsFrequency: String = {
+    val d = DataOps.CmsD
+    val w = DataOps.CmsW
+    val bucketSql = (r: Int, tok: String) =>
+      s"${h60(s"'cms$r:' || $tok")} % $w"
+    s"""WITH $wrdsCte,
+       |t AS (SELECT unnest(w) AS token FROM wrds),
+       |cells AS (
+       |  ${(0 until d).map(r =>
+            s"SELECT $r AS r, ${bucketSql(r, "token")} AS bucket FROM t")
+            .mkString("\n  UNION ALL\n  ")}
+       |),
+       |sketch AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |           FROM cells GROUP BY 1, 2),
+       |head AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+       |  GROUP BY 1 ORDER BY tf DESC, token ASC LIMIT 10
+       |),
+       |probes AS (
+       |  ${(0 until d).map(r =>
+            s"SELECT token, tf, $r AS r, ${bucketSql(r, "token")} AS bucket FROM head")
+            .mkString("\n  UNION ALL\n  ")}
+       |)
+       |SELECT p.token, p.tf AS tf_exact, MIN(s.c) AS tf_cms,
+       |       MIN(s.c) - p.tf AS overcount
+       |FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+       |GROUP BY p.token, p.tf""".stripMargin
+  }
+
   /** Gopher-rule filter mirror ([[graft.pipeline.DataOps.gopherFilter]]):
     * identical cross-multiplied integer rules, identical fixed-order
     * reason join. */

@@ -1756,6 +1756,58 @@ object DataOps {
     finish(out, pc)
   }
 
+  /** Count-Min sketch geometry: [[CmsD]] independent salt rows ×
+    * [[CmsW]] buckets (ε ≈ e/W overcount at δ ≈ e^−D confidence). */
+  val CmsD = 4
+  val CmsW = 1024L
+
+  /** COUNT-MIN SKETCH point-frequency estimation (Cormode &
+    * Muthukrishnan 2005) — the sketch family's frequency member (HLL
+    * counts distinct, KMV samples a distribution, theta intersects,
+    * CMS answers "how often does key x occur" in O(D·W) memory for ANY
+    * key domain): build the D×W counter table in one pass, then probe
+    * the exact top-10 head tokens and report estimate vs truth. CMS
+    * never undercounts — `overcount = tf_cms − tf_exact ≥ 0` (hash
+    * collisions only ADD) — and the probe makes the error bound
+    * VISIBLE the way [[minhashRecallEval]] does for LSH recall and
+    * [[langConfusion]] for the classifier.
+    *
+    * All integer: bucket = hash60("cms{r}:" ∥ token) mod W, counters
+    * are plain sums, estimate = min over the D rows — deterministic,
+    * mergeable (counter tables add), order-independent, replayable in
+    * DuckDB bit-for-bit.
+    *
+    * Scale shape: the sketch build is ONE hash aggregate over (r,
+    * bucket) — D·W = 4096 cells regardless of corpus size — and
+    * broadcasts into the probe join; the head + exact counts reuse the
+    * vocabulary aggregate; nothing unbounded shuffles. (At a truly
+    * unbounded key domain the exact-head side switches to
+    * [[heavyHitters]]; the sketch side is already domain-free.) */
+  def cmsFrequency(spark: SparkSession, sfDir: String): DataFrame = {
+    def bucket(r: Int, tok: Column): Column =
+      pmod(hash60(concat(lit(s"cms$r:"), tok)), lit(CmsW))
+    val tok = persistUnlessLazy(docs(spark, sfDir)
+      .select(explode(graft.functions.WordGramsExpr.grams(spark,
+        col("text"), 1, distinct = false)).as("token")))
+    val sketch = tok
+      .select(posexplode(array((0 until CmsD).map(r =>
+        bucket(r, col("token"))): _*)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val head = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(10)
+    val out = head
+      .select(col("token"), col("tf"),
+        posexplode(array((0 until CmsD).map(r =>
+          bucket(r, col("token"))): _*)).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("token"), col("tf"))
+      .agg(min(col("c")).as("tf_cms"))
+      .select(col("token"), col("tf").as("tf_exact"), col("tf_cms"),
+        (col("tf_cms") - col("tf")).as("overcount"))
+    finish(out, tok)
+  }
+
   /** PMI collocations — pointwise-mutual-information strength for the
     * corpus's top-50 bigrams (Church & Hanks 1990, "Word Association
     * Norms, Mutual Information, and Lexicography"): the

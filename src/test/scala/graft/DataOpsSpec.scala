@@ -824,6 +824,38 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("cmsFrequency: estimates never undercount and hit the head") {
+    val got = DataOps.cmsFrequency(spark, SF)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.size == 10)
+    // CMS can only overcount, and the model sketch agrees exactly
+    val tf = spark.read.parquet(s"$SF/documents.parquet")
+      .select(explode(split($"text", " ")).as("t")).where($"t" =!= "")
+      .groupBy($"t").count().as[(String, Long)].collect().toMap
+    def bucket(r: Int, tok: String): Long = {
+      val h = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"cms$r:$tok".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      h % DataOps.CmsW
+    }
+    val cells = scala.collection.mutable.HashMap
+      .empty[(Int, Long), Long].withDefaultValue(0L)
+    tf.foreach { case (t, c) =>
+      (0 until DataOps.CmsD).foreach(r => cells((r, bucket(r, t))) += c)
+    }
+    val expectHead = tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+    assert(got.map(r => r._1 -> r._2).sortBy(r => (-r._2, r._1))
+      == expectHead)
+    got.foreach { case (t, exact, est, over) =>
+      val model = (0 until DataOps.CmsD)
+        .map(r => cells((r, bucket(r, t)))).min
+      assert(est == model && over == est - exact && over >= 0)
+    }
+  }
+
   test("heavyHitters equals the definitional share filter, exactly") {
     val got = DataOps.heavyHitters(spark, SF)
       .as[(String, Long, Long)].collect().toSet
