@@ -961,6 +961,47 @@ object OracleSqlData {
        |    AS BIGINT) AS quality_micro
        |FROM m""".stripMargin
 
+  /** OLS trend mirror ([[graft.pipeline.DataOps.qualityTrend]]): the
+    * identical quality formula, HUGEINT moment sums, one truncating
+    * division with the same ×10^6 numerator. */
+  val qualityTrend: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '' AND list_contains(${Lexicons.stopListSql}, x)))
+       |      AS BIGINT) AS n_stop,
+       |    CAST(length(text) AS BIGINT) AS nchars,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |      AS BIGINT) AS punct
+       |  FROM documents
+       |),
+       |q AS (
+       |  SELECT source, CAST(nchars AS HUGEINT) AS x,
+       |    CAST(CAST(ROUND((CAST(LEAST(n_tok, 50) AS DOUBLE) / 50.0 * 0.5 +
+       |      LEAST(CAST(n_stop AS DOUBLE) * 3.0 /
+       |        CAST(GREATEST(n_tok, 1) AS DOUBLE), 1.0) * 0.3 +
+       |      (1.0 - CAST(punct AS DOUBLE) /
+       |        CAST(GREATEST(nchars, 1) AS DOUBLE)) * 0.2) * $MIC)
+       |      AS BIGINT) AS HUGEINT) AS y
+       |  FROM m
+       |),
+       |a AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |         SUM(x) AS sx, SUM(y) AS sy,
+       |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+       |  FROM q GROUP BY 1
+       |)
+       |SELECT source, n,
+       |  CAST(sx // n AS BIGINT) AS mean_chars,
+       |  CAST(sy // n AS BIGINT) AS mean_quality_micro,
+       |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(((CAST(n AS HUGEINT) * sxy - sx * sy) * 1000000)
+       |              // (CAST(n AS HUGEINT) * sxx - sx * sx) AS BIGINT)
+       |  END AS slope_ppm
+       |FROM a""".stripMargin
+
   val tokenCount: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

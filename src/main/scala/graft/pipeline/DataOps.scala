@@ -1147,6 +1147,46 @@ object DataOps {
             lit(MICRO)).cast("long")).as("avg_wlen_micro"),
         col("quality_micro"))
 
+  /** EXACT-INTEGER OLS TREND per source — does document quality rise or
+    * fall with length? The statistical-profiling pass a curation run
+    * uses to pick length cutoffs, done without a single float: slope of
+    * quality_micro against n_chars via the closed-form least-squares
+    * ratio, numerator (n·Σxy − Σx·Σy)·10^6 and denominator n·Σxx − Σx²
+    * carried in DECIMAL(38,0) (DuckDB HUGEINT) and combined by ONE
+    * truncating division (identical toward-zero semantics both engines,
+    * verified incl. negatives). slope_ppm = micro-quality change per
+    * character, ×10^6; 0 when the source's lengths are constant (den 0).
+    * Truncating integer means ride along.
+    *
+    * Headroom, honestly: with x ≤ 10^5 chars and y ≤ 10^6 micro, the
+    * ×10^6 numerator stays inside DECIMAL(38) to ~3·10^10 docs PER
+    * SOURCE; beyond that pre-reduce the fraction (the [[pmiBigrams]]
+    * note — engines diverge on overflow: Spark non-ANSI NULLs, DuckDB
+    * raises).
+    *
+    * Plan: one projection + ONE hash aggregate (five sums with map-side
+    * partials), then pure per-row arithmetic on the |sources|-row
+    * result — nothing after the aggregate scales with the corpus. */
+  def qualityTrend(spark: SparkSession, sfDir: String): DataFrame =
+    textQualityMetrics(docs(spark, sfDir))
+      .select(col("source"),
+        col("nchars").cast("decimal(38,0)").as("x"),
+        col("quality_micro").cast("decimal(38,0)").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n"),
+        expr("cast(sx div n as bigint)").as("mean_chars"),
+        expr("cast(sy div n as bigint)").as("mean_quality_micro"),
+        expr("""cast(CASE
+          |  WHEN cast(n as decimal(38,0)) * sxx - sx * sx = 0 THEN 0
+          |  ELSE ((cast(n as decimal(38,0)) * sxy - sx * sy)
+          |          * 1000000)
+          |       div (cast(n as decimal(38,0)) * sxx - sx * sx)
+          |END as bigint)""".stripMargin).as("slope_ppm"))
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     textQualityCols(docs(spark, sfDir))
 

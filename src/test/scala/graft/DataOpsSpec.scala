@@ -824,6 +824,33 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityTrend equals the exact BigInt least-squares ratio") {
+    val got = DataOps.qualityTrend(spark, SF)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val m = DataOps.textQualityMetrics(
+        spark.read.parquet(s"$SF/documents.parquet"))
+      .select($"source", $"nchars", $"quality_micro")
+      .as[(String, Long, Long)].collect().toSeq
+    val bySrc = m.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val n = BigInt(rows.size)
+      val sx = rows.map(r => BigInt(r._2)).sum
+      val sy = rows.map(r => BigInt(r._3)).sum
+      val sxy = rows.map(r => BigInt(r._2) * r._3).sum
+      val sxx = rows.map(r => BigInt(r._2) * r._2).sum
+      val den = n * sxx - sx * sx
+      val slope =
+        if (den == 0) BigInt(0) else (n * sxy - sx * sy) * 1000000 / den
+      val expect = (src, rows.size.toLong, (sx / n).toLong,
+        (sy / n).toLong, slope.toLong)
+      assert(got(src) == expect)
+    }
+    // the fixture exhibits a real (nonzero) trend somewhere
+    assert(got.values.exists(_._5 != 0L))
+  }
+
   test("cmsFrequency: estimates never undercount and hit the head") {
     val got = DataOps.cmsFrequency(spark, SF)
       .as[(String, Long, Long, Long)].collect().toSeq
