@@ -1012,6 +1012,47 @@ object OracleSqlRel {
       |         AS BIGINT) AS prob_ppm
       |FROM c""".stripMargin
 
+  /** PageRank mirror ([[graft.pipeline.EventOps.eventPagerank]]): the
+    * identical truncating-integer power iteration, unrolled by a
+    * recursive CTE over the inlined transition matrix; zero-probability
+    * self-loops make the contribution join total (they add nothing to
+    * any rank) so the recursive term needs no outer join. */
+  val eventPagerank: String =
+    s"""WITH RECURSIVE trans AS (
+       |  SELECT from_type, to_type, prob_ppm FROM ($eventTransitions)
+       |),
+       |nodes AS (
+       |  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB gives a
+       |  -- plain UNION in a sibling CTE recursive-union treatment and
+       |  -- skips the dedup, which would silently inflate N
+       |  SELECT DISTINCT node FROM (
+       |    SELECT from_type AS node FROM trans
+       |    UNION ALL SELECT to_type FROM trans
+       |  )
+       |),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |t2 AS (
+       |  SELECT from_type, to_type, prob_ppm FROM trans
+       |  UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+       |),
+       |pr AS (
+       |  SELECT 0 AS it, node, (SELECT 1000000 // n FROM nn) AS r
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT it + 1, node,
+       |         (SELECT 150000 // n FROM nn) + (85 * contrib) // 100
+       |  FROM (
+       |    SELECT p.it AS it, t.to_type AS node,
+       |           CAST(SUM(p.r * t.prob_ppm // 1000000) AS BIGINT)
+       |             AS contrib
+       |    FROM pr p JOIN t2 t ON t.from_type = p.node
+       |    WHERE p.it < ${graft.pipeline.EventOps.PagerankIters}
+       |    GROUP BY 1, 2
+       |  )
+       |)
+       |SELECT node AS event_type, r AS rank_ppm
+       |FROM pr WHERE it = ${graft.pipeline.EventOps.PagerankIters}""".stripMargin
+
   /** Entry-path mirror ([[graft.pipeline.EventOps.topPaths]]): the
     * row_number form of the first-3 pick (the Spark side's bounded
     * top-k aggregate selects the identical set and order). */

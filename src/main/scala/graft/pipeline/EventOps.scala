@@ -482,6 +482,60 @@ object EventOps {
         expr("cnt * 1000000 div from_total").as("prob_ppm"))
   }
 
+  /** Power-iteration count of [[eventPagerank]] (fixed, so both engines
+    * run the identical unrolled computation). */
+  val PagerankIters = 10
+
+  /** PAGERANK over the [[eventTransitions]] graph — which event type is
+    * "central" to user journeys, counting INDIRECT flow (a type mostly
+    * reached via other heavily-reached types outranks one with the same
+    * in-count from cold starts)? The graph tier's third member beside
+    * connected components and triangles: an ITERATIVE fixed-point
+    * computation, done in exact integers so ten power iterations replay
+    * bit-for-bit in both engines.
+    *
+    * Semantics (damping 0.85, [[PagerankIters]] iterations, all
+    * divisions truncating): r₀ = 10^6 div N per node;
+    * rₖ₊₁(v) = (150000 div N) + (85 · Σᵤ (rₖ(u)·p(u,v) div 10^6)) div
+    * 100 — each edge term truncates individually, so the sum is
+    * order-independent and the tiny mass leak is deterministic. Nodes
+    * without inbound edges keep the teleport floor.
+    *
+    * Scale shape: the rank relation co-partitions with the edge list on
+    * the join key, so each iteration is ONE equi-join + ONE hash
+    * aggregate (the exchange reuses the same partitioning every round)
+    * — the identical plan runs when the nodes are a billion domains
+    * instead of five event types; per-round `localCheckpoint` truncates
+    * loop lineage exactly as [[graft.pipeline.DataOps.dedupClusters]]
+    * does. Here the type-graph frames are trivially broadcast-sized, so
+    * AQE picks broadcast joins and the loop costs ~nothing. */
+  def eventPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (java.lang.Boolean.getBoolean("graft.lazyPlans")) df
+      else df.localCheckpoint(true)
+    val edges = pin(eventTransitions(spark, sfDir)
+      .select(col("from_type"), col("to_type"), col("prob_ppm")))
+    val nodes = pin(edges.select(col("from_type").as("node"))
+      .union(edges.select(col("to_type").as("node"))).distinct())
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr("1000000 div n").as("r"))
+    for (_ <- 1 to PagerankIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "from_type"),
+          Seq("from_type"))
+        .select(col("to_type").as("node"),
+          expr("r * prob_ppm div 1000000").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = pin(nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          (expr("150000 div n") +
+            expr("85 * coalesce(contrib, 0L) div 100")).as("r")))
+    }
+    ranks.select(col("node").as("event_type"), col("r").as("rank_ppm"))
+  }
+
   /** TOP ENTRY PATHS: each user's first up-to-3 events joined into a
     * `a>b>c` path string, then the 20 most common paths (ties path asc)
     * — the onboarding-funnel discovery query ("how do users actually

@@ -372,6 +372,28 @@ class EventOpsSpec extends SparkSpec {
     assert(rates.keySet == byLang.keySet)
   }
 
+  test("eventPagerank replays the exact truncating power iteration") {
+    import spark.implicits._
+    val trans = EventOps.eventTransitions(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val nodes = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> (1000000L / n)).toMap
+    for (_ <- 1 to EventOps.PagerankIters) {
+      val contrib = nodes.map { v =>
+        v -> trans.filter(_._2 == v)
+          .map { case (u, _, _, p) => r(u) * p / 1000000L }.sum
+      }.toMap
+      r = nodes
+        .map(v => v -> (150000L / n + 85L * contrib(v) / 100L)).toMap
+    }
+    val got = EventOps.eventPagerank(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(got == r)
+    // damped mass stays near 10^6 (truncation leaks deterministically)
+    assert(got.values.sum > 900000L && got.values.sum <= 1000000L)
+  }
+
   test("eventTransitions equals the naive per-user bigram count") {
     val got = EventOps.eventTransitions(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
