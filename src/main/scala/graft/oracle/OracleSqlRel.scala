@@ -1075,4 +1075,40 @@ object OracleSqlRel {
       |FROM p GROUP BY 1
       |ORDER BY n_users DESC, path ASC
       |LIMIT 20""".stripMargin
+
+  /** Profiler mirror ([[graft.pipeline.EventOps.columnProfile]]): same
+    * long-form tagging (canonical repr + numeric/string order tiers with
+    * -1/'' sentinels), one GROUP BY. ts profiles as epoch-µs (the
+    * cross-engine grain), value as the eventsHourly micro-unit
+    * rounding. */
+  val columnProfile: String =
+    """WITH lf AS (
+      |  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS repr,
+      |         CAST(event_id AS BIGINT) AS num_ord,
+      |         CAST(NULL AS VARCHAR) AS str_ord FROM events
+      |  UNION ALL
+      |  SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR), epoch_us(ts), NULL
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', CAST(user_id AS VARCHAR), user_id, NULL
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'event_type', event_type, NULL, event_type FROM events
+      |  UNION ALL
+      |  SELECT 'value',
+      |         CAST(CAST(ROUND(value * 1000000.0) AS BIGINT) AS VARCHAR),
+      |         CAST(ROUND(value * 1000000.0) AS BIGINT), NULL FROM events
+      |  UNION ALL
+      |  SELECT 'props', props, NULL, props FROM events
+      |)
+      |SELECT col_name,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(COUNT(*) - COUNT(repr) AS BIGINT) AS n_null,
+      |       CAST(COUNT(DISTINCT repr) AS BIGINT) AS n_distinct,
+      |       CAST(COALESCE(MIN(num_ord), -1) AS BIGINT) AS min_num,
+      |       CAST(COALESCE(MAX(num_ord), -1) AS BIGINT) AS max_num,
+      |       COALESCE(MIN(str_ord), '') AS min_str,
+      |       COALESCE(MAX(str_ord), '') AS max_str,
+      |       CAST(COALESCE(SUM(LENGTH(repr)), 0) AS BIGINT) AS len_sum
+      |FROM lf GROUP BY 1""".stripMargin
 }

@@ -564,4 +564,54 @@ object EventOps {
       .orderBy(col("n_users").desc, col("path").asc)
       .limit(20)
   }
+
+  /** COLUMN PROFILE — the one-pass ANALYZE-style data-quality summary a
+    * pipeline runs before trusting a new drop: per column of `events`,
+    * row/null/exact-distinct counts, min/max, and total canonical width.
+    * Numbers are profiled on a canonical BIGINT (ts → epoch-µs, the
+    * repo's cross-engine time grain — DuckDB truncates ns parquet
+    * timestamps to µs on read; value →
+    * micro-units via the [[RelOps.eventsHourly]] rounding convention),
+    * strings on themselves; the unused tier carries a non-null sentinel
+    * (-1 / '') so the output is fully non-null and hash-stable.
+    *
+    * Spark-first plan: ONE scan; each row explodes into 6 tagged
+    * (col_name, repr) structs, then ONE hash aggregate keyed by
+    * col_name computes every stat — count(distinct repr) is planned by
+    * Spark as a two-phase partial-dedup aggregate, so no column's value
+    * set ever gathers on one node. The explode multiplies scanned rows
+    * by ncols exactly as ANALYZE must (every cell is inspected once);
+    * at 100 TB you would profile a column subset or swap the exact
+    * distinct for the HLL sketch tier ([[RelOps.hllDistinctUsers]]) —
+    * the plan shape is unchanged. */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = RelOps.events(spark, sfDir)
+    val valueMicro = expr("CAST(ROUND(value * 1000000.0) AS BIGINT)")
+    val noNum = lit(null).cast("long")
+    val noStr = lit(null).cast("string")
+    // (name, canonical string repr, numeric-order repr, string-order repr)
+    val tagged = Seq(
+      ("event_id", col("event_id").cast("string"), col("event_id"), noStr),
+      ("ts", expr("ts div 1000").cast("string"), expr("ts div 1000"),
+        noStr),
+      ("user_id", col("user_id").cast("string"), col("user_id"), noStr),
+      ("event_type", col("event_type"), noNum, col("event_type")),
+      ("value", valueMicro.cast("string"), valueMicro, noStr),
+      ("props", col("props"), noNum, col("props")))
+    e.select(explode(array(tagged.map { case (n, s, num, so) =>
+        struct(lit(n).as("col_name"), s.as("repr"), num.as("num_ord"),
+          so.as("str_ord"))
+      }: _*)).as("c"))
+      .select(col("c.*"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("repr"))).as("n_null"),
+        countDistinct(col("repr")).as("n_distinct"),
+        coalesce(min(col("num_ord")), lit(-1L)).as("min_num"),
+        coalesce(max(col("num_ord")), lit(-1L)).as("max_num"),
+        coalesce(min(col("str_ord")), lit("")).as("min_str"),
+        coalesce(max(col("str_ord")), lit("")).as("max_str"),
+        coalesce(sum(length(col("repr"))), lit(0L)).as("len_sum"))
+  }
 }

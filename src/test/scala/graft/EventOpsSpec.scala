@@ -429,4 +429,29 @@ class EventOpsSpec extends SparkSpec {
       .sortBy { case (p, n) => (-n, p) }.take(20)
     assert(got == naivePaths)
   }
+
+  test("columnProfile equals the naive per-column scan") {
+    val got = EventOps.columnProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6), r.getString(7), r.getLong(8)))
+      .toMap
+    assert(got.keySet == Set("event_id", "ts", "user_id", "event_type",
+      "value", "props"))
+    val all = byUser.values.flatten.toSeq
+    val n = all.size.toLong
+    got.values.foreach(v => assert(v._1 == n))
+    // event_id: all distinct, contiguous ids
+    val ids = all.map(_._1)
+    assert(got("event_id") == (n, 0L, n, ids.min, ids.max,
+      "", "", ids.map(_.toString.length.toLong).sum))
+    // value: micro-rounded BIGINT tier
+    val micros = all.map(e => math.round(e._4 * 1000000.0))
+    assert(got("value")._4 == micros.min && got("value")._5 == micros.max)
+    assert(got("value")._3 == micros.distinct.size.toLong)
+    // event_type: string tier with numeric sentinel
+    val types = all.map(_._3)
+    assert(got("event_type") == (n, 0L, types.distinct.size.toLong, -1L,
+      -1L, types.min, types.max, types.map(_.length.toLong).sum))
+  }
 }
