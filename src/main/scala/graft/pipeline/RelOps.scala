@@ -158,9 +158,19 @@ object RelOps {
     * monotone, so the same expression is an incrementally-maintainable
     * update-mode streaming aggregation with state BOUNDED at
     * types × 64 rows regardless of stream length. */
-  private[graft] def hllRegisters(df: DataFrame): DataFrame = {
+  private[graft] def hllRegisters(df: DataFrame): DataFrame =
+    hllRegistersBy(
+      df.select(col("event_type").as("k"),
+        col("user_id").cast("string").as("v")))
+      .withColumnRenamed("k", "event_type")
+
+  /** Generic form of [[hllRegisters]]: registers of distinct `v` per
+    * key `k` over any (k, v: string) frame — also the NDV tier of the
+    * streaming column profiler
+    * ([[graft.streaming.EventStreamOps.profileNdvStream]]). */
+  private[graft] def hllRegistersBy(df: DataFrame): DataFrame = {
     val m = 64
-    val h = graft.functions.HashFns.hash60(col("user_id").cast("string"))
+    val h = graft.functions.HashFns.hash60(col("v"))
     // bit_length via smear-to-ones + popcount (exact in both engines);
     // smear over the named column w so the tree stays linear
     val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("w")) {
@@ -168,11 +178,11 @@ object RelOps {
     }
     val rho = least(lit(55L) - bit_count(smear).cast("long"), lit(54L))
     df
-      .select(col("event_type"), col("user_id")).withColumn("h", h)
+      .select(col("k"), col("v")).withColumn("h", h)
       .withColumn("w", expr("h div 64"))
-      .select(col("event_type"), col("user_id"),
+      .select(col("k"),
         pmod(col("h"), lit(m.toLong)).as("bucket"), rho.as("rho"))
-      .groupBy(col("event_type"), col("bucket"))
+      .groupBy(col("k"), col("bucket"))
       .agg(max(col("rho")).as("mj"))
   }
 

@@ -167,6 +167,73 @@ object EventStreamOps {
     graft.pipeline.RelOps.hllRegisters(
       events.toDF().select(col("event_type"), col("user_id")))
 
+  /** The stream's fields tagged long-form for the profiler twins:
+    * (col_name, repr, num_ord, str_ord) per cell — the
+    * [[graft.pipeline.EventOps.columnProfile]] tagging over
+    * [[graft.model.Model.StreamEvent]]'s five fields (ts at the µs
+    * cross-engine grain, value already micro). Shared by the streaming
+    * AND the spec's batch comparator, so stream ≡ batch is pinned by
+    * construction of everything except the aggregation mode. */
+  private[graft] def profileLong(df: DataFrame): DataFrame = {
+    val noNum = lit(null).cast("long")
+    val noStr = lit(null).cast("string")
+    val tagged = Seq(
+      ("event_id", col("event_id").cast("string"), col("event_id"),
+        noStr),
+      ("ts", expr("tns div 1000").cast("string"), expr("tns div 1000"),
+        noStr),
+      ("user_id", col("user_id").cast("string"), col("user_id"), noStr),
+      ("event_type", col("event_type"), noNum, col("event_type")),
+      ("value", col("v").cast("string"), col("v"), noStr))
+    df.select(explode(array(tagged.map { case (n, s, num, so) =>
+        struct(lit(n).as("col_name"), s.as("repr"), num.as("num_ord"),
+          so.as("str_ord"))
+      }: _*)).as("c"))
+      .select(col("c.*"))
+  }
+
+  /** LIVE COLUMN PROFILER — the ingest-time twin of
+    * [[graft.pipeline.EventOps.columnProfile]]: per stream field,
+    * row/null counts, min/max and total canonical width as ONE
+    * update-mode streaming aggregation. Every stat is a monotone or
+    * additive merge (count/sum/min/max), so the streaming state IS the
+    * profile — exactly 5 rows at any stream length; each trigger
+    * re-emits the keys it touched with the full-history value. The one
+    * batch stat with no bounded-state streaming form is the EXACT
+    * distinct count — that tier runs as [[profileNdvStream]]'s HLL
+    * registers (the sketch-vs-exact-set argument of
+    * [[hllRegisterStream]], applied per column). Pinned stream ≡ batch
+    * across micro-batch boundaries in EventStreamSpec. */
+  def columnProfileStream(events: Dataset[StreamEvent]): DataFrame =
+    profileStats(events.toDF())
+
+  /** The aggregation shared by [[columnProfileStream]] and the spec's
+    * batch comparator (mode-independent: runs as a hash aggregate on a
+    * batch frame, as bounded-state update-mode aggregation on a
+    * stream). */
+  private[graft] def profileStats(df: DataFrame): DataFrame =
+    profileLong(df)
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("repr"))).as("n_null"),
+        coalesce(min(col("num_ord")), lit(-1L)).as("min_num"),
+        coalesce(max(col("num_ord")), lit(-1L)).as("max_num"),
+        coalesce(min(col("str_ord")), lit("")).as("min_str"),
+        coalesce(max(col("str_ord")), lit("")).as("max_str"),
+        coalesce(sum(length(col("repr"))), lit(0L)).as("len_sum"))
+
+  /** NDV tier of the live profiler: 64 HLL registers PER COLUMN over
+    * the canonical repr — (col_name, bucket) → max(ρ) via the generic
+    * [[graft.pipeline.RelOps.hllRegistersBy]], update-mode, state
+    * bounded at 5 × 64 rows. Identical registers to the batch build on
+    * the same data (max is order-free), so estimates agree exactly. */
+  def profileNdvStream(events: Dataset[StreamEvent]): DataFrame =
+    graft.pipeline.RelOps.hllRegistersBy(
+      profileLong(events.toDF()).where(col("repr").isNotNull)
+        .select(col("col_name").as("k"), col("repr").as("v")))
+      .withColumnRenamed("k", "col_name")
+
   /** Streaming SCD TYPE-2 history (the CDC twin of
     * [[graft.pipeline.EventOps.eventHistoryScd2]]): per user, keep the
     * ONE open validity row in state; each new event emits the previous

@@ -289,4 +289,64 @@ class EventStreamSpec extends SparkSpec {
       assert(closedLater.nonEmpty, "no cross-batch closure")
     } finally q.stop()
   }
+
+  test("streaming column profiler equals the batch profile per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("prof")
+    val q = EventStreamOps.columnProfileStream(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      def batchOf(evs: Seq[StreamEvent]) =
+        EventStreamOps.profileStats(evs.toDF())
+          .as[(String, Long, Long, Long, Long, String, String, Long)]
+          .collect().toSeq.sortBy(_._1)
+      def latest() = {
+        // update sink: the LAST row per col_name is the current state
+        val rows = spark.table(name)
+          .as[(String, Long, Long, Long, Long, String, String, Long)]
+          .collect().toSeq
+        rows.zipWithIndex.groupBy(_._1._1).values
+          .map(_.maxBy(_._2)._1).toSeq.sortBy(_._1)
+      }
+      val (a, b) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+      in.addData(a); q.processAllAvailable()
+      assert(latest() == batchOf(a), "trigger-1 profile != batch(a)")
+      in.addData(b); q.processAllAvailable()
+      // trigger 2 folds carried state: profile must cover the FULL
+      // history, not just batch b
+      assert(latest() == batchOf(fixtureEvents),
+        "cross-batch profile != batch(all)")
+    } finally q.stop()
+  }
+
+  test("streaming per-column NDV registers equal the batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("ndv")
+    val q = EventStreamOps.profileNdvStream(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      def batchRegs(evs: Seq[StreamEvent]) =
+        graft.pipeline.RelOps.hllRegistersBy(
+          EventStreamOps.profileLong(evs.toDF())
+            .where(col("repr").isNotNull)
+            .select(col("col_name").as("k"), col("repr").as("v")))
+          .as[(String, Long, Long)].collect().toSeq.sorted
+      val (a, b) = fixtureEvents.splitAt(50)
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name).as[(String, Long, Long)].collect().toSeq
+      assert(s1.sorted == batchRegs(a), "trigger-1 registers != batch(a)")
+      in.addData(b); q.processAllAvailable()
+      val all = spark.table(name).as[(String, Long, Long)].collect().toSeq
+      // final registers (last value per key) ≡ batch over everything
+      val finalRegs = all.zipWithIndex.groupBy(r => (r._1._1, r._1._2))
+        .view.mapValues(_.maxBy(_._2)._1._3).toMap
+      val full = batchRegs(fixtureEvents)
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(finalRegs == full, "cross-batch registers != batch(all)")
+    } finally q.stop()
+  }
 }
