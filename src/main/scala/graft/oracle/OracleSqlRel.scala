@@ -1076,6 +1076,50 @@ object OracleSqlRel {
       |ORDER BY n_users DESC, path ASC
       |LIMIT 20""".stripMargin
 
+  /** Seasonal-baseline mirror
+    * ([[graft.pipeline.EventOps.seasonalProfile]]): the gap-fill CTE
+    * verbatim, then the same (dow, hod) cell aggregate, HUGEINT
+    * cross-multiplied mean/lift with `//` ≡ Spark `div` on the
+    * non-negative operands. */
+  val seasonalProfile: String =
+    """WITH hourly AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS h,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t
+      |  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+      |              FROM bounds) g
+      |),
+      |dense AS (
+      |  SELECT grid.event_type, grid.h, COALESCE(hourly.cnt, 0) AS cnt
+      |  FROM grid LEFT JOIN hourly
+      |    ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+      |),
+      |cells AS (
+      |  SELECT event_type, ((h // 24) + 3) % 7 AS dow, h % 24 AS hod,
+      |         COUNT(*) AS n_hours, SUM(cnt) AS cnt_sum
+      |  FROM dense GROUP BY 1, 2, 3
+      |),
+      |totals AS (
+      |  SELECT event_type, SUM(n_hours) AS t_hours, SUM(cnt_sum) AS t_sum
+      |  FROM cells GROUP BY 1
+      |)
+      |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+      |       CAST(c.hod AS BIGINT) AS hod,
+      |       CAST(c.n_hours AS BIGINT) AS n_hours,
+      |       CAST(c.cnt_sum AS BIGINT) AS cnt_sum,
+      |       CAST((CAST(c.cnt_sum AS HUGEINT) * 1000000) // c.n_hours
+      |         AS BIGINT) AS mean_micro,
+      |       CAST(CASE WHEN t.t_sum = 0 THEN 0
+      |         ELSE (CAST(c.cnt_sum AS HUGEINT) * t.t_hours * 1000000)
+      |              // (CAST(c.n_hours AS HUGEINT) * t.t_sum)
+      |       END AS BIGINT) AS lift_micro
+      |FROM cells c JOIN totals t ON c.event_type = t.event_type""".stripMargin
+
   /** Profiler mirror ([[graft.pipeline.EventOps.columnProfile]]): same
     * long-form tagging (canonical repr + numeric/string order tiers with
     * -1/'' sentinels), one GROUP BY. ts profiles as epoch-µs (the

@@ -584,6 +584,47 @@ object EventOps {
     * at 100 TB you would profile a column subset or swap the exact
     * distinct for the HLL sketch tier ([[RelOps.hllDistinctUsers]]) —
     * the plan shape is unchanged. */
+  /** SEASONAL PROFILE — the hour-of-day × day-of-week baseline per
+    * event type over the DENSE hourly series (the capacity-planning /
+    * forecasting statistic beside [[anomalousHours]]' trailing-3σ
+    * flags): per (type, dow 0=Monday, hod UTC), hours observed, total
+    * events, truncating-integer mean (×10^6), and the seasonal LIFT vs
+    * the type's overall hourly mean (×10^6, cross-multiplied exact —
+    * lift 2_000_000 = "this weekday-hour runs 2× the type's average").
+    * Zero-fill matters: computing means over only OBSERVED hours
+    * overstates quiet cells, so the grid rides on [[activityGapfill]]'s
+    * clock-bounded dense series.
+    *
+    * Scale shape: dense-series build (gap-fill's own plan) → ONE hash
+    * aggregate to the types×168 cell frame — everything after operates
+    * on that bounded frame; type totals re-aggregate the CELLS (never
+    * the corpus) and broadcast back. Products ride in DECIMAL(38,0)
+    * (DuckDB HUGEINT) so cnt_sum·t_hours·10^6 can't overflow at any
+    * real scale; all operands non-negative, so Spark `div` ≡ DuckDB
+    * `//`. */
+  def seasonalProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = activityGapfill(spark, sfDir)
+      .select(col("event_type"), expr("hour_sec div 3600").as("h"),
+        col("cnt"))
+      .select(col("event_type"),
+        expr("((h div 24) + 3) % 7").as("dow"),
+        expr("h % 24").as("hod"), col("cnt"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("cnt_sum"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("n_hours")).as("t_hours"),
+        sum(col("cnt_sum")).as("t_sum"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n_hours"),
+        col("cnt_sum"),
+        expr("cast((cast(cnt_sum as decimal(38,0)) * 1000000)" +
+          " div n_hours as bigint)").as("mean_micro"),
+        expr("""cast(CASE WHEN t_sum = 0 THEN 0
+          |  ELSE (cast(cnt_sum as decimal(38,0)) * t_hours * 1000000)
+          |       div (cast(n_hours as decimal(38,0)) * t_sum)
+          |END as bigint)""".stripMargin).as("lift_micro"))
+  }
+
   def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val e = RelOps.events(spark, sfDir)
     val valueMicro = expr("CAST(ROUND(value * 1000000.0) AS BIGINT)")

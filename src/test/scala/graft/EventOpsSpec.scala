@@ -430,6 +430,35 @@ class EventOpsSpec extends SparkSpec {
     assert(got == naivePaths)
   }
 
+  test("seasonalProfile equals the naive dense-grid replay") {
+    val got = EventOps.seasonalProfile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // naive: dense per-type hourly counts over the global hour range
+    val all = byUser.values.flatten.toSeq
+    val hours = all.map(e => e._2 / 1000 / 3600000000L)
+    val (h0, h1) = (hours.min, hours.max)
+    val obs = all.groupBy(e => (e._3, e._2 / 1000 / 3600000000L))
+      .view.mapValues(_.size.toLong).toMap
+    val types = all.map(_._3).distinct
+    val cells = (for { t <- types; h <- h0 to h1 } yield
+      ((t, (h / 24 + 3) % 7, h % 24), obs.getOrElse((t, h), 0L)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    assert(got.keySet == cells.keySet)
+    val totals = cells.toSeq.groupBy(_._1._1).view.mapValues { cs =>
+      (cs.map(_._2._1).sum, cs.map(_._2._2).sum)
+    }.toMap
+    cells.foreach { case (k, (nh, cs)) =>
+      val (th, tsum) = totals(k._1)
+      val want = (nh, cs, cs * 1000000L / nh,
+        if (tsum == 0) 0L
+        else (BigInt(cs) * th * 1000000L / (BigInt(nh) * tsum)).toLong)
+      assert(got(k) == want, s"cell $k")
+    }
+  }
+
   test("columnProfile equals the naive per-column scan") {
     val got = EventOps.columnProfile(spark, sfDir).collect()
       .map(r => r.getString(0) ->
