@@ -1586,4 +1586,57 @@ object OracleSqlData {
        |SELECT c.doc_id, c.source, c.tokens
        |FROM c JOIN q ON c.source = q.source
        |WHERE c.cum <= q.quota""".stripMargin
+
+  /** Positional-posting CTE shared by the search-index mirrors: one row
+    * per (doc, 0-based token position), tokens = the whitespace unit of
+    * [[wrdsCte]] (≡ WordGramsExpr n=1). */
+  private val posCte: String =
+    s"""$wrdsCte,
+       |pos AS (
+       |  SELECT doc_id, unnest(w) AS t,
+       |         generate_subscripts(w, 1) - 1 AS pos
+       |  FROM wrds
+       |)""".stripMargin
+
+  /** Inverted-index mirror
+    * ([[graft.pipeline.DataOps.invertedIndex]]): tokenize with
+    * positions, one GROUP BY (token, doc). */
+  val invertedIndex: String =
+    s"""WITH $posCte
+       |SELECT t, doc_id, COUNT(*) AS tf,
+       |       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       |       CAST(MAX(pos) AS BIGINT) AS last_pos
+       |FROM pos GROUP BY 1, 2""".stripMargin
+
+  /** Phrase-search mirror ([[graft.pipeline.DataOps.phraseSearch]]):
+    * same modal-trigram head (count DESC, gram ASC LIMIT 1), same
+    * start-anchor alignment aggregate (a posting for part i at position
+    * p votes for start p − i; a start with 3 votes is an occurrence). */
+  val phraseSearch: String =
+    s"""WITH $posCte,
+       |tri AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 3 THEN
+       |           list_transform(range(1, len(w) - 1),
+       |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |g AS (SELECT doc_id, unnest(gs) AS gr FROM tri),
+       |top AS (SELECT gr FROM (SELECT gr, COUNT(*) AS c FROM g GROUP BY 1
+       |                        ORDER BY c DESC, gr ASC LIMIT 1)),
+       |parts AS (
+       |  SELECT gr, unnest(string_split(gr, ' ')) AS t,
+       |         generate_subscripts(string_split(gr, ' '), 1) - 1 AS i
+       |  FROM top
+       |),
+       |starts AS (
+       |  SELECT pos.doc_id, parts.gr, pos.pos - parts.i AS strt,
+       |         COUNT(*) AS k
+       |  FROM pos JOIN parts ON pos.t = parts.t
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT doc_id, gr AS phrase, COUNT(*) AS n_hits,
+       |       CAST(MIN(strt) AS BIGINT) AS first_pos
+       |FROM starts WHERE k = 3 GROUP BY 1, 2""".stripMargin
 }

@@ -1038,6 +1038,74 @@ object DataOps {
   }
 
   // =================================================================
+  // Search-index family
+  // =================================================================
+
+  /** INVERTED-INDEX build — the search-engine primitive over the
+    * corpus: one posting row per (token, doc) with term frequency plus
+    * first/last 0-based token positions (the positional-index payload
+    * phrase and proximity queries consume — [[phraseSearch]] runs on
+    * exactly this shape). Tokens are the engine-wide whitespace unit
+    * ([[graft.functions.WordGramsExpr]] n=1), so the index, the dedup
+    * shingles, and the DuckDB mirror agree on token identity.
+    *
+    * Scale shape: one codegen'd posexplode projection → ONE hash
+    * aggregate keyed (token, doc_id); the shuffle carries (token,
+    * doc_id, pos), never the text. The posting table is inherently
+    * output-proportional (it IS the index); at 100 TB the write is
+    * bucketed by hash(token) so a term lookup prunes to one bucket —
+    * the build plan is unchanged. */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(graft.functions.WordGramsExpr
+        .grams(spark, col("text"), 1, distinct = false))
+        .as(Seq("pos", "t")))
+      .groupBy(col("t"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        min(col("pos")).cast("long").as("first_pos"),
+        max(col("pos")).cast("long").as("last_pos"))
+
+  /** PHRASE SEARCH over the positional index — the query-side twin of
+    * [[invertedIndex]]: every occurrence of the corpus' modal trigram
+    * (top count, lexicographic tie-break — a deterministic stand-in for
+    * a user query) found by POSITION ALGEBRA, not substring scan: a
+    * posting for phrase part i at position p witnesses a phrase start
+    * at p − i, and a start with all |phrase| witnesses is a match
+    * (witness i is determined by p, so the count IS the distinct-part
+    * count, repeated-token phrases included). Positional adjacency
+    * becomes one hash aggregate — no per-part self-joins, no text
+    * re-scan.
+    *
+    * Scale shape: the phrase head is a broadcast one-row LIMIT (the
+    * pmiBigrams head discipline); postings filter to the phrase's
+    * tokens BEFORE any shuffle (broadcast semi of the 3-row part
+    * frame), so the aggregate sees only matching-token postings — the
+    * classic posting-list-intersection cost, proportional to the
+    * phrase tokens' list sizes, not the corpus. Output (doc_id,
+    * phrase, n_hits, first_pos). */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(graft.functions.WordGramsExpr
+        .grams(spark, col("text"), 1, distinct = false))
+        .as(Seq("pos", "t")))
+    val top = docs(spark, sfDir)
+      .select(explode(graft.functions.WordGramsExpr.grams(spark,
+        col("text"), 3, distinct = false)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc).limit(1)
+    val parts = top.select(col("g"),
+      posexplode(split(col("g"), " ")).as(Seq("i", "t")))
+    pos.join(broadcast(parts), Seq("t"))
+      .groupBy(col("doc_id"), col("g").as("phrase"),
+        (col("pos") - col("i")).as("strt"))
+      .agg(count(lit(1)).as("k"))
+      .where(col("k") === 3)
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("strt")).cast("long").as("first_pos"))
+  }
+
+  // =================================================================
   // Text-analysis family
   // =================================================================
 

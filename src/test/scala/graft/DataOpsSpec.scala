@@ -325,6 +325,44 @@ class DataOpsSpec extends SparkSpec {
     assert(rows.forall { case (_, ws, bpe, n) => bpe >= ws && n > 0 })
   }
 
+  test("invertedIndex equals the naive positional-postings replay") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val naive = texts.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).zipWithIndex
+        .map { case (w, p) => (w, id, p.toLong) }
+    }.groupBy(e => (e._1, e._2)).view.mapValues { ps =>
+      (ps.size.toLong, ps.map(_._3).min, ps.map(_._3).max)
+    }.toMap
+    val got = DataOps.invertedIndex(spark, SF)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got == naive)
+  }
+
+  test("phraseSearch finds every occurrence of the modal trigram") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val tris = texts.flatMap { case (_, t) =>
+      t.split(" ").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" "))
+    }
+    val top = tris.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (g, c) => (-c, g) }.head._1
+    val naive = texts.flatMap { case (id, t) =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      val hits = w.indices.filter(i => i + 2 < w.length &&
+        w.slice(i, i + 3).mkString(" ") == top)
+      if (hits.isEmpty) None
+      else Some((id, top) -> (hits.size.toLong, hits.min.toLong))
+    }.toMap
+    val got = DataOps.phraseSearch(spark, SF)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == naive)
+    assert(got.nonEmpty) // the modal trigram occurs somewhere
+  }
+
   test("decontaminate flags a non-vacuous benchmark-overlap set") {
     val rows = DataOps.decontaminate(spark, SF)
       .as[(Long, Long, Long)].collect().toSeq
