@@ -308,16 +308,12 @@ object DataOps {
     * Returns (labels, rounds). */
   private[graft] def connectedComponents(spark: SparkSession,
       pairs: DataFrame): (DataFrame, Int) = {
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    val lazyMode = java.lang.Boolean.getBoolean("graft.lazyPlans")
+    val edges0 = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
-      .persist()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
+    val edges = if (lazyMode) edges0 else edges0.persist()
+    def roundStep(labels: DataFrame): DataFrame = {
       val nbr = edges
         .join(labels.select(col("doc_id").as("nid"), col("rep").as("nrep")),
           col("doc_b") === col("nid"))
@@ -326,12 +322,27 @@ object DataOps {
         .join(nbr, col("doc_id") === col("doc_a"), "left")
         .select(col("doc_id"), col("rep").as("orep"),
           least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep1"))
-      val step = hop
+      hop
         .join(labels.select(col("doc_id").as("jid"), col("rep").as("jrep")),
           col("rep1") === col("jid"), "left")
         .select(col("doc_id"), col("orep"),
           least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep"))
-        .localCheckpoint(true)
+    }
+    val init = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+    if (lazyMode) {
+      // Plan-audit mode: a fixed 2-round unrolling as a PURE plan — no
+      // counts, no checkpoints, zero jobs at construction. The unrolled
+      // round bodies are exactly the executed ones, so plan audits
+      // (codegen / join-strategy asserts) see the real shapes.
+      val two = roundStep(roundStep(init)).select(col("doc_id"), col("rep"))
+      return (two, 2)
+    }
+    var labels = init.localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val step = roundStep(labels).localCheckpoint(true)
       changed = step.where(col("rep") =!= col("orep")).count()
       labels = step.select(col("doc_id"), col("rep"))
       rounds += 1
@@ -890,11 +901,21 @@ object DataOps {
     val q = emb(spark, sfDir).where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("em").as("qem"),
         col("nrm").as("qn"))
-    val n = q.limit(MaxAnnQueries.toInt + 1).count()
-    require(n <= MaxAnnQueries,
-      s"ANN query side has >$MaxAnnQueries rows — not broadcastable; " +
-        "bound the query relation")
-    q
+    // In-plan size-cap guard (the minhashRecallEval pattern): the
+    // assert rides in the broadcast build of the query set, so
+    // CONSTRUCTING an ANN query runs no job and an unbounded query
+    // relation fails loudly before any probe work. The count subplan is
+    // a limit-bounded scan of the narrow query filter — cheap next to
+    // the probe stage that consumes it.
+    val n = q.limit(MaxAnnQueries.toInt + 1)
+      .agg(count(lit(1)).as("n_queries"))
+    q.crossJoin(broadcast(n))
+      .select(
+        when(assert_true(col("n_queries") <= lit(MaxAnnQueries),
+            lit(s"ANN query side has >$MaxAnnQueries rows — not " +
+              "broadcastable; bound the query relation")).isNull,
+          col("q_id")).as("q_id"),
+        col("qem"), col("qn"))
   }
 
   /** (q_id, n_id, rnk, cos_micro) from scored candidate rows
@@ -1506,11 +1527,19 @@ object DataOps {
     val bench = persistUnlessLazy(
       gramRows.where(col("doc_id") % 97 === 0)
         .select(col("gh")).distinct())
-    require(bench.count() <= MaxBenchmarkGrams,
-      s"decontamination benchmark side has >$MaxBenchmarkGrams distinct " +
-        "grams — not broadcastable; shrink the benchmark relation")
+    // Size-cap guard rides IN the plan (assert_true over the broadcast
+    // count), mirroring minhashRecallEval — constructing this query runs
+    // no job; an oversized benchmark side fails while the broadcast
+    // exchange is built, before any probe work.
+    val nb = persistUnlessLazy(bench.agg(count(lit(1)).as("n_grams")))
+    val benchGuarded = bench.crossJoin(broadcast(nb))
+      .select(when(assert_true(col("n_grams") <= lit(MaxBenchmarkGrams),
+          lit(s"decontamination benchmark side has >$MaxBenchmarkGrams " +
+            "distinct grams — not broadcastable; shrink the benchmark " +
+            "relation")).isNull,
+        col("gh")).as("gh"))
     val hits = gramRows.where(col("doc_id") % 97 =!= 0)
-      .join(broadcast(bench), Seq("gh"))
+      .join(broadcast(benchGuarded), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("hits"))
     finish(docs(spark, sfDir).where(col("doc_id") % 97 =!= 0)
@@ -1520,7 +1549,7 @@ object DataOps {
         coalesce(col("hits"), lit(0L)).as("hits"),
         when(coalesce(col("hits"), lit(0L)) > 0L, lit(1L)).otherwise(lit(0L))
           .as("contaminated")),
-      bench)
+      bench, nb)
   }
 
   /** Bloom filter geometry: 2^20 bit positions, 3 hash slots per gram.
@@ -1562,10 +1591,16 @@ object DataOps {
     val bench = persistUnlessLazy(
       gramRows.where(col("doc_id") % 97 === 0)
         .select(col("gh")).distinct())
-    require(bench.count() <= MaxBenchmarkGrams,
-      s"decontamination benchmark side has >$MaxBenchmarkGrams distinct " +
-        "grams — not broadcastable; shrink the benchmark relation")
-    val benchPos = bench
+    // In-plan size-cap guard (same pattern as decontaminate): fails in
+    // the broadcast build, runs no job at construction.
+    val nb = persistUnlessLazy(bench.agg(count(lit(1)).as("n_grams")))
+    val benchG = bench.crossJoin(broadcast(nb))
+      .select(when(assert_true(col("n_grams") <= lit(MaxBenchmarkGrams),
+          lit(s"decontamination benchmark side has >$MaxBenchmarkGrams " +
+            "distinct grams — not broadcastable; shrink the benchmark " +
+            "relation")).isNull,
+        col("gh")).as("gh"))
+    val benchPos = benchG
       .select(explode(array((0 until BloomK).map(i =>
         bloomPos(i, col("gh"))): _*)).as("pos"))
       .distinct()
@@ -1579,7 +1614,7 @@ object DataOps {
       .agg(countDistinct(col("slot")).as("hitSlots"))
       .where(col("hitSlots") === BloomK)
     val exact = bloomGrams
-      .join(broadcast(bench), Seq("gh"))
+      .join(broadcast(benchG), Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("exact_grams"))
     finish(bloomGrams
@@ -1590,7 +1625,7 @@ object DataOps {
         coalesce(col("exact_grams"), lit(0L)).as("exact_grams"),
         when(coalesce(col("exact_grams"), lit(0L)) === 0L, lit(1L))
           .otherwise(lit(0L)).as("bloom_fp")),
-      bench)
+      bench, nb)
   }
 
   /** Per-language keep rates for [[stratifiedSample]], in basis points
@@ -2270,30 +2305,60 @@ object DataOps {
     *                  the eval set and never enter training → 0
     *  - keep:         the conjunction
     *
-    * Every stage keeps its own scale-safe plan (they materialize via
-    * [[finish]]); the composition itself is five equi-joins on the
-    * co-partitionable doc_id key — at 100 TB this is the one place the
-    * whole corpus meets, and it meets on a single hash-partitioned
-    * column, never on payloads. */
+    * The three STATELESS gates (lang / quality / repetition) are
+    * computed as columns of ONE documents scan — not as three separate
+    * checkpointed subqueries joined back on doc_id, which would
+    * re-tokenize the same corpus three times (the round-7 regression):
+    *  - lang_keep uses the shuffle-free [[langIdCols]] projection
+    *    (pinned ≡ the batch join+window [[langId]] in StreamingSpec);
+    *  - quality_keep reads [[textQualityMetrics]]'s columns directly;
+    *  - rep_keep re-derives [[repetitionSignals]]'s max-bigram count
+    *    WITHOUT the per-(doc,gram) shuffle: the most frequent element's
+    *    count in an array ≡ the longest equal-run in its sorted form,
+    *    one `aggregate` pass over `array_sort(bigrams)` — per-row
+    *    compute, zero exchange.
+    * Only the two genuinely stateful stages keep their own plans
+    * ([[dedupClusters]]'s iterative MinHash chain and
+    * [[decontaminate]]'s broadcast gram set, both [[finish]]-bounded),
+    * joined on the co-partitionable doc_id key. At 100 TB: one corpus
+    * scan + two narrow equi-joins, instead of five corpus scans. */
   def retentionDecision(spark: SparkSession, sfDir: String): DataFrame = {
-    val lang = langId(spark, sfDir)
+    val g = (n: Int, d: Boolean) =>
+      graft.functions.WordGramsExpr.grams(spark, col("text"), n, d)
+    // longest equal-run in the sorted bigram array == max per-gram count
+    val sortedBg = array_sort(g(2, false))
+    val maxRun = aggregate(sortedBg,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val gates = textQualityMetrics(
+        langIdCols(docs(spark, sfDir).select(col("doc_id"), col("text"))))
+      .withColumn("rep_ntok", size(g(1, false)).cast("long"))
+      .withColumn("rep_ndist", size(g(1, true)).cast("long"))
+      .withColumn("rep_mc", maxRun)
+      .withColumn("rep_tot", size(sortedBg).cast("long"))
       .select(col("doc_id"),
-        (col("lang_pred") =!= "und").cast("long").as("lang_keep"))
-    val qual = textQuality(spark, sfDir)
-      .select(col("doc_id"),
+        (col("lang_pred") =!= "und").cast("long").as("lang_keep"),
         (col("quality_micro") >= QualityFloorMicro).cast("long")
-          .as("quality_keep"))
-    val rep = repetitionSignals(spark, sfDir)
-      .select(col("doc_id"),
-        (lit(1L) - col("flag_repetitive").cast("long")).as("rep_keep"))
+          .as("quality_keep"),
+        (!(expr(s"CASE WHEN rep_ntok > 0 THEN (rep_ndist * " +
+            s"${MICRO.toLong}) div rep_ntok ELSE ${MICRO.toLong} END")
+            < RepDistinctMinMicro ||
+          expr(s"CASE WHEN rep_tot > 0 THEN (rep_mc * ${MICRO.toLong}) " +
+            s"div rep_tot ELSE 0 END") > RepTopBigramMaxMicro))
+          .cast("long").as("rep_keep"))
     val dup = dedupClusters(spark, sfDir)
       .select(col("doc_id"), col("keep").cast("long").as("dup_keep"))
     val cont = decontaminate(spark, sfDir)
       .select(col("doc_id"),
         (lit(1L) - col("contaminated")).as("contam_keep"))
-    docs(spark, sfDir).select(col("doc_id"))
-      .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
-      .join(rep, Seq("doc_id")).join(dup, Seq("doc_id"))
+    gates
+      .join(dup, Seq("doc_id"))
       .join(cont, Seq("doc_id"), "left") // benchmark docs carry no row
       .select(col("doc_id"), col("lang_keep"), col("quality_keep"),
         col("rep_keep"), col("dup_keep"),
