@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
  *
  * All three follow the engine's determinism contract: event time is
  * truncated to exact integer MICROseconds before any comparison or
- * arithmetic (the events table ships ns parquet timestamps, read via
- * nanos-as-long — [[RelOps.events]] — but DuckDB reads the same
- * TIMESTAMP(NANOS) column at µs precision, so µs is the finest integer
- * both engines agree on; see [[latestEventState]]), money/value doubles
+ * arithmetic (the normalized [[RelOps.events]] loader delivers `ts` as
+ * exact UTC epoch-nanosecond BIGINTs whatever the file's physical
+ * timestamp encoding; DuckDB reads the same column via `epoch_ns`, so µs
+ * is the finest integer both engines agree on; see
+ * [[latestEventState]]), money/value doubles
  * become per-row micro-unit BIGINTs before any aggregation, and every
  * window order carries `event_id` as the total-order tiebreaker so ties
  * cannot make the oracle hash flaky.

@@ -30,22 +30,45 @@ object RelOps {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table ships nanosecond parquet timestamps, which Spark
-    * only reads via the legacy nanos-as-long conf — every events reader
-    * goes through here. The conf write is skipped when the value is
-    * already "true", so repeated calls don't churn session state. */
-  private[pipeline] def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Normalized events loader — every events reader (queries, specs,
+    * stream fixtures) goes through here, and downstream code may assume
+    * `ts` is a BIGINT of exact UTC epoch NANOSECONDS (the engine's
+    * cross-engine time grain; DuckDB oracles read the same files via the
+    * precision-agnostic `epoch_ns(ts)`).
+    *
+    * The physical file's timestamp encoding has changed across testdata
+    * generations (INT64 nanos originally; `timestamp[us]` since
+    * 2026-08-13), so the loader branches on the LOADED dtype instead of
+    * assuming one:
+    *   - `LongType`: legacy nanos-as-long files (read via the legacy
+    *     conf, set below) — already in convention, pass through.
+    *   - timestamp (µs precision, NTZ or LTZ): normalize with
+    *     `unix_micros(ts) * 1000`. Every session entry point (Verify,
+    *     Bench, SparkSpec) pins `spark.sql.session.timeZone=UTC`, under
+    *     which the NTZ→LTZ cast inside `unix_micros` is value-identical,
+    *     so the long produced is the same UTC instant either way.
+    * The conf write is skipped when the value is already "true", so
+    * repeated calls don't churn session state. */
+  private[graft] def events(spark: SparkSession, sfDir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.getOption(key).forall(_ != "true"))
       spark.conf.set(key, "true")
-    t(spark, sfDir, "events")
+    val raw = t(spark, sfDir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — " +
+          "expected INT64 nanos or a parquet timestamp")
+    }
   }
 
   /** Hourly tumbling event rollup per type: (wstart, event_type, cnt,
-    * val_micro). One scan, one hash aggregate. The events table carries
-    * nanosecond parquet timestamps, which Spark only reads via the
-    * legacy nanos-as-long conf — bucketing then happens in exact integer
-    * nanos. */
+    * val_micro). One scan, one hash aggregate; bucketing happens in the
+    * exact integer nanos the normalized [[events]] loader guarantees. */
   def eventsHourly(spark: SparkSession, sfDir: String): DataFrame = {
     events(spark, sfDir)
       .select(col("event_type"),

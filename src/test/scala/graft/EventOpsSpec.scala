@@ -11,11 +11,11 @@ class EventOpsSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** (event_id, tsNanos, user_id, event_type, value) sorted per user. */
+  /** (event_id, tsNanos, user_id, event_type, value) sorted per user —
+    * read through the normalized loader so the fixture survives physical
+    * timestamp-encoding changes (`ts` is always epoch-ns BIGINT). */
   private lazy val byUser: Map[Long, Seq[(Long, Long, String, Double)]] = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    spark.conf.set(key, "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    graft.pipeline.RelOps.events(spark, sfDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .collect()
       .map(r => (r.getLong(2),

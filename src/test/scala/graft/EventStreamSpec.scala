@@ -21,8 +21,9 @@ class EventStreamSpec extends SparkSpec {
   private def freshName(p: String) = s"${p}_${ctr.incrementAndGet()}"
 
   private lazy val fixtureEvents: Seq[StreamEvent] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$SF/events.parquet")
+    // normalized loader: `ts` is epoch-ns BIGINT whatever the file's
+    // physical timestamp encoding
+    graft.pipeline.RelOps.events(spark, SF)
       .selectExpr("event_id", "ts AS tns", "user_id", "event_type",
         "CAST(ROUND(value * 1000000.0) AS LONG) AS v")
       .as[StreamEvent].collect().toSeq.sortBy(e => (e.tns, e.event_id))

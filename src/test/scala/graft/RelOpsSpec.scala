@@ -237,9 +237,7 @@ class RelOpsSpec extends SparkSpec {
       "click" -> rows.map(_._2).sum, "error" -> rows.map(_._3).sum,
       "purchase" -> rows.map(_._4).sum, "signup" -> rows.map(_._5).sum,
       "view" -> rows.map(_._6).sum)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val direct = spark.read
-      .parquet("/root/testdata/sf0.01/events.parquet")
+    val direct = RelOps.events(spark, "/root/testdata/sf0.01")
       .groupBy($"event_type")
       .agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.round($"value" * 1e6).cast("long")))
