@@ -2313,35 +2313,24 @@ object DataOps {
     *    (pinned ≡ the batch join+window [[langId]] in StreamingSpec);
     *  - quality_keep reads [[textQualityMetrics]]'s columns directly;
     *  - rep_keep re-derives [[repetitionSignals]]'s max-bigram count
-    *    WITHOUT the per-(doc,gram) shuffle: the most frequent element's
-    *    count in an array ≡ the longest equal-run in its sorted form,
-    *    one `aggregate` pass over `array_sort(bigrams)` — per-row
-    *    compute, zero exchange.
+    *    WITHOUT the per-(doc,gram) shuffle: the fused
+    *    [[graft.functions.GramStatsExpr]] computes token count, distinct
+    *    tokens, bigram total and max-bigram count in ONE compiled pass —
+    *    per-row compute, zero exchange, no CodegenFallback.
     * Only the two genuinely stateful stages keep their own plans
     * ([[dedupClusters]]'s iterative MinHash chain and
     * [[decontaminate]]'s broadcast gram set, both [[finish]]-bounded),
     * joined on the co-partitionable doc_id key. At 100 TB: one corpus
     * scan + two narrow equi-joins, instead of five corpus scans. */
   def retentionDecision(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = (n: Int, d: Boolean) =>
-      graft.functions.WordGramsExpr.grams(spark, col("text"), n, d)
-    // longest equal-run in the sorted bigram array == max per-gram count
-    val sortedBg = array_sort(g(2, false))
-    val maxRun = aggregate(sortedBg,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + lit(1L)).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
     val gates = textQualityMetrics(
         langIdCols(docs(spark, sfDir).select(col("doc_id"), col("text"))))
-      .withColumn("rep_ntok", size(g(1, false)).cast("long"))
-      .withColumn("rep_ndist", size(g(1, true)).cast("long"))
-      .withColumn("rep_mc", maxRun)
-      .withColumn("rep_tot", size(sortedBg).cast("long"))
+      .withColumn("gs",
+        graft.functions.GramStatsExpr.gramStats(spark, col("text")))
+      .withColumn("rep_ntok", col("gs.n_tok"))
+      .withColumn("rep_ndist", col("gs.n_distinct_tok"))
+      .withColumn("rep_mc", col("gs.bigram_max"))
+      .withColumn("rep_tot", col("gs.bigram_total"))
       .select(col("doc_id"),
         (col("lang_pred") =!= "und").cast("long").as("lang_keep"),
         (col("quality_micro") >= QualityFloorMicro).cast("long")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, WordGramsExpr}
+import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, GramStatsExpr, WordGramsExpr}
 import graft.nlp.{Lexicons, NlpFunctions}
 
 /** Property checks pinning every native codegen expression bit-identical
@@ -46,6 +46,35 @@ class NativeExprPropertiesSpec extends SparkSpec {
     val diff = df.where(not(
         EntityMentionsExpr.mentions(spark, col("t")) ===
         NlpFunctions.entityMentions(col("t"), NlpFunctions.tokens(col("t")))))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("GramStatsExpr equals the WordGramsExpr-derived stats on random text") {
+    // the fused stats must equal what the gram arrays say: token count,
+    // first-occurrence-distinct tokens, bigram total, and the max
+    // per-bigram count (≡ longest equal-run in the sorted bigram array)
+    val bg = WordGramsExpr.grams(spark, col("t"), 2, distinct = false)
+    val maxRun = aggregate(array_sort(bg),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val df = sample(200).toDF("t")
+      .withColumn("gs", GramStatsExpr.gramStats(spark, col("t")))
+    val diff = df.where(not(
+        col("gs.n_tok") ===
+          size(WordGramsExpr.grams(spark, col("t"), 1, distinct = false))
+            .cast("long") &&
+        col("gs.n_distinct_tok") ===
+          size(WordGramsExpr.grams(spark, col("t"), 1, distinct = true))
+            .cast("long") &&
+        col("gs.bigram_total") === size(bg).cast("long") &&
+        col("gs.bigram_max") === maxRun))
       .count()
     assert(diff == 0)
   }
