@@ -1155,4 +1155,91 @@ object OracleSqlRel {
       |       COALESCE(MAX(str_ord), '') AS max_str,
       |       CAST(COALESCE(SUM(LENGTH(repr)), 0) AS BIGINT) AS len_sum
       |FROM lf GROUP BY 1""".stripMargin
+
+  /** RFM mirror ([[graft.pipeline.EventOps.rfmScores]]): same per-user
+    * purchase aggregate, same rank-picked VALUE boundaries (element at
+    * rank ⌈i·n/5⌉ over each metric's histogram), same strictly-above
+    * scoring — value ties score identically in both engines. */
+  val rfmScores: String = {
+    // boundary CTEs for one metric expression (already "higher=better")
+    def cuts(src: String, p: String): String =
+      s"""h$p AS (SELECT $src AS mv, COUNT(*) AS cnt FROM b2 GROUP BY 1),
+         |c$p AS (
+         |  SELECT MIN(CASE WHEN cum >= (1*n + 4) // 5 THEN mv END) AS ${p}1,
+         |         MIN(CASE WHEN cum >= (2*n + 4) // 5 THEN mv END) AS ${p}2,
+         |         MIN(CASE WHEN cum >= (3*n + 4) // 5 THEN mv END) AS ${p}3,
+         |         MIN(CASE WHEN cum >= (4*n + 4) // 5 THEN mv END) AS ${p}4
+         |  FROM (SELECT mv,
+         |          SUM(cnt) OVER (ORDER BY mv
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum,
+         |          SUM(cnt) OVER () AS n
+         |        FROM h$p))""".stripMargin
+    def sc(src: String, p: String): String =
+      s"""1 + (CASE WHEN $src > ${p}1 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN $src > ${p}2 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN $src > ${p}3 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN $src > ${p}4 THEN 1 ELSE 0 END)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type,
+       |         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+       |  FROM events
+       |),
+       |anchor AS (SELECT MAX(tus) AS anchor_tus FROM e),
+       |base AS (
+       |  SELECT user_id, COUNT(*) AS f_cnt, SUM(v) AS m_micro,
+       |         MAX(tus) AS last_tus
+       |  FROM e WHERE event_type = 'purchase' GROUP BY 1
+       |),
+       |b2 AS (
+       |  SELECT user_id,
+       |         CAST((anchor_tus - last_tus) // 86400000000 AS BIGINT)
+       |           AS r_days,
+       |         CAST(f_cnt AS BIGINT) AS f_cnt,
+       |         CAST(m_micro AS BIGINT) AS m_micro,
+       |         CAST(m_micro // 1000000 AS BIGINT) AS m_units
+       |  FROM base, anchor
+       |),
+       |${cuts("-r_days", "rb")},
+       |${cuts("f_cnt", "fb")},
+       |${cuts("m_units", "mb")}
+       |SELECT user_id, r_days, f_cnt, m_micro,
+       |       CAST(${sc("-r_days", "rb")} AS BIGINT) AS r_score,
+       |       CAST(${sc("f_cnt", "fb")} AS BIGINT) AS f_score,
+       |       CAST(${sc("m_units", "mb")} AS BIGINT) AS m_score,
+       |       CAST((${sc("-r_days", "rb")}) * 100
+       |          + (${sc("f_cnt", "fb")}) * 10
+       |          + (${sc("m_units", "mb")}) AS BIGINT) AS rfm
+       |FROM b2, crb, cfb, cmb""".stripMargin
+  }
+
+  /** A/B readout mirror ([[graft.pipeline.EventOps.abTestMetrics]]):
+    * identical salted MD5-prefix arm assignment, exact ppm/truncating
+    * integer metrics. */
+  val abTestMetrics: String =
+    """WITH e AS (
+      |  SELECT CAST(concat('0x',
+      |           substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |           AS BIGINT) % 2 AS arm,
+      |         user_id,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(ROUND(value * 1000000.0) AS BIGINT)
+      |              ELSE 0 END AS v
+      |  FROM events
+      |),
+      |pu AS (
+      |  SELECT arm, user_id, SUM(p) AS purchases, SUM(v) AS rev
+      |  FROM e GROUP BY 1, 2
+      |)
+      |SELECT arm,
+      |       CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       CAST(SUM(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_buyers,
+      |       CAST(SUM(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)
+      |         * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm,
+      |       CAST(SUM(purchases) AS BIGINT) AS n_purchases,
+      |       CAST(SUM(rev) AS BIGINT) AS revenue_micro,
+      |       CAST(SUM(rev) // COUNT(*) AS BIGINT) AS arpu_micro
+      |FROM pu GROUP BY 1""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -625,6 +625,116 @@ object EventOps {
           |       div (cast(n_hours as decimal(38,0)) * t_sum)
           |END as bigint)""".stripMargin).as("lift_micro"))
   }
+
+  /** RFM CUSTOMER SCORING — the classic segmentation statistic: per user
+    * with ≥1 purchase, Recency (whole days since last purchase, anchored
+    * at the corpus' max event time so the query is reproducible),
+    * Frequency (purchase count) and Monetary (micro-unit purchase value
+    * sum), each scored 1-5 by corpus quintile. Scores are VALUE-based,
+    * not positional: the quintile boundary values are rank-picked
+    * (element AT rank ⌈i·n/5⌉ — the engine's exact-quantile discipline,
+    * no float interpolation, no ntile tie-splitting), and every user
+    * strictly above boundary i scores at least i+1 — so equal metric
+    * values ALWAYS get equal scores, which positional ntile cannot
+    * promise. `rfm` packs the three digits (e.g. 555 = best cohort).
+    *
+    * Plan: one events scan → per-user purchase aggregate; each metric's
+    * boundaries come from a (metric value, user count) HISTOGRAM —
+    * bounded by the metric's value DOMAIN (days / counts / whole
+    * currency units), not the user count, the conversionLatency
+    * discipline — with one cumulative window over the histogram only;
+    * the three 1-row boundary frames broadcast back onto the user frame.
+    * No global user sort anywhere at any scale. */
+  def rfmScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = RelOps.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_type"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v"))
+    // reproducible "now": the corpus' max event time (1-row broadcast)
+    val anchor = e.agg(max(col("tus")).as("anchor_tus"))
+    val base = DataOps.finish(
+      e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("f_cnt"), sum(col("v")).as("m_micro"),
+          max(col("tus")).as("last_tus"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          expr(s"(anchor_tus - last_tus) div $DayUs").as("r_days"),
+          col("f_cnt"), col("m_micro"),
+          expr("m_micro div 1000000").as("m_units")))
+    // quintile boundaries of `metric` ("higher = better" orientation):
+    // 1-row frame (b1..b4) via the bounded-histogram rank pick
+    def cuts(metric: Column, p: String): DataFrame = {
+      val cum = base.groupBy(metric.as("mv"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("mv").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+      cum.agg(
+        min(when(col("cum") >= expr("(1*n + 4) div 5"), col("mv")))
+          .as(s"${p}1"),
+        min(when(col("cum") >= expr("(2*n + 4) div 5"), col("mv")))
+          .as(s"${p}2"),
+        min(when(col("cum") >= expr("(3*n + 4) div 5"), col("mv")))
+          .as(s"${p}3"),
+        min(when(col("cum") >= expr("(4*n + 4) div 5"), col("mv")))
+          .as(s"${p}4"))
+    }
+    def score(metric: Column, p: String): Column =
+      lit(1L) + (metric > col(s"${p}1")).cast("long") +
+        (metric > col(s"${p}2")).cast("long") +
+        (metric > col(s"${p}3")).cast("long") +
+        (metric > col(s"${p}4")).cast("long")
+    // recency scored on the NEGATED day count (more recent = higher)
+    val allCuts = cuts(-col("r_days"), "rb")
+      .crossJoin(cuts(col("f_cnt"), "fb"))
+      .crossJoin(cuts(col("m_units"), "mb"))
+    base.crossJoin(broadcast(allCuts))
+      .withColumn("r_score", score(-col("r_days"), "rb"))
+      .withColumn("f_score", score(col("f_cnt"), "fb"))
+      .withColumn("m_score", score(col("m_units"), "mb"))
+      .select(col("user_id"), col("r_days"), col("f_cnt"), col("m_micro"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+          .as("rfm"))
+  }
+
+  /** A/B EXPERIMENT READOUT — deterministic assignment + per-arm
+    * metrics in one query: every user hashes into arm 0 (control) or 1
+    * (treatment) by the salted 60-bit MD5 hash (salt "ab:" decorrelates
+    * the split from the eval-split and domain-cap hashes — the D19/D28
+    * discipline), then each arm reports users, buyers, exact ppm
+    * conversion, purchase count, micro revenue, and truncating ARPU.
+    * The assignment is the point: it is stable under reordering,
+    * repartitioning and re-runs, so the experiment read never shifts.
+    *
+    * Plan: one events scan → (arm, user) hash aggregate → 2-row arm
+    * aggregate; everything after the first aggregate is dimension-sized.
+    * No window, no join, no driver state — at 100 TB this is two
+    * map-side-combined shuffles. */
+  def abTestMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    RelOps.events(spark, sfDir)
+      .select(
+        graft.functions.HashFns.hash60(
+          concat(lit("ab:"), col("user_id").cast("string"))).%(2L)
+          .as("arm"),
+        col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("p"),
+        when(col("event_type") === "purchase",
+          round(col("value") * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)).as("v"))
+      .groupBy(col("arm"), col("user_id"))
+      .agg(sum(col("p")).as("purchases"), sum(col("v")).as("rev"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum((col("purchases") > 0L).cast("long")).as("n_buyers"),
+        sum(col("purchases")).as("n_purchases"),
+        sum(col("rev")).as("revenue_micro"))
+      .select(col("arm"), col("n_users"), col("n_buyers"),
+        expr("(n_buyers * 1000000) div n_users").as("conv_ppm"),
+        col("n_purchases"), col("revenue_micro"),
+        expr("revenue_micro div n_users").as("arpu_micro"))
 
   def columnProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val e = RelOps.events(spark, sfDir)

@@ -459,6 +459,66 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("rfmScores equals the naive value-quintile replay") {
+    val anchor = byUser.values.flatten.map(_._2 / 1000L).max
+    val base = byUser.toSeq.flatMap { case (uid, evs) =>
+      val p = evs.filter(_._3 == "purchase")
+      if (p.isEmpty) None
+      else Some((uid,
+        (anchor - p.map(_._2 / 1000L).max) / EventOps.DayUs,
+        p.size.toLong,
+        p.map(e => math.round(e._4 * 1000000.0)).sum))
+    }
+    def cuts(vs: Seq[Long]): Seq[Long] = {
+      val s = vs.sorted
+      val n = s.size
+      (1 to 4).map(i => s((i * n + 4) / 5 - 1))
+    }
+    def score(v: Long, c: Seq[Long]): Long = 1L + c.count(v > _)
+    val rc = cuts(base.map(b => -b._2))
+    val fc = cuts(base.map(_._3))
+    val mc = cuts(base.map(_._4 / 1000000L))
+    val want = base.map { case (uid, r, f, m) =>
+      val (rs, fs, ms) =
+        (score(-r, rc), score(f, fc), score(m / 1000000L, mc))
+      (uid, r, f, m, rs, fs, ms, rs * 100 + fs * 10 + ms)
+    }.sortBy(_._1)
+    val got = EventOps.rfmScores(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSeq.sortBy(_._1)
+    assert(got == want)
+    // value ties score identically (the non-ntile property)
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._6).distinct.size == 1, "equal f_cnt, equal score")
+    }
+    assert(got.map(_._5).distinct.size >= 3 &&
+      got.forall(r => r._5 >= 1 && r._5 <= 5))
+  }
+
+  test("abTestMetrics equals the naive hash-split replay") {
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val want = byUser.toSeq.map { case (uid, evs) =>
+      val p = evs.filter(_._3 == "purchase")
+      (h60(s"ab:$uid") % 2, uid, p.size.toLong,
+        p.map(e => math.round(e._4 * 1000000.0)).sum)
+    }.groupBy(_._1).map { case (arm, us) =>
+      val n = us.size.toLong
+      val buyers = us.count(_._3 > 0).toLong
+      val rev = us.map(_._4).sum
+      (arm, n, buyers, buyers * 1000000L / n,
+        us.map(_._3).sum, rev, rev / n)
+    }.toSeq.sortBy(_._1)
+    val got = EventOps.abTestMetrics(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.map(_._1) == Seq(0L, 1L), "both arms populated")
+  }
+
   test("columnProfile equals the naive per-column scan") {
     val got = EventOps.columnProfile(spark, sfDir).collect()
       .map(r => r.getString(0) ->
