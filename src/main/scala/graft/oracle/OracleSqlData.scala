@@ -448,6 +448,33 @@ object OracleSqlData {
        |  JOIN nrm nb ON nb.vec_id = pd.id_b
        |) WHERE cos_micro >= 400000""".stripMargin
 
+  /** K-means readout mirror ([[graft.pipeline.DataOps.embedKmeans]]):
+    * same crank CTEs (hash-stratified seeds + one integer Lloyd step),
+    * rank-1 cell per vector, cosine re-derived from the shared cdot/nrm/
+    * cnrm relations with mirrored operand order. */
+  val embedKmeans: String =
+    s"""WITH $embCtes,
+       |${crankCte(DataOps.IvfC)},
+       |a1 AS (SELECT vec_id, cid FROM crank WHERE rnk = 1),
+       |sc AS (
+       |  SELECT a1.vec_id, a1.cid,
+       |         CAST(ROUND(CAST(cd.d AS DOUBLE) /
+       |           (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |            sqrt(CAST(cnn.cn AS DOUBLE))) * $MIC) AS BIGINT)
+       |           AS cos_micro
+       |  FROM a1
+       |  JOIN cdot cd ON cd.vec_id = a1.vec_id AND cd.cid = a1.cid
+       |  JOIN nrm na ON na.vec_id = a1.vec_id
+       |  JOIN cnrm cnn ON cnn.cid = a1.cid
+       |),
+       |tot AS (SELECT COUNT(*) AS n_total FROM sc)
+       |SELECT cid,
+       |       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |       CAST(COUNT(*) * 1000000 // n_total AS BIGINT) AS share_ppm,
+       |       CAST(SUM(cos_micro) // COUNT(*) AS BIGINT) AS mean_cos_micro,
+       |       CAST(MIN(cos_micro) AS BIGINT) AS min_cos_micro
+       |FROM sc, tot GROUP BY cid, n_total""".stripMargin
+
   val embedQuantize: String =
     s"""WITH ev AS (
        |  SELECT vec_id,

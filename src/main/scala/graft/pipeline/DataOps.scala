@@ -848,6 +848,39 @@ object DataOps {
       assign)
   }
 
+  /** K-MEANS CLUSTER READOUT over the embedding space — the health/shape
+    * statistic a SemDeDup-style curation or an IVF index build reads
+    * before trusting its clustering: per refined centroid ([[centroids]]
+    * — hash-stratified seeds + one exact-integer Lloyd step, the SAME
+    * clustering every IVF operator uses), the member count, corpus share
+    * in exact ppm, and the cohesion profile (truncating mean + min of the
+    * member→centroid cosine, micro units). A cluster with low share and
+    * low min-cosine is a junk cell; a dominant cluster with high mean is
+    * a near-dup mass — exactly what a cluster-then-prune pipeline keys
+    * off.
+    *
+    * Plan: the C centroids broadcast into ONE scan (the [[cellRanks]]
+    * pass every IVF query already pays), argmax cell per vector, then one
+    * hash aggregate onto the C-row cluster frame; the corpus total rides
+    * as a broadcast 1-row scalar. Nothing after the scan exceeds C rows
+    * at any corpus size. */
+  def embedKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = cellRanks(spark, sfDir, pin(centroids(spark, sfDir)))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"),
+        round(col("cs") * lit(MICRO)).cast("long").as("cos_micro"))
+    val clusters = sc.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("cos_micro")).as("cos_sum"),
+        min(col("cos_micro")).as("min_cos_micro"))
+    val total = clusters.agg(sum(col("n_vectors")).as("n_total"))
+    finish(clusters.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_vectors"),
+        expr("(n_vectors * 1000000) div n_total").as("share_ppm"),
+        expr("cos_sum div n_vectors").as("mean_cos_micro"),
+        col("min_cos_micro")))
+  }
+
   /** Int8 scalar quantization of the embedding column — the compression
     * step a 100 TB vector store applies before ANN. Per vector: affine
     * map of [min, max] onto [-127, 127], a code fingerprint (md5 of the

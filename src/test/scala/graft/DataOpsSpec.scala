@@ -217,6 +217,24 @@ class DataOpsSpec extends SparkSpec {
       s"PQ reconstruction ($meanMae) no better than zero codebook ($meanAbs)")
   }
 
+  test("embedKmeans partitions the corpus with exact shares") {
+    val rows = DataOps.embedKmeans(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val n = spark.read.parquet(s"$SF/embeddings.parquet").count()
+    // clusters partition the vector set; cids come from the C cell ids
+    assert(rows.map(_._2).sum == n)
+    assert(rows.map(_._1).distinct.size == rows.size)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < DataOps.IvfC))
+    rows.foreach { case (_, nv, share, mean, mn) =>
+      assert(share == nv * 1000000L / n)
+      // cohesion: min ≤ truncating mean ≤ 10^6, and a vector can't be
+      // closer than its own cell's argmax allows (cos ≤ 1)
+      assert(mn <= mean && mean <= 1000000L)
+    }
+    // the clustering must discriminate: multiple populated cells
+    assert(rows.size > 1)
+  }
+
   test("annBrute returns a full ranked top-10 per query on sf0.001") {
     val rows = DataOps.annBrute(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
