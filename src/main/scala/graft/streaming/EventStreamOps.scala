@@ -234,6 +234,61 @@ object EventStreamOps {
         .select(col("col_name").as("k"), col("repr").as("v")))
       .withColumnRenamed("k", "col_name")
 
+  /** Deterministic A/B arm of the stream's user (the
+    * [[graft.pipeline.EventOps.abTestMetrics]] assignment — salted
+    * 60-bit MD5, stable under arrival order by construction). */
+  private def abArm: org.apache.spark.sql.Column =
+    pmod(graft.functions.HashFns.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+
+  /** LIVE A/B COUNTER TIER — the streaming half of
+    * [[graft.pipeline.EventOps.abTestMetrics]]: per arm, event count,
+    * purchase count and micro revenue as ONE update-mode aggregation.
+    * Every stat is additive, so the state is exactly 2 rows at any
+    * stream length. The batch readout's per-USER tier (n_users,
+    * n_buyers, and the ratios built on them) is deliberately NOT chained
+    * here — exact distinct users would hold per-user state (the
+    * sketch-vs-exact-set argument of [[hllRegisterStream]]); the live
+    * distinct tier is [[abUserRegisterStream]]'s HLL registers, and the
+    * ratios compose wherever the two land. Pinned per-trigger ≡ a batch
+    * aggregate over the same prefix in EventStreamSpec. */
+  def abTestStream(events: Dataset[StreamEvent]): DataFrame =
+    abCounterStats(events.toDF())
+
+  /** The aggregation shared by [[abTestStream]] and the spec's batch
+    * comparator (mode-independent). */
+  private[graft] def abCounterStats(df: DataFrame): DataFrame =
+    df.select(abArm.as("arm"),
+        (col("event_type") === "purchase").cast("long").as("p"),
+        when(col("event_type") === "purchase", col("v"))
+          .otherwise(lit(0L)).as("rv"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("p")).as("n_purchases"),
+        sum(col("rv")).as("revenue_micro"))
+
+  /** LIVE A/B DISTINCT TIER: per-arm users and buyers as HLL registers
+    * via the generic [[graft.pipeline.RelOps.hllRegistersBy]] — keys
+    * `users:<arm>` (every event) and `buyers:<arm>` (purchases only) in
+    * ONE update-mode aggregation, state bounded at 4 × 64 rows at any
+    * stream length. Identical registers to a batch build on the same
+    * data (max is order-free), so estimates agree exactly. */
+  def abUserRegisterStream(events: Dataset[StreamEvent]): DataFrame =
+    graft.pipeline.RelOps.hllRegistersBy(abUserLong(events.toDF()))
+
+  /** The (k, v) long form shared by [[abUserRegisterStream]] and the
+    * spec's batch comparator. */
+  private[graft] def abUserLong(df: DataFrame): DataFrame =
+    df.select(abArm.as("arm"), col("event_type"),
+        col("user_id").cast("string").as("v"))
+      .select(explode(array(
+        struct(concat(lit("users:"), col("arm")).as("k"), col("v"),
+          lit(true).as("keep")),
+        struct(concat(lit("buyers:"), col("arm")).as("k"), col("v"),
+          (col("event_type") === "purchase").as("keep")))).as("c"))
+      .where(col("c.keep"))
+      .select(col("c.k").as("k"), col("c.v").as("v"))
+
   /** Streaming SCD TYPE-2 history (the CDC twin of
     * [[graft.pipeline.EventOps.eventHistoryScd2]]): per user, keep the
     * ONE open validity row in state; each new event emits the previous

@@ -207,6 +207,65 @@ class EventStreamSpec extends SparkSpec {
     assert((usersB & clicksA).nonEmpty)
   }
 
+  test("A/B counter stream equals the batch aggregate at each trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("ab")
+    val q = EventStreamOps.abTestStream(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      def batchOf(evs: Seq[StreamEvent]) =
+        EventStreamOps.abCounterStats(evs.toDF())
+          .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val (a, b) = fixtureEvents.splitAt(100)
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name).as[(Long, Long, Long, Long)]
+        .collect().toSeq
+      assert(s1.sorted == batchOf(a), "trigger-1 counters != batch(a)")
+      in.addData(b); q.processAllAvailable()
+      // trigger-2 updates fold trigger-1 state: latest row per arm must
+      // equal the full-prefix batch aggregate
+      val all = spark.table(name).as[(Long, Long, Long, Long)]
+        .collect().toSeq
+      val s2 = all.diff(s1)
+      assert(s2.sorted == batchOf(fixtureEvents),
+        "trigger-2 counters lost carried state")
+      // the assignment splits the fixture into two populated arms
+      assert(s2.map(_._1).toSet == Set(0L, 1L))
+    } finally q.stop()
+  }
+
+  test("A/B user registers equal the batch build and fold across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("abreg")
+    val q = EventStreamOps.abUserRegisterStream(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      def regsOf(evs: Seq[StreamEvent]) =
+        graft.pipeline.RelOps.hllRegistersBy(
+          EventStreamOps.abUserLong(evs.toDF()))
+          .as[(String, Long, Long)].collect().toSeq
+      val (a, b) = fixtureEvents.splitAt(50)
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name).as[(String, Long, Long)].collect().toSeq
+      assert(s1.sorted == regsOf(a).sorted)
+      in.addData(b); q.processAllAvailable()
+      val all = spark.table(name).as[(String, Long, Long)].collect().toSeq
+      val s2 = all.diff(s1)
+      val full = regsOf(fixtureEvents).map(r => (r._1, r._2) -> r._3).toMap
+      assert(s2.nonEmpty)
+      s2.foreach { case (k, bkt, mj) =>
+        assert(mj == full((k, bkt)), s"register ($k,$bkt) lost state")
+      }
+      // all four key families present: users/buyers × arm 0/1
+      assert(all.map(_._1).toSet ==
+        Set("users:0", "users:1", "buyers:0", "buyers:1"))
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
