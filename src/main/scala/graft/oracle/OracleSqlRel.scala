@@ -1156,6 +1156,84 @@ object OracleSqlRel {
       |       CAST(COALESCE(SUM(LENGTH(repr)), 0) AS BIGINT) AS len_sum
       |FROM lf GROUP BY 1""".stripMargin
 
+  /** Session-summary mirror ([[graft.pipeline.EventOps.sessionSummary]]):
+    * the sessionize CTE chain as a nested subquery, then the same
+    * bounded-histogram rank picks and exact-integer counters. */
+  val sessionSummary: String =
+    s"""WITH sess AS (
+       |$sessionize
+       |),
+       |he AS (SELECT n_events AS mv, COUNT(*) AS cnt FROM sess GROUP BY 1),
+       |pe AS (
+       |  SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN mv END)
+       |           AS p50_n_events,
+       |         MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN mv END)
+       |           AS p90_n_events
+       |  FROM (SELECT mv,
+       |          SUM(cnt) OVER (ORDER BY mv
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |          SUM(cnt) OVER () AS n
+       |        FROM he)
+       |),
+       |hd AS (SELECT dur_sec AS mv, COUNT(*) AS cnt FROM sess GROUP BY 1),
+       |pd AS (
+       |  SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN mv END)
+       |           AS p50_dur_sec,
+       |         MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN mv END)
+       |           AS p90_dur_sec
+       |  FROM (SELECT mv,
+       |          SUM(cnt) OVER (ORDER BY mv
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |          SUM(cnt) OVER () AS n
+       |        FROM hd)
+       |),
+       |c AS (
+       |  SELECT COUNT(*) AS n_sessions,
+       |         SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounces,
+       |         SUM(val_micro) AS val_sum
+       |  FROM sess
+       |)
+       |SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+       |       CAST(bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm,
+       |       CAST(p50_n_events AS BIGINT) AS p50_n_events,
+       |       CAST(p90_n_events AS BIGINT) AS p90_n_events,
+       |       CAST(p50_dur_sec AS BIGINT) AS p50_dur_sec,
+       |       CAST(p90_dur_sec AS BIGINT) AS p90_dur_sec,
+       |       CAST(val_sum // n_sessions AS BIGINT) AS mean_val_micro
+       |FROM c, pe, pd""".stripMargin
+
+  /** DAU/WAU/MAU mirror ([[graft.pipeline.EventOps.dauStickiness]]):
+    * same distinct (day, user) relation, same explode-to-target-day
+    * rolling distincts (`range` is end-exclusive ⇒ day+7/day+30), same
+    * exact-ppm stickiness. */
+  val dauStickiness: String =
+    """WITH du AS (
+      |  SELECT DISTINCT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |         user_id
+      |  FROM events
+      |),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+      |wau AS (
+      |  SELECT tday AS day, COUNT(DISTINCT user_id) AS wau
+      |  FROM (SELECT unnest(range(day, day + 7)) AS tday, user_id FROM du)
+      |  GROUP BY 1
+      |),
+      |mau AS (
+      |  SELECT tday AS day, COUNT(DISTINCT user_id) AS mau
+      |  FROM (SELECT unnest(range(day, day + 30)) AS tday, user_id FROM du)
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(d.day * 86400 AS BIGINT) AS day_sec,
+      |       CAST(d.dau AS BIGINT) AS dau,
+      |       CAST(w.wau AS BIGINT) AS wau,
+      |       CAST(m.mau AS BIGINT) AS mau,
+      |       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+      |FROM dau d
+      |JOIN wau w ON w.day = d.day
+      |JOIN mau m ON m.day = d.day, bounds
+      |WHERE d.day >= d0 AND d.day <= d1""".stripMargin
+
   /** RFM mirror ([[graft.pipeline.EventOps.rfmScores]]): same per-user
     * purchase aggregate, same rank-picked VALUE boundaries (element at
     * rank ⌈i·n/5⌉ over each metric's histogram), same strictly-above

@@ -626,6 +626,86 @@ object EventOps {
           |END as bigint)""".stripMargin).as("lift_micro"))
   }
 
+  /** SESSION SUMMARY — the one-row health readout over [[sessionize]]'s
+    * islands: session count, BOUNCE RATE (single-event sessions, exact
+    * ppm), median/p90 events-per-session and session duration (seconds),
+    * and the truncating mean session value. Quantiles follow the
+    * engine's exact rank-pick discipline — the element AT rank
+    * ⌈q·n⌉ over a (value, count) histogram, never float interpolation.
+    *
+    * Plan: the sessionize aggregate (one user_id shuffle) feeds two
+    * histograms whose sizes are bounded by the VALUE DOMAINS
+    * (events-per-session / whole-second durations — the
+    * conversionLatency argument), each with one cumulative window over
+    * the histogram only; counters ride in the same tiny aggregates. */
+  def sessionSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = sessionize(spark, sfDir)
+    def pick(df: DataFrame, vcol: String): DataFrame =
+      df.groupBy(col(vcol).as("mv")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("mv").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("mv")))
+            .as(s"p50_$vcol"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("mv")))
+            .as(s"p90_$vcol"))
+    val counters = s.agg(
+      count(lit(1)).as("n_sessions"),
+      sum((col("n_events") === 1L).cast("long")).as("bounces"),
+      sum(col("val_micro")).as("val_sum"))
+      .select(col("n_sessions"),
+        expr("(bounces * 1000000) div n_sessions").as("bounce_ppm"),
+        expr("val_sum div n_sessions").as("mean_val_micro"))
+    counters
+      .crossJoin(broadcast(pick(s, "n_events")))
+      .crossJoin(broadcast(pick(s, "dur_sec")))
+      .select(col("n_sessions"), col("bounce_ppm"),
+        col("p50_n_events"), col("p90_n_events"),
+        col("p50_dur_sec"), col("p90_dur_sec"), col("mean_val_micro"))
+  }
+
+  /** DAU / WAU / MAU + STICKINESS — the engagement dashboard's first
+    * row, exact tier: per observed epoch day, distinct active users that
+    * day (DAU), over the trailing 7 days (WAU), the trailing 30 days
+    * (MAU), and stickiness = DAU·10⁶ div MAU (exact ppm). The EXACT
+    * rolling uniques come from the explode-to-target-day device
+    * ([[graft.pipeline.RelOps.hllRollingUsers]]'s quality column, here
+    * as the primary): each distinct (day, user) pair contributes to the
+    * ≤30 target days its activity covers, so the rolling distinct is a
+    * plain hash aggregate — no windowed set union.
+    *
+    * Scale: the shuffled relation is the DISTINCT (day, user) pair set
+    * (dimension-sized: days × active users, already 4-6 orders below
+    * the event count) exploded ≤37×; every stage after is a hash
+    * aggregate on (day, user) or day. At extreme user counts the HLL
+    * register tier ([[graft.pipeline.RelOps.hllRollingUsers]]) is the
+    * documented sketch path — this operator is the exact twin the
+    * sketch is judged against. */
+  def dauStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = RelOps.events(spark, sfDir)
+      .select(expr(s"(ts div 1000) div $DayUs").as("day"), col("user_id"))
+      .distinct()
+    val bounds = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    def rolling(span: Int, name: String): DataFrame =
+      du.select(explode(sequence(col("day"),
+          col("day") + lit(span - 1))).as("tday"), col("user_id"))
+        .distinct()
+        .groupBy(col("tday")).agg(count(lit(1)).as(name))
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau
+      .join(rolling(7, "wau").withColumnRenamed("tday", "day"),
+        Seq("day"))
+      .join(rolling(30, "mau").withColumnRenamed("tday", "day"),
+        Seq("day"))
+      .crossJoin(broadcast(bounds))
+      .where(col("day") >= col("d0") && col("day") <= col("d1"))
+      .select((col("day") * 86400L).as("day_sec"), col("dau"),
+        col("wau"), col("mau"),
+        expr("(dau * 1000000) div mau").as("stickiness_ppm"))
+  }
+
   /** RFM CUSTOMER SCORING — the classic segmentation statistic: per user
     * with ≥1 purchase, Recency (whole days since last purchase, anchored
     * at the corpus' max event time so the query is reproducible),

@@ -459,6 +459,66 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("sessionSummary equals the naive session-replay statistics") {
+    // replay the gap model (as in the sessionize test) then summarize
+    val sessions = byUser.toSeq.flatMap { case (_, evs) =>
+      var sess = 0L
+      var prev = Long.MinValue
+      val tagged = evs.map { case (_, ts, _, v) =>
+        val tus = ts / 1000L
+        if (prev == Long.MinValue || tus - prev > EventOps.SessionGapUs)
+          sess += 1
+        prev = tus
+        (sess, tus, math.round(v * 1000000.0))
+      }
+      tagged.groupBy(_._1).map { case (_, rows) =>
+        val tus = rows.map(_._2)
+        ((tus.max - tus.min) / 1000000L, rows.size.toLong,
+          rows.map(_._3).sum)
+      }
+    }
+    val n = sessions.size.toLong
+    def pick(vs: Seq[Long], num: Long, den: Long): Long = {
+      val s = vs.sorted
+      s(((num * n + num) / den - 1).toInt)
+    }
+    val r = EventOps.sessionSummary(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == sessions.count(_._2 == 1L) * 1000000L / n)
+    val evCnt = sessions.map(_._2)
+    val durs = sessions.map(_._1)
+    assert(r.getLong(2) == evCnt.sorted.apply(((n + 1) / 2 - 1).toInt))
+    assert(r.getLong(3) == evCnt.sorted.apply(((9 * n + 9) / 10 - 1).toInt))
+    assert(r.getLong(4) == durs.sorted.apply(((n + 1) / 2 - 1).toInt))
+    assert(r.getLong(5) == durs.sorted.apply(((9 * n + 9) / 10 - 1).toInt))
+    assert(r.getLong(6) == sessions.map(_._3).sum / n)
+    assert(r.getLong(1) > 0L, "fixture must contain bounce sessions")
+  }
+
+  test("dauStickiness equals the naive rolling-distinct replay") {
+    val dayUs = EventOps.DayUs
+    val pairs = byUser.toSeq.flatMap { case (uid, evs) =>
+      evs.map(e => (e._2 / 1000L / dayUs, uid))
+    }.distinct
+    val (d0, d1) = (pairs.map(_._1).min, pairs.map(_._1).max)
+    def actives(day: Long, span: Long): Long =
+      pairs.filter(p => p._1 <= day && p._1 > day - span)
+        .map(_._2).distinct.size.toLong
+    val want = pairs.map(_._1).distinct.sorted.map { day =>
+      val (dau, wau, mau) = (actives(day, 1), actives(day, 7),
+        actives(day, 30))
+      (day * 86400L, dau, wau, mau, dau * 1000000L / mau)
+    }
+    val got = EventOps.dauStickiness(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.forall(r => r._2 <= r._3 && r._3 <= r._4),
+      "DAU <= WAU <= MAU must hold everywhere")
+    assert(got.exists(r => r._2 < r._4), "windows must differ somewhere")
+    assert(d0 < d1)
+  }
+
   test("rfmScores equals the naive value-quintile replay") {
     val anchor = byUser.values.flatten.map(_._2 / 1000L).max
     val base = byUser.toSeq.flatMap { case (uid, evs) =>
