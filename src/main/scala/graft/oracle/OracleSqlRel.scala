@@ -1156,6 +1156,49 @@ object OracleSqlRel {
       |       CAST(COALESCE(SUM(LENGTH(repr)), 0) AS BIGINT) AS len_sum
       |FROM lf GROUP BY 1""".stripMargin
 
+  /** Cohort-LTV mirror ([[graft.pipeline.EventOps.userLtv]]): same
+    * first-signup cohorts, dense zero-filled (cohort, age) grid
+    * (`range` end-exclusive ⇒ +1), same cumulative window and
+    * truncating per-user division. */
+  val userLtv: String =
+    """WITH e AS (
+      |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+      |         event_type, CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+      |  FROM events
+      |),
+      |coh AS (
+      |  SELECT user_id, MIN(day) AS cohort FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |),
+      |us AS (SELECT cohort, COUNT(*) AS n_users FROM coh GROUP BY 1),
+      |d1 AS (SELECT MAX(day) AS d1 FROM e),
+      |rev AS (
+      |  SELECT c.cohort, e.day - c.cohort AS age_day, SUM(e.v) AS rev
+      |  FROM e JOIN coh c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.day >= c.cohort
+      |  GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT u.cohort, u.n_users,
+      |         unnest(range(0, d1.d1 - u.cohort + 1)) AS age_day
+      |  FROM us u, d1
+      |),
+      |cum AS (
+      |  SELECT g.cohort, g.age_day, g.n_users,
+      |         SUM(COALESCE(r.rev, 0)) OVER (PARTITION BY g.cohort
+      |           ORDER BY g.age_day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum_rev
+      |  FROM grid g
+      |  LEFT JOIN rev r ON r.cohort = g.cohort AND r.age_day = g.age_day
+      |)
+      |SELECT CAST(cohort * 86400 AS BIGINT) AS cohort_sec,
+      |       CAST(age_day AS BIGINT) AS age_day,
+      |       CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(cum_rev AS BIGINT) AS cum_rev_micro,
+      |       CAST(cum_rev // n_users AS BIGINT) AS ltv_micro
+      |FROM cum""".stripMargin
+
   /** Session-summary mirror ([[graft.pipeline.EventOps.sessionSummary]]):
     * the sessionize CTE chain as a nested subquery, then the same
     * bounded-histogram rank picks and exact-integer counters. */

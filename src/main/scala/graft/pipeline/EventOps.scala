@@ -626,6 +626,48 @@ object EventOps {
           |END as bigint)""".stripMargin).as("lift_micro"))
   }
 
+  /** COHORT LTV CURVE — the revenue companion of [[retentionCohorts]]:
+    * per signup cohort (a user's FIRST signup day) × age offset (dense
+    * 0..max, zero-filled like [[activityGapfill]] so the curve has no
+    * holes), the cohort size, cumulative micro revenue through that age,
+    * and LTV = cumulative revenue div cohort users (truncating) — the
+    * payback-period readout a growth team plots per acquisition cohort.
+    *
+    * Plan: cohort = one signup hash aggregate; purchases join it on the
+    * co-partitionable user_id key; the dense (cohort, age) grid comes
+    * from a `sequence` explode bounded by the CLOCK (days), and the
+    * cumulative sum windows per cohort over that clock-bounded grid —
+    * never over raw purchases. At 100 TB: one equi-join + two hash
+    * aggregates + a grid-sized window. */
+  def userLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = RelOps.events(spark, sfDir)
+      .select(col("user_id"),
+        expr(s"(ts div 1000) div $DayUs").as("day"), col("event_type"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v"))
+    val cohorts = e.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val users = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = e.where(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .where(col("day") >= col("cohort"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("age_day"))
+      .agg(sum(col("v")).as("rev"))
+    val d1 = e.agg(max(col("day")).as("d1"))
+    val grid = users.crossJoin(broadcast(d1))
+      .select(col("cohort"), col("n_users"),
+        explode(sequence(lit(0L), col("d1") - col("cohort")))
+          .as("age_day"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("age_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(rev, Seq("cohort", "age_day"), "left")
+      .withColumn("cum_rev_micro",
+        sum(coalesce(col("rev"), lit(0L))).over(cum))
+      .select((col("cohort") * 86400L).as("cohort_sec"), col("age_day"),
+        col("n_users"), col("cum_rev_micro"),
+        expr("cum_rev_micro div n_users").as("ltv_micro"))
+  }
+
   /** SESSION SUMMARY — the one-row health readout over [[sessionize]]'s
     * islands: session count, BOUNCE RATE (single-event sessions, exact
     * ppm), median/p90 events-per-session and session duration (seconds),

@@ -459,6 +459,42 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("userLtv equals the naive cohort-revenue replay") {
+    val dayUs = EventOps.DayUs
+    val cohorts = byUser.toSeq.flatMap { case (uid, evs) =>
+      evs.filter(_._3 == "signup").map(_._2 / 1000L / dayUs).minOption
+        .map(uid -> _)
+    }.toMap
+    val d1 = byUser.values.flatten.map(_._2 / 1000L / dayUs).max
+    val rev = byUser.toSeq.flatMap { case (uid, evs) =>
+      cohorts.get(uid).toSeq.flatMap { c =>
+        evs.filter(e => e._3 == "purchase" && e._2 / 1000L / dayUs >= c)
+          .map(e => ((c, e._2 / 1000L / dayUs - c),
+            math.round(e._4 * 1000000.0)))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sizes = cohorts.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val want = sizes.toSeq.flatMap { case (c, n) =>
+      var cum = 0L
+      (0L to (d1 - c)).map { a =>
+        cum += rev.getOrElse((c, a), 0L)
+        (c * 86400L, a, n, cum, cum / n)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = EventOps.userLtv(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // curves are monotone and the grid is dense per cohort
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byAge = rows.sortBy(_._2)
+      assert(byAge.map(_._2) == (0L until byAge.size.toLong))
+      assert(byAge.zip(byAge.tail).forall { case (a, b) => a._4 <= b._4 })
+    }
+    assert(got.exists(_._4 > 0L), "fixture must contain cohort revenue")
+  }
+
   test("sessionSummary equals the naive session-replay statistics") {
     // replay the gap model (as in the sessionize test) then summarize
     val sessions = byUser.toSeq.flatMap { case (_, evs) =>
