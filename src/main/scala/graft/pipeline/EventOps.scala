@@ -644,8 +644,10 @@ object EventOps {
       .select(col("user_id"),
         expr(s"(ts div 1000) div $DayUs").as("day"), col("event_type"),
         round(col("value") * lit(1000000.0)).cast("long").as("v"))
-    val cohorts = e.where(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    // pinned: the per-user cohort frame feeds both the size aggregate
+    // and the purchase join
+    val cohorts = DataOps.finish(e.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort")))
     val users = cohorts.groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_users"))
     val rev = e.where(col("event_type") === "purchase")
@@ -681,7 +683,9 @@ object EventOps {
     * conversionLatency argument), each with one cumulative window over
     * the histogram only; counters ride in the same tiny aggregates. */
   def sessionSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = sessionize(spark, sfDir)
+    // pinned: the session frame feeds three branches (counters + two
+    // histograms) — without the pin each re-runs the sessionize windows
+    val s = DataOps.finish(sessionize(spark, sfDir))
     def pick(df: DataFrame, vcol: String): DataFrame =
       df.groupBy(col(vcol).as("mv")).agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum(col("cnt")).over(
@@ -726,9 +730,11 @@ object EventOps {
     * documented sketch path — this operator is the exact twin the
     * sketch is judged against. */
   def dauStickiness(spark: SparkSession, sfDir: String): DataFrame = {
-    val du = RelOps.events(spark, sfDir)
+    // pinned: the dimension-sized distinct pair set feeds FOUR branches
+    // (dau, wau, mau, bounds) — without the pin each re-scans the corpus
+    val du = DataOps.finish(RelOps.events(spark, sfDir)
       .select(expr(s"(ts div 1000) div $DayUs").as("day"), col("user_id"))
-      .distinct()
+      .distinct())
     val bounds = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     def rolling(span: Int, name: String): DataFrame =
       du.select(explode(sequence(col("day"),
