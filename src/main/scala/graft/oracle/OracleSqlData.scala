@@ -1167,6 +1167,45 @@ object OracleSqlData {
        |       ELSE 0 END AS BIGINT) AS bits_per_tok_micro
        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** Bigram-surprisal mirror ([[graft.pipeline.DataOps.bigramSurprisal]]):
+    * same (doc, bigram) counts, same prefix-context rollup
+    * (`split_part` ≡ Spark's `substring_index` on 2-token grams), same
+    * `length(bin(x))−1` floor-log2 and truncating divisions. */
+  val bigramSurprisal: String =
+    s"""WITH $wrdsCte,
+       |bgl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 2 THEN
+       |           list_transform(range(1, len(w)),
+       |             i -> w[i] || ' ' || w[i+1])
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |db AS (SELECT doc_id, unnest(gs) AS bg FROM bgl),
+       |dbc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM db GROUP BY 1, 2),
+       |btf AS (SELECT bg, CAST(SUM(cnt) AS BIGINT) AS btf
+       |        FROM dbc GROUP BY 1),
+       |ctx AS (SELECT split_part(bg, ' ', 1) AS prev,
+       |               CAST(SUM(btf) AS BIGINT) AS ctf
+       |        FROM btf GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(cnt * (length(bin(ctf // btf)) - 1)) AS BIGINT)
+       |      AS surprisal_bits,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+       |  FROM dbc
+       |  JOIN btf USING (bg)
+       |  JOIN ctx ON ctx.prev = split_part(dbc.bg, ' ', 1)
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.surprisal_bits, 0) AS BIGINT) AS surprisal_bits,
+       |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+       |       THEN (p.surprisal_bits * 1000000) // p.n_bigrams
+       |       ELSE 0 END AS BIGINT) AS bits_per_bigram_micro
+       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+
   /** PMI-collocation mirror ([[graft.pipeline.DataOps.pmiBigrams]]):
     * same top-50 bigram head (cnt desc, gram asc), same HUGEINT triple
     * product and floor division, same `length(bin(x))−1` floor-log2. */

@@ -2139,6 +2139,52 @@ object DataOps {
     finish(out, dt)
   }
 
+  /** BIGRAM-LM SURPRISAL — the CONDITIONAL tier beside
+    * [[unigramSurprisal]] (CCNet scores quality with an n-gram LM; the
+    * bigram form is the largest n the exact-integer discipline affords):
+    * per doc, Σ over bigram occurrences of
+    * `floor_log2(ctx(prev) div c(prev cur))` — the surprisal of `cur`
+    * GIVEN `prev` under the corpus bigram model, where `ctx(prev)` is
+    * the total count of bigrams starting with `prev`. Exact integer via
+    * `length(bin(x))−1`, no libm; boilerplate text (predictable
+    * continuations) scores low bits/bigram, incoherent token salad
+    * scores high — a sharper quality axis than unigram frequency alone.
+    *
+    * Plan: (doc, bigram) counts via ONE codegen'd [[WordGramsExpr]]
+    * explode + hash aggregate; the corpus bigram table and its
+    * prefix-context rollup are equi-key relations (broadcastable for
+    * bounded vocabularies, shuffled hash joins at open-web scale); one
+    * per-doc sum — the [[unigramSurprisal]] shape one n higher. */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = persistUnlessLazy(docs(spark, sfDir)
+      .select(col("doc_id"), explode(graft.functions.WordGramsExpr.grams(
+        spark, col("text"), 2, distinct = false)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt")))
+    val btf = db.groupBy(col("bg")).agg(sum(col("cnt")).as("btf"))
+    val ctx = btf
+      .groupBy(substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum(col("btf")).as("ctf"))
+    val per = db
+      .join(btf, Seq("bg"))
+      .join(ctx, substring_index(col("bg"), " ", 1) === col("prev"))
+      .select(col("doc_id"), col("cnt"),
+        (length(bin(expr("ctf div btf"))) - 1).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("bits")).as("surprisal_bits"),
+        sum(col("cnt")).as("n_bigrams"))
+    val out = docs(spark, sfDir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .withColumn("bits_per_bigram_micro",
+        when(col("n_bigrams") > 0,
+          expr("(surprisal_bits * 1000000) div n_bigrams"))
+          .otherwise(lit(0L)))
+    finish(out, db)
+  }
+
   /** Repetition flag thresholds: distinct-token ratio < 0.35 or
     * most-frequent-bigram share > 0.10 (the Gopher §A1.2 "repetition
     * signals" shape — Rae et al. 2021 filter on fractions of duplicated

@@ -585,6 +585,34 @@ class DataOpsSpec extends SparkSpec {
       "fixture must show per-doc surprisal variance")
   }
 
+  test("bigramSurprisal equals the naive conditional bit count") {
+    val rows = DataOps.bigramSurprisal(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(rows.size == texts.size)
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.tail).map { case (a, b) => s"$a $b" }
+    }
+    val all = texts.flatMap(t => bigrams(t._2))
+    val btf = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = all.groupBy(_.split(" ")(0)).view
+      .mapValues(_.size.toLong).toMap
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = texts.map { case (id, t) =>
+      val bgs = bigrams(t)
+      id -> (bgs.map(g => bits(ctx(g.split(" ")(0)) / btf(g))).sum,
+        bgs.size.toLong)
+    }.toMap
+    rows.foreach { case (id, sb, nbg, bpb) =>
+      assert((sb, nbg) == expect(id), s"doc $id")
+      assert(bpb == (if (nbg > 0) sb * 1000000L / nbg else 0L))
+    }
+    assert(rows.map(_._4).distinct.size > 1,
+      "fixture must show per-doc conditional-surprisal variance")
+  }
+
   test("sampleByHash keeps a stable, order-independent ~10% bucket") {
     val rows = DataOps.sampleByHash(spark, SF)
       .as[(Long, String, Long)].collect().toSeq
