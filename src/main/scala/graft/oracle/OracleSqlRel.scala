@@ -1156,6 +1156,47 @@ object OracleSqlRel {
       |       CAST(COALESCE(SUM(LENGTH(repr)), 0) AS BIGINT) AS len_sum
       |FROM lf GROUP BY 1""".stripMargin
 
+  /** Skew-audit mirror ([[graft.pipeline.EventOps.eventSkewProfile]]):
+    * same per-user counts, histogram rank-picked quantiles, bounded
+    * top-10 sum and exact-ppm shares. */
+  val eventSkewProfile: String =
+    """WITH counts AS (
+      |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+      |),
+      |q AS (
+      |  SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN mv END) AS p50_cnt,
+      |         MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN mv END)
+      |           AS p90_cnt,
+      |         MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN mv END)
+      |           AS p99_cnt
+      |  FROM (SELECT mv,
+      |          SUM(k) OVER (ORDER BY mv
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |          SUM(k) OVER () AS n
+      |        FROM (SELECT cnt AS mv, COUNT(*) AS k FROM counts
+      |              GROUP BY 1))
+      |),
+      |t10 AS (
+      |  SELECT SUM(cnt) AS top10 FROM (
+      |    SELECT cnt FROM counts ORDER BY cnt DESC, user_id ASC LIMIT 10)
+      |),
+      |s AS (
+      |  SELECT COUNT(*) AS n_users, SUM(cnt) AS n_events,
+      |         MAX(cnt) AS max_cnt
+      |  FROM counts
+      |)
+      |SELECT CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(n_events AS BIGINT) AS n_events,
+      |       CAST(max_cnt AS BIGINT) AS max_cnt,
+      |       CAST(p50_cnt AS BIGINT) AS p50_cnt,
+      |       CAST(p90_cnt AS BIGINT) AS p90_cnt,
+      |       CAST(p99_cnt AS BIGINT) AS p99_cnt,
+      |       CAST((max_cnt * 1000000) // n_events AS BIGINT)
+      |         AS top1_share_ppm,
+      |       CAST((top10 * 1000000) // n_events AS BIGINT)
+      |         AS top10_share_ppm
+      |FROM s, q, t10""".stripMargin
+
   /** Cohort-LTV mirror ([[graft.pipeline.EventOps.userLtv]]): same
     * first-signup cohorts, dense zero-filled (cohort, age) grid
     * (`range` end-exclusive ⇒ +1), same cumulative window and

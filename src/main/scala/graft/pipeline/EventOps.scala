@@ -626,6 +626,49 @@ object EventOps {
           |END as bigint)""".stripMargin).as("lift_micro"))
   }
 
+  /** HOT-KEY SKEW AUDIT — the one-row diagnosis an engineer reads
+    * BEFORE choosing a partitioning strategy (salting, AQE skew join,
+    * key isolation — `graft.ops.ScaleOps`): over per-user event counts,
+    * the population size, total events, max/p50/p90/p99 per-key counts
+    * (exact rank picks over the count histogram), and the exact-ppm
+    * share of the single heaviest key and of the top-10 — a top-1 share
+    * in whole percents at a billion users IS the straggler.
+    *
+    * Plan: ONE per-user hash aggregate (map-side combined); the
+    * quantiles come from a (count, users) histogram bounded by the
+    * count DOMAIN (the conversionLatency argument); the top-10 side is
+    * a bounded TakeOrderedAndProject — every post-aggregate frame is
+    * tiny at any corpus size. */
+  def eventSkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = DataOps.finish(RelOps.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
+    val quants = counts.groupBy(col("cnt").as("mv"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("cum", sum(col("k")).over(
+        Window.orderBy(col("mv").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("k")).over(Window.partitionBy(lit(1))))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("mv")))
+          .as("p50_cnt"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("mv")))
+          .as("p90_cnt"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("mv")))
+          .as("p99_cnt"))
+    val top10 = counts
+      .orderBy(col("cnt").desc, col("user_id").asc).limit(10)
+      .agg(sum(col("cnt")).as("top10"))
+    counts
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"),
+        max(col("cnt")).as("max_cnt"))
+      .crossJoin(broadcast(quants))
+      .crossJoin(broadcast(top10))
+      .select(col("n_users"), col("n_events"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        expr("(max_cnt * 1000000) div n_events").as("top1_share_ppm"),
+        expr("(top10 * 1000000) div n_events").as("top10_share_ppm"))
+  }
+
   /** COHORT LTV CURVE — the revenue companion of [[retentionCohorts]]:
     * per signup cohort (a user's FIRST signup day) × age offset (dense
     * 0..max, zero-filled like [[activityGapfill]] so the curve has no

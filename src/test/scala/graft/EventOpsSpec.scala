@@ -459,6 +459,24 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("eventSkewProfile equals the naive per-user count audit") {
+    val counts = byUser.view.mapValues(_.size.toLong).toMap
+    val vs = counts.values.toSeq.sorted
+    val n = vs.size.toLong
+    val total = vs.sum
+    def at(num: Long, den: Long): Long = vs(((num * n + num) / den - 1).toInt)
+    val top10 = vs.reverse.take(10).sum
+    val r = EventOps.eventSkewProfile(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == n && r.getLong(1) == total)
+    assert(r.getLong(2) == vs.max)
+    assert(r.getLong(3) == vs(((n + 1) / 2 - 1).toInt))
+    assert(r.getLong(4) == vs(((9 * n + 9) / 10 - 1).toInt))
+    assert(r.getLong(5) == vs(((99 * n + 99) / 100 - 1).toInt))
+    assert(r.getLong(6) == vs.max * 1000000L / total)
+    assert(r.getLong(7) == top10 * 1000000L / total)
+    assert(r.getLong(6) > 0L && r.getLong(7) >= r.getLong(6))
+  }
+
   test("userLtv equals the naive cohort-revenue replay") {
     val dayUs = EventOps.DayUs
     val cohorts = byUser.toSeq.flatMap { case (uid, evs) =>
