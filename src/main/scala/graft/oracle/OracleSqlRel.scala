@@ -1156,6 +1156,38 @@ object OracleSqlRel {
       |       CAST(COALESCE(SUM(LENGTH(repr)), 0) AS BIGINT) AS len_sum
       |FROM lf GROUP BY 1""".stripMargin
 
+  /** Value-outlier mirror ([[graft.pipeline.EventOps.valueOutliers]]):
+    * same integer 3σ cross-multiplication in HUGEINT, same truncating
+    * mean and ppm share. */
+  val valueOutliers: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+      |  FROM events
+      |),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(v) AS sv,
+      |         SUM(CAST(v AS HUGEINT) * v) AS svv
+      |  FROM e GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT e.event_type, s.n, s.sv,
+      |         CASE WHEN
+      |           (CAST(s.n AS HUGEINT) * e.v - s.sv) *
+      |           (CAST(s.n AS HUGEINT) * e.v - s.sv) >
+      |           9 * (CAST(s.n AS HUGEINT) * s.svv -
+      |                CAST(s.sv AS HUGEINT) * s.sv)
+      |         THEN 1 ELSE 0 END AS isout
+      |  FROM e JOIN s USING (event_type)
+      |)
+      |SELECT event_type,
+      |       CAST(MAX(n) AS BIGINT) AS n,
+      |       CAST(MAX(sv) // MAX(n) AS BIGINT) AS mean_micro,
+      |       CAST(SUM(isout) AS BIGINT) AS n_outliers,
+      |       CAST((SUM(isout) * 1000000) // MAX(n) AS BIGINT)
+      |         AS outlier_ppm
+      |FROM f GROUP BY 1""".stripMargin
+
   /** Skew-audit mirror ([[graft.pipeline.EventOps.eventSkewProfile]]):
     * same per-user counts, histogram rank-picked quantiles, bounded
     * top-10 sum and exact-ppm shares. */

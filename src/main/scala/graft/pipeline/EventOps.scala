@@ -626,6 +626,41 @@ object EventOps {
           |END as bigint)""".stripMargin).as("lift_micro"))
   }
 
+  /** PER-TYPE VALUE OUTLIER AUDIT — [[anomalousHours]]' integer-exact
+    * 3σ rule turned onto the VALUE column: per event type, how many
+    * events sit more than 3 standard deviations from the type's mean
+    * value ((n·v − s)² > 9·(n·ssq − s²), quadratics in DECIMAL(38) —
+    * no float mean, no sqrt, identical in both engines), with the
+    * truncating mean and exact-ppm outlier share — the fraud/billing
+    * sanity check a revenue pipeline runs before trusting a day's sums.
+    *
+    * Plan: one per-type moment aggregate (|types| rows, broadcast back
+    * into the scan), one flag projection, one closing aggregate — two
+    * map-side-combined passes, no window, no per-type sort. */
+  def valueOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = RelOps.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v"))
+    val moments = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+    e.join(broadcast(moments), Seq("event_type"))
+      .withColumn("isout",
+        expr("""CASE WHEN
+          |  (cast(n as decimal(38,0)) * v - sv) *
+          |  (cast(n as decimal(38,0)) * v - sv) >
+          |  9 * (cast(n as decimal(38,0)) * svv -
+          |       cast(sv as decimal(38,0)) * sv)
+          |THEN 1 ELSE 0 END""".stripMargin).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        first(expr("sv div n")).as("mean_micro"),
+        sum(col("isout")).as("n_outliers"))
+      .select(col("event_type"), col("n"), col("mean_micro"),
+        col("n_outliers"),
+        expr("(n_outliers * 1000000) div n").as("outlier_ppm"))
+  }
+
   /** HOT-KEY SKEW AUDIT — the one-row diagnosis an engineer reads
     * BEFORE choosing a partitioning strategy (salting, AQE skew join,
     * key isolation — `graft.ops.ScaleOps`): over per-user event counts,

@@ -459,6 +459,27 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("valueOutliers equals the naive integer 3-sigma value scan") {
+    val byType = byUser.values.flatten.toSeq.groupBy(_._3)
+      .view.mapValues(_.map(e => math.round(e._4 * 1000000.0))).toMap
+    val want = byType.map { case (t, vs) =>
+      val n = vs.size.toLong
+      val s = vs.sum
+      val ssq = vs.map(v => BigInt(v) * v).sum
+      val out = vs.count { v =>
+        val lhs = (BigInt(n) * v - s) * (BigInt(n) * v - s)
+        lhs > 9 * (BigInt(n) * ssq - BigInt(s) * s)
+      }.toLong
+      t -> (n, s / n, out, out * 1000000L / n)
+    }
+    val got = EventOps.valueOutliers(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._3 > 0L), "fixture must contain outliers")
+    assert(got.values.forall(v => v._3 < v._1), "outliers must be rare")
+  }
+
   test("eventSkewProfile equals the naive per-user count audit") {
     val counts = byUser.view.mapValues(_.size.toLong).toMap
     val vs = counts.values.toSeq.sorted
