@@ -289,6 +289,26 @@ object EventStreamOps {
       .where(col("c.keep"))
       .select(col("c.k").as("k"), col("c.v").as("v"))
 
+  /** LIVE VALUE-MOMENT TIER — the streaming half of
+    * [[graft.pipeline.EventOps.valueOutliers]]: per event type, the
+    * exact integer moments (n, Σv, Σv² in DECIMAL(38)) as ONE
+    * update-mode aggregation. All three are additive, so state is
+    * exactly |types| rows at any stream length; the 3σ flag pass joins
+    * these moments back over stored events wherever the readout runs
+    * (sink side / the batch query) — chaining it in-stream would need a
+    * second stateful pass over history, which is the
+    * sketch-vs-exact-set trade again. Pinned per-trigger ≡ a batch
+    * aggregate over the same prefix in EventStreamSpec. */
+  def valueMomentsStream(events: Dataset[StreamEvent]): DataFrame =
+    valueMoments(events.toDF())
+
+  /** The aggregation shared by [[valueMomentsStream]] and the spec's
+    * batch comparator (mode-independent). */
+  private[graft] def valueMoments(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+
   /** Streaming SCD TYPE-2 history (the CDC twin of
     * [[graft.pipeline.EventOps.eventHistoryScd2]]): per user, keep the
     * ONE open validity row in state; each new event emits the previous

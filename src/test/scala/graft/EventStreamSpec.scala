@@ -266,6 +266,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("value-moment stream equals the batch moments at each trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val name = freshName("vmom")
+    val q = EventStreamOps.valueMomentsStream(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      def batchOf(evs: Seq[StreamEvent]) =
+        EventStreamOps.valueMoments(evs.toDF())
+          .selectExpr("event_type", "n", "sv", "cast(svv as string)")
+          .as[(String, Long, Long, String)].collect().toSeq.sorted
+      val (a, b) = fixtureEvents.splitAt(100)
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name)
+        .selectExpr("event_type", "n", "sv", "cast(svv as string)")
+        .as[(String, Long, Long, String)].collect().toSeq
+      assert(s1.sorted == batchOf(a))
+      in.addData(b); q.processAllAvailable()
+      val all = spark.table(name)
+        .selectExpr("event_type", "n", "sv", "cast(svv as string)")
+        .as[(String, Long, Long, String)].collect().toSeq
+      val s2 = all.diff(s1)
+      assert(s2.sorted == batchOf(fixtureEvents),
+        "trigger-2 moments lost carried state")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers converge to the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
