@@ -1156,6 +1156,35 @@ object OracleSqlRel {
       |       CAST(COALESCE(SUM(LENGTH(repr)), 0) AS BIGINT) AS len_sum
       |FROM lf GROUP BY 1""".stripMargin
 
+  /** Market-basket mirror ([[graft.pipeline.RelOps.basketPairs]]): same
+    * distinct basket relation, per-order pair join, (support desc, ids
+    * asc) top-20 head and HUGEINT truncating lift. */
+  val basketPairs: String =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+      |  FROM lineitem
+      |),
+      |freq AS (SELECT pkey, COUNT(*) AS cp FROM b GROUP BY 1),
+      |no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM b),
+      |pr AS (
+      |  SELECT x.pkey AS part_a, y.pkey AS part_b, COUNT(*) AS support
+      |  FROM b x JOIN b y ON x.okey = y.okey AND x.pkey < y.pkey
+      |  GROUP BY 1, 2
+      |),
+      |t AS (
+      |  SELECT part_a, part_b, support FROM pr
+      |  ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 20
+      |)
+      |SELECT t.part_a, t.part_b,
+      |       CAST(t.support AS BIGINT) AS support,
+      |       CAST(fa.cp AS BIGINT) AS cnt_a,
+      |       CAST(fb.cp AS BIGINT) AS cnt_b,
+      |       CAST((CAST(t.support AS HUGEINT) * n_orders * 1000000)
+      |         // (CAST(fa.cp AS HUGEINT) * fb.cp) AS BIGINT) AS lift_ppm
+      |FROM t
+      |JOIN freq fa ON fa.pkey = t.part_a
+      |JOIN freq fb ON fb.pkey = t.part_b, no""".stripMargin
+
   /** Value-outlier mirror ([[graft.pipeline.EventOps.valueOutliers]]):
     * same integer 3σ cross-multiplication in HUGEINT, same truncating
     * mean and ppm share. */

@@ -78,6 +78,48 @@ object RelOps {
       .agg(count(lit(1)).as("cnt"), sum(col("v")).as("val_micro"))
   }
 
+  /** MARKET-BASKET PAIRS — the retail-analytics classic over the star
+    * schema: the 20 part pairs most often bought together IN ONE ORDER
+    * (support desc, then part ids — deterministic ties), each with both
+    * parts' order frequencies and the exact-ppm LIFT
+    * `support·n_orders·10⁶ div (cnt_a·cnt_b)` — lift > 10⁶ means the
+    * pair co-occurs more than independence predicts (the cross-sell
+    * signal), computed in DECIMAL(38) with truncating division, no
+    * float probabilities.
+    *
+    * Scale shape: candidate pairs come from a per-order self-join of
+    * the DISTINCT (order, part) relation — bounded by the basket size
+    * squared PER ORDER (baskets are small by domain; ≤7 lines in
+    * TPC-H), linear in orders, never parts². The 20-row head then joins
+    * the part-frequency relation (the pmiBigrams broadcast-the-head
+    * discipline); the corpus total rides as a 1-row broadcast. */
+  def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = DataOps.finish(t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct())
+    val freq = b.groupBy(col("pkey")).agg(count(lit(1)).as("cp"))
+    val nOrders = b.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val top = b.as("x").join(b.as("y"),
+        col("x.okey") === col("y.okey") &&
+          col("x.pkey") < col("y.pkey"))
+      .groupBy(col("x.pkey").as("part_a"), col("y.pkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+    top
+      .join(freq.select(col("pkey").as("part_a"), col("cp").as("cnt_a")),
+        Seq("part_a"))
+      .join(freq.select(col("pkey").as("part_b"), col("cp").as("cnt_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("cnt_a"), col("cnt_b"),
+        expr("""cast((cast(support as decimal(38,0)) * n_orders * 1000000)
+          | div (cast(cnt_a as decimal(38,0)) * cnt_b) as bigint)"""
+          .stripMargin).as("lift_ppm"))
+  }
+
   /** TPC-H Q3-shaped: revenue per order priority for one market segment.
     * customer (filtered) ⋈ orders ⋈ lineitem; revenue =
     * Σ round(extprice·(1−discount)·1e6). customer scales with SF, so no

@@ -229,6 +229,35 @@ class RelOpsSpec extends SparkSpec {
     assert(extra.toSeq.map(_._4).sum == grand._4)
   }
 
+  test("basketPairs equals the naive per-order pair count with exact lift") {
+    val sf = "/root/testdata/sf0.01"
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val freq = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nOrders = baskets.map(_._1).distinct.size.toLong
+    val support = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val want = support
+      .map { case ((a, b), s) => (a, b, s) }
+      .sortBy { case (a, b, s) => (-s, a, b) }.take(20)
+      .map { case (a, b, s) =>
+        (a, b, s, freq(a), freq(b),
+          (BigInt(s) * nOrders * 1000000L / (BigInt(freq(a)) * freq(b)))
+            .toLong)
+      }
+    val got = RelOps.basketPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+      .sortBy(r => (-r._3, r._1, r._2))
+    assert(got == want)
+    assert(got.size == 20 && got.forall(_._6 > 0L))
+    // lift must discriminate: not all pairs at the independence line
+    assert(got.map(_._6).distinct.size > 1)
+  }
+
   test("pivotDailyValues cross-tab columns re-sum to per-type totals") {
     val rows = RelOps.pivotDailyValues(spark, "/root/testdata/sf0.01")
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
