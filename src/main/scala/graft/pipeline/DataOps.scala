@@ -728,12 +728,15 @@ object DataOps {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * lit(MICRO)).cast("long")).as("em"))
-      .withColumn("nrm",
-        aggregate(col("em"), lit(0L), (a, x) => a + x * x))
+      .withColumn("nrm", dot(col("em"), col("em")))
 
-  /** Exact integer dot product of two micro-unit vectors. */
+  /** Exact integer dot product of two micro-unit vectors — the native
+    * codegen [[graft.functions.VecDotExpr]] (the former
+    * `aggregate(zip_with(...))` composition is CodegenFallback and
+    * demoted every embedding projection to interpreted eval — the
+    * WordGramsExpr failure class over the ANN candidate counts). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VecDotExpr.dot(SparkSession.active, a, b)
 
   /** cos(a,b)·1e6 as BIGINT — double only in the final normalize, with
     * the operand order mirrored exactly in the oracle. */
@@ -796,7 +799,7 @@ object DataOps {
       .agg(collect_list(struct(col("i"), col("cv"))).as("l"))
       .select(col("cid"),
         transform(array_sort(col("l")), e => e.getField("cv")).as("cem"))
-      .withColumn("cn", aggregate(col("cem"), lit(0L), (a, x) => a + x * x))
+      .withColumn("cn", dot(col("cem"), col("cem")))
       .where(col("cn") > 0)
   }
 
@@ -1053,8 +1056,7 @@ object DataOps {
   private def lshSig(em: Column): Column =
     (0 until LshPlanes).map { h =>
       val coefs: Seq[Long] = (0 until EmbDim).map(i => lshCoef(h, i))
-      when(aggregate(zip_with(em, typedLit(coefs), (x, c) => x * c),
-        lit(0L), (a, x) => a + x) >= 0, lit(1L << h)).otherwise(lit(0L))
+      when(dot(em, typedLit(coefs)) >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN — the second approximate scale path beside

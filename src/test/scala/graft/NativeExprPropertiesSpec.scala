@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, GramStatsExpr, WordGramsExpr}
+import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, GramStatsExpr, VecDotExpr, WordGramsExpr}
 import graft.nlp.{Lexicons, NlpFunctions}
 
 /** Property checks pinning every native codegen expression bit-identical
@@ -48,6 +48,28 @@ class NativeExprPropertiesSpec extends SparkSpec {
         NlpFunctions.entityMentions(col("t"), NlpFunctions.tokens(col("t")))))
       .count()
     assert(diff == 0)
+  }
+
+  test("VecDotExpr equals the composed aggregate(zip_with) on random vectors") {
+    val vecs: Seq[(Seq[Long], Seq[Long])] = (0 until 200).map { i =>
+      val r = new scala.util.Random(i)
+      val n = 1 + r.nextInt(96)
+      (Seq.fill(n)(r.nextLong() % 3000000L),
+        Seq.fill(n)(r.nextLong() % 3000000L))
+    }
+    val df = vecs.toDF("a", "b")
+    val composed = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val diff = df.where(not(
+        VecDotExpr.dot(spark, col("a"), col("b")) === composed))
+      .count()
+    assert(diff == 0)
+    // self-dot (the norm² path) is non-negative and matches too
+    val diffN = df.where(not(
+        VecDotExpr.dot(spark, col("a"), col("a")) ===
+        aggregate(col("a"), lit(0L), (acc, x) => acc + x * x)))
+      .count()
+    assert(diffN == 0)
   }
 
   test("GramStatsExpr equals the WordGramsExpr-derived stats on random text") {
