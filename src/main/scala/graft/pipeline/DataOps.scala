@@ -1522,9 +1522,13 @@ object DataOps {
 
   /** [[contamGrams]] as 60-bit hashes — the unit both decontamination
     * forms (batch below, ingest-time
-    * [[graft.streaming.StreamingOps.decontaminateStream]]) compare. */
+    * [[graft.streaming.StreamingOps.decontaminateStream]]) compare.
+    * Computed by the fused codegen [[graft.functions.GramHashesExpr]]
+    * (the former `transform(grams, hash60)` lambda is CodegenFallback —
+    * property-pinned bit-identical in NativeExprPropertiesSpec). */
   private[graft] def contamGramHashes(text: Column): Column =
-    transform(contamGrams(text), g => hash60(g))
+    graft.functions.GramHashesExpr.gramHashes(SparkSession.active, text,
+      ContamN, distinct = true)
 
   /** Hard cap on the benchmark side's distinct gram hashes. The whole
     * decontamination design leans on the benchmark relation being tiny

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, GramStatsExpr, VecDotExpr, WordGramsExpr}
+import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, GramHashesExpr, GramStatsExpr, VecDotExpr, WordGramsExpr}
 import graft.nlp.{Lexicons, NlpFunctions}
 
 /** Property checks pinning every native codegen expression bit-identical
@@ -48,6 +48,28 @@ class NativeExprPropertiesSpec extends SparkSpec {
         NlpFunctions.entityMentions(col("t"), NlpFunctions.tokens(col("t")))))
       .count()
     assert(diff == 0)
+  }
+
+  test("GramHashesExpr equals transform(word_grams, hash60) on random text") {
+    import graft.functions.HashFns
+    val df = sample(200).toDF("t")
+    val composed = transform(
+      WordGramsExpr.grams(spark, col("t"), 4, distinct = true),
+      g => HashFns.hash60(g))
+    val diff = df.where(not(
+        GramHashesExpr.gramHashes(spark, col("t"), 4, distinct = true)
+          === composed))
+      .count()
+    assert(diff == 0)
+    // non-distinct form too (stream twins may use it)
+    val composed2 = transform(
+      WordGramsExpr.grams(spark, col("t"), 2, distinct = false),
+      g => HashFns.hash60(g))
+    val diff2 = df.where(not(
+        GramHashesExpr.gramHashes(spark, col("t"), 2, distinct = false)
+          === composed2))
+      .count()
+    assert(diff2 == 0)
   }
 
   test("VecDotExpr equals the composed aggregate(zip_with) on random vectors") {
