@@ -157,5 +157,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "top_k(expr, k) requires a literal integer k")
         TopKAgg(children.head, children(1).eval().asInstanceOf[Int])
       }))
+    ext.injectFunction((
+      FunctionIdentifier("gram_stats"),
+      new ExpressionInfo(
+        classOf[GramStatsExpr].getCanonicalName, "gram_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "gram_stats(text)")
+        GramStatsExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(
+        classOf[GramHashesExpr].getCanonicalName, "word_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3 && children(1).foldable &&
+          children(1).dataType == IntegerType && children(2).foldable &&
+          children(2).dataType == BooleanType,
+          "word_gram_hashes(text, n, distinct) requires literal n/distinct")
+        GramHashesExpr(children.head,
+          children(1).eval().asInstanceOf[Int],
+          children(2).eval().asInstanceOf[Boolean])
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(
+        classOf[VecDotExpr].getCanonicalName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot(a, b)")
+        VecDotExpr(children.head, children(1))
+      }))
   }
 }

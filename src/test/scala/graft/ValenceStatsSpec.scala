@@ -102,6 +102,16 @@ class ValenceStatsSpec extends SparkSpec {
         "SELECT top_k(x, 2) FROM VALUES (3), (1), (5) AS t(x)")
         .head().getSeq[Int](0)
       assert(top == Seq(5, 3))
+      // the round-9 fused expressions ride the same injection
+      val gs = s2.sql("SELECT gram_stats('a b a b').bigram_max")
+        .head().getLong(0)
+      assert(gs == 2L) // "a b" occurs twice
+      val gh = s2.sql("SELECT word_gram_hashes('a b c', 2, true)")
+        .head().getSeq[Long](0)
+      assert(gh.length == 2 && gh.forall(_ >= 0L))
+      val vd = s2.sql("SELECT vec_dot(array(1L, 2L), array(3L, 4L))")
+        .head().getLong(0)
+      assert(vd == 11L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
