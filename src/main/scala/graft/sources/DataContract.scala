@@ -16,9 +16,12 @@ import org.apache.spark.sql.types._
  * fails with a message naming the drifted column before any query runs.
  *
  * Scale shape: schema inspection is metadata-only (parquet footers); the
- * only data touched is one `LIMIT 1` null-probe per id column, which
- * short-circuits at the first non-null-violating row — O(1) on a healthy
- * 100 TB table.
+ * only data touched is one `LIMIT 1` null-probe per id column. The probe
+ * short-circuits at the first VIOLATING row (a broken table fails fast);
+ * a healthy table pays one single-column scan — at 100 TB either run the
+ * contract on a sampled partition subset or swap the probe for a
+ * footer-statistics read; the schema/dtype checks stay metadata-only
+ * either way.
  */
 object DataContract {
 
