@@ -121,8 +121,9 @@ object GramHashesExpr {
           children(1).dataType == IntegerType && children(2).foldable &&
           children(2).dataType == BooleanType,
           "word_gram_hashes(text, n, distinct) requires literal n/distinct")
-        GramHashesExpr(children.head,
-          children(1).eval().asInstanceOf[Int],
+        val n = children(1).eval().asInstanceOf[Int]
+        require(n >= 1, s"word_gram_hashes requires n >= 1, got $n")
+        GramHashesExpr(children.head, n,
           children(2).eval().asInstanceOf[Boolean])
       })
 

@@ -65,7 +65,8 @@ object GramStatsExpr {
     StructField("bigram_max", LongType, nullable = false)))
 
   /** Tokenize on 0x20 and count in one pass; the bigram map keys on the
-    * (prev, cur) token pair without building the joined string. */
+    * interned (prev, cur) token-id pair packed into one long, so no
+    * joined string is built per bigram. */
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
     val words = new java.util.ArrayList[String]()
@@ -81,22 +82,32 @@ object GramStatsExpr {
       }
     }
     val ntok = words.size
-    val distinct = new java.util.HashSet[String](ntok * 2)
+    // Intern tokens to dense int ids; the id map doubles as the distinct
+    // set, and bigrams key on the packed (prevId << 32 | curId) long —
+    // no joined-string allocation per bigram.
+    val ids = new java.util.HashMap[String, Integer](ntok * 2)
+    val tokId = new Array[Int](ntok)
     var k = 0
-    while (k < ntok) { distinct.add(words.get(k)); k += 1 }
+    while (k < ntok) {
+      val w = words.get(k)
+      var id = ids.get(w)
+      if (id == null) { id = Integer.valueOf(ids.size); ids.put(w, id) }
+      tokId(k) = id.intValue
+      k += 1
+    }
     var maxc = 0
     if (ntok > 1) {
-      val counts = new java.util.HashMap[String, Integer](ntok * 2)
+      val counts = new java.util.HashMap[java.lang.Long, Integer](ntok * 2)
       k = 0
       while (k < ntok - 1) {
-        val g = words.get(k) + " " + words.get(k + 1)
-        val c = counts.merge(g, 1, (a: Integer, b: Integer) =>
-          Integer.valueOf(a.intValue + b.intValue))
+        val key = (tokId(k).toLong << 32) | (tokId(k + 1).toLong & 0xffffffffL)
+        val c = counts.merge(java.lang.Long.valueOf(key), 1,
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
         if (c.intValue > maxc) maxc = c.intValue
         k += 1
       }
     }
-    new GenericInternalRow(Array[Any](ntok.toLong, distinct.size.toLong,
+    new GenericInternalRow(Array[Any](ntok.toLong, ids.size.toLong,
       math.max(ntok - 1, 0).toLong, maxc.toLong))
   }
 

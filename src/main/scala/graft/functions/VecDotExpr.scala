@@ -24,10 +24,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  * int64 (the engine's micro-unit contract keeps every product and sum in
  * range — [[graft.pipeline.DataOps]] `emb`). Engine arrays are always
  * equal-length (dim = 64), where this is bit-identical to the composed
- * form and the DuckDB oracles' per-element join sums.
+ * form and the DuckDB oracles' per-element join sums. A NULL element in
+ * either array yields a NULL result — the same answer the composed
+ * HOF form gave (`null * x` poisons the `aggregate` sum), and the reason
+ * `nullable` is unconditionally true: vec_dot is session-SQL-reachable,
+ * so user arrays with containsNull=true must degrade to NULL, not NPE.
  */
 case class VecDotExpr(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -45,8 +51,13 @@ case class VecDotExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecDotExpr$$.MODULE$$.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dot")
+      s"""java.lang.Long $boxed =
+         |  graft.functions.VecDotExpr$$.MODULE$$.compute($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDotExpr = copy(newLeft, newRight)
@@ -56,16 +67,20 @@ case class VecDotExpr(left: Expression, right: Expression)
 
 object VecDotExpr {
 
-  /** One compiled pass: Σ a(i)·b(i), exact int64. */
-  def compute(a: ArrayData, b: ArrayData): Long = {
+  /** One compiled pass: Σ a(i)·b(i), exact int64; null if any summed
+    * slot holds a NULL element (the composed HOF form's answer). Boxed
+    * return so codegen can branch on it — engine-internal arrays are
+    * containsNull=false, so the fast path never boxes per element. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getLong(i) * b.getLong(i)
       i += 1
     }
-    s
+    java.lang.Long.valueOf(s)
   }
 
   private val info = new ExpressionInfo(

@@ -60,8 +60,19 @@ object DataContract {
       case _ => true
     }
 
-  /** Every contract violation in the sf directory (empty = healthy). */
-  def violations(spark: SparkSession, sfDir: String): Seq[Violation] =
+  /** Every contract violation in the sf directory (empty = healthy).
+    *
+    * Sets the same idempotent `nanosAsLong` conf as
+    * [[graft.pipeline.RelOps.events]] before touching any schema: without
+    * it, a legacy TIMESTAMP(NANOS)-annotated events file — an encoding
+    * [[typeOk]] explicitly accepts as the LongType branch — would crash
+    * parquet schema inference with an "Illegal Parquet type" error before
+    * a single Violation is produced, turning supported data into a
+    * false-positive RED contract failure on a fresh session. */
+  def violations(spark: SparkSession, sfDir: String): Seq[Violation] = {
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(nanosKey).forall(_ != "true"))
+      spark.conf.set(nanosKey, "true")
     Required.flatMap { case (table, cols) =>
       val df = spark.read.parquet(s"$sfDir/$table.parquet")
       val names = df.schema.fieldNames.toSet
@@ -79,6 +90,7 @@ object DataContract {
       }
       missing ++ badType ++ nullId
     }
+  }
 
   /** Throws an [[IllegalStateException]] naming every drifted column. */
   def check(spark: SparkSession, sfDir: String): Unit = {

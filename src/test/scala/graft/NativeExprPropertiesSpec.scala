@@ -94,6 +94,31 @@ class NativeExprPropertiesSpec extends SparkSpec {
     assert(diffN == 0)
   }
 
+  test("VecDotExpr yields NULL on a null element, like the composed form") {
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](null, 5L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)))
+      .toDF("a", "b")
+    val composed = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val rows = df.select(
+        VecDotExpr.dot(spark, col("a"), col("b")).as("d"),
+        composed.as("c"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getLong(0) == 11L && rows(2).getLong(1) == 11L)
+  }
+
+  test("word_gram_hashes rejects n < 1 at analysis time") {
+    GramHashesExpr.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_gram_hashes('a b c', 0, true)").collect()
+    }
+    assert(e.getMessage.contains("n >= 1"), e.getMessage)
+  }
+
   test("GramStatsExpr equals the WordGramsExpr-derived stats on random text") {
     // the fused stats must equal what the gram arrays say: token count,
     // first-occurrence-distinct tokens, bigram total, and the max
