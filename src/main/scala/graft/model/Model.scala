@@ -55,8 +55,9 @@ object Model {
     * metadata ([[graft.pipeline.DataOps.multimodal]]). */
   case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
 
-  /** Decoded multimodal features (decode step stubbed — see
-    * [[graft.pipeline.DataOps.multimodal]]). */
+  /** Decoded multimodal features — real `javax.imageio` pixels for
+    * decodable image payloads, deterministic stub geometry otherwise
+    * (see [[graft.pipeline.DataOps.multimodal]]). */
   case class MediaFeature(doc_id: Long, mime: String, n_bytes: Long,
       width: Long, height: Long, frames: Long)
 

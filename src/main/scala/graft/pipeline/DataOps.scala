@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2239,60 +2239,129 @@ object DataOps {
   // Multimodal plumbing
   // =================================================================
 
-  /** Multimodal-column plumbing: opaque binary payloads with typed
-    * metadata, "decoded" per partition through a typed Dataset
-    * mapPartitions — the slot where a real image/audio decoder batch
-    * would run (the decode itself is a clearly-marked deterministic STUB:
-    * this container ships no media libs, so features are derived from the
-    * payload's MD5 — replayable by the oracle). The Spark-side plumbing
-    * (binary column, typed Encoders, per-partition batching, schema) is
-    * real and tested. */
-  def multimodal(spark: SparkSession, sfDir: String): DataFrame = {
+  /** JDK-native image decode (`javax.imageio` — PNG/JPEG/GIF/BMP readers
+    * ship in the JDK, no external libs): None when the bytes are not a
+    * decodable image, which is every payload of the synthetic corpus
+    * (text bytes), so the oracle-visible path always falls back to the
+    * deterministic stub while REAL image bytes get real pixels. */
+  private[graft] def decodeImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic fallback geometry for undecodable payloads: derived
+    * from the payload's MD5 (replayable by the DuckDB oracle, which
+    * mirrors this arithmetic). */
+  private def stubDims(payload: Array[Byte],
+      md: java.security.MessageDigest): (Long, Long, Long) = {
+    md.reset()
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    (64L + h % 897L, 64L + (h / 1000L) % 897L, h)
+  }
+
+  /** Aspect-preserving fit into a 256-px bounding box — exact integer
+    * arithmetic, shared by the real resampler and the stub path (and
+    * mirrored by the oracle SQL). */
+  private[graft] def fitBox(w: Long, h: Long): (Long, Long) =
+    if (w >= h) (256L, math.max(1L, h * 256L / w))
+    else (math.max(1L, w * 256L / h), 256L)
+
+  /** The per-record decode: real `ImageIO` pixels for image payloads
+    * that parse (width/height from the decoded raster, frames = 1),
+    * deterministic stub geometry otherwise. One digest per partition ≈
+    * one decoder handle per batch. */
+  private[graft] def mediaFeatures(
+      media: Dataset[MediaRecord]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val img =
+          if (r.mime.startsWith("image/")) decodeImage(r.payload) else None
+        img match {
+          case Some(i) =>
+            MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
+              i.getWidth.toLong, i.getHeight.toLong, 1L)
+          case None =>
+            val (width, height, h) = stubDims(r.payload, md)
+            val frames = if (r.mime == "video/mp4") 1L + h % 240L else 1L
+            MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
+              width, height, frames)
+        }
+      }
+    }
+  }
+
+  /** The per-record resize: decodable image payloads are REALLY
+    * resampled (bilinear `Graphics2D` draw into the box-fit target
+    * raster — the thumb dims come from the output image, not the
+    * formula), undecodable ones keep the stub geometry + the same
+    * box-fit integer math. */
+  private[graft] def mediaThumbs(
+      media: Dataset[MediaRecord]): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val img =
+          if (r.mime.startsWith("image/")) decodeImage(r.payload) else None
+        img match {
+          case Some(i) =>
+            val (w, h) = (i.getWidth.toLong, i.getHeight.toLong)
+            val (tw, th) = fitBox(w, h)
+            val out = new java.awt.image.BufferedImage(tw.toInt, th.toInt,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(i, 0, 0, tw.toInt, th.toInt, null)
+            g.dispose()
+            MediaThumb(r.doc_id, w, h,
+              out.getWidth.toLong, out.getHeight.toLong)
+          case None =>
+            val (w, h, _) = stubDims(r.payload, md)
+            val (tw, th) = fitBox(w, h)
+            MediaThumb(r.doc_id, w, h, tw, th)
+        }
+      }
+    }
+  }
+
+  /** The synthetic corpus as media records: opaque binary payloads with
+    * typed metadata (the docs table's text bytes standing in for stored
+    * blobs; mime assigned round-robin by id). */
+  private def mediaRecords(spark: SparkSession,
+      sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    val media = docs(spark, sfDir)
+    docs(spark, sfDir)
       .select(col("doc_id"),
         element_at(
           array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
           (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("mime"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
-    media.mapPartitions { it =>
-      // One digest per partition ≈ one decoder handle per batch.
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { r =>
-        md.reset()
-        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-        // ??? real decode goes here — STUB: derive fake geometry from the
-        // payload hash (deterministic; oracle mirrors the arithmetic).
-        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        val width = 64L + h % 897L
-        val height = 64L + (h / 1000L) % 897L
-        val frames = if (r.mime == "video/mp4") 1L + h % 240L else 1L
-        MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
-          width, height, frames)
-      }
-    }.toDF()
   }
 
+  /** Multimodal-column plumbing: opaque binary payloads with typed
+    * metadata, decoded per partition through a typed Dataset
+    * mapPartitions. The decode is REAL for image payloads
+    * ([[decodeImage]] — JDK `javax.imageio`, geometry from actual
+    * pixels, pinned on an embedded PNG/JPEG in MultimodalSpec); payloads
+    * that don't parse as images (all of the synthetic corpus, plus any
+    * audio/video blob — those codecs have no JDK reader) take the
+    * deterministic MD5-derived stub the oracle mirrors. */
+  def multimodal(spark: SparkSession, sfDir: String): DataFrame =
+    mediaFeatures(mediaRecords(spark, sfDir)).toDF()
+
   /** Resize stage of the media pipeline: aspect-preserving fit into a
-    * 256-px bounding box, exact integer arithmetic (a real decoder's
-    * scaler would run in this mapPartitions batch; the geometry math is
-    * the genuine part). */
-  def mediaResize(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    multimodal(spark, sfDir)
-      .select(col("doc_id"), col("width"), col("height"))
-      .as[(Long, Long, Long)]
-      .mapPartitions { it =>
-        it.map { case (id, w, h) =>
-          // ??? real pixel resampling goes here — the geometry is real.
-          val (tw, th) =
-            if (w >= h) (256L, math.max(1L, h * 256L / w))
-            else (math.max(1L, w * 256L / h), 256L)
-          MediaThumb(id, w, h, tw, th)
-        }
-      }.toDF()
-  }
+    * 256-px bounding box. Decodable image payloads are really resampled
+    * ([[mediaThumbs]] — the output raster's dims are the answer);
+    * everything else keeps the exact-integer box-fit geometry. */
+  def mediaResize(spark: SparkSession, sfDir: String): DataFrame =
+    mediaThumbs(mediaRecords(spark, sfDir)).toDF()
 
   /** Frame-sampling stage: up to 8 evenly-spaced frame indices per media
     * record (`⌊j·frames/k⌋`, k = min(frames, 8)) — one row per sampled
