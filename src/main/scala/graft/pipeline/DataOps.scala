@@ -723,7 +723,7 @@ object DataOps {
     * product / norm is then EXACT int64 arithmetic — float summation
     * order can never flip a result. (em_i = round(x_i · 1e6); |x| < 1 and
     * dim = 64 keep dots < 2^46.) */
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -772,7 +772,7 @@ object DataOps {
     * undefined and NaN ordering differs across engines. One Lloyd step
     * cuts quantization error vs raw samples; more steps would converge
     * further but each costs a full assignment pass. */
-  private def centroids(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def centroids(spark: SparkSession, sfDir: String): DataFrame = {
     val v = emb(spark, sfDir)
     val seeds = v
       .withColumn("h", hash60(col("vec_id").cast("string")))
@@ -807,14 +807,14 @@ object DataOps {
     * materialize it once per query build so its subplan — a seed pick
     * plus a full Lloyd assignment pass — doesn't re-execute under every
     * branch that broadcasts it. Same lazy-plans gate as [[finish]]. */
-  private def pin(df: DataFrame): DataFrame =
+  private[graft] def pin(df: DataFrame): DataFrame =
     if (java.lang.Boolean.getBoolean("graft.lazyPlans")) df
     else df.localCheckpoint(true)
 
   /** (vec_id, cid, rnk): each vector's cells ranked by cosine to the
     * given centroids (desc, cid asc) — broadcast the C centroids, never
     * shuffle the big side. */
-  private def cellRanks(spark: SparkSession, sfDir: String,
+  private[graft] def cellRanks(spark: SparkSession, sfDir: String,
       cents: DataFrame): DataFrame = {
     val v = emb(spark, sfDir)
     v.crossJoin(broadcast(cents))
@@ -933,7 +933,7 @@ object DataOps {
   /** ANN query set: every 50th vector (deterministic sample), asserted
     * ≤ [[MaxAnnQueries]] so every downstream `broadcast()` stays bounded
     * as the corpus scales. */
-  private def annQueries(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def annQueries(spark: SparkSession, sfDir: String): DataFrame = {
     val q = emb(spark, sfDir).where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("em").as("qem"),
         col("nrm").as("qn"))
@@ -962,7 +962,7 @@ object DataOps {
     * ENTIRE candidate set (the whole corpus, for brute force) on a single
     * task. `-n_id` in the ordering struct encodes the ascending
     * tie-break. */
-  private def rankTopK(spark: SparkSession, scored: DataFrame,
+  private[graft] def rankTopK(spark: SparkSession, scored: DataFrame,
       k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(spark,
@@ -1383,7 +1383,7 @@ object DataOps {
   /** Shared PQ model build — (element relation [persisted], refined
     * codebook [pinned], coding assignments): the common front of
     * [[embedPq]] and [[annPq]]. Caller must release `el` (via `finish`). */
-  private def pqParts(spark: SparkSession,
+  private[graft] def pqParts(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val v = emb(spark, sfDir)
     // element relation: (vec_id, m = sub-space, j = dim within it, x).
@@ -1467,7 +1467,17 @@ object DataOps {
     * re-read touches shortlist·Q rows, not the corpus. */
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     val (el, refined, coded) = pqParts(spark, sfDir)
-    val q = annQueries(spark, sfDir)
+    finish(pqProbe(spark, annQueries(spark, sfDir), refined, coded,
+      emb(spark, sfDir)), el)
+  }
+
+  /** The probe-only half of [[annPq]] — ADC tables from a codebook +
+    * code relation, shortlist, exact re-rank against the raw vectors.
+    * Shared verbatim by the fresh-model path above and the PERSISTENT
+    * [[graft.sources.PqIndex]] store (codebook/codes read back from
+    * parquet), so the two are plan-identical by construction. */
+  private[graft] def pqProbe(spark: SparkSession, q: DataFrame,
+      refined: DataFrame, coded: DataFrame, v: DataFrame): DataFrame = {
     val qel = q
       .select(col("q_id"), posexplode(col("qem")).as(Seq("i", "qx")))
       .select(col("q_id"),
@@ -1487,13 +1497,12 @@ object DataOps {
         PqShortlist).as("top"))
       .select(col("q_id"), explode(col("top")).as("e"))
       .select(col("q_id"), (-col("e.nn")).as("n_id"))
-    val v = emb(spark, sfDir)
     val rescored = short
       .join(v, col("n_id") === col("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
-    finish(rankTopK(spark, rescored, 10), el)
+    rankTopK(spark, rescored, 10)
   }
 
   /** Contamination shingle width: contiguous token n-grams compared
