@@ -187,5 +187,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot(a, b)")
         VecDotExpr(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("stop_hits"),
+      new ExpressionInfo(
+        classOf[StopHitsExpr].getCanonicalName, "stop_hits"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "stop_hits(tokens)")
+        StopHitsExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("micro_vec"),
+      new ExpressionInfo(
+        classOf[MicroVecExpr].getCanonicalName, "micro_vec"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "micro_vec(vec)")
+        MicroVecExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo(
+        classOf[FingerprintExpr].getCanonicalName, "doc_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "doc_fingerprint(text)")
+        FingerprintExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_quant"),
+      new ExpressionInfo(
+        classOf[Int8QuantExpr].getCanonicalName, "int8_quant"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "int8_quant(vec)")
+        Int8QuantExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lang_hits"),
+      new ExpressionInfo(
+        classOf[LangHitsExpr].getCanonicalName, "lang_hits"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "lang_hits(tokens)")
+        LangHitsExpr(children.head)
+      }))
   }
 }

@@ -63,9 +63,14 @@ object DataOps {
     if (java.lang.Boolean.getBoolean("graft.lazyPlans")) df
     else df.persist()
 
-  /** Whitespace words of `text`, empties dropped (the shingling unit). */
+  /** Whitespace words of `text`, empties dropped (the shingling unit) —
+    * the native [[graft.functions.WordGramsExpr]] with n = 1 (property-
+    * pinned ≡ the `filter(split(...))` composition, whose lambda is
+    * CodegenFallback and sat over the documents scan in every token-
+    * count query — CodegenLintSpec). */
   private def words(text: Column): Column =
-    filter(split(text, " "), w => w =!= lit(""))
+    graft.functions.WordGramsExpr.grams(SparkSession.active, text, 1,
+      distinct = false)
 
   // =================================================================
   // Dedup family
@@ -726,8 +731,8 @@ object DataOps {
   private[graft] def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * lit(MICRO)).cast("long")).as("em"))
+        graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+          .as("em"))
       .withColumn("nrm", dot(col("em"), col("em")))
 
   /** Exact integer dot product of two micro-unit vectors — the native
@@ -893,29 +898,13 @@ object DataOps {
     * float summation order exists; only the per-element code rounding is
     * double, with mirrored operand order. */
   def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
-    val mn = array_min(col("em"))
-    val mx = array_max(col("em"))
-    val codes = transform(col("em"), x =>
-      when(mx > mn,
-        round((x - mn).cast("double") * lit(254.0) /
-          (mx - mn).cast("double")).cast("long") - 127L)
-        .otherwise(lit(0L)))
+    val q = graft.functions.Int8QuantExpr.quant(spark, col("em"))
     emb(spark, sfDir)
-      .withColumn("mn", mn)
-      .withColumn("mx", mx)
-      .withColumn("codes", codes)
-      .withColumn("errnum",
-        aggregate(zip_with(col("em"), col("codes"),
-          (x, q) => abs((x - col("mn")) * 254L -
-            (q + 127L) * (col("mx") - col("mn")))),
-          lit(0L), (acc, e) => acc + e))
       .select(col("vec_id"),
-        col("mn").as("mn_micro"), col("mx").as("mx_micro"),
-        md5(array_join(transform(col("codes"), c => c.cast("string")),
-          ",")).as("fp"),
-        round(col("errnum").cast("double") /
-          (lit(254.0) * size(col("em")).cast("double"))).cast("long")
-          .as("mae_micro"))
+        q.getField("mn_micro").as("mn_micro"),
+        q.getField("mx_micro").as("mx_micro"),
+        q.getField("fp").as("fp"),
+        q.getField("mae_micro").as("mae_micro"))
   }
 
   /** Hard cap on the ANN query side. All three ANN paths `broadcast()`
@@ -1211,16 +1200,13 @@ object DataOps {
     * stream ≡ batch in StreamingSpec. Input needs (doc_id, text); adds
     * (lang_pred, hits). */
   def langIdCols(df: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = Lexicons.langProfiles.sortBy(_._1).zipWithIndex.map {
-      case ((l, ws), i) =>
-        struct(
-          size(filter(toks, t => array_contains(typedLit(ws), t)))
-            .cast("long").as("hits"),
-          lit(-i).as("nr"), // lexicographic struct order ⇒ lang-asc ties
-          lit(l).as("lang_pred"))
-    }
-    df.withColumn("m", greatest(scored: _*))
+    // Native one-pass scorer+argmax (the composed per-language
+    // `size(filter(array_contains))` + `greatest` stack was one
+    // CodegenFallback lambda per profile over the scan — CodegenLint);
+    // property-pinned ≡ the composed form in NativeExprPropertiesSpec.
+    val m = graft.functions.LangHitsExpr.best(SparkSession.active,
+      tokens(col("text")))
+    df.withColumn("m", m)
       .withColumn("lang_pred",
         when(col("m.hits") === 0L, lit("und")).otherwise(col("m.lang_pred")))
       .withColumn("hits", col("m.hits"))
@@ -1235,12 +1221,11 @@ object DataOps {
     * (input columns kept) — the composition point for
     * [[graft.streaming.StreamingOps.curationStream]]. */
   def textQualityMetrics(d: DataFrame): DataFrame = {
-    val stopArr = typedLit(Lexicons.stopwords)
     val toks = tokens(col("text"))
     d
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("n_stop",
-        size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+        graft.functions.StopHitsExpr.hits(SparkSession.active, toks))
       .withColumn("alpha",
         length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
       .withColumn("nchars", length(col("text")).cast("long"))
@@ -1341,17 +1326,11 @@ object DataOps {
     * to small edits, one projection pass. Output (doc_id, fp, n_grams).
     */
   def fingerprintCols(d: DataFrame): DataFrame = {
-    val lt = lower(col("text"))
-    val grams = when(length(lt) >= 5,
-      transform(sequence(lit(1), length(lt) - 4),
-        i => lt.substr(i, lit(5))))
-      .otherwise(array().cast("array<string>"))
-    val hs = array_sort(array_distinct(transform(grams, g => hash60(g))))
-    d.select(
-      col("doc_id"),
-      md5(array_join(transform(slice(hs, 1, 4), x => x.cast("string")),
-        ",")).as("fp"),
-      size(hs).cast("long").as("n_grams"))
+    val f = graft.functions.FingerprintExpr.fp(SparkSession.active,
+      col("text"))
+    d.select(col("doc_id"),
+      f.getField("fp").as("fp"),
+      f.getField("n_grams").as("n_grams"))
   }
 
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =

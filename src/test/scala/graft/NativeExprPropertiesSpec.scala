@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, GramHashesExpr, GramStatsExpr, VecDotExpr, WordGramsExpr}
+import graft.functions.{CategoryHitsExpr, EntityMentionsExpr, FingerprintExpr, GramHashesExpr, GramStatsExpr, Int8QuantExpr, MicroVecExpr, StopHitsExpr, VecDotExpr, WordGramsExpr}
+import graft.functions.HashFns
 import graft.nlp.{Lexicons, NlpFunctions}
 
 /** Property checks pinning every native codegen expression bit-identical
@@ -144,6 +145,114 @@ class NativeExprPropertiesSpec extends SparkSpec {
             .cast("long") &&
         col("gs.bigram_total") === size(bg).cast("long") &&
         col("gs.bigram_max") === maxRun))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("StopHitsExpr equals the composed filter(array_contains) count") {
+    val stopArr = typedLit(Lexicons.stopwords)
+    // lexicon-biased random text + explicit stopword-heavy rows
+    val df = (sample(200) ++ Seq("the and of", "", "xqzzy the THE the"))
+      .toDF("t")
+      .select(NlpFunctions.tokens(col("t")).as("toks"))
+    val diff = df.where(not(
+        StopHitsExpr.hits(spark, col("toks")) ===
+        size(filter(col("toks"), t => array_contains(stopArr, t)))
+          .cast("long")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("MicroVecExpr equals the composed transform(round) on random floats") {
+    val vecs: Seq[Seq[Float]] = (0 until 300).map { i =>
+      val r = new scala.util.Random(i)
+      Seq.fill(1 + r.nextInt(80))((r.nextFloat() * 2f) - 1f)
+    } :+ Seq(0.0000005f, -0.0000005f, 0.9999995f, -0.9999995f, 0f, -0f)
+    val df = vecs.toDF("v")
+    val composed = transform(col("v"),
+      x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+    val diff = df.where(not(
+        MicroVecExpr.micro(spark, col("v")) === composed))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("FingerprintExpr equals the composed 5-gram min-sketch on random text") {
+    val lt = lower(col("t"))
+    val grams = when(length(lt) >= 5,
+      transform(sequence(lit(1), length(lt) - 4),
+        i => lt.substr(i, lit(5))))
+      .otherwise(array().cast("array<string>"))
+    val hs = array_sort(array_distinct(
+      transform(grams, g => HashFns.hash60(g))))
+    val df = (sample(200) ++ Seq("", "abcd", "abcde", "aaaaaaaa",
+      "ÜBER naïve 漢字漢字漢字")).toDF("t")
+      .withColumn("f", FingerprintExpr.fp(spark, col("t")))
+    val diff = df.where(not(
+        col("f.fp") === md5(array_join(
+          transform(slice(hs, 1, 4), x => x.cast("string")), ",")) &&
+        col("f.n_grams") === size(hs).cast("long")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("Int8QuantExpr equals the composed quantization on random vectors") {
+    val vecs: Seq[Seq[Long]] = (0 until 300).map { i =>
+      val r = new scala.util.Random(i + 7)
+      Seq.fill(1 + r.nextInt(80))(r.nextLong() % 1000000L)
+    } :+ Seq(5L, 5L, 5L) :+ Seq(42L)
+    val df = vecs.toDF("em")
+    val mn = array_min(col("em"))
+    val mx = array_max(col("em"))
+    val codes = transform(col("em"), x =>
+      when(mx > mn,
+        round((x - mn).cast("double") * lit(254.0) /
+          (mx - mn).cast("double")).cast("long") - 127L)
+        .otherwise(lit(0L)))
+    val composed = df
+      .withColumn("mn", mn).withColumn("mx", mx)
+      .withColumn("codes", codes)
+      .withColumn("errnum",
+        aggregate(zip_with(col("em"), col("codes"),
+          (x, q) => abs((x - col("mn")) * 254L -
+            (q + 127L) * (col("mx") - col("mn")))),
+          lit(0L), (acc, e) => acc + e))
+      .select(col("em"), col("mn"), col("mx"),
+        md5(array_join(transform(col("codes"), c => c.cast("string")),
+          ",")).as("cfp"),
+        round(col("errnum").cast("double") /
+          (lit(254.0) * size(col("em")).cast("double"))).cast("long")
+          .as("cmae"))
+    val diff = composed
+      .withColumn("q", Int8QuantExpr.quant(spark, col("em")))
+      .where(not(
+        col("q.mn_micro") === col("mn") &&
+        col("q.mx_micro") === col("mx") &&
+        col("q.fp") === col("cfp") &&
+        col("q.mae_micro") === col("cmae")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("LangHitsExpr equals the composed per-profile greatest argmax") {
+    import graft.functions.LangHitsExpr
+    val scored = Lexicons.langProfiles.sortBy(_._1).zipWithIndex.map {
+      case ((l, ws), i) =>
+        struct(
+          size(filter(col("toks"), t => array_contains(typedLit(ws), t)))
+            .cast("long").as("hits"),
+          lit(-i).as("nr"),
+          lit(l).as("lang_pred"))
+    }
+    // random text + profile-word-heavy rows exercising ties
+    val df = (sample(200) ++ Seq("the der la le", "und und the the",
+      "el la los de", "", "xq zz")).toDF("t")
+      .select(NlpFunctions.tokens(col("t")).as("toks"))
+      .withColumn("g", greatest(scored: _*))
+      .withColumn("m", LangHitsExpr.best(spark, col("toks")))
+    val diff = df.where(not(
+        col("m.hits") === col("g.hits") &&
+        col("m.lang_pred") === col("g.lang_pred")))
       .count()
     assert(diff == 0)
   }
