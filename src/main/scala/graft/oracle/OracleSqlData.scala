@@ -634,6 +634,73 @@ object OracleSqlData {
        |) WHERE rnk <= 10""".stripMargin
   }
 
+  /** IVFPQ composed mirror ([[DataOps.annIvfPq]]): the annIvf mirror's
+    * coarse cells prune which PQ codes enter the annPq mirror's ADC
+    * sum; shortlist and exact re-rank unchanged. */
+  val annIvfPq: String = {
+    val short = DataOps.PqShortlist
+    s"""WITH $pqCtes,
+       |${crankCte(DataOps.IvfC)},
+       |assign1 AS (SELECT vec_id, cid FROM crank WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid FROM crank
+       |  WHERE vec_id % 50 = 0 AND rnk <= ${DataOps.IvfPqProbes}
+       |),
+       |candi AS (
+       |  SELECT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN assign1 a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.q_id
+       |),
+       |qel AS (
+       |  SELECT vec_id AS q_id, m, j, x AS qx FROM el
+       |  WHERE vec_id % 50 = 0
+       |),
+       |dt AS (
+       |  SELECT q.q_id, q.m, r.cid,
+       |         SUM((q.qx - r.c) * (q.qx - r.c)) AS dtv
+       |  FROM qel q JOIN ref r ON r.m = q.m AND r.j = q.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |adc AS (
+       |  SELECT c.q_id, c.n_id, SUM(t.dtv) AS adc
+       |  FROM candi c
+       |  JOIN a1 a ON a.vec_id = c.n_id
+       |  JOIN dt t ON t.q_id = c.q_id AND t.m = a.m AND t.cid = a.cid
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY adc, n_id) AS srnk
+       |    FROM adc
+       |  ) WHERE srnk <= $short
+       |),
+       |qd AS (
+       |  SELECT s.q_id, s.n_id, SUM(a.v * b.v) AS d
+       |  FROM short s
+       |  JOIN vu a ON a.vec_id = s.n_id
+       |  JOIN vu b ON b.vec_id = s.q_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT qd.q_id, qd.n_id,
+       |         CAST(qd.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM qd
+       |  JOIN nrm nn ON nn.vec_id = qd.n_id
+       |  JOIN nrm nq ON nq.vec_id = qd.q_id
+       |)
+       |SELECT q_id, n_id, rnk, CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro
+       |FROM (
+       |  SELECT q_id, n_id, cs,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 10""".stripMargin
+  }
+
   val annBrute: String =
     s"""WITH $embCtes,
        |qd AS (

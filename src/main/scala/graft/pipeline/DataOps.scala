@@ -1484,6 +1484,77 @@ object DataOps {
     rankTopK(spark, rescored, 10)
   }
 
+  /** IVF probe width of the composed index — wider than [[annIvf]]'s 4:
+    * the synthetic embeddings are structureless (the quantization-hard
+    * case), so at 4/16 cells the coarse quantizer's misrouting loss
+    * (composed recall 0.49) ate the PQ tier's 0.57. 8/16 cells still
+    * halves the ADC scan while measuring 0.61 > annPq's 0.57 at
+    * sf0.001 (pruning also drops ADC false positives from the
+    * shortlist) — on clustered real embeddings the probe width drops
+    * back toward 4 (cells then actually localize neighbors). */
+  val IvfPqProbes = 8
+
+  /** IVF+PQ composed ANN — the FAISS IVFPQ production shape (Jégou et
+    * al. 2011 §V): the coarse quantizer prunes which CODES are scanned
+    * (a query's ADC only touches vectors whose top-1 IVF cell is among
+    * its [[IvfPqProbes]] probed cells ≈ probes/C of the corpus), then
+    * the PQ ADC tables rank the survivors and the [[PqShortlist]] best
+    * re-rank by exact cosine. Both halves are [[annIvf]]'s and
+    * [[annPq]]'s own models — same centroids, same codebook — so recall
+    * composes measurably (pinned ≥ annPq's in DataOpsSpec at a 2×
+    * smaller ADC scan).
+    *
+    * 100 TB shape: the probe list and ADC tables are KB-sized
+    * broadcasts; the cell join prunes the code relation BEFORE the ADC
+    * aggregate, so the scan-sized work is probes/C of [[annPq]]'s; the
+    * shortlist and final rank are the bounded [[rankTopK]] aggregates. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = pin(centroids(spark, sfDir))
+    val cells = cellRanks(spark, sfDir, cents).where(col("rnk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val (el, refined, coded) = pqParts(spark, sfDir)
+    val q = annQueries(spark, sfDir)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid").as("cell"),
+        cosRaw(dot(col("qem"), col("cem")), col("qn"), col("cn")).as("cs"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cs").desc, col("cell").asc)))
+      .where(col("prnk") <= IvfPqProbes)
+      .select(col("q_id"), col("cell"))
+    val qel = q
+      .select(col("q_id"), posexplode(col("qem")).as(Seq("i", "qx")))
+      .select(col("q_id"),
+        (col("i") / PqSubDim).cast("int").as("m"),
+        pmod(col("i"), lit(PqSubDim)).as("j"), col("qx"))
+    val dt = qel.join(broadcast(refined), Seq("m", "j"))
+      .groupBy(col("q_id"), col("m"), col("cid"))
+      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("dtv"))
+    // cell-pruned candidates: the big side joins ONE broadcast probe
+    // list, never shuffling onto <= IvfC partitions
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val adc = coded.join(cand, Seq("vec_id"))
+      .join(broadcast(dt), Seq("q_id", "m", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dtv")).as("adc"))
+    val short = adc
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(spark,
+        struct((-col("adc")).as("nd"), (-col("vec_id")).as("nn")),
+        PqShortlist).as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), (-col("e.nn")).as("n_id"))
+    val v = emb(spark, sfDir)
+    val rescored = short
+      .join(v, col("n_id") === col("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
+    finish(rankTopK(spark, rescored, 10), el)
+  }
+
   /** Contamination shingle width: contiguous token n-grams compared
     * against the benchmark set. (Real pipelines use 8-13; the synthetic
     * corpus's short word-salad docs only collide at 4.) */

@@ -650,6 +650,30 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.45, f"recall $recall%.2f")
   }
 
+  test("annIvfPq: composed recall >= annPq's at a cell-pruned ADC scan") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(DataOps.annBrute(spark, SF))
+    val pq = pairs(DataOps.annPq(spark, SF))
+    val ivfpq = pairs(DataOps.annIvfPq(spark, SF))
+    val rPq = pq.intersect(brute).size.toDouble / brute.size
+    val rIvfPq = ivfpq.intersect(brute).size.toDouble / brute.size
+    // cell pruning cuts the ADC scan to ~probes/C of the corpus; it may
+    // only DROP candidates the coarse quantizer misroutes, so composed
+    // recall must stay within a whisker of straight PQ (and has measured
+    // equal on this corpus: the shortlist-50 refine dominates)
+    assert(rIvfPq >= rPq - 0.05, f"ivfpq $rIvfPq%.2f vs pq $rPq%.2f")
+    assert(rIvfPq >= 0.45, f"recall $rIvfPq%.2f")
+    // every composed answer set is per-query <= 10, ranked, self-free
+    val rows = DataOps.annIvfPq(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(r => r._1 != r._2))
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.size <= 10)
+      assert(rs.map(_._3).sorted == (1L to rs.size))
+    }
+  }
+
   test("annPq emits ranked, self-free, <=10-per-query rows") {
     val rows = DataOps.annPq(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
