@@ -206,6 +206,35 @@ object StreamingOps {
         graft.pipeline.DataOps.contamGramHashes(col("text")), bench))
   }
 
+  /** Ingest-time incremental near-dup detection — the K4 persistent
+    * store ([[graft.sources.MinhashIndex]]) serving the INGEST path:
+    * each micro-batch of snapshot documents probes the stored corpus
+    * bands/shingles via `foreachBatch` →
+    * [[graft.sources.MinhashIndex.dedupAgainst]], appending
+    * (doc_id, dup_of, jac_micro) rows to `outDir`. Because a document's
+    * signature and band buckets depend only on its OWN text, the result
+    * is independent of micro-batch boundaries — stream ≡ batch pinned
+    * across two batches in StreamingSpec.
+    *
+    * `foreachBatch` is the right bridge here (not a stateful streaming
+    * operator): the probe is a JOIN against a parquet STORE, which
+    * Structured Streaming cannot express as an incremental stateful op
+    * without re-keying the whole store into stream state; per-batch
+    * batch-joins against the store are exactly how production ingest
+    * dedup runs. Stream state is zero; all heavy relations live in the
+    * store. */
+  def dedupAgainstStream(docStream: DataFrame, indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.MinhashIndex
+          .dedupAgainst(batch.sparkSession, batch.toDF(), indexDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Ingest-time language ID — the streaming twin of
     * [[graft.pipeline.DataOps.langId]]: the stateless projection form
     * ([[graft.pipeline.DataOps.langIdCols]] — broadcast-literal profile

@@ -145,6 +145,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup stream probes the MinhashIndex store, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-mhidx-s").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-mhidx-out").toString +
+        "/hits"
+    // corpus = even ids, indexed ONCE; the stream delivers the odd-id
+    // snapshot in two micro-batches
+    graft.sources.MinhashIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0), indexDir)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupAgainstStream(
+      in.toDF().toDF("doc_id", "text"), indexDir, outDir)
+    try {
+      def snap(m: Long) = docs.where(col("doc_id") % 4 === m)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      in.addData(snap(1L))
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(outDir)
+        .as[(Long, Long, Long)].collect().toSet
+      in.addData(snap(3L))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, Long, Long)].collect().toSet
+      // the second batch ADDED rows through the same store
+      assert(afterB1.nonEmpty && streamed.size > afterB1.size)
+      // batching is invisible: two micro-batches == one batch probe
+      val batch = graft.sources.MinhashIndex.dedupAgainst(spark,
+          docs.where(col("doc_id") % 2 === 1), indexDir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // store scope holds: snapshot docs only pair with indexed docs
+      assert(streamed.forall { case (n, o, _) => n % 2 == 1 && o % 2 == 0 })
+    } finally q.stop()
+  }
+
   test("toxicTopicStream fires count windows over entity moods") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TimedMessage]
