@@ -2309,6 +2309,23 @@ object DataOps {
       new java.io.ByteArrayInputStream(payload)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** JDK-native audio decode (`javax.sound.sampled` — WAV/AIFF/AU
+    * parsers ship in the JDK): (sample_rate_hz, channels, frames) of a
+    * payload that parses as a supported audio container, None otherwise
+    * — every synthetic-corpus payload, and any compressed codec. */
+  private[graft] def decodeAudio(
+      payload: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        if (frames < 0) None
+        else Some((f.getSampleRate.toLong, f.getChannels.toLong, frames))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Deterministic fallback geometry for undecodable payloads: derived
     * from the payload's MD5 (replayable by the DuckDB oracle, which
     * mirrors this arithmetic). */
@@ -2337,17 +2354,25 @@ object DataOps {
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val img =
-          if (r.mime.startsWith("image/")) decodeImage(r.payload) else None
-        img match {
-          case Some(i) =>
-            MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
-              i.getWidth.toLong, i.getHeight.toLong, 1L)
-          case None =>
-            val (width, height, h) = stubDims(r.payload, md)
-            val frames = if (r.mime == "video/mp4") 1L + h % 240L else 1L
-            MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
-              width, height, frames)
+        val real: Option[MediaFeature] =
+          if (r.mime.startsWith("image/"))
+            decodeImage(r.payload).map(i =>
+              MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
+                i.getWidth.toLong, i.getHeight.toLong, 1L))
+          else if (r.mime.startsWith("audio/"))
+            // audio "geometry": width = sample rate, height = channels,
+            // frames = PCM frame count — the typed metadata a feature
+            // extractor batches on
+            decodeAudio(r.payload).map { case (rate, ch, frames) =>
+              MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
+                rate, ch, frames)
+            }
+          else None
+        real.getOrElse {
+          val (width, height, h) = stubDims(r.payload, md)
+          val frames = if (r.mime == "video/mp4") 1L + h % 240L else 1L
+          MediaFeature(r.doc_id, r.mime, r.payload.length.toLong,
+            width, height, frames)
         }
       }
     }
@@ -2408,10 +2433,12 @@ object DataOps {
     * metadata, decoded per partition through a typed Dataset
     * mapPartitions. The decode is REAL for image payloads
     * ([[decodeImage]] — JDK `javax.imageio`, geometry from actual
-    * pixels, pinned on an embedded PNG/JPEG in MultimodalSpec); payloads
-    * that don't parse as images (all of the synthetic corpus, plus any
-    * audio/video blob — those codecs have no JDK reader) take the
-    * deterministic MD5-derived stub the oracle mirrors. */
+    * pixels) and WAV/AIFF audio payloads ([[decodeAudio]] — JDK
+    * `javax.sound.sampled`: sample rate, channels, PCM frame count),
+    * both pinned on embedded real bytes in MultimodalSpec; payloads
+    * that parse as neither (all of the synthetic corpus, plus video —
+    * no JDK codec) take the deterministic MD5-derived stub the oracle
+    * mirrors. */
   def multimodal(spark: SparkSession, sfDir: String): DataFrame =
     mediaFeatures(mediaRecords(spark, sfDir)).toDF()
 

@@ -59,6 +59,42 @@ class MultimodalSpec extends SparkSpec {
     assert(!(got(4L).width == 320L && got(4L).height == 200L))
   }
 
+  /** Encode 16-bit little-endian mono PCM at `rate` Hz as a real WAV. */
+  private def wavBytes(rate: Float, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(i * 0.05) * 12000).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("mediaFeatures decodes a real WAV to its exact audio geometry") {
+    val ds = Seq(
+      MediaRecord(1L, "audio/wav", wavBytes(16000f, 1600)),
+      MediaRecord(2L, "audio/wav", textBytes),
+      MediaRecord(3L, "image/png", wavBytes(8000f, 100))).toDS()
+    val got = DataOps.mediaFeatures(ds).collect()
+      .map(f => f.doc_id -> f).toMap
+    // width = sample rate, height = channels, frames = PCM frames
+    assert(got(1L).width == 16000L && got(1L).height == 1L)
+    assert(got(1L).frames == 1600L)
+    // undecodable audio bytes fall back to the stub, not a crash
+    assert(got(2L).frames == 1L)
+    // a WAV under an image mime is NOT image-decoded (stub range)
+    assert(got(3L).width >= 64L && got(3L).width < 961L)
+  }
+
   test("stub geometry is deterministic and matches the oracle arithmetic") {
     val ds = Seq(MediaRecord(9L, "video/mp4", textBytes)).toDS()
     val f = DataOps.mediaFeatures(ds).collect().head
