@@ -235,6 +235,35 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ANN serving over the K5 persistent PQ store
+    * ([[graft.sources.PqIndex]]) — the vector-store query path: each
+    * micro-batch of raw float query vectors converts to the micro-unit
+    * query shape (native `micro_vec` + `vec_dot` — the batch loader's
+    * own expressions) and probes the store via `foreachBatch` →
+    * [[graft.sources.PqIndex.queryAgainst]], appending
+    * (q_id, n_id, rnk, cos_micro) to `outDir`. Per-query answers depend
+    * only on the store and the query's own vector, so results are
+    * independent of micro-batch boundaries — stream ≡ batch pinned in
+    * StreamingSpec. The query side of each batch is naturally bounded
+    * by the micro-batch; the heavy relations all live in the store. */
+  def annAgainstStream(vecStream: DataFrame, indexDir: String,
+      sfDir: String, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark = batch.sparkSession
+        val q = batch.toDF()
+          .select(col("vec_id").as("q_id"),
+            graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+              .as("qem"))
+          .withColumn("qn",
+            graft.functions.VecDotExpr.dot(spark, col("qem"), col("qem")))
+        graft.sources.PqIndex.queryAgainst(spark, q, indexDir, sfDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Ingest-time language ID — the streaming twin of
     * [[graft.pipeline.DataOps.langId]]: the stateless projection form
     * ([[graft.pipeline.DataOps.langIdCols]] — broadcast-literal profile

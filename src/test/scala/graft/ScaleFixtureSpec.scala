@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.DataContract
+
+/** The scale-fixture synthesizer must produce a corpus the engine
+  * treats exactly like a bigger data drop: contract-clean, counts
+  * multiplied, every modulus split preserved, replica vocabularies
+  * disjoint. Pinned at 2× of sf0.001 so the BASELINE.md scaling
+  * exponents rest on tooling that stays correct. */
+class ScaleFixtureSpec extends SparkSpec {
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-scale2x").toString
+    ScaleFixture.build(spark, SF, d, 2)
+    d
+  }
+
+  test("the scaled dir passes the data contract") {
+    assert(DataContract.violations(spark, dir).isEmpty)
+  }
+
+  test("replication multiplies counts and preserves the modulus splits") {
+    def n(d: String, t: String) =
+      spark.read.parquet(s"$d/$t.parquet").count()
+    Seq("documents", "events", "orders", "lineitem", "customer",
+      "supplier", "part").foreach { t =>
+      assert(n(dir, t) == 2 * n(SF, t), t)
+    }
+    // fixed dims and the unscaled embedding family copy 1:1
+    Seq("nation", "region", "embeddings").foreach { t =>
+      assert(n(dir, t) == n(SF, t), t)
+    }
+    // decontamination benchmark fraction (doc_id % 97) scales with the
+    // corpus, so the stand-in keeps its meaning
+    def bench(d: String) = spark.read.parquet(s"$d/documents.parquet")
+      .where(col("doc_id") % 97 === 0).count()
+    assert(bench(dir) == 2 * bench(SF))
+    // replica ids are disjoint from the originals
+    assert(spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").distinct().count() ==
+      2 * spark.read.parquet(s"$SF/documents.parquet")
+        .select("doc_id").distinct().count())
+  }
+
+  test("replica vocabularies are disjoint, so dedup sees new content") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.functions.WordGramsExpr.grams(
+        spark, col("text"), 1, distinct = true)).as("tok"))
+    val prefixed = toks.where(col("tok").startsWith("r1_")).count()
+    val plain = toks.where(!col("tok").startsWith("r1_")).count()
+    assert(prefixed > 0 && plain > 0)
+    // cross-replica exact-dup collisions cannot exist: md5(text) counts
+    // must be exactly 2x the originals' (each replica dedups internally
+    // like the original, never against the other)
+    val groups = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(md5(col("text"))).count()
+    val origGroups = spark.read.parquet(s"$SF/documents.parquet")
+      .groupBy(md5(col("text"))).count()
+    assert(groups.count() == 2 * origGroups.count())
+  }
+
+  test("a TPC-H join query returns exactly doubled aggregate rows") {
+    // q1Pricing groups by (returnflag, linestatus) — same groups, but
+    // the doubled lineitem doubles every count
+    val r1 = graft.pipeline.RelOps.q1Pricing(spark, SF)
+      .select("l_returnflag", "l_linestatus", "count_order")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val r2 = graft.pipeline.RelOps.q1Pricing(spark, dir)
+      .select("l_returnflag", "l_linestatus", "count_order")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(r1.nonEmpty && r1.keySet == r2.keySet)
+    r1.foreach { case (k, v) => assert(r2(k) == 2 * v, k) }
+  }
+}
