@@ -701,6 +701,64 @@ object OracleSqlData {
        |) WHERE rnk <= 10""".stripMargin
   }
 
+  /** SQ8 ADC mirror ([[graft.pipeline.DataOps.annSq]]): identical
+    * per-vector affine codes ([[embedQuantize]]'s rounding), identical
+    * exact-integer reconstruction dot `Σ qx·(254·mn + (q+127)·rng)`,
+    * same shortlist order (ad DESC, n_id ASC, width
+    * [[DataOps.SqShortlist]]), same exact-cosine re-rank tail. */
+  val annSq: String =
+    s"""WITH $embCtes,
+       |mm AS (
+       |  SELECT vec_id, list_min(em) AS mn,
+       |         list_max(em) - list_min(em) AS rng
+       |  FROM ev
+       |),
+       |cd AS (
+       |  SELECT v.vec_id, v.i,
+       |         254 * m.mn + (CASE WHEN m.rng > 0
+       |           THEN CAST(ROUND(CAST(v.v - m.mn AS DOUBLE) * 254.0 /
+       |             CAST(m.rng AS DOUBLE)) AS BIGINT) - 127
+       |           ELSE 0 END + 127) * m.rng AS r254
+       |  FROM vu v JOIN mm m USING (vec_id)
+       |),
+       |ad AS (
+       |  SELECT b.vec_id AS q_id, c.vec_id AS n_id, SUM(b.v * c.r254) AS ad
+       |  FROM cd c JOIN vu b
+       |    ON b.i = c.i AND b.vec_id % 50 = 0 AND c.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY ad DESC, n_id ASC) AS srk
+       |    FROM ad
+       |  ) WHERE srk <= ${DataOps.SqShortlist}
+       |),
+       |qd AS (
+       |  SELECT s.q_id, s.n_id, SUM(a.v * b.v) AS d
+       |  FROM short s
+       |  JOIN vu a ON a.vec_id = s.n_id
+       |  JOIN vu b ON b.vec_id = s.q_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT qd.q_id, qd.n_id,
+       |         CAST(qd.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM qd
+       |  JOIN nrm nn ON nn.vec_id = qd.n_id
+       |  JOIN nrm nq ON nq.vec_id = qd.q_id
+       |)
+       |SELECT q_id, n_id, rnk, CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro
+       |FROM (
+       |  SELECT q_id, n_id, cs,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 10""".stripMargin
+
   val annBrute: String =
     s"""WITH $embCtes,
        |qd AS (

@@ -1555,6 +1555,64 @@ object DataOps {
     finish(rankTopK(spark, rescored, 10), el)
   }
 
+  /** Scalar-quantized ANN shortlist width (the [[PqShortlist]]
+    * discipline applied to the SQ8 tier). */
+  val SqShortlist = 50
+
+  /** SCALAR-QUANTIZED ANN — the SQ8 member of the quantized family
+    * beside [[annPq]]'s product codes: each vector is stored as its
+    * [[embedQuantize]] int8 affine codes (per-vector `[mn,mx] →
+    * [−127,127]`, 4× over raw micro longs), a query ranks the WHOLE
+    * corpus by the exact-integer reconstruction dot product
+    * `Σ qx·(254·mn + (q+127)·rng)` (the asymmetric-distance trick at
+    * 254× scale — no division, no float, both engines bit-equal), and
+    * the [[SqShortlist]] best re-rank by exact cosine (the ADC+refine
+    * shape of Jégou et al. 2011 §IV applied to scalar codes — what
+    * FAISS ships as `SQ8,Refine`). Output shape = [[annBrute]].
+    *
+    * Versus PQ: no codebook training pass at 4× (not 16×) compression —
+    * the standard accuracy/simplicity middle rung; recall is pinned
+    * ABOVE [[annPq]]'s in DataOpsSpec (scalar codes lose far less than
+    * 16-cell product codes on structureless embeddings).
+    *
+    * 100 TB shape: codes and affine params derive in ONE scan pass (no
+    * self-join — `array_min`/`max` are per-row); the query elements are
+    * a broadcast; the ADC sum is a map-side-combining aggregate on
+    * (q_id, vec_id); shortlist and final rank are the bounded
+    * [[graft.functions.TopKAgg]] aggregates. */
+  def annSq(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    val el = v
+      .select(col("vec_id"),
+        array_min(col("em")).as("mn"),
+        (array_max(col("em")) - array_min(col("em"))).as("rng"),
+        posexplode(col("em")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        (lit(254L) * col("mn") +
+          (when(col("rng") > 0,
+            round((col("x") - col("mn")).cast("double") * 254.0 /
+              col("rng").cast("double")).cast("long") - 127L)
+            .otherwise(0L) + 127L) * col("rng")).as("r254"))
+    val q = annQueries(spark, sfDir)
+    val qel = q.select(col("q_id"), posexplode(col("qem")).as(Seq("i", "qx")))
+    val ad = el.join(broadcast(qel), Seq("i"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qx") * col("r254")).as("ad"))
+    val short = ad.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(spark,
+        struct(col("ad").as("d"), (-col("vec_id")).as("nn")),
+        SqShortlist).as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), (-col("e.nn")).as("n_id"))
+    val rescored = short
+      .join(v, col("n_id") === col("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
+    rankTopK(spark, rescored, 10)
+  }
+
   /** Contamination shingle width: contiguous token n-grams compared
     * against the benchmark set. (Real pipelines use 8-13; the synthetic
     * corpus's short word-salad docs only collide at 4.) */

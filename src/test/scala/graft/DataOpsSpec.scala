@@ -674,6 +674,29 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("annSq: scalar-quantized ADC recall beats PQ and clears its floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(DataOps.annBrute(spark, SF))
+    val pq = pairs(DataOps.annPq(spark, SF))
+    val sq = pairs(DataOps.annSq(spark, SF))
+    val rPq = pq.intersect(brute).size.toDouble / brute.size
+    val rSq = sq.intersect(brute).size.toDouble / brute.size
+    // SQ8 keeps per-dimension resolution (254 affine steps) where PQ
+    // collapses 8-dim sub-spaces to 16 centroids — on structureless
+    // embeddings the scalar tier must rank closer to brute force
+    assert(rSq >= rPq, f"sq $rSq%.2f vs pq $rPq%.2f")
+    assert(rSq >= 0.60, f"recall $rSq%.2f")
+    // output shape: ranked, self-free, <=10 per query
+    val rows = DataOps.annSq(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(r => r._1 != r._2))
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.size <= 10)
+      assert(rs.map(_._3).sorted == (1L to rs.size))
+    }
+  }
+
   test("annPq emits ranked, self-free, <=10-per-query rows") {
     val rows = DataOps.annPq(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
