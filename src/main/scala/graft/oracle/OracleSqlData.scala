@@ -1184,6 +1184,40 @@ object OracleSqlData {
        |  CAST(len(hs) AS BIGINT) AS n_grams
        |FROM hsx""".stripMargin
 
+  /** Winnowing mirror ([[graft.pipeline.DataOps.winnowing]]): identical
+    * per-position char-5-gram hash60, identical packed
+    * `(h mod 2^36)·2^26 + pos` window-min selection over full windows
+    * of ${DataOps.WinnowW}, identical decode. */
+  val winnowing: String =
+    s"""WITH lt AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |  WHERE length(lower(text)) >= ${DataOps.WinnowK}
+       |),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(range(1, length(t) - ${DataOps.WinnowK - 2})) AS i,
+       |         t
+       |  FROM lt
+       |),
+       |el AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         (${h60(s"substr(t, CAST(i AS INTEGER), ${DataOps.WinnowK})")}
+       |           % ${1L << 36}) * ${1L << 26} + (i - 1) AS packed
+       |  FROM g
+       |),
+       |win AS (
+       |  SELECT doc_id, pos,
+       |         MIN(packed) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW
+       |           AND ${DataOps.WinnowW - 1} FOLLOWING) AS selp,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM el
+       |)
+       |SELECT DISTINCT doc_id,
+       |       selp // ${1L << 26} AS gram_hash,
+       |       selp % ${1L << 26} AS pos
+       |FROM win WHERE pos <= ng - ${DataOps.WinnowW}""".stripMargin
+
   /** Sequence-packing mirror: same per-source (source, doc_id)-ordered
     * exclusive token prefix sum, same integer chunk arithmetic. */
   val packSequences: String =

@@ -674,6 +674,43 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing matches a naive model and honors the overlap guarantee") {
+    val d = Seq(
+      (1L, "The quick brown fox jumps"),
+      (2L, "lazy dogs sleep; the quick brown fox naps"), // shares a >=8-char run with doc 1
+      (3L, "abc"), // shorter than one gram: no output
+      (4L, "AAAAAAAAAA") // identical grams: tie-break + distinct dedup
+    ).toDF("doc_id", "text")
+    val got = DataOps.winnowingCols(d)
+      .as[(Long, Long, Long)].collect().toSet
+
+    def naive(id: Long, text: String): Set[(Long, Long, Long)] = {
+      val cps = text.toLowerCase.codePoints().toArray
+      val m = cps.length - DataOps.WinnowK + 1
+      if (m < DataOps.WinnowW) return Set.empty
+      val packed = (0 until m).map { p =>
+        (jvmHash60(new String(cps, p, DataOps.WinnowK)) % (1L << 36)) *
+          (1L << 26) + p
+      }
+      (0 to m - DataOps.WinnowW)
+        .map(s => packed.slice(s, s + DataOps.WinnowW).min).toSet
+        .map((pk: Long) => (id, pk >> 26, pk % (1L << 26)))
+    }
+    val want = Seq(
+      (1L, "The quick brown fox jumps"),
+      (2L, "lazy dogs sleep; the quick brown fox naps"),
+      (3L, "abc"), (4L, "AAAAAAAAAA"))
+      .flatMap { case (id, t) => naive(id, t) }.toSet
+    assert(got == want)
+    // winnowing guarantee: a shared verbatim run of >= W+K-1 = 8 code
+    // points forces a shared selected fingerprint
+    val h1 = got.filter(_._1 == 1L).map(_._2)
+    val h2 = got.filter(_._1 == 2L).map(_._2)
+    assert(h1.intersect(h2).nonEmpty)
+    // the too-short doc emits nothing
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("annSq: scalar-quantized ADC recall beats PQ and clears its floor") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
