@@ -421,6 +421,38 @@ object OracleSqlData {
        |  JOIN cnrm cnn ON cnn.cid = cd.cid
        |)""".stripMargin
 
+  /** SemDeDup mirror ([[graft.pipeline.DataOps.semdedup]]): same top-1
+    * cell assignment, same within-cell smaller-id neighbor test at
+    * [[DataOps.SemTauMicro]], same per-vector keep verdict. */
+  val semdedup: String =
+    s"""WITH $embCtes,
+       |${crankCte(DataOps.IvfC)},
+       |a1 AS (SELECT vec_id, cid FROM crank WHERE rnk = 1),
+       |cand AS (
+       |  SELECT x.vec_id AS vid, y.vec_id AS other
+       |  FROM a1 x JOIN a1 y
+       |    ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |),
+       |pd AS (
+       |  SELECT c.vid, c.other, SUM(a.v * b.v) AS d
+       |  FROM cand c
+       |  JOIN vu a ON a.vec_id = c.vid
+       |  JOIN vu b ON b.vec_id = c.other AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |dup AS (
+       |  SELECT DISTINCT pd.vid
+       |  FROM pd
+       |  JOIN nrm na ON na.vec_id = pd.vid
+       |  JOIN nrm nb ON nb.vec_id = pd.other
+       |  WHERE CAST(ROUND(CAST(pd.d AS DOUBLE) /
+       |    (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |     sqrt(CAST(nb.nrm AS DOUBLE))) * $MIC) AS BIGINT)
+       |    >= ${DataOps.SemTauMicro}
+       |)
+       |SELECT a1.vec_id, a1.cid, dup.vid IS NULL AS keep
+       |FROM a1 LEFT JOIN dup ON dup.vid = a1.vec_id""".stripMargin
+
   val dedupEmbed: String =
     s"""WITH $embCtes,
        |${crankCte(DataOps.IvfC)},

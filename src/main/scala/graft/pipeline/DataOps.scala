@@ -889,6 +889,49 @@ object DataOps {
         col("min_cos_micro")))
   }
 
+  /** SemDeDup duplicate threshold, micro-cosine units. The paper prunes
+    * at ~0.95 on real (clustered) embeddings; the synthetic structureless
+    * corpus only collides near [[dedupEmbed]]'s 0.4, so the same floor
+    * keeps the verdict non-degenerate at fixture scale — the knob, not
+    * the shape, changes in production. */
+  val SemTauMicro = 400000L
+
+  /** SEMDEDUP (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — the cluster-then-prune
+    * SEMANTIC dedup beside [[dedupEmbed]]'s pair REPORT: every vector is
+    * assigned its top-1 k-means cell (the SAME [[centroids]] clustering
+    * every IVF operator uses), pairs are compared ONLY within a cell,
+    * and a vector is dropped when a SMALLER-id cell-mate sits at cosine
+    * ≥ [[SemTauMicro]] (the paper keeps one representative per
+    * ε-neighborhood; min-id is its deterministic "keep one" choice).
+    * Output one verdict row per vector: (vec_id, cid, keep).
+    *
+    * 100 TB shape: exactly the paper's — clustering exists so the
+    * quadratic comparison never crosses cells (~N²/C candidate pairs,
+    * with C scaled ∝ N to hold cell size constant); the cell join is the
+    * bucket join of every dedup operator here, the verdict is one
+    * distinct + left join on vec_id. */
+  def semdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = cellRanks(spark, sfDir, pin(centroids(spark, sfDir)))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("cid")).persist()
+    val v = emb(spark, sfDir)
+    val dup = assign.as("x").join(assign.as("y"),
+        col("x.cid") === col("y.cid") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vid"), col("y.vec_id").as("other"))
+      .join(v.as("va"), col("vid") === col("va.vec_id"))
+      .join(v.as("vb"), col("other") === col("vb.vec_id"))
+      .where(cosMicro(dot(col("va.em"), col("vb.em")),
+        col("va.nrm"), col("vb.nrm")) >= SemTauMicro)
+      .select(col("vid").as("vec_id")).distinct()
+      .withColumn("isdup", lit(true))
+    finish(assign.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("isdup"), lit(true)).as("keep")),
+      assign)
+  }
+
   /** Int8 scalar quantization of the embedding column — the compression
     * step a 100 TB vector store applies before ANN. Per vector: affine
     * map of [min, max] onto [-127, 127], a code fingerprint (md5 of the

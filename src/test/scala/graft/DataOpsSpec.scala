@@ -674,6 +674,34 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("semdedup keep verdicts match a naive within-cell model") {
+    val out = DataOps.semdedup(spark, SF)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // one verdict per vector, cells from the shared clustering
+    val assign = DataOps.cellRanks(spark, SF,
+        DataOps.pin(DataOps.centroids(spark, SF)))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    assert(out.size == assign.size && out.map(_._1).toSet == assign.keySet)
+    assert(out.forall { case (id, cid, _) => assign(id) == cid })
+    // naive model: drop iff a smaller-id cell-mate sits at cos >= tau
+    val vecs = DataOps.emb(spark, SF)
+      .select(col("vec_id"), col("em"), col("nrm"))
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2.toArray, r._3))).toMap
+    def cosMicro(a: Long, b: Long): Long = {
+      val (va, na) = vecs(a); val (vb, nb) = vecs(b)
+      val d = va.zip(vb).map { case (x, y) => x * y }.sum
+      math.round(d.toDouble / (math.sqrt(na.toDouble) *
+        math.sqrt(nb.toDouble)) * 1000000.0)
+    }
+    val ids = assign.keys.toSeq.sorted
+    val wantDrop = ids.filter(id => ids.exists(o =>
+      o < id && assign(o) == assign(id) &&
+        cosMicro(id, o) >= DataOps.SemTauMicro)).toSet
+    assert(out.filterNot(_._3).map(_._1).toSet == wantDrop)
+  }
+
   test("winnowing matches a naive model and honors the overlap guarantee") {
     val d = Seq(
       (1L, "The quick brown fox jumps"),
