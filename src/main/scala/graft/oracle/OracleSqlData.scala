@@ -1613,6 +1613,45 @@ object OracleSqlData {
 
   /** Keyword mirror ([[graft.pipeline.DataOps.keywordsTfidf]]): same
     * integer floor-log2 IDF bits, same (score desc, token asc) top-3. */
+  /** Zipf-fit mirror ([[graft.pipeline.DataOps.zipfFit]]): same
+    * per-source frequency head, same floor-log2 points, same integer
+    * OLS closed form (`//` ≡ Spark `div`, both truncate toward zero —
+    * the [[qualityTrend]] precedent on negative slopes). */
+  val zipfFit: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT source, unnest(w) AS token FROM wrds),
+       |st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY 1, 2),
+       |hd AS (
+       |  SELECT source,
+       |         CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+       |         CAST(length(bin(tf)) - 1 AS BIGINT) AS y
+       |  FROM (
+       |    SELECT source, token, tf,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY tf DESC, token ASC) AS BIGINT) AS rnk
+       |    FROM st
+       |  ) WHERE rnk <= ${DataOps.ZipfHead}
+       |),
+       |a AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_head,
+       |         SUM(x) AS sx, SUM(y) AS sy,
+       |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+       |  FROM hd GROUP BY 1
+       |),
+       |s AS (
+       |  SELECT source, n_head, sx, sy,
+       |         CAST(CASE WHEN n_head * sxx - sx * sx = 0 THEN 0
+       |           ELSE ((n_head * sxy - sx * sy) * 1000000)
+       |                // (n_head * sxx - sx * sx) END AS BIGINT)
+       |           AS slope_micro
+       |  FROM a
+       |)
+       |SELECT source, n_head, slope_micro,
+       |       CAST((sy * 1000000 - slope_micro * sx) // n_head AS BIGINT)
+       |         AS intercept_micro
+       |FROM s""".stripMargin
+
   val keywordsTfidf: String =
     s"""WITH $wrdsCte,
        |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),

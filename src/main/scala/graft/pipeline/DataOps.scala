@@ -2297,6 +2297,53 @@ object DataOps {
         expr("(cum_tf * 1000000) div tot").as("cum_cover_micro"))
   }
 
+  /** Zipf-fit head width per source: powers of two keep the floor-log2
+    * abscissa evenly populated (ranks 1..64 → x ∈ 0..6). */
+  val ZipfHead = 64
+
+  /** ZIPF-SLOPE FIT per source — the vocabulary-shape statistic
+    * tokenizer and mix design reads (Zipf's law: tf ∝ rank^−s; natural
+    * text fits s ≈ 1, word-salad or boilerplate-heavy sources flatten
+    * toward 0): exact-integer OLS of floor-log2(tf) on floor-log2(rank)
+    * over each source's [[ZipfHead]] most frequent tokens (ties token
+    * asc). The floor-log2 abscissa/ordinate (`length(bin(x))−1`, the
+    * [[keywordsTfidf]] idiom) keeps the whole fit in int64 — no libm
+    * log whose last bit could split the engines — and the slope is the
+    * [[qualityTrend]] closed form in micro units (negated s). Output
+    * (source, n_head, slope_micro, intercept_micro).
+    *
+    * 100 TB shape: per-source token frequencies ride the SAME bounded
+    * (doc, token, cnt) relation every text statistic uses, joined to
+    * the narrow (doc_id, source) projection on the co-partitionable
+    * doc_id; the rank window partitions per source over its DISTINCT
+    * vocabulary (vocab-bounded, not corpus-bounded); everything after
+    * the head cut is |sources|·[[ZipfHead]] rows. */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = docTokenCounts(spark, sfDir)
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"), col("token")).agg(sum(col("cnt")).as("tf"))
+    val pts = st.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("tf").desc, col("token").asc)).cast("long"))
+      .where(col("rnk") <= ZipfHead)
+      .select(col("source"),
+        (length(bin(col("rnk"))) - 1).cast("long").as("x"),
+        (length(bin(col("tf"))) - 1).cast("long").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_head"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_micro",
+        expr("""CASE WHEN n_head * sxx - sx * sx = 0 THEN 0L
+          |  ELSE ((n_head * sxy - sx * sy) * 1000000L)
+          |       div (n_head * sxx - sx * sx) END""".stripMargin))
+      .select(col("source"), col("n_head"), col("slope_micro"),
+        expr("(sy * 1000000L - slope_micro * sx) div n_head")
+          .as("intercept_micro"))
+  }
+
   /** BPE first-iteration merge candidates — the top-20 adjacent
     * character pairs by corpus frequency (count = Σ over words of
     * tf(word) × occurrences(pair in word); ties pair asc), i.e. the

@@ -674,6 +674,28 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit computes the hand-checked integer OLS on a crafted head") {
+    // One source, tf head a=8 b=4 c=2 d=1 → points (x=bits(rank),
+    // y=bits(tf)) = (0,3),(1,2),(1,1),(2,0): slope = (4·3−4·6)·1e6 div
+    // (4·6−16) = −1_500_000; intercept = (6e6 − slope·4) div 4 = 3e6.
+    val dir = Files.createTempDirectory("graft-zipf").toString
+    val t = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    Seq((0L, t, "en", "s0", t.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DataOps.zipfFit(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(("s0", 4L, -1500000L, 3000000L)))
+    // fixture sanity: the corpus fit is defined for every source
+    val full = DataOps.zipfFit(spark, SF)
+      .as[(String, Long, Long, Long)].collect()
+    assert(full.nonEmpty && full.forall(_._2 > 0))
+    // word-salad synthetic text still ranks: slope must be <= 0 (tf
+    // non-increasing in rank by construction of the rank itself)
+    assert(full.forall(_._3 <= 0L))
+  }
+
   test("semdedup keep verdicts match a naive within-cell model") {
     val out = DataOps.semdedup(spark, SF)
       .as[(Long, Long, Boolean)].collect().toSeq
