@@ -1784,6 +1784,66 @@ object OracleSqlData {
   /** Gopher-rule filter mirror ([[graft.pipeline.DataOps.gopherFilter]]):
     * identical cross-multiplied integer rules, identical fixed-order
     * reason join. */
+  /** Shared PII-fixture CTE ([[graft.pipeline.DataOps.withPiiText]]):
+    * identical integer-derived email/IPv4/phone appendage. */
+  // NOTE: no line below may START with '||' — this CTE is interpolated
+  // into outer s"""...""".stripMargin strings, whose stripMargin would
+  // eat the first pipe of a leading '||'.
+  private val piiCte: String =
+    """pii AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' mail u' ||
+      |         CAST(doc_id AS VARCHAR) || '@ex' ||
+      |         CAST(doc_id % 13 AS VARCHAR) || '.org' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.' ||
+      |         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |         CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+      |         CAST(doc_id % 97 AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN ' call +' ||
+      |         CAST(10 + doc_id % 90 AS VARCHAR) || '-' ||
+      |         CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||
+      |         CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+      |    AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  /** PII-scan mirror ([[graft.pipeline.DataOps.piiScan]]): same
+    * fixture injection, same character-class-only patterns (identical
+    * spans under Java and RE2). */
+  val piiScan: String =
+    s"""WITH $piiCte
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${DataOps.EmailRe}')) AS BIGINT)
+       |    AS n_email,
+       |  CAST(len(regexp_extract_all(t, '${DataOps.IpRe}')) AS BIGINT)
+       |    AS n_ip,
+       |  CAST(len(regexp_extract_all(t, '${DataOps.PhoneRe}')) AS BIGINT)
+       |    AS n_phone,
+       |  CAST(len(regexp_extract_all(t, '${DataOps.EmailRe}'))
+       |    + len(regexp_extract_all(t, '${DataOps.IpRe}'))
+       |    + len(regexp_extract_all(t, '${DataOps.PhoneRe}')) AS BIGINT)
+       |    AS n_pii,
+       |  len(regexp_extract_all(t, '${DataOps.EmailRe}'))
+       |    + len(regexp_extract_all(t, '${DataOps.IpRe}'))
+       |    + len(regexp_extract_all(t, '${DataOps.PhoneRe}')) > 0
+       |    AS has_pii
+       |FROM pii""".stripMargin
+
+  /** PII-redact mirror: same mask order (email, ip, phone), global
+    * replacement ('g' — Spark's regexp_replace is global by default). */
+  val piiRedact: String =
+    s"""WITH $piiCte
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '${DataOps.EmailRe}', '<EMAIL>', 'g'),
+       |    '${DataOps.IpRe}', '<IP>', 'g'),
+       |    '${DataOps.PhoneRe}', '<PHONE>', 'g') AS clean_text,
+       |  CAST(len(regexp_extract_all(t, '${DataOps.EmailRe}'))
+       |    + len(regexp_extract_all(t, '${DataOps.IpRe}'))
+       |    + len(regexp_extract_all(t, '${DataOps.PhoneRe}')) AS BIGINT)
+       |    AS n_redacted
+       |FROM pii""".stripMargin
+
   val gopherFilter: String =
     s"""WITH m AS (
        |  SELECT doc_id,

@@ -2843,6 +2843,84 @@ object DataOps {
           when(col("r_sym"), "symbol_heavy"),
           when(col("r_nostop"), "no_stopwords")).as("reasons"))
 
+  // =================================================================
+  // PII detection / masking
+  // =================================================================
+
+  /** PII patterns, deliberately restricted to character classes and
+    * counted repetition — the regex subset on which Java (Spark) and
+    * RE2 (DuckDB) match identical spans, so no engine-specific
+    * backtracking nuance can split the result. The email local/domain
+    * atoms exclude '.' so no backtracking is even reachable. */
+  private[graft] val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private[graft] val IpRe =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[graft] val PhoneRe = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic PII fixture injection — the [[decontaminate]]
+    * stand-in pattern: the synthetic corpus is letters-only word salad
+    * (no '@', no digit anywhere), so the scan/mask operators would be
+    * vacuously green on raw `text`. Docs with doc_id ≡ 0 mod 7/11/13
+    * get an appended email / IPv4 / phone derived from doc_id by the
+    * SAME integer formulas in both engines; the detection and masking
+    * logic downstream is the real operator. A production caller feeds
+    * its actual text and skips this. */
+  private[graft] def withPiiText(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    d.select(col("doc_id"), concat(
+      col("text"),
+      when(id % 7 === 0, concat(lit(" mail u"), id.cast("string"),
+        lit("@ex"), (id % 13).cast("string"), lit(".org")))
+        .otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" from 10."),
+        (id % 256).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"), lit("."),
+        (id % 97).cast("string"))).otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" call +"),
+        (lit(10L) + id % 90).cast("string"), lit("-"),
+        (lit(100L) + id % 900).cast("string"), lit("-"),
+        (lit(1000L) + id % 9000).cast("string"))).otherwise(lit("")))
+      .as("text"))
+  }
+
+  /** PII SCAN — the privacy-audit pass a training pipeline runs before
+    * release (the BigScience/ROOTS and Dolma shape): per document,
+    * match counts for email / IPv4 / phone shapes and the combined
+    * verdict. One codegen'd projection pass; column form over any
+    * (doc_id, text) frame, shared by the streaming twin. Output
+    * (doc_id, n_email, n_ip, n_phone, n_pii, has_pii). */
+  def piiScanCols(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ip"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"))
+      .withColumn("n_pii", col("n_email") + col("n_ip") + col("n_phone"))
+      .withColumn("has_pii", col("n_pii") > 0)
+
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame =
+    piiScanCols(withPiiText(docs(spark, sfDir)))
+
+  /** PII REDACTION — the masking step beside [[piiScanCols]]'s audit:
+    * every matched span replaced by its typed tag (`<EMAIL>` / `<IP>` /
+    * `<PHONE>`), applied in that fixed order (the patterns cannot
+    * overlap: '@' belongs to no other pattern, the phone's '+'/'-'
+    * to no other). Output (doc_id, clean_text, n_redacted) — the
+    * masked corpus plus the count a release report aggregates. */
+  def piiRedactCols(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(IpRe), lit("<IP>")),
+        lit(PhoneRe), lit("<PHONE>")).as("clean_text"),
+      (regexp_count(col("text"), lit(EmailRe)) +
+        regexp_count(col("text"), lit(IpRe)) +
+        regexp_count(col("text"), lit(PhoneRe)))
+        .cast("long").as("n_redacted"))
+
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedactCols(withPiiText(docs(spark, sfDir)))
+
   /** Set-INTERSECTION surface beside [[snapshotDiff]]'s EXCEPT: the
     * tokens two crawl snapshots (sources src0, src1) SHARE — the
     * stable-vocabulary view of drift analysis. `intersect` plans as

@@ -290,6 +290,20 @@ object StreamingOps {
   def stratifiedSampleStream(docStream: DataFrame): DataFrame =
     graft.pipeline.DataOps.stratifiedKeep(docStream)
 
+  /** Ingest-time PII audit — the streaming twin of
+    * [[graft.pipeline.DataOps.piiScan]]: the exact batch pattern
+    * counts over the same fixture injection, stateless projection. */
+  def piiScanStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.piiScanCols(
+      graft.pipeline.DataOps.withPiiText(docStream))
+
+  /** Ingest-time PII masking — the streaming twin of
+    * [[graft.pipeline.DataOps.piiRedact]] (stateless projection; a
+    * production ingest path masks BEFORE anything persists). */
+  def piiRedactStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.piiRedactCols(
+      graft.pipeline.DataOps.withPiiText(docStream))
+
   /** Ingest-time token counting — the streaming twin of
     * [[graft.pipeline.DataOps.tokenCount]] (stateless projection of the
     * exact batch expressions). */

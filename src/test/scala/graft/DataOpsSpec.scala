@@ -674,6 +674,31 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("piiScan and piiRedact detect and mask the injected fixture PII") {
+    // tinyDir doc ids 0..5: id 0 ≡ 0 mod 7, 11 AND 13 → email
+    // "u0@ex0.org", ip "10.0.0.0", phone "+10-100-1000"; 1..5 get none
+    val scan = DataOps.piiScan(spark, tinyDir)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1).toSeq
+    assert(scan.head == ((0L, 1L, 1L, 1L, 3L, true)))
+    assert(scan.tail.forall(r => r._5 == 0L && !r._6))
+    val red = DataOps.piiRedact(spark, tinyDir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val c0 = red.head._2
+    assert(red.head._3 == 3L)
+    assert(c0.contains("<EMAIL>") && c0.contains("<IP>") &&
+      c0.contains("<PHONE>"))
+    // the masked text carries no residual PII shape
+    assert(!c0.contains("@") && !c0.contains("10.0.0.0") &&
+      !c0.contains("+10-"))
+    // untouched docs pass through verbatim (injection appends nothing)
+    val raw = spark.read.parquet(s"$tinyDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    red.tail.foreach { case (id, t, n) =>
+      assert(n == 0L && t == raw(id))
+    }
+  }
+
   test("zipfFit computes the hand-checked integer OLS on a crafted head") {
     // One source, tf head a=8 b=4 c=2 d=1 → points (x=bits(rank),
     // y=bits(tf)) = (0,3),(1,2),(1,1),(2,0): slope = (4·3−4·6)·1e6 div

@@ -419,6 +419,18 @@ class StreamingSpec extends SparkSpec {
     val gfBatch = graft.pipeline.DataOps.gopherFilter(spark, SF)
       .as[(Long, Boolean, String)].collect().toSeq.sorted
     assert(gf.nonEmpty && gf == gfBatch)
+
+    val ps = runTwin("pis", StreamingOps.piiScanStream)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+    val psBatch = graft.pipeline.DataOps.piiScan(spark, SF)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq.sorted
+    assert(ps.nonEmpty && ps == psBatch)
+
+    val pr = runTwin("prs", StreamingOps.piiRedactStream)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val prBatch = graft.pipeline.DataOps.piiRedact(spark, SF)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(pr.nonEmpty && pr == prBatch)
   }
 
   test("kmvQuantilesStream: sketch state folds across triggers ≡ batch") {
