@@ -1613,6 +1613,49 @@ object OracleSqlData {
 
   /** Keyword mirror ([[graft.pipeline.DataOps.keywordsTfidf]]): same
     * integer floor-log2 IDF bits, same (score desc, token asc) top-3. */
+  /** AMS-F2 mirror ([[graft.pipeline.DataOps.amsF2Skew]]): same ±1
+    * md5-parity signs, same one-aggregate Z/F2 sums (HUGEINT ≡ Spark
+    * DECIMAL(38,0)), same middle-two-mean median. */
+  val amsF2Skew: String = {
+    val r = DataOps.AmsGroups * DataOps.AmsPerGroup
+    val zSums = (0 until r).map { i =>
+      s"SUM(CAST(tf AS HUGEINT) * (1 - 2 * " +
+        s"(${h60(s"'ams$i:' || token")} % 2))) AS z$i"
+    }.mkString(",\n       |    ")
+    val gDefs = (0 until DataOps.AmsGroups).map { g =>
+      val terms = (0 until DataOps.AmsPerGroup)
+        .map(j => s"z${g * DataOps.AmsPerGroup + j} * " +
+          s"z${g * DataOps.AmsPerGroup + j}")
+        .mkString(" + ")
+      s"($terms) // ${DataOps.AmsPerGroup} AS g$g"
+    }.mkString(",\n       |    ")
+    s"""WITH $wrdsCte,
+       |t AS (SELECT unnest(w) AS token FROM wrds),
+       |tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY 1),
+       |z AS (
+       |  SELECT $zSums,
+       |    SUM(CAST(tf AS HUGEINT) * CAST(tf AS HUGEINT)) AS f2,
+       |    CAST(SUM(tf) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nd
+       |  FROM tf
+       |),
+       |g AS (
+       |  SELECT f2, n, nd,
+       |    $gDefs
+       |  FROM z
+       |),
+       |m AS (
+       |  SELECT f2, n, nd,
+       |    (g0 + g1 + g2 + g3 - GREATEST(g0, g1, g2, g3)
+       |      - LEAST(g0, g1, g2, g3)) // 2 AS f2a
+       |  FROM g
+       |)
+       |SELECT n AS n_occurrences, nd AS n_distinct,
+       |  CAST(f2 AS BIGINT) AS f2_exact, CAST(f2a AS BIGINT) AS f2_ams,
+       |  CAST(abs(f2a - f2) * 1000000 // f2 AS BIGINT) AS err_ppm
+       |FROM m""".stripMargin
+  }
+
   /** Zipf-fit mirror ([[graft.pipeline.DataOps.zipfFit]]): same
     * per-source frequency head, same floor-log2 points, same integer
     * OLS closed form (`//` ≡ Spark `div`, both truncate toward zero —

@@ -2204,6 +2204,60 @@ object DataOps {
     finish(out, tok)
   }
 
+  /** AMS estimator count: [[AmsGroups]] groups × [[AmsPerGroup]] sign
+    * estimators (median-of-means over 4×4). */
+  val AmsGroups = 4
+  val AmsPerGroup = 4
+
+  /** AMS F2 SKETCH (Alon, Matias & Szegedy 1996, "The space complexity
+    * of approximating the frequency moments") — the second-moment
+    * member of the sketch family beside CMS (point frequency), KMV
+    * (quantiles), HLL (distinct) and MG (heavy hitters): F2 = Σ tf² is
+    * the token-frequency self-join size, i.e. THE skew statistic a
+    * planner consults before hash-partitioning on a key. Each of the
+    * 16 estimators is one signed sum Z_r = Σ tf·s_r(token) with
+    * s_r = ±1 from md5 parity (fully replayable); the estimate is the
+    * median of [[AmsGroups]] means of Z², taken as
+    * `(Σg − max g − min g) div 2` — the exact middle-two mean, no sort.
+    * Output one row: (n_occurrences, n_distinct, f2_exact, f2_ams,
+    * err_ppm).
+    *
+    * 100 TB shape: all 16 Z-sums + the exact F2 ride in ONE hash
+    * aggregate over the vocab-bounded frequency relation (map-side
+    * partials; O(1) state per estimator — the sketch IS mergeable
+    * state); everything after is arithmetic on a 1-row frame. Squares
+    * are DECIMAL(38,0) (DuckDB HUGEINT) so web-scale F2 cannot
+    * overflow the sum. */
+  def amsF2Skew(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = AmsGroups * AmsPerGroup
+    val tf = docTokenCounts(spark, sfDir)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("tf"))
+    val zs = (0 until r).map { i =>
+      sum(col("tf") * (lit(1L) - lit(2L) *
+        pmod(hash60(concat(lit(s"ams$i:"), col("token"))), lit(2L))))
+        .cast("decimal(38,0)").as(s"z$i")
+    }
+    val agg = tf.agg(zs.head, zs.tail ++ Seq(
+      sum(col("tf").cast("decimal(38,0)") * col("tf").cast("decimal(38,0)"))
+        .as("f2"),
+      sum(col("tf")).as("n"), count(lit(1)).as("nd")): _*)
+    val gs = (0 until AmsGroups).map { g =>
+      val terms = (0 until AmsPerGroup)
+        .map(j => s"z${g * AmsPerGroup + j} * z${g * AmsPerGroup + j}")
+        .mkString(" + ")
+      expr(s"($terms) div ${AmsPerGroup}L").as(s"g$g")
+    }
+    agg.select(Seq(col("f2"), col("n"), col("nd")) ++ gs: _*)
+      .withColumn("f2a", expr(
+        "(g0 + g1 + g2 + g3 - greatest(g0, g1, g2, g3)" +
+          " - least(g0, g1, g2, g3)) div 2L"))
+      .select(col("n").as("n_occurrences"), col("nd").as("n_distinct"),
+        col("f2").cast("long").as("f2_exact"),
+        col("f2a").cast("long").as("f2_ams"),
+        expr("cast(abs(f2a - f2) * 1000000L div f2 as bigint)")
+          .as("err_ppm"))
+  }
+
   /** PMI collocations — pointwise-mutual-information strength for the
     * corpus's top-50 bigrams (Church & Hanks 1990, "Word Association
     * Norms, Mutual Information, and Lexicography"): the

@@ -674,6 +674,22 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("amsF2Skew: exact F2 matches a naive recount, estimate in bound") {
+    val row = DataOps.amsF2Skew(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val tf = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    assert(row._1 == tf.sum)
+    assert(row._2 == tf.size)
+    assert(row._3 == tf.map(x => x * x).sum)
+    assert(row._5 == math.abs(row._4 - row._3) * 1000000L / row._3)
+    // 4x4 median-of-means over ±1 md5 signs is deterministic — this is
+    // a regression pin, not a probabilistic bound
+    assert(row._5 <= 600000L, s"err_ppm ${row._5}")
+  }
+
   test("piiScan and piiRedact detect and mask the injected fixture PII") {
     // tinyDir doc ids 0..5: id 0 ≡ 0 mod 7, 11 AND 13 → email
     // "u0@ex0.org", ip "10.0.0.0", phone "+10-100-1000"; 1..5 get none
