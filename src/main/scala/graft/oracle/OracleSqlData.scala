@@ -1195,6 +1195,31 @@ object OracleSqlData {
       |  CAST(length(text) AS BIGINT) AS nchars
       |FROM documents""".stripMargin
 
+  /** Fertility mirror ([[graft.pipeline.DataOps.tokenFertility]]): the
+    * [[tokenCount]] expressions aggregated per source with the same
+    * truncating-integer ratios. */
+  val tokenFertility: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS bpe,
+      |    CAST(length(text) AS BIGINT) AS nc
+      |  FROM documents
+      |),
+      |a AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      |         CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+      |         CAST(SUM(nc) AS BIGINT) AS nchars
+      |  FROM m GROUP BY 1
+      |)
+      |SELECT source, n_docs, ws_tokens, bpe_tokens,
+      |  bpe_tokens * 1000000 // GREATEST(ws_tokens, 1) AS fertility_ppm,
+      |  nchars * 1000000 // GREATEST(bpe_tokens, 1) AS chars_per_bpe_ppm
+      |FROM a""".stripMargin
+
   val fingerprint: String =
     s"""WITH g AS (
        |  SELECT doc_id,

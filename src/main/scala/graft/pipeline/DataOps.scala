@@ -1364,6 +1364,29 @@ object DataOps {
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     tokenCountCols(docs(spark, sfDir))
 
+  /** TOKENIZER FERTILITY per source — the tokenizer-evaluation readout
+    * (fertility = subword tokens emitted per whitespace word; a
+    * tokenizer mismatched to a source shows fertility ≫ 1, the standard
+    * multilingual-tokenizer health metric): per source, document count,
+    * the two token totals, fertility in ppm and the compression view
+    * (chars per BPE-ish token, ppm). Exact integer ratios (truncating
+    * div), one projection + one hash aggregate onto the |sources|-row
+    * frame — nothing after the scan scales with the corpus. */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("source"),
+        size(words(col("text"))).cast("long").as("ws"),
+        bpeTokens(col("text")).as("bpe"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"), sum(col("nc")).as("nchars"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"),
+        expr("bpe_tokens * 1000000 div greatest(ws_tokens, 1)")
+          .as("fertility_ppm"),
+        expr("nchars * 1000000 div greatest(bpe_tokens, 1)")
+          .as("chars_per_bpe_ppm"))
+
   /** Document fingerprint: the 4 smallest distinct char-5-gram hash60
     * values (winnowing-style min-sketch), re-hashed to one MD5 — robust
     * to small edits, one projection pass. Output (doc_id, fp, n_grams).
@@ -2179,9 +2202,27 @@ object DataOps {
     * vocabulary aggregate; nothing unbounded shuffles. (At a truly
     * unbounded key domain the exact-head side switches to
     * [[heavyHitters]]; the sketch side is already domain-free.) */
+  /** Salt-row-r CMS bucket of a token (shared by the batch build and
+    * the live sketch stream). */
+  private[graft] def cmsBucket(r: Int, tok: Column): Column =
+    pmod(hash60(concat(lit(s"cms$r:"), tok)), lit(CmsW))
+
+  /** The CMS counter table of a (…, text) frame: (r, bucket, c) — the
+    * [[CmsD]]×[[CmsW]] sketch as a relation. Counts are ADDITIVE under
+    * accumulation, so this exact aggregation also runs as the
+    * update-mode live sketch
+    * ([[graft.streaming.StreamingOps.cmsSketchStream]]); state is the
+    * sketch itself, O(D·W) at any stream length. */
+  def cmsSketchCols(d: DataFrame): DataFrame =
+    d.select(explode(graft.functions.WordGramsExpr.grams(
+        SparkSession.active, col("text"), 1, distinct = false)).as("token"))
+      .select(posexplode(array((0 until CmsD).map(r =>
+        cmsBucket(r, col("token"))): _*)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   def cmsFrequency(spark: SparkSession, sfDir: String): DataFrame = {
-    def bucket(r: Int, tok: Column): Column =
-      pmod(hash60(concat(lit(s"cms$r:"), tok)), lit(CmsW))
+    def bucket(r: Int, tok: Column): Column = cmsBucket(r, tok)
     val tok = persistUnlessLazy(docs(spark, sfDir)
       .select(explode(graft.functions.WordGramsExpr.grams(spark,
         col("text"), 1, distinct = false)).as("token")))

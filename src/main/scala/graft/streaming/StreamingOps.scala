@@ -340,6 +340,18 @@ object StreamingOps {
     graft.pipeline.DataOps.kmvQuantilesFrame(
       docStream.sparkSession, docStream)
 
+  /** LIVE COUNT-MIN SKETCH — the frequency member of the live-sketch
+    * tier beside [[kmvQuantilesStream]] (quantiles) and the event-side
+    * HLL registers: CMS counters are ADDITIVE under accumulation, so
+    * the exact batch aggregation
+    * ([[graft.pipeline.DataOps.cmsSketchCols]]) runs as an update-mode
+    * streaming aggregation whose state IS the D×W sketch — O(D·W)
+    * state at any stream length, each update row a fresh (r, bucket)
+    * counter any point-frequency reader can probe. Pinned per-trigger ≡
+    * batch-over-prefix in StreamingSpec. */
+  def cmsSketchStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.cmsSketchCols(docStream)
+
   /** Ingest-time per-source document cap — the streaming counterpart of
     * [[graft.pipeline.DataOps.sourceCap]]: admit at most `k` documents
     * per source, holding ONE long (the admitted count) per source in

@@ -674,6 +674,25 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenFertility computes hand-checked integer ratios per source") {
+    // "ab cd-ef": ws = 2, bpe = [ab][cd][-][ef] = 4, chars = 8 →
+    // fertility = 2e6 ppm, chars/bpe = 2e6 ppm
+    val dir = Files.createTempDirectory("graft-fert").toString
+    Seq((0L, "ab cd-ef", "en", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DataOps.tokenFertility(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(("s0", 1L, 2L, 4L, 2000000L, 2000000L)))
+    // fixture consistency: per-source totals fold to the tokenCount sums
+    val fert = DataOps.tokenFertility(spark, SF)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val tc = DataOps.tokenCount(spark, SF)
+      .agg(sum(col("ws_tokens")), sum(col("bpe_tokens")))
+      .as[(Long, Long)].collect().head
+    assert(fert.map(_._3).sum == tc._1 && fert.map(_._4).sum == tc._2)
+  }
+
   test("amsF2Skew: exact F2 matches a naive recount, estimate in bound") {
     val row = DataOps.amsF2Skew(spark, SF)
       .as[(Long, Long, Long, Long, Long)].collect().head

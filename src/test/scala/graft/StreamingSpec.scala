@@ -475,6 +475,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsSketchStream: counters fold across triggers ≡ batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    val (a, b) = docRows.splitAt(docRows.size / 2)
+    def batchOf(rows: Seq[DocRow]) = graft.pipeline.DataOps
+      .cmsSketchCols(rows.toDF())
+      .as[(Int, Long, Long)].collect().toSeq
+    val in = MemoryStream[DocRow]
+    val name = freshQueryName("cmss")
+    val q = StreamingOps.cmsSketchStream(in.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name).as[(Int, Long, Long)].collect().toSeq
+      assert(s1.sorted == batchOf(a).sorted, "trigger 1 != batch(a)")
+      in.addData(b); q.processAllAvailable()
+      // every trigger-2 update row must already equal the full-corpus
+      // counter for its (r, bucket): counts are additive, so state loss
+      // shows as a batch-2-only count here
+      val all = spark.table(name).as[(Int, Long, Long)].collect().toSeq
+      val s2 = all.diff(s1)
+      val full = batchOf(docRows).map(r => (r._1, r._2) -> r._3).toMap
+      assert(s2.nonEmpty)
+      s2.foreach { case (r, bkt, c) =>
+        assert(c == full((r, bkt)), s"counter ($r,$bkt) lost state")
+      }
+      // final sink state (trigger-2 rows over trigger-1 rows) ≡ batch
+      val finalRegs = s1.map(r => (r._1, r._2) -> r._3).toMap ++
+        s2.map(r => (r._1, r._2) -> r._3).toMap
+      assert(finalRegs == full)
+      // the micro-batch boundary genuinely re-emitted carried buckets
+      assert(s2.map(r => (r._1, r._2)).toSet
+        .intersect(s1.map(r => (r._1, r._2)).toSet).nonEmpty)
+    } finally q.stop()
+  }
+
   test("curationStream keep bits equal the batch stateless gates") {
     implicit val sqlCtx = spark.sqlContext
     val docRows = spark.read.parquet(s"$SF/documents.parquet")
