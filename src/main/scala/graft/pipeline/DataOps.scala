@@ -1695,30 +1695,28 @@ object DataOps {
     * ABOVE [[annPq]]'s in DataOpsSpec (scalar codes lose far less than
     * 16-cell product codes on structureless embeddings).
     *
-    * 100 TB shape: codes and affine params derive in ONE scan pass (no
-    * self-join — `array_min`/`max` are per-row); the query elements are
-    * a broadcast; the ADC sum is a map-side-combining aggregate on
-    * (q_id, vec_id); shortlist and final rank are the bounded
-    * [[graft.functions.TopKAgg]] aggregates. */
+    * 100 TB shape: the 254×-scaled reconstruction derives in ONE
+    * compiled pass per vector ([[graft.functions.Sq8ReconExpr]] — no
+    * per-element explode, which would multiply the scan by the
+    * dimension count); the query set broadcasts over that single scan
+    * and each (vector, query) pair costs one fused
+    * [[graft.functions.VecDotExpr]] — the [[annBrute]] plan shape on
+    * the compressed representation; shortlist and final rank are the
+    * bounded [[graft.functions.TopKAgg]] aggregates. */
   def annSq(spark: SparkSession, sfDir: String): DataFrame = {
     val v = emb(spark, sfDir)
-    val el = v
-      .select(col("vec_id"),
-        array_min(col("em")).as("mn"),
-        (array_max(col("em")) - array_min(col("em"))).as("rng"),
-        posexplode(col("em")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        (lit(254L) * col("mn") +
-          (when(col("rng") > 0,
-            round((col("x") - col("mn")).cast("double") * 254.0 /
-              col("rng").cast("double")).cast("long") - 127L)
-            .otherwise(0L) + 127L) * col("rng")).as("r254"))
     val q = annQueries(spark, sfDir)
-    val qel = q.select(col("q_id"), posexplode(col("qem")).as(Seq("i", "qx")))
-    val ad = el.join(broadcast(qel), Seq("i"))
+    // Persisted projection barrier: CollapseProject would otherwise
+    // inline sq8_recon into the post-join select and recompute the
+    // reconstruction PER (vector, query) PAIR — Q× the scan's work.
+    val recon = persistUnlessLazy(v.select(col("vec_id"),
+      graft.functions.Sq8ReconExpr.recon(spark, col("em")).as("r254")))
+    val ad = recon
+      .crossJoin(broadcast(q.select(col("q_id"), col("qem"))))
       .where(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("qx") * col("r254")).as("ad"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VecDotExpr.dot(spark, col("qem"), col("r254"))
+          .as("ad"))
     val short = ad.groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg.topK(spark,
         struct(col("ad").as("d"), (-col("vec_id")).as("nn")),
@@ -1730,7 +1728,7 @@ object DataOps {
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
-    rankTopK(spark, rescored, 10)
+    finish(rankTopK(spark, rescored, 10), recon)
   }
 
   /** Contamination shingle width: contiguous token n-grams compared

@@ -196,6 +196,25 @@ class NativeExprPropertiesSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("Sq8ReconExpr equals the composed reconstruction on random vectors") {
+    val vecs: Seq[Seq[Long]] = (0 until 300).map { i =>
+      val r = new scala.util.Random(1000 + i)
+      Seq.fill(1 + r.nextInt(80))(r.nextLong() % 4000000L)
+    } :+ Seq(5L, 5L, 5L) :+ Seq(0L) :+ Seq(-3L, 3L)
+    val df = vecs.toDF("v")
+    val mn = array_min(col("v"))
+    val rng = array_max(col("v")) - array_min(col("v"))
+    val composed = transform(col("v"), x =>
+      lit(254L) * mn +
+        (when(rng > 0,
+          round((x - mn).cast("double") * 254.0 / rng.cast("double"))
+            .cast("long") - 127L).otherwise(0L) + 127L) * rng)
+    val diff = df.where(not(
+        graft.functions.Sq8ReconExpr.recon(spark, col("v")) === composed))
+      .count()
+    assert(diff == 0)
+  }
+
   test("Int8QuantExpr equals the composed quantization on random vectors") {
     val vecs: Seq[Seq[Long]] = (0 until 300).map { i =>
       val r = new scala.util.Random(i + 7)
