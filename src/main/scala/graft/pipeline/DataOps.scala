@@ -1234,6 +1234,87 @@ object DataOps {
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Cavnar-Trenkle profile width: top-K trigrams per language / doc. */
+  val CtProfK = 40
+
+  /** N-GRAM RANK-DISTANCE LANGUAGE ID (Cavnar & Trenkle 1994, "N-Gram-
+    * Based Text Categorization" — the textcat algorithm) beside
+    * [[langId]]'s stopword argmax: per-language profiles are the
+    * [[CtProfK]] most frequent char-trigram hashes of that label's own
+    * corpus text (SELF-TRAINED from the `lang` column, the
+    * [[graft.nlp.MlSentiment]] discipline), a document's profile is its
+    * own top-[[CtProfK]] trigrams, and the prediction is the language
+    * minimizing the OUT-OF-PLACE distance: Σ over doc-profile grams of
+    * |doc rank − language rank|, with out-of-profile grams costing the
+    * maximum [[CtProfK]]. Ties (count, then distance) break on gram
+    * hash / language asc, so both engines pick identical profiles and
+    * predictions. Docs shorter than one trigram predict 'und'. Output
+    * (doc_id, lang, lang_pred, dist) — label kept so the confusion
+    * readout is one aggregate away.
+    *
+    * Trigram unit = hash60 of the code-point 3-gram (the compiled
+    * [[graft.functions.CharGramHashesExpr]] pass) — ranks only ever
+    * compare counts, so the gram STRING never shuffles.
+    *
+    * 100 TB shape: the whole per-doc profile build is ONE compiled pass
+    * ([[graft.functions.CharGramCountsExpr]] — hash map + sort per
+    * document, pipelined with the scan; no gram-occurrence explode, no
+    * (doc, hash) aggregate shuffle), so doc profiles need NO shuffle at
+    * all (a codegen `slice` of the sorted pairs); the language profile
+    * sums the per-doc DISTINCT-gram counts (≤ the occurrence relation)
+    * in one vocab-bounded aggregate whose L·K result BROADCASTS; the
+    * distance frame is N·L rows of pure arithmetic. */
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val gc = persistUnlessLazy(d.select(col("doc_id"), col("lang"),
+      graft.functions.CharGramCountsExpr.counts(
+        spark, col("text"), 3).as("gc")))
+    // Pinned (localCheckpoint): the L·K-row profile feeds BOTH the
+    // matched join's broadcast and the language list — without the pin
+    // its corpus-sized aggregate subplan would execute twice.
+    val langProf = pin(gc
+      .select(col("lang"), explode(col("gc")).as("e"))
+      .select(col("lang"), col("e.h").as("h"), col("e.c").as("c0"))
+      .groupBy(col("lang"), col("h"))
+      .agg(sum(col("c0")).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("h").asc)).cast("long"))
+      .where(col("lrank") <= CtProfK)
+      .select(col("lang").as("plang"), col("h"), col("lrank")))
+    // Doc profile = the first K of the expression's (count desc, hash
+    // asc)-sorted pairs — shuffle-free by construction.
+    val docProf = gc
+      .select(col("doc_id"),
+        posexplode(slice(col("gc"), 1, CtProfK)).as(Seq("i", "e")))
+      .select(col("doc_id"), col("e.h").as("h"),
+        (col("i") + 1).cast("long").as("drank"))
+    val nProf = docProf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_prof"))
+    val langs = langProf.select(col("plang")).distinct()
+    val matched = docProf.join(broadcast(langProf), Seq("h"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(abs(col("drank") - col("lrank"))).as("s"),
+        count(lit(1)).as("m"))
+    val dist = nProf.crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "plang"), "left")
+      .select(col("doc_id"), col("plang"),
+        (coalesce(col("s"), lit(0L)) +
+          (col("n_prof") - coalesce(col("m"), lit(0L))) *
+            lit(CtProfK.toLong)).as("dist"))
+    val best = dist.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("dist").asc, col("plang").asc)))
+      .where(col("rnk") === 1)
+      .select(col("doc_id"), col("plang"), col("dist"))
+    finish(d.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("plang"), lit("und")).as("lang_pred"),
+        coalesce(col("dist"), lit(0L)).as("dist")),
+      gc)
+  }
+
   /** Stateless projection form of [[langId]] — the shape the streaming
     * ingest twin runs: per-language occurrence hits via broadcast-literal
     * profile arrays, argmax by (hits desc, lang asc) through one

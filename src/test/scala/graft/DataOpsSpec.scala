@@ -674,6 +674,34 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("langIdNgram separates crafted trigram languages; short docs und") {
+    // Two "languages" with disjoint trigram alphabets: self-trained
+    // profiles must classify every doc as its own label; doc 4 is
+    // shorter than one trigram -> 'und' with dist 0
+    val dir = Files.createTempDirectory("graft-ct").toString
+    Seq(
+      (0L, "ababab ababab abab", "aa", "s0"),
+      (1L, "babab ababa babab", "aa", "s0"),
+      (2L, "cdcdcd cdcdcd cdcd", "bb", "s0"),
+      (3L, "dcdcd cdcdc dcdcd", "bb", "s0"),
+      (4L, "xy", "aa", "s0"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DataOps.langIdNgram(spark, dir)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.size == 5)
+    rows.take(4).foreach { case (_, lang, pred, dist) =>
+      assert(pred == lang && dist >= 0L)
+    }
+    assert(rows(4) == ((4L, "aa", "und", 0L)))
+    // fixture shape: one verdict per doc, non-negative distances
+    val full = DataOps.langIdNgram(spark, SF)
+      .as[(Long, String, String, Long)].collect()
+    assert(full.length == spark.read.parquet(s"$SF/documents.parquet").count())
+    assert(full.forall(_._4 >= 0L))
+  }
+
   test("tokenFertility computes hand-checked integer ratios per source") {
     // "ab cd-ef": ws = 2, bpe = [ab][cd][-][ef] = 4, chars = 8 →
     // fertility = 2e6 ppm, chars/bpe = 2e6 ppm

@@ -196,6 +196,30 @@ class NativeExprPropertiesSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("CharGramCountsExpr equals a naive JVM profile on random text") {
+    val texts = sample(200) ++ Seq("", "ab", "abc", "AAAAAA",
+      "ÜBER naïve 漢字漢字漢字")
+    def jvmHash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def naive(t: String): Seq[(Long, Long)] = {
+      val cps = t.toLowerCase.codePoints().toArray
+      val m = cps.length - 2
+      if (m <= 0) return Seq.empty
+      (0 until m).map(i => jvmHash60(new String(cps, i, 3)))
+        .groupBy(identity).map { case (h, o) => (h, o.size.toLong) }
+        .toSeq.sortBy { case (h, c) => (-c, h) }
+    }
+    val got = texts.toDF("t")
+      .select(graft.functions.CharGramCountsExpr
+        .counts(spark, col("t"), 3).as("gc"))
+      .as[Seq[(Long, Long)]].collect().toSeq
+    assert(got == texts.map(naive))
+  }
+
   test("Sq8ReconExpr equals the composed reconstruction on random vectors") {
     val vecs: Seq[Seq[Long]] = (0 until 300).map { i =>
       val r = new scala.util.Random(1000 + i)
