@@ -227,5 +227,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "lang_hits(tokens)")
         LangHitsExpr(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(
+        classOf[CharGramHashesExpr].getCanonicalName, "char_gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable &&
+          children(1).dataType == IntegerType,
+          "char_gram_hashes(text, k) requires a literal k")
+        val k = children(1).eval().asInstanceOf[Int]
+        require(k >= 1, s"char_gram_hashes requires k >= 1, got $k")
+        CharGramHashesExpr(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_gram_counts"),
+      new ExpressionInfo(
+        classOf[CharGramCountsExpr].getCanonicalName, "char_gram_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable &&
+          children(1).dataType == IntegerType,
+          "char_gram_counts(text, k) requires a literal k")
+        val k = children(1).eval().asInstanceOf[Int]
+        require(k >= 1, s"char_gram_counts requires k >= 1, got $k")
+        CharGramCountsExpr(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_recon"),
+      new ExpressionInfo(
+        classOf[Sq8ReconExpr].getCanonicalName, "sq8_recon"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "sq8_recon(vec)")
+        Sq8ReconExpr(children.head)
+      }))
   }
 }

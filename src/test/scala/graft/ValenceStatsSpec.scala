@@ -112,6 +112,17 @@ class ValenceStatsSpec extends SparkSpec {
       val vd = s2.sql("SELECT vec_dot(array(1L, 2L), array(3L, 4L))")
         .head().getLong(0)
       assert(vd == 11L)
+      // the round-10 fused expressions ride the same injection
+      val ch = s2.sql("SELECT char_gram_hashes('abcd', 3)")
+        .head().getSeq[Long](0)
+      assert(ch.length == 2 && ch.forall(_ >= 0L))
+      val cc = s2.sql("SELECT char_gram_counts('aaaa', 3)[0].c")
+        .head().getLong(0)
+      assert(cc == 2L) // "aaa" twice
+      // constant vector: rng = 0, every code 0 -> recon = 254*mn
+      val sr = s2.sql("SELECT sq8_recon(array(5L, 5L))")
+        .head().getSeq[Long](0)
+      assert(sr == Seq(1270L, 1270L))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
