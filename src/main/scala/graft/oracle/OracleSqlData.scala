@@ -1423,6 +1423,39 @@ object OracleSqlData {
 
   /** Unigram-surprisal mirror: identical exact-integer bits
     * (length(bin(N // tf)) - 1), identical truncating micro division. */
+  /** CCNet-bucket mirror ([[graft.pipeline.DataOps.qualityBuckets]]):
+    * the [[unigramSurprisal]] query inlined (the [[dupTriangles]]
+    * nested-WITH pattern), same histogram rank-picked tertile
+    * thresholds (RANGE cumulative frames in both engines), same
+    * ≤-threshold bucket rule. */
+  lazy val qualityBuckets: String =
+    s"""WITH us AS ($unigramSurprisal),
+       |sc AS (
+       |  SELECT d.doc_id, d.lang, us.bits_per_tok_micro AS score
+       |  FROM documents d JOIN us ON us.doc_id = d.doc_id
+       |),
+       |hist AS (
+       |  SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM sc GROUP BY 1, 2
+       |),
+       |cum AS (
+       |  SELECT lang, score, c,
+       |         SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+       |         SUM(c) OVER (PARTITION BY lang) AS n
+       |  FROM hist
+       |),
+       |th AS (
+       |  SELECT lang,
+       |         MIN(CASE WHEN 3 * cum >= n THEN score END) AS t1,
+       |         MIN(CASE WHEN 3 * cum >= 2 * n THEN score END) AS t2
+       |  FROM cum GROUP BY 1
+       |)
+       |SELECT sc.doc_id, sc.lang, sc.score AS bits_per_tok_micro,
+       |  CASE WHEN sc.score <= th.t1 THEN 'head'
+       |       WHEN sc.score <= th.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sc JOIN th ON th.lang = sc.lang""".stripMargin
+
   val unigramSurprisal: String =
     s"""WITH $wrdsCte,
        |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),

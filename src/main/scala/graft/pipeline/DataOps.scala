@@ -2580,6 +2580,47 @@ object DataOps {
     finish(out, dt)
   }
 
+  /** CCNET QUALITY BUCKETS (Wenzek et al. 2020, "CCNet: Extracting
+    * high-quality monolingual datasets from web crawl data" §4.3) —
+    * the head/middle/tail split CCNet cuts each language into by LM
+    * perplexity, here on [[unigramSurprisal]]'s exact-integer
+    * bits-per-token proxy: per language, t1/t2 are the minimal scores
+    * whose cumulative doc count reaches n/3 and 2n/3 (exact histogram
+    * rank-picks — the [[lengthQuantiles]] discipline, no per-language
+    * row sort), and a doc buckets `head` (score ≤ t1, most fluent),
+    * `middle` (≤ t2) or `tail`. Ties share a bucket by construction
+    * (cumulative counts use RANGE frames in both engines). Output
+    * (doc_id, lang, bits_per_tok_micro, bucket).
+    *
+    * 100 TB shape: the histogram aggregates per (lang, DISTINCT score)
+    * — bounded by distinct score values, far below doc count; the
+    * cumulative window walks that reduced relation; thresholds are an
+    * L-row frame broadcast back into the scoring scan. */
+  def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = persistUnlessLazy(unigramSurprisal(spark, sfDir)
+      .select(col("doc_id"), col("bits_per_tok_micro").as("score"))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("lang")),
+        Seq("doc_id")))
+    val hist = sc.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("score"))))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("lang"))))
+    val th = cum.groupBy(col("lang")).agg(
+      min(when(lit(3L) * col("cum") >= col("n"), col("score"))).as("t1"),
+      min(when(lit(3L) * col("cum") >= lit(2L) * col("n"), col("score")))
+        .as("t2"))
+    finish(sc.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        col("score").as("bits_per_tok_micro"),
+        when(col("score") <= col("t1"), lit("head"))
+          .when(col("score") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket")),
+      sc)
+  }
+
   /** BIGRAM-LM SURPRISAL — the CONDITIONAL tier beside
     * [[unigramSurprisal]] (CCNet scores quality with an n-gram LM; the
     * bigram form is the largest n the exact-integer discipline affords):

@@ -674,6 +674,27 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityBuckets cuts ordered tertiles per language") {
+    val rows = DataOps.qualityBuckets(spark, SF)
+      .as[(Long, String, Long, String)].collect().toSeq
+    val nDocs = spark.read.parquet(s"$SF/documents.parquet").count()
+    assert(rows.size == nDocs)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.size
+      val h = rs.filter(_._4 == "head").map(_._3)
+      val m = rs.filter(_._4 == "middle").map(_._3)
+      val t = rs.filter(_._4 == "tail").map(_._3)
+      assert(h.size + m.size + t.size == n, s"$lang: unknown bucket")
+      // rank-pick guarantees: head covers >= n/3, head+middle >= 2n/3
+      assert(3 * h.size >= n, s"$lang head ${h.size}/$n")
+      assert(3 * (h.size + m.size) >= 2 * n, s"$lang h+m")
+      // buckets are score-ordered: head < middle < tail strictly
+      if (h.nonEmpty && m.nonEmpty) assert(h.max < m.min)
+      if (m.nonEmpty && t.nonEmpty) assert(m.max < t.min)
+      if (h.nonEmpty && t.nonEmpty) assert(h.max < t.min)
+    }
+  }
+
   test("langIdNgram separates crafted trigram languages; short docs und") {
     // Two "languages" with disjoint trigram alphabets: self-trained
     // profiles must classify every doc as its own label; doc 4 is
