@@ -1817,6 +1817,38 @@ object OracleSqlData {
        |         AS intercept_micro
        |FROM s""".stripMargin
 
+  /** Ranked-retrieval mirror ([[graft.pipeline.DataOps.tfidfSearch]]):
+    * same 3-term distinctiveness query head, same integer tf·idf_bits
+    * scoring, same (score desc, doc_id asc) top-10. */
+  val tfidfSearch: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),
+       |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM t GROUP BY 1, 2),
+       |vocab AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS tf,
+       |                 CAST(COUNT(*) AS BIGINT) AS df
+       |          FROM dt GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |q AS (
+       |  SELECT token,
+       |         CAST(length(bin(n.n // df)) - 1 AS BIGINT) AS idf_bits
+       |  FROM vocab, n
+       |  ORDER BY tf * (length(bin(n.n // df)) - 1) DESC, token ASC
+       |  LIMIT 3
+       |),
+       |sc AS (
+       |  SELECT dt.doc_id,
+       |         CAST(SUM(dt.cnt * q.idf_bits) AS BIGINT) AS score,
+       |         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+       |  FROM dt JOIN q USING (token) GROUP BY 1
+       |)
+       |SELECT doc_id, score, rnk, n_terms_hit FROM (
+       |  SELECT doc_id, score, n_terms_hit,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+       |           AS BIGINT) AS rnk
+       |  FROM sc WHERE score > 0
+       |) WHERE rnk <= 10""".stripMargin
+
   val keywordsTfidf: String =
     s"""WITH $wrdsCte,
        |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),

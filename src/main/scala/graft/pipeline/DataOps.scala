@@ -1193,6 +1193,45 @@ object DataOps {
         min(col("strt")).cast("long").as("first_pos"))
   }
 
+  /** RANKED RETRIEVAL over the [[invertedIndex]] tier — the scored
+    * search primitive beside [[phraseSearch]]'s exact positional match:
+    * rank all documents for a query by Σ tf(doc, term)·idf_bits(term)
+    * (the integer tf-idf of [[keywordsTfidf]], applied as the retrieval
+    * function — the lucene-classic shape with the engine's exact
+    * `length(bin(N div df))−1` integer IDF; BM25's float saturation is
+    * deliberately out of integer-discipline scope). The query is a
+    * deterministic stand-in: the corpus's 3 most distinctive frequent
+    * terms (global tf·idf_bits desc, token asc — what a search QC
+    * harness probes its own index with). Output the top-10
+    * (doc_id, score, rnk, n_terms_hit).
+    *
+    * 100 TB shape: the 3-row query head BROADCASTS into the bounded
+    * (doc, token, cnt) relation (never the reverse); the per-doc sum is
+    * one hash aggregate; the final top-10 is TakeOrderedAndProject
+    * (bounded). */
+  def tfidfSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = persistUnlessLazy(docTokenCounts(spark, sfDir))
+    val vocab = dt.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+    val ndocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val query = vocab.crossJoin(broadcast(ndocs))
+      .select(col("token"),
+        (length(bin(expr("n div df"))) - 1).cast("long").as("idf_bits"),
+        (col("tf") * (length(bin(expr("n div df"))) - 1).cast("long"))
+          .as("gscore"))
+      .orderBy(col("gscore").desc, col("token").asc).limit(3)
+    val out = dt.join(broadcast(query), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("idf_bits")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("score"), col("rnk"), col("n_terms_hit"))
+    finish(out, dt)
+  }
+
   // =================================================================
   // Text-analysis family
   // =================================================================

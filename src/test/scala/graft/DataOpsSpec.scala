@@ -674,6 +674,20 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("tfidfSearch returns a ranked positive-score top-10") {
+    val rows = DataOps.tfidfSearch(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(rows.nonEmpty && rows.size <= 10)
+    assert(rows.map(_._3) == (1L to rows.size))
+    assert(rows.forall(r => r._2 > 0 && r._4 >= 1 && r._4 <= 3))
+    // ranks descend by score, ties broken by doc_id asc
+    rows.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ =>
+    }
+  }
+
   test("qualityBuckets cuts ordered tertiles per language") {
     val rows = DataOps.qualityBuckets(spark, SF)
       .as[(Long, String, Long, String)].collect().toSeq
