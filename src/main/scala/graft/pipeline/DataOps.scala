@@ -1304,15 +1304,26 @@ object DataOps {
     * in one vocab-bounded aggregate whose L·K result BROADCASTS; the
     * distance frame is N·L rows of pure arithmetic. */
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val gc = persistUnlessLazy(d.select(col("doc_id"), col("lang"),
-      graft.functions.CharGramCountsExpr.counts(
-        spark, col("text"), 3).as("gc")))
+    val gc = persistUnlessLazy(ctGramCounts(spark, docs(spark, sfDir)))
     // Pinned (localCheckpoint): the L·K-row profile feeds BOTH the
     // matched join's broadcast and the language list — without the pin
     // its corpus-sized aggregate subplan would execute twice.
-    val langProf = pin(gc
-      .select(col("lang"), explode(col("gc")).as("e"))
+    val langProf = pin(ctProfilesFromCounts(gc))
+    finish(ctScoreCounts(gc, langProf), gc)
+  }
+
+  /** (doc_id, lang, gc) gram-count frame of a (doc_id, lang, text)
+    * input — the shared feed of the profile TRAIN and SCORE halves. */
+  private[graft] def ctGramCounts(spark: SparkSession,
+      d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"),
+      graft.functions.CharGramCountsExpr.counts(
+        spark, col("text"), 3).as("gc"))
+
+  /** TRAIN half: the L·[[CtProfK]] profile relation
+    * (plang, h, lrank) from a gram-count frame. */
+  private[graft] def ctProfilesFromCounts(gc: DataFrame): DataFrame =
+    gc.select(col("lang"), explode(col("gc")).as("e"))
       .select(col("lang"), col("e.h").as("h"), col("e.c").as("c0"))
       .groupBy(col("lang"), col("h"))
       .agg(sum(col("c0")).as("c"))
@@ -1320,7 +1331,14 @@ object DataOps {
         Window.partitionBy(col("lang"))
           .orderBy(col("c").desc, col("h").asc)).cast("long"))
       .where(col("lrank") <= CtProfK)
-      .select(col("lang").as("plang"), col("h"), col("lrank")))
+      .select(col("lang").as("plang"), col("h"), col("lrank"))
+
+  /** SCORE half: classify a gram-count frame against a (small, pinned)
+    * profile relation — per-doc work only, so the same code serves the
+    * self-trained batch query and the train-offline/score-online store
+    * path ([[graft.sources.LangProfileStore]]). */
+  private[graft] def ctScoreCounts(gc: DataFrame,
+      langProf: DataFrame): DataFrame = {
     // Doc profile = the first K of the expression's (count desc, hash
     // asc)-sorted pairs — shuffle-free by construction.
     val docProf = gc
@@ -1346,12 +1364,11 @@ object DataOps {
           .orderBy(col("dist").asc, col("plang").asc)))
       .where(col("rnk") === 1)
       .select(col("doc_id"), col("plang"), col("dist"))
-    finish(d.select(col("doc_id"), col("lang"))
+    gc.select(col("doc_id"), col("lang"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("plang"), lit("und")).as("lang_pred"),
-        coalesce(col("dist"), lit(0L)).as("dist")),
-      gc)
+        coalesce(col("dist"), lit(0L)).as("dist"))
   }
 
   /** Stateless projection form of [[langId]] — the shape the streaming

@@ -264,6 +264,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming classification over the persistent Cavnar-Trenkle
+    * profile store ([[graft.sources.LangProfileStore]]) — the
+    * train-offline/score-online production shape: each micro-batch of
+    * documents classifies as a BATCH against the stored (broadcast,
+    * KB-sized) profile relation via `foreachBatch`, appending
+    * (doc_id, lang, lang_pred, dist) to `outDir`. Per-doc predictions
+    * depend only on the store and the doc's own trigrams, so results
+    * are independent of micro-batch boundaries — stream ≡ the
+    * self-trained batch query pinned in StreamingSpec. */
+  def classifyAgainstStream(docStream: DataFrame, storeDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.LangProfileStore
+          .classifyAgainst(batch.sparkSession, batch.toDF(), storeDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Ingest-time language ID — the streaming twin of
     * [[graft.pipeline.DataOps.langId]]: the stateless projection form
     * ([[graft.pipeline.DataOps.langIdCols]] — broadcast-literal profile

@@ -183,6 +183,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming classify over the LangProfileStore == self-trained batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-ctstore").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-ctstore-out")
+        .toString + "/preds"
+    graft.sources.LangProfileStore.build(spark, SF, storeDir)
+    val docRows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val (b1, b2) = docRows.splitAt(docRows.size / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.classifyAgainstStream(
+      in.toDF().toDF("doc_id", "lang", "text"), storeDir, outDir)
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(outDir)
+        .as[(Long, String, String, Long)].collect().toSet
+      in.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(afterB1.nonEmpty && streamed.size > afterB1.size)
+      // store trained on the same corpus -> two micro-batches must
+      // equal the self-trained batch query exactly
+      val batch = graft.pipeline.DataOps.langIdNgram(spark, SF)
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming ANN over the PqIndex store, two micro-batches == batch probe") {
     implicit val sqlCtx = spark.sqlContext
     val indexDir =
