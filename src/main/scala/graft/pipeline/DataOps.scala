@@ -1510,7 +1510,15 @@ object DataOps {
     * div), one projection + one hash aggregate onto the |sources|-row
     * frame — nothing after the scan scales with the corpus. */
   def tokenFertility(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).select(col("source"),
+    tokenFertilityCols(docs(spark, sfDir))
+
+  /** Column form of [[tokenFertility]] over any (source, text) frame —
+    * the sums are ADDITIVE and the ratios derive from them, so this
+    * exact aggregation also runs as the update-mode live readout
+    * ([[graft.streaming.StreamingOps.tokenFertilityStream]]); state is
+    * four longs per source. */
+  def tokenFertilityCols(d: DataFrame): DataFrame =
+    d.select(col("source"),
         size(words(col("text"))).cast("long").as("ws"),
         bpeTokens(col("text")).as("bpe"),
         length(col("text")).cast("long").as("nc"))
@@ -1841,13 +1849,25 @@ object DataOps {
     * the compressed representation; shortlist and final rank are the
     * bounded [[graft.functions.TopKAgg]] aggregates. */
   def annSq(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = emb(spark, sfDir)
-    val q = annQueries(spark, sfDir)
     // Persisted projection barrier: CollapseProject would otherwise
     // inline sq8_recon into the post-join select and recompute the
     // reconstruction PER (vector, query) PAIR — Q× the scan's work.
-    val recon = persistUnlessLazy(v.select(col("vec_id"),
-      graft.functions.Sq8ReconExpr.recon(spark, col("em")).as("r254")))
+    val recon = persistUnlessLazy(sqRecon(spark, emb(spark, sfDir)))
+    finish(sqProbe(spark, annQueries(spark, sfDir), recon,
+      emb(spark, sfDir)), recon)
+  }
+
+  /** The SQ8 "index": the 254×-scaled reconstruction relation
+    * (vec_id, r254) — what [[graft.sources.SqIndex]] persists. */
+  private[graft] def sqRecon(spark: SparkSession, v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      graft.functions.Sq8ReconExpr.recon(spark, col("em")).as("r254"))
+
+  /** The probe-only half of [[annSq]] — shared verbatim by the fresh
+    * path above and the persistent [[graft.sources.SqIndex]] store, so
+    * the two are plan-identical by construction. */
+  private[graft] def sqProbe(spark: SparkSession, q: DataFrame,
+      recon: DataFrame, v: DataFrame): DataFrame = {
     val ad = recon
       .crossJoin(broadcast(q.select(col("q_id"), col("qem"))))
       .where(col("vec_id") =!= col("q_id"))
@@ -1865,7 +1885,7 @@ object DataOps {
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
-    finish(rankTopK(spark, rescored, 10), recon)
+    rankTopK(spark, rescored, 10)
   }
 
   /** Contamination shingle width: contiguous token n-grams compared

@@ -361,6 +361,16 @@ object StreamingOps {
     graft.pipeline.DataOps.kmvQuantilesFrame(
       docStream.sparkSession, docStream)
 
+  /** LIVE TOKENIZER-FERTILITY READOUT — the update-mode twin of
+    * [[graft.pipeline.DataOps.tokenFertility]]: the per-source sums are
+    * additive under accumulation and the ppm ratios derive from them,
+    * so the exact batch aggregation runs as an update-mode streaming
+    * aggregation holding four longs per source — the live
+    * tokenizer-health dashboard feed. Pinned per-trigger ≡
+    * batch-over-prefix in StreamingSpec. */
+  def tokenFertilityStream(docStream: DataFrame): DataFrame =
+    graft.pipeline.DataOps.tokenFertilityCols(docStream)
+
   /** LIVE COUNT-MIN SKETCH — the frequency member of the live-sketch
     * tier beside [[kmvQuantilesStream]] (quantiles) and the event-side
     * HLL registers: CMS counters are ADDITIVE under accumulation, so

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DataOps
+import graft.sources.SqIndex
+
+/** The persistent SQ store ([[SqIndex]]) must serve EXACTLY what the
+  * fresh-model probe computes: the reconstruction relation is exact
+  * integers, so the parquet round-trip is lossless and the probe over
+  * the store is plan-identical to [[DataOps.annSq]]'s second half. */
+class SqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long, Long, Long)].collect().toSet
+
+  test("the store round-trip reproduces annSq exactly") {
+    assert(rows(SqIndex.annSqIndexed(spark, SF)) ==
+      rows(DataOps.annSq(spark, SF)))
+  }
+
+  test("one build serves two query batches, identical to the fresh model") {
+    val dir = Files.createTempDirectory("graft-sqidx").toString
+    SqIndex.build(spark, SF, dir)
+    // the store is complete: one reconstruction row per vector
+    val nVec = spark.read.parquet(s"$SF/embeddings.parquet").count()
+    assert(spark.read.parquet(s"$dir/recon").count() == nVec)
+
+    val q = DataOps.annQueries(spark, SF)
+    val b1 = SqIndex.queryAgainst(spark,
+      q.where(col("q_id") % 100 === 0), dir, SF)
+    val b2 = SqIndex.queryAgainst(spark,
+      q.where(col("q_id") % 100 =!= 0), dir, SF)
+    val full = rows(DataOps.annSq(spark, SF))
+    assert(rows(b1).nonEmpty && rows(b2).nonEmpty)
+    assert((rows(b1) ++ rows(b2)) == full)
+    // disjoint batches: per-query answers are independent of the batch
+    assert(rows(b1).map(_._1).intersect(rows(b2).map(_._1)).isEmpty)
+  }
+}

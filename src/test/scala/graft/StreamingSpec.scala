@@ -508,6 +508,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenFertilityStream: per-source sums fold across triggers ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    val (a, b) = docRows.splitAt(docRows.size / 2)
+    def batchOf(rows: Seq[DocRow]) = graft.pipeline.DataOps
+      .tokenFertilityCols(rows.toDF())
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val in = MemoryStream[DocRow]
+    val name = freshQueryName("tfs")
+    val q = StreamingOps.tokenFertilityStream(in.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(s1.sorted == batchOf(a).sorted, "trigger 1 != batch(a)")
+      in.addData(b); q.processAllAvailable()
+      val all = spark.table(name)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      val s2 = all.diff(s1)
+      val full = batchOf(docRows).map(r => r._1 -> r).toMap
+      assert(s2.nonEmpty)
+      s2.foreach { r => assert(r == full(r._1), s"source ${r._1}") }
+      val finalRows =
+        s1.map(r => r._1 -> r).toMap ++ s2.map(r => r._1 -> r).toMap
+      assert(finalRows == full)
+    } finally q.stop()
+  }
+
   test("cmsSketchStream: counters fold across triggers ≡ batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     val docRows = spark.read.parquet(s"$SF/documents.parquet")
