@@ -1232,6 +1232,57 @@ object DataOps {
     finish(out, dt)
   }
 
+  /** EXACT-INTEGER BM25 (Robertson-Spärck Jones, the Okapi ranking
+    * function; k1 = 1.2, b = 0.75) — the saturating/length-normalized
+    * retrieval tier beside [[tfidfSearch]]'s raw tf·idf: with the
+    * standard constants as exact rationals (6/5, 3/4) each term's score
+    * reduces to ONE integer division,
+    * `44·idf_bits·tf·Σdl·10^6 div (20·tf·Σdl + 6·Σdl + 18·dl·N)`
+    * (numerator/denominator multiplied through by 20·Σdl), carried in
+    * DECIMAL(38) so no float exists anywhere — the engines cannot
+    * diverge on rounding. Per-term micro scores sum per doc; same
+    * 3-term distinctiveness query head and output shape as
+    * [[tfidfSearch]] (doc_id, score_micro, rnk, n_terms_hit).
+    *
+    * 100 TB shape: identical to [[tfidfSearch]] — query head + the two
+    * corpus scalars (N, Σdl) broadcast into the bounded (doc, token,
+    * cnt) relation joined with the per-doc length on the
+    * co-partitionable doc_id; top-10 = bounded TakeOrderedAndProject. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = persistUnlessLazy(docTokenCounts(spark, sfDir))
+    val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+    val vocab = dt.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+    val ndocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val sdl = dls.agg(sum(col("dl")).as("sdl"))
+    val query = vocab.crossJoin(broadcast(ndocs))
+      .select(col("token"),
+        (length(bin(expr("n div df"))) - 1).cast("long").as("idf_bits"),
+        (col("tf") * (length(bin(expr("n div df"))) - 1).cast("long"))
+          .as("gscore"))
+      .orderBy(col("gscore").desc, col("token").asc).limit(3)
+    val out = dt.join(broadcast(query), Seq("token"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(ndocs)).crossJoin(broadcast(sdl))
+      .select(col("doc_id"),
+        expr("""cast((cast(44 as decimal(38,0)) * idf_bits * cnt * sdl
+          |         * 1000000)
+          |     div (cast(20 as decimal(38,0)) * cnt * sdl + 6 * sdl
+          |         + cast(18 as decimal(38,0)) * dl * n)
+          |  as bigint)""".stripMargin).as("term_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .where(col("score_micro") > 0)
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("score_micro"), col("rnk"),
+        col("n_terms_hit"))
+    finish(out, dt)
+  }
+
   // =================================================================
   // Text-analysis family
   // =================================================================

@@ -688,6 +688,39 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25Search matches a naive JVM model on the fixture") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val dt = texts.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (id, w))
+    }.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val dl = dt.groupBy(_._1._1).map { case (id, m) => id -> m.values.sum }
+    val vocab = dt.groupBy(_._1._2).map { case (w, m) =>
+      w -> ((m.values.sum, m.size.toLong))
+    }
+    val n = texts.size.toLong
+    val sdl = BigInt(dl.values.sum)
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val query = vocab.toSeq.map { case (w, (tf, df)) =>
+      (w, bits(n / df), tf * bits(n / df))
+    }.sortBy { case (w, _, g) => (-g, w) }.take(3)
+    val scores = texts.map(_._1).map { id =>
+      val terms = query.flatMap { case (w, idf, _) =>
+        dt.get((id, w)).map { cnt =>
+          ((BigInt(44) * idf * cnt * sdl * 1000000) /
+            (BigInt(20) * cnt * sdl + 6 * sdl + BigInt(18) * dl(id) * n))
+            .toLong
+        }
+      }
+      (id, terms.sum, terms.size.toLong)
+    }.filter(_._2 > 0)
+    val want = scores.sortBy { case (id, s, _) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s, m), i) => (id, s, i + 1L, m) }
+    val got = DataOps.bm25Search(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(got == want)
+  }
+
   test("qualityBuckets cuts ordered tertiles per language") {
     val rows = DataOps.qualityBuckets(spark, SF)
       .as[(Long, String, Long, String)].collect().toSeq
