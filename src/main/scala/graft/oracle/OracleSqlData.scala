@@ -1339,6 +1339,26 @@ object OracleSqlData {
        |       selp % ${1L << 26} AS pos
        |FROM win WHERE pos <= ng - ${DataOps.WinnowW}""".stripMargin
 
+  /** Winnow-overlap mirror ([[graft.pipeline.DataOps.winnowOverlap]]):
+    * the [[winnowing]] query inlined (nested-WITH pattern), same
+    * distinct-hash collapse, df ≤ [[DataOps.WinnowMaxDf]] elimination,
+    * pair join and ≥ 2 floor. */
+  lazy val winnowOverlap: String =
+    s"""WITH wsel AS ($winnowing),
+       |sel AS (SELECT DISTINCT doc_id, gram_hash FROM wsel),
+       |rare AS (
+       |  SELECT gram_hash FROM sel GROUP BY 1
+       |  HAVING COUNT(*) <= ${DataOps.WinnowMaxDf}
+       |),
+       |sr AS (SELECT s.doc_id, s.gram_hash
+       |       FROM sel s JOIN rare r USING (gram_hash))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM sr a JOIN sr b
+       |  ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= 2""".stripMargin
+
   /** Sequence-packing mirror: same per-source (source, doc_id)-ordered
     * exclusive token prefix sum, same integer chunk arithmetic. */
   val packSequences: String =

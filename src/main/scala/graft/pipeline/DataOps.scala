@@ -1652,6 +1652,45 @@ object DataOps {
   def winnowing(spark: SparkSession, sfDir: String): DataFrame =
     winnowingCols(docs(spark, sfDir))
 
+  /** Common-fingerprint elimination cap — MOSS's "ignore matches found
+    * in many documents": a selected gram shared by more than this many
+    * docs is shared vocabulary/boilerplate, not copying evidence, and
+    * would otherwise quadratically blow the pair join up on exactly the
+    * corpora (templated web text) the operator targets. */
+  val WinnowMaxDf = 8
+
+  /** WINNOWING OVERLAP PAIRS — the MOSS pairing step over [[winnowing]]
+    * selections (Schleimer et al. 2003 §5: report document pairs by
+    * shared selected fingerprints): docs collapse to their DISTINCT
+    * selected hashes, hashes in more than [[WinnowMaxDf]] docs are
+    * eliminated (common-code/boilerplate suppression — the published
+    * system's own step), surviving hashes bucket-join pairs, and a pair
+    * reports when it shares ≥ 2 fingerprints (one can be chance).
+    * Output (doc_a, doc_b, n_shared), doc_a < doc_b.
+    *
+    * 100 TB shape: the pair join is bucketed BY FINGERPRINT with its
+    * fan-out hard-capped by the df filter (≤ C(8,2) pairs per hash);
+    * everything upstream is [[winnowing]]'s per-doc work plus two hash
+    * aggregates on the selection relation (selection-proportional,
+    * ~2n/W per doc). */
+  def winnowOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = persistUnlessLazy(winnowingCols(docs(spark, sfDir))
+      .select(col("doc_id"), col("gram_hash")).distinct())
+    val rare = sel.join(
+      sel.groupBy(col("gram_hash")).agg(count(lit(1)).as("hdf"))
+        .where(col("hdf") <= WinnowMaxDf)
+        .select(col("gram_hash")),
+      Seq("gram_hash"))
+    finish(rare.as("a").join(rare.as("b"),
+        col("a.gram_hash") === col("b.gram_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2),
+      sel)
+  }
+
   /** Product-quantization geometry (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search" / FAISS PQ): the 64-dim
     * embedding splits into [[PqM]] sub-spaces of [[PqSubDim]] dims, each

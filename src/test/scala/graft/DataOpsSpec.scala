@@ -688,6 +688,22 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowOverlap pairs duplicate docs and skips unrelated ones") {
+    val pairs = DataOps.winnowOverlap(spark, tinyDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // exact duplicates share EVERY selected fingerprint
+    val sel0 = DataOps.winnowing(spark, tinyDir)
+      .where(col("doc_id") === 0L)
+      .select("gram_hash").distinct().count()
+    assert(m.get((0L, 1L)).contains(sel0) && sel0 >= 2)
+    // the near-duplicate shares the long common run with both
+    assert(m.get((0L, 2L)).exists(_ >= 2) &&
+      m.get((1L, 2L)).exists(_ >= 2))
+    // unrelated / sub-gram docs never pair
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L))
+  }
+
   test("bm25Search matches a naive JVM model on the fixture") {
     val texts = spark.read.parquet(s"$SF/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
