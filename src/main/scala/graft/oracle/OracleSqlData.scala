@@ -816,6 +816,54 @@ object OracleSqlData {
        |  FROM scored
        |) WHERE rnk <= 10""".stripMargin
 
+  /** Range-search mirror ([[graft.pipeline.DataOps.rangeSearch]]): the
+    * [[annBrute]] exact scoring with the radius predicate in place of
+    * the top-k rank. */
+  val rangeSearch: String =
+    s"""WITH $embCtes,
+       |qd AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, SUM(a.v * b.v) AS d
+       |  FROM vu a JOIN vu b
+       |    ON a.i = b.i AND b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT qd.q_id, qd.n_id,
+       |         CAST(ROUND(CAST(qd.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) * $MIC) AS BIGINT)
+       |           AS cos_micro
+       |  FROM qd
+       |  JOIN nrm nn ON nn.vec_id = qd.n_id
+       |  JOIN nrm nq ON nq.vec_id = qd.q_id
+       |)
+       |SELECT q_id, n_id, cos_micro FROM scored
+       |WHERE cos_micro >= ${DataOps.RangeMinCosMicro}""".stripMargin
+
+  /** kNN-vote mirror ([[graft.pipeline.DataOps.knnClassify]]): the
+    * [[annBrute]] neighbors inlined (nested-WITH pattern), majority
+    * label with the smaller-id tie-break, 0/1 agreement flag. */
+  lazy val knnClassify: String =
+    s"""WITH nn AS ($annBrute),
+       |votes AS (
+       |  SELECT nn.q_id, CAST(e.label AS BIGINT) AS n_label,
+       |         CAST(COUNT(*) AS BIGINT) AS votes
+       |  FROM nn JOIN embeddings e ON e.vec_id = nn.n_id
+       |  GROUP BY 1, 2
+       |),
+       |pred AS (
+       |  SELECT q_id, n_label AS pred_label, votes
+       |  FROM (SELECT q_id, n_label, votes,
+       |          ROW_NUMBER() OVER (PARTITION BY q_id
+       |            ORDER BY votes DESC, n_label ASC) AS rk
+       |        FROM votes) WHERE rk = 1
+       |)
+       |SELECT p.q_id, CAST(q.label AS BIGINT) AS label, p.pred_label,
+       |       p.votes,
+       |       CAST(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END
+       |            AS BIGINT) AS correct
+       |FROM pred p JOIN embeddings q ON q.vec_id = p.q_id""".stripMargin
+
   val annIvf: String =
     s"""WITH $embCtes,
        |${crankCte(DataOps.IvfC)},
@@ -2257,4 +2305,61 @@ object OracleSqlData {
        |SELECT doc_id, gr AS phrase, COUNT(*) AS n_hits,
        |       CAST(MIN(strt) AS BIGINT) AS first_pos
        |FROM starts WHERE k = 3 GROUP BY 1, 2""".stripMargin
+
+  /** DSIR importance-weight mirror
+    * ([[graft.pipeline.DataOps.dsirWeights]]): identical hashed-bigram
+    * bucketing (hash60 % B), identical add-one-smoothed exact-integer
+    * floor-log2 bit difference, identical keep rule. */
+  val dsirWeights: String = {
+    val B = DataOps.DsirBuckets
+    s"""WITH wl AS (
+       |  SELECT doc_id, lang,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id, lang, unnest(
+       |    CASE WHEN len(w) >= 2 THEN
+       |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS bg
+       |  FROM wl
+       |),
+       |db AS (
+       |  SELECT doc_id, lang, ${h60("bg")} % $B AS b,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM bg GROUP BY 1, 2, 3
+       |),
+       |rawc AS (
+       |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS raw_cnt FROM db GROUP BY 1
+       |),
+       |tgtc AS (
+       |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS tgt_cnt FROM db
+       |  WHERE lang = '${DataOps.DsirTargetLang}' GROUP BY 1
+       |),
+       |bk AS (
+       |  SELECT rawc.b, raw_cnt, COALESCE(tgt_cnt, 0) AS tgt_cnt
+       |  FROM rawc LEFT JOIN tgtc ON tgtc.b = rawc.b
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(raw_cnt) AS BIGINT) AS raw_tot,
+       |         CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_tot
+       |  FROM bk
+       |),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(cnt * (
+       |      (length(bin((raw_tot + $B) // (raw_cnt + 1))) - 1)
+       |      - (length(bin((tgt_tot + $B) // (tgt_cnt + 1))) - 1)))
+       |      AS BIGINT) AS weight_bits,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+       |  FROM db JOIN bk USING (b), tot
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(p.weight_bits, 0) AS BIGINT) AS weight_bits,
+       |  CAST(CASE WHEN COALESCE(p.weight_bits, 0) >= 0 THEN 1 ELSE 0 END
+       |       AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
+  }
 }

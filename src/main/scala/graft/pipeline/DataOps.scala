@@ -1020,6 +1020,73 @@ object DataOps {
       10)
   }
 
+  /** Radius threshold of [[rangeSearch]], micro-cosine units — tuned to
+    * the synthetic embedding space (max off-diagonal query cosine ≈
+    * 0.43): 0.30 keeps a non-trivial, query-skewed result set. */
+  val RangeMinCosMicro = 300000L
+
+  /** RANGE SEARCH — the radius-query sibling of top-k ANN (FAISS
+    * `range_search`): every corpus vector within cosine ≥
+    * [[RangeMinCosMicro]]/1e6 of a query, unordered and unbounded per
+    * query (result size is data-dependent, unlike top-k). Output
+    * (q_id, n_id, cos_micro).
+    *
+    * This is the exact baseline tier (the [[annBrute]] discipline:
+    * queries broadcast + asserted bounded, ONE corpus scan, the radius
+    * predicate applied before anything shuffles — the scored row set
+    * never materializes, rows failing the threshold die inside the
+    * scan's codegen stage). The approximate scale path at higher N is
+    * the [[annIvf]] composition: probe the query's nearest cells, apply
+    * the same exact-cosine radius filter to cell members only. */
+  def rangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    v.crossJoin(broadcast(annQueries(spark, sfDir)))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn"))
+          * lit(MICRO)).cast("long").as("cos_micro"))
+      .where(col("cos_micro") >= RangeMinCosMicro)
+  }
+
+  /** Neighbor count of [[knnClassify]]. */
+  val KnnK = 10
+
+  /** kNN LABEL CLASSIFICATION — the classic similarity-search
+    * application over the labeled embedding corpus: each query vector's
+    * [[KnnK]] exact nearest neighbors (the [[annBrute]] top-k, self
+    * excluded) vote with their `label`; the majority label (ties → the
+    * smaller label id) is the prediction. Output per query:
+    * (q_id, label, pred_label, votes, correct) — `correct` is the 0/1
+    * agreement with the query's own label, so
+    * `avg(correct)` is the corpus' leave-one-out kNN accuracy, the
+    * standard embedding-quality probe run on training-data embeddings.
+    *
+    * Plan: the neighbor relation is [[annBrute]]'s bounded top-k
+    * (Q·k rows); the vote is a (q_id, label) hash aggregate on it and
+    * the majority pick is a row_number over ≤ L label rows per query —
+    * every post-scan relation is query-bounded, so the op inherits
+    * annBrute's scale shape unchanged. */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val lbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("lb"))
+    val nn = annBrute(spark, sfDir)
+    val pred = nn
+      .join(lbl.select(col("vec_id").as("n_id"), col("lb").as("n_label")),
+        Seq("n_id"))
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("n_label").asc)))
+      .where(col("rk") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+    pred
+      .join(lbl.select(col("vec_id").as("q_id"), col("lb").as("label")),
+        Seq("q_id"))
+      .select(col("q_id"), col("label"), col("pred_label"), col("votes"),
+        (col("pred_label") === col("label")).cast("long").as("correct"))
+  }
+
   /** IVF-bucketed ANN (the 100 TB scale path): vectors live in their top-1
     * IVF cell; a query probes its 4 nearest cells and ranks only those
     * candidates. Same output shape as [[annBrute]]; recall < 1 by design
@@ -3595,5 +3662,74 @@ object DataOps {
       .where(col("cut_before") + col("dcum") <= col("quota"))
       .select(col("doc_id"), col("source"), col("tokens"))
     finish(keptFull.union(keptBoundary), d)
+  }
+
+  /** DSIR hashed-feature space: bigrams hashed into this many buckets.
+    * Production uses 10k-1M; 1024 keeps the fixture's bucket relation
+    * readable while exercising real collisions (~31-word vocabulary). */
+  val DsirBuckets = 1024L
+
+  /** DSIR target domain: the corpus slice whose distribution defines
+    * "looks like what we want to train on". */
+  val DsirTargetLang = "en"
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much more likely
+    * its hashed-bigram features are under a TARGET distribution (here the
+    * [[DsirTargetLang]] slice) than under the raw-corpus distribution.
+    * Exact integer form: each bigram occurrence in bucket b contributes
+    * `floorlog2((raw_tot + B) div (raw_cnt(b) + 1))
+    *  - floorlog2((tgt_tot + B) div (tgt_cnt(b) + 1))`
+    * bits (add-one smoothing on both sides, so never log-of-zero;
+    * floor-log2 = `length(bin(x)) - 1`, exact in both engines). Positive
+    * weight = the document spends its mass in buckets the target likes —
+    * `keep = 1` marks the importance-positive slice DSIR would resample
+    * from. Output (doc_id, n_bigrams, weight_bits, keep).
+    *
+    * 100 TB shape: the feature space is FIXED at [[DsirBuckets]] rows —
+    * the bucket statistics relation broadcasts no matter the corpus
+    * size; the corpus pays ONE codegen'd gram scan + one (doc, bucket)
+    * hash aggregate + one per-doc sum. No window, no all-pairs, and the
+    * target/raw passes share the same aggregate (target counts are a
+    * filtered re-aggregation of the (doc,bucket) relation, not a second
+    * text scan). */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val db = persistUnlessLazy(d
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 2,
+          distinct = false)).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(hash60(col("bg")), lit(DsirBuckets)).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt")))
+    val raw = db.groupBy(col("b")).agg(sum(col("cnt")).as("raw_cnt"))
+    val tgt = db.where(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("tgt_cnt"))
+    val buckets = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("raw_cnt"),
+        coalesce(col("tgt_cnt"), lit(0L)).as("tgt_cnt"))
+    val tots = buckets.agg(sum(col("raw_cnt")).as("raw_tot"),
+      sum(col("tgt_cnt")).as("tgt_tot"))
+    val scored = db
+      .join(broadcast(buckets), Seq("b"))
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), col("cnt"),
+        ((length(bin(expr(
+          s"(raw_tot + $DsirBuckets) div (raw_cnt + 1)"))) - 1) -
+         (length(bin(expr(
+           s"(tgt_tot + $DsirBuckets) div (tgt_cnt + 1)"))) - 1))
+          .cast("long").as("dbits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("dbits")).as("weight_bits"),
+        sum(col("cnt")).as("n_bigrams"))
+    val out = d.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight_bits"), lit(0L)).as("weight_bits"))
+      .withColumn("keep",
+        (col("weight_bits") >= 0L).cast("long"))
+    finish(out, db)
   }
 }

@@ -249,6 +249,53 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("rangeSearch equals the naive radius filter over exact cosines") {
+    val got = DataOps.rangeSearch(spark, SF)
+      .as[(Long, Long, Long)].collect().toSet
+    val vecs = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(x =>
+        java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()) }
+    val nrm = vecs.map { case (id, v) =>
+      id -> v.map(x => x * x).sum }.toMap
+    val expect = (for {
+      (q, qv) <- vecs.toSeq if q % 50 == 0
+      (n, nv) <- vecs.toSeq if n != q
+      d = qv.zip(nv).map { case (a, b) => a * b }.sum
+      cm = java.math.BigDecimal.valueOf(
+        d.toDouble / (math.sqrt(nrm(n).toDouble) *
+          math.sqrt(nrm(q).toDouble)) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      if cm >= DataOps.RangeMinCosMicro
+    } yield (q, n, cm)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "radius must keep a non-trivial result set")
+    // radius results are a data-dependent per-query count, not top-k
+    assert(got.groupBy(_._1).values.map(_.size).toSet.size > 1,
+      "per-query result sizes must vary")
+  }
+
+  test("knnClassify votes match a hand fold of annBrute's neighbors") {
+    val nn = DataOps.annBrute(spark, SF)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSeq
+    val labels = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val expect = nn.groupBy(_._1).map { case (q, rs) =>
+      val votes = rs.groupBy(r => labels(r._2).toLong).view
+        .mapValues(_.size.toLong).toMap
+      val (pl, v) = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      q -> (labels(q).toLong, pl, v,
+        if (pl == labels(q).toLong) 1L else 0L)
+    }
+    val got = DataOps.knnClassify(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == expect.size)
+    got.foreach { case (q, l, pl, v, c) =>
+      assert((l, pl, v, c) == expect(q), s"query $q")
+    }
+  }
+
   test("annIvf recall vs annBrute clears the Lloyd-refined floor") {
     // Deterministic by construction, so the floor is a regression pin:
     // refined centroids measure 0.58 recall here (first-16-by-vec_id
@@ -1364,5 +1411,47 @@ class DataOpsSpec extends SparkSpec {
         }.map(d => (d._1, src, d._3))
     }.toSet
     assert(got == expect)
+  }
+
+  test("dsirWeights equals the naive hashed-bigram importance model") {
+    val rows = DataOps.dsirWeights(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows.size == texts.size)
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.tail).map { case (a, b) => s"$a $b" }
+    }
+    val B = DataOps.DsirBuckets
+    val all = texts.flatMap { case (_, lang, t) =>
+      bigrams(t).map(g => (lang, jvmHash60(g) % B)) }
+    val raw = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tgt = all.filter(_._1 == DataOps.DsirTargetLang)
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rawTot = all.size.toLong
+    val tgtTot = all.count(_._1 == DataOps.DsirTargetLang).toLong
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = texts.map { case (id, _, t) =>
+      val bs = bigrams(t).map(g => jvmHash60(g) % B)
+      id -> (bs.size.toLong, bs.map(b =>
+        bits((rawTot + B) / (raw(b) + 1)) -
+          bits((tgtTot + B) / (tgt.getOrElse(b, 0L) + 1))).sum)
+    }.toMap
+    rows.foreach { case (id, nbg, wb, keep) =>
+      assert((nbg, wb) == expect(id), s"doc $id")
+      assert(keep == (if (wb >= 0) 1L else 0L), s"doc $id keep")
+    }
+    // the importance signal must separate the target slice: en docs
+    // score higher on average AND keep at a higher rate (measured
+    // -2.20 vs -6.49 mean bits, 0.33 vs 0.07 keep rate at sf0.001)
+    val langOf = texts.map(t => t._1 -> t._2).toMap
+    val (en, ot) = rows.partition(r =>
+      langOf(r._1) == DataOps.DsirTargetLang)
+    assert(en.map(_._3).sum * ot.size > ot.map(_._3).sum * en.size,
+      "target-language docs must score higher on average")
+    assert(en.map(_._4).sum * ot.size > ot.map(_._4).sum * en.size,
+      "target-language docs must keep at a higher rate")
   }
 }
