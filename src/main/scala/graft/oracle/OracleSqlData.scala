@@ -2362,4 +2362,60 @@ object OracleSqlData {
        |       AS BIGINT) AS keep
        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
   }
+
+  /** TextRank mirror ([[graft.pipeline.DataOps.textrankKeywords]]):
+    * identical truncating-integer power iteration over the symmetric
+    * co-occurrence graph, unrolled by a recursive CTE (the
+    * [[OracleSqlRel.eventPagerank]] pattern — zero-probability
+    * self-loops keep the contribution join total). */
+  val textrankKeywords: String =
+    s"""WITH RECURSIVE $wrdsCte,
+       |bgl AS (
+       |  SELECT CASE WHEN len(w) >= 2 THEN
+       |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |  ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |bgp AS (
+       |  SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b
+       |  FROM (SELECT unnest(gs) AS bg FROM bgl)
+       |  WHERE split_part(bg, ' ', 1) <> split_part(bg, ' ', 2)
+       |),
+       |und AS (SELECT a, b FROM bgp UNION ALL SELECT b, a FROM bgp),
+       |ew AS (
+       |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM und GROUP BY 1, 2
+       |),
+       |outw AS (SELECT a, CAST(SUM(w) AS BIGINT) AS wsum FROM ew GROUP BY 1),
+       |edges AS (
+       |  SELECT ew.a AS from_t, ew.b AS to_t,
+       |         (w * 1000000) // wsum AS prob_ppm
+       |  FROM ew JOIN outw ON outw.a = ew.a
+       |),
+       |nodes AS (SELECT DISTINCT from_t AS node FROM edges),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |t2 AS (
+       |  SELECT from_t, to_t, prob_ppm FROM edges
+       |  UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+       |),
+       |pr AS (
+       |  SELECT 0 AS it, node, (SELECT 1000000 // n FROM nn) AS r
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT it + 1, node,
+       |         (SELECT 150000 // n FROM nn) + (85 * contrib) // 100
+       |  FROM (
+       |    SELECT p.it AS it, t.to_t AS node,
+       |           CAST(SUM(p.r * t.prob_ppm // 1000000) AS BIGINT)
+       |             AS contrib
+       |    FROM pr p JOIN t2 t ON t.from_t = p.node
+       |    WHERE p.it < ${DataOps.TextrankIters}
+       |    GROUP BY 1, 2
+       |  )
+       |)
+       |SELECT token, rank_ppm, rnk FROM (
+       |  SELECT node AS token, r AS rank_ppm,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node ASC)
+       |              AS BIGINT) AS rnk
+       |  FROM pr WHERE it = ${DataOps.TextrankIters}
+       |) WHERE rnk <= 20""".stripMargin
 }

@@ -3732,4 +3732,64 @@ object DataOps {
         (col("weight_bits") >= 0L).cast("long"))
     finish(out, db)
   }
+
+  /** TextRank power iterations (damping 0.85, matching
+    * [[graft.pipeline.EventOps.PagerankIters]]'s discipline). */
+  val TextrankIters = 10
+
+  /** TEXTRANK KEYWORDS (Mihalcea & Tarau 2004, "TextRank: Bringing
+    * Order into Texts") — the graph-based corpus keyword extractor
+    * beside [[keywordsTfidf]]'s frequency-based one: tokens are nodes,
+    * adjacent co-occurrence (bigrams, self-pairs dropped) builds a
+    * SYMMETRIC weighted edge set, and 10 damped power iterations rank
+    * the nodes. Same exact-integer ppm arithmetic as
+    * [[graft.pipeline.EventOps.eventPagerank]]: edge weights normalize
+    * to truncated prob_ppm once, each iteration is
+    * `r' = 150000/n + 85·Σ(r·prob_ppm div 1e6) div 100` — identical
+    * truncating division in both engines, so the fixed point is
+    * bit-reproducible. Output: top-20 tokens (ties token asc) with
+    * rank_ppm and rnk.
+    *
+    * 100 TB shape: the corpus is touched ONCE (the codegen'd bigram
+    * scan + one hash aggregate); everything after lives on the
+    * vocab-bounded edge relation (V nodes, ≤ min(E_obs, V²) edges —
+    * vocabulary, not corpus, scale), so 10 iterations cost 10 bounded
+    * hash joins. The final top-20 is a TakeOrdered over V rows. */
+  def textrankKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val bgp = docs(spark, sfDir)
+      .select(explode(graft.functions.WordGramsExpr.grams(spark,
+        col("text"), 2, distinct = false)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("a"),
+        substring_index(col("bg"), " ", -1).as("b"))
+      .where(col("a") =!= col("b"))
+    val und = bgp.union(bgp.select(col("b").as("a"), col("a").as("b")))
+    val ew = und.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+    val outw = ew.groupBy(col("a")).agg(sum(col("w")).as("wsum"))
+    val edges = pin(ew.join(outw, Seq("a"))
+      .select(col("a").as("from_t"), col("b").as("to_t"),
+        expr("w * 1000000 div wsum").as("prob_ppm")))
+    // symmetric graph: the from-side set IS the node set (no dangling)
+    val nodes = pin(edges.select(col("from_t").as("node")).distinct())
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr("1000000 div n").as("r"))
+    for (_ <- 1 to TextrankIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "from_t"), Seq("from_t"))
+        .select(col("to_t").as("node"),
+          expr("r * prob_ppm div 1000000").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = pin(nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          (expr("150000 div n") +
+            expr("85 * coalesce(contrib, 0L) div 100")).as("r")))
+    }
+    ranks.orderBy(col("r").desc, col("node").asc).limit(20)
+      .select(col("node").as("token"), col("r").as("rank_ppm"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rank_ppm").desc, col("token").asc))
+        .cast("long"))
+  }
 }

@@ -1413,6 +1413,41 @@ class DataOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("textrankKeywords equals the naive integer power iteration") {
+    val got = DataOps.textrankKeywords(spark, SF)
+      .as[(String, Long, Long)].collect().toSeq
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").as[String].collect().toSeq
+    // naive model: symmetric co-occurrence graph + truncating-integer
+    // damped power iteration, exactly as documented
+    val pairs = texts.flatMap { t =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.tail).filter { case (a, b) => a != b }
+    }
+    val und = pairs ++ pairs.map(_.swap)
+    val ew = und.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wsum = und.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val prob = ew.map { case ((a, b), w) =>
+      (a, b) -> w * 1000000L / wsum(a) }
+    val nodes = wsum.keySet.toSeq.sorted
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to DataOps.TextrankIters) {
+      val contrib = prob.toSeq
+        .map { case ((a, b), p) => b -> (r(a) * p / 1000000L) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(nd =>
+        nd -> (150000L / n + 85L * contrib.getOrElse(nd, 0L) / 100L))
+        .toMap
+    }
+    val expect = r.toSeq.sortBy { case (t, v) => (-v, t) }.take(20)
+      .zipWithIndex.map { case ((t, v), i) => (t, v, i + 1L) }
+    assert(got.sortBy(_._3) == expect)
+    // ranks must discriminate (not a uniform fixed point)
+    assert(got.map(_._2).distinct.size > 1)
+  }
+
   test("dsirWeights equals the naive hashed-bigram importance model") {
     val rows = DataOps.dsirWeights(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
