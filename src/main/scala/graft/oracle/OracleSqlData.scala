@@ -2363,6 +2363,44 @@ object OracleSqlData {
        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
   }
 
+  /** BPE-application mirror ([[graft.pipeline.DataOps.bpeSegment]]):
+    * the learned merge table ([[bpeMerges]] inlined) replayed
+    * relationally — a recursive CTE applies merge k at step k (the
+    * join on `rnk = it + 1` both selects the merge and terminates the
+    * recursion past the last rank), with the identical `·`-delimited
+    * unit rendering and single non-overlapping replace per merge. */
+  lazy val bpeSegment: String =
+    s"""WITH RECURSIVE mg AS ($bpeMerges),
+       |wl AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |tk AS (SELECT unnest(w) AS token FROM wl),
+       |vocab AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+       |  WHERE instr(token, '·') = 0 GROUP BY 1
+       |),
+       |seg0 AS (
+       |  SELECT token, tf,
+       |         regexp_replace(token, '(.)', '·\\1·', 'g') AS seg
+       |  FROM vocab
+       |),
+       |mx AS (SELECT CAST(MAX(rnk) AS BIGINT) AS k FROM mg),
+       |rec AS (
+       |  SELECT CAST(0 AS BIGINT) AS it, token, tf, seg FROM seg0
+       |  UNION ALL
+       |  SELECT it + 1, token, tf,
+       |         replace(seg,
+       |           '·' || substr(m.pair, 1, 1) || '··' ||
+       |             substr(m.pair, 2, 1) || '·',
+       |           '·' || m.pair || '·')
+       |  FROM rec JOIN mg m ON m.rnk = rec.it + 1
+       |)
+       |SELECT token, tf, seg,
+       |       CAST((length(seg) - length(replace(seg, '·', ''))) // 2
+       |            AS BIGINT) AS n_units
+       |FROM rec, mx WHERE it = k""".stripMargin
+
   /** TextRank mirror ([[graft.pipeline.DataOps.textrankKeywords]]):
     * identical truncating-integer power iteration over the symmetric
     * co-occurrence graph, unrolled by a recursive CTE (the

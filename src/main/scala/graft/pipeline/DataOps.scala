@@ -3733,6 +3733,50 @@ object DataOps {
     finish(out, db)
   }
 
+  /** BPE SEGMENTATION — the tokenizer-APPLY step over [[bpeMerges]]'
+    * learned table (Sennrich et al. 2016 "Neural Machine Translation of
+    * Rare Words with Subword Units", application phase): each distinct
+    * corpus token starts as single-character units and the 20 ranked
+    * merges apply IN RANK ORDER; because every learned merge is a pair
+    * of ORIGINAL characters, one leftmost-greedy non-overlapping
+    * `replace` pass per merge is exactly the BPE application (a
+    * replacement always produces a 2-char unit, which no later
+    * single-char-pair merge can touch). Each unit renders bracketed in
+    * its OWN delimiters (`·a··b··c·` → merge "ab" → `·ab··c·`) so
+    * consecutive pattern occurrences are disjoint — a shared-boundary
+    * rendering (`·a·b·a·b·`) would make non-overlapping replace skip
+    * every second merge in runs like `abab`. Tokens containing the
+    * delimiter are excluded identically in both engines. Output per
+    * distinct token: (token, tf, seg, n_units) — the vocabulary
+    * segmentation readout a tokenizer build inspects before freezing.
+    *
+    * The merge table is a MODEL artifact: 20 rows, fetched driver-side
+    * with a loud bound (the [[decontaminate]] capped-broadcast
+    * discipline — the oracle replays the same list relationally via a
+    * recursive CTE). 100 TB shape: segmentation runs over the DISTINCT
+    * vocabulary (vocab-scale, not corpus-scale); a corpus-wide rollout
+    * is a broadcast join of this relation back onto (doc, token)
+    * counts, never a per-occurrence re-segmentation. */
+  def bpeSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeMerges(spark, sfDir)
+      .select(col("rnk"), col("pair")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).map(_._2)
+    assert(merges.length <= 20,
+      s"bpe merge table unexpectedly large (${merges.length}) — the " +
+        "learned model must stay broadcast-sized")
+    val vocab = docTokenCounts(spark, sfDir)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("tf"))
+      .where(expr("instr(token, '·') = 0"))
+    var seg: Column = regexp_replace(col("token"), "(.)", "·$1·")
+    for (p <- merges)
+      seg = call_function("replace", seg,
+        lit(s"·${p.charAt(0)}··${p.charAt(1)}·"), lit(s"·${p}·"))
+    vocab.select(col("token"), col("tf"), seg.as("seg"))
+      .withColumn("n_units",
+        expr("(length(seg) - length(replace(seg, '·', ''))) div 2")
+          .cast("long"))
+  }
+
   /** TextRank power iterations (damping 0.85, matching
     * [[graft.pipeline.EventOps.PagerankIters]]'s discipline). */
   val TextrankIters = 10

@@ -1413,6 +1413,48 @@ class DataOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("bpeSegment applies the learned merges exactly as naive BPE") {
+    val got = DataOps.bpeSegment(spark, SF)
+      .as[(String, Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("text").as[String].collect().toSeq
+    val toks = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+    val vocab = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // learned merges: top-20 char pairs by total tf, ties pair asc
+    val merges = vocab.toSeq.flatMap { case (t, tf) =>
+      if (t.length >= 2) t.sliding(2).map(_ -> tf).toSeq else Nil
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(20).map(_._1)
+    // naive BPE: unit list, each merge = one leftmost-greedy pass
+    def segment(t: String): Seq[String] = {
+      var units = t.map(_.toString).toList
+      for (m <- merges) {
+        val (a, b) = (m.substring(0, 1), m.substring(1, 2))
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = units
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tl if x == a && y == b => out += m; rest = tl
+          case x :: tl => out += x; rest = tl
+          case Nil => ()
+        }
+        units = out.toList
+      }
+      units
+    }
+    assert(got.size == vocab.size)
+    vocab.foreach { case (t, tf) =>
+      val units = segment(t)
+      val (gtf, gseg, gn) = got(t)
+      assert(gtf == tf, s"token $t tf")
+      assert(gseg == units.map(u => s"·${u}·").mkString, s"token $t seg")
+      assert(gn == units.size.toLong, s"token $t n_units")
+    }
+    // the merges must actually fire: some token segments into
+    // fewer units than characters
+    assert(got.exists { case (t, (_, _, n)) => n < t.length })
+  }
+
   test("textrankKeywords equals the naive integer power iteration") {
     val got = DataOps.textrankKeywords(spark, SF)
       .as[(String, Long, Long)].collect().toSeq
