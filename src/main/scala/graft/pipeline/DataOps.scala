@@ -3695,7 +3695,7 @@ object DataOps {
     * text scan). */
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val db = persistUnlessLazy(d
+    val dbl = persistUnlessLazy(d
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 2,
           distinct = false)).as("bg"))
@@ -3703,16 +3703,48 @@ object DataOps {
         pmod(hash60(col("bg")), lit(DsirBuckets)).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("cnt")))
-    val raw = db.groupBy(col("b")).agg(sum(col("cnt")).as("raw_cnt"))
-    val tgt = db.where(col("lang") === DsirTargetLang)
-      .groupBy(col("b")).agg(sum(col("cnt")).as("tgt_cnt"))
-    val buckets = raw.join(tgt, Seq("b"), "left")
-      .select(col("b"), col("raw_cnt"),
-        coalesce(col("tgt_cnt"), lit(0L)).as("tgt_cnt"))
-    val tots = buckets.agg(sum(col("raw_cnt")).as("raw_tot"),
+    val stats = dsirStatsFromBuckets(dbl)
+    val out = dsirScore(d.select(col("doc_id")),
+      dbl.select(col("doc_id"), col("b"), col("cnt")), stats)
+    finish(out, dbl)
+  }
+
+  /** The trained DSIR model from a (doc_id, lang, b, cnt) bucket frame:
+    * (b, raw_cnt, tgt_cnt) — at most [[DsirBuckets]] rows. */
+  private[graft] def dsirStatsFromBuckets(dbl: DataFrame): DataFrame =
+    dbl.groupBy(col("b")).agg(
+      sum(col("cnt")).as("raw_cnt"),
+      sum(when(col("lang") === DsirTargetLang, col("cnt"))
+        .otherwise(lit(0L))).as("tgt_cnt"))
+
+  /** (doc_id, b, cnt) hashed-bigram bucket counts of any
+    * (doc_id, text)-shaped frame — the scoring-side feature extraction,
+    * shared by the batch query, the persistent store's probe path
+    * ([[graft.sources.DsirStore]]) and its streaming twin. */
+  private[graft] def dsirBuckets(spark: SparkSession, d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 2,
+          distinct = false)).as("bg"))
+      .select(col("doc_id"), pmod(hash60(col("bg")), lit(DsirBuckets)).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Score per-doc bucket counts against a (b, raw_cnt, tgt_cnt) stats
+    * relation (totals re-derived from the ≤[[DsirBuckets]]-row relation
+    * itself — one bounded aggregate). `ids` supplies the full doc list
+    * so gram-less docs score (0, 0, keep=1). */
+  private[graft] def dsirScore(ids: DataFrame, db: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val tots = stats.agg(sum(col("raw_cnt")).as("raw_tot"),
       sum(col("tgt_cnt")).as("tgt_tot"))
+    // LEFT join + zero-coalesce: a bucket the training corpus never
+    // produced (possible when scoring NEW documents against a frozen
+    // store) falls back to the add-one smoothing floor instead of
+    // silently dropping the gram; over the training corpus itself every
+    // bucket is present and this is an inner join.
     val scored = db
-      .join(broadcast(buckets), Seq("b"))
+      .join(broadcast(stats), Seq("b"), "left")
+      .na.fill(0L, Seq("raw_cnt", "tgt_cnt"))
       .crossJoin(broadcast(tots))
       .select(col("doc_id"), col("cnt"),
         ((length(bin(expr(
@@ -3723,14 +3755,12 @@ object DataOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt") * col("dbits")).as("weight_bits"),
         sum(col("cnt")).as("n_bigrams"))
-    val out = d.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+    ids.join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("weight_bits"), lit(0L)).as("weight_bits"))
       .withColumn("keep",
         (col("weight_bits") >= 0L).cast("long"))
-    finish(out, db)
   }
 
   /** BPE SEGMENTATION — the tokenizer-APPLY step over [[bpeMerges]]'

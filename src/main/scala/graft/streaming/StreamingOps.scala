@@ -235,6 +235,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming DSIR scoring over the K8 persistent importance store
+    * ([[graft.sources.DsirStore]]) — the data-selection ingest path:
+    * each micro-batch of (doc_id, text) documents scores against the
+    * frozen target/raw bucket statistics via `foreachBatch` →
+    * [[graft.sources.DsirStore.scoreAgainst]], appending
+    * (doc_id, n_bigrams, weight_bits, keep) to `outDir`. A document's
+    * weight depends only on its own hashed bigrams and the store, so
+    * results are independent of micro-batch boundaries — stream ≡
+    * batch pinned in StreamingSpec. Stream state is zero; the KB-sized
+    * model lives in the store and broadcasts per batch. */
+  def dsirScoreStream(docStream: DataFrame, storeDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.DsirStore
+          .scoreAgainst(batch.sparkSession, batch.toDF(), storeDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming ANN serving over the K5 persistent PQ store
     * ([[graft.sources.PqIndex]]) — the vector-store query path: each
     * micro-batch of raw float query vectors converts to the micro-unit

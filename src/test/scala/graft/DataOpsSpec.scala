@@ -1455,6 +1455,28 @@ class DataOpsSpec extends SparkSpec {
     assert(got.exists { case (t, (_, _, n)) => n < t.length })
   }
 
+  test("DsirStore: one build serves two disjoint batches == self-trained") {
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    graft.sources.DsirStore.build(spark, SF, storeDir)
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text")
+    val b1 = graft.sources.DsirStore.scoreAgainst(spark,
+      docs.where($"doc_id" % 2 === 0), storeDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b2 = graft.sources.DsirStore.scoreAgainst(spark,
+      docs.where($"doc_id" % 2 === 1), storeDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val self = DataOps.dsirWeights(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(b1.nonEmpty && b2.nonEmpty)
+    assert((b1 ++ b2) == self)
+    // registry round-trip shares the batch oracle exactly
+    val stored = graft.sources.DsirStore.dsirStored(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stored == self)
+  }
+
   test("textrankKeywords equals the naive integer power iteration") {
     val got = DataOps.textrankKeywords(spark, SF)
       .as[(String, Long, Long)].collect().toSeq

@@ -183,6 +183,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring over the DsirStore == self-trained batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-dsirstore").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-dsirstore-out")
+        .toString + "/weights"
+    graft.sources.DsirStore.build(spark, SF, storeDir)
+    val docRows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (b1, b2) = docRows.splitAt(docRows.size / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.dsirScoreStream(
+      in.toDF().toDF("doc_id", "text"), storeDir, outDir)
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      val afterB1 = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      in.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterB1.nonEmpty && streamed.size > afterB1.size)
+      // store trained on the same corpus -> two micro-batches must
+      // equal the self-trained batch query exactly
+      val batch = graft.pipeline.DataOps.dsirWeights(spark, SF)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming classify over the LangProfileStore == self-trained batch") {
     implicit val sqlCtx = spark.sqlContext
     val storeDir =
