@@ -864,6 +864,95 @@ object OracleSqlData {
        |            AS BIGINT) AS correct
        |FROM pred p JOIN embeddings q ON q.vec_id = p.q_id""".stripMargin
 
+  /** MMR mirror ([[graft.pipeline.DataOps.mmrDiversify]]): the
+    * [[annBrute]] candidates + candidate pair cosines, then the
+    * [[graft.pipeline.DataOps.MmrK]]−1 selection rounds UNROLLED as
+    * generated CTE chains (ms/s/p/r per round — maxsim against the
+    * picked set, division-free 2×-score argmax with the n_id tie-break,
+    * cumulative picked union, anti-filtered remaining). */
+  lazy val mmrDiversify: String = {
+    val k = DataOps.MmrK
+    val steps = (2 to k).map { t =>
+      s"""ms$t AS (
+         |  SELECT r.q_id, r.n_id, r.cos_micro, MAX(p.sim_micro) AS maxsim
+         |  FROM r${t - 1} r
+         |  JOIN psim p ON p.q_id = r.q_id AND p.a = r.n_id
+         |  JOIN p${t - 1} s ON s.q_id = p.q_id AND s.n_id = p.b
+         |  GROUP BY 1, 2, 3
+         |),
+         |s$t AS (
+         |  SELECT q_id, n_id, CAST($t AS BIGINT) AS pick, mmr2_micro
+         |  FROM (
+         |    SELECT q_id, n_id, cos_micro - maxsim AS mmr2_micro,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY cos_micro - maxsim DESC, n_id ASC) AS rn
+         |    FROM ms$t
+         |  ) WHERE rn = 1
+         |),
+         |p$t AS (SELECT * FROM p${t - 1} UNION ALL SELECT * FROM s$t),
+         |r$t AS (
+         |  SELECT r.* FROM r${t - 1} r
+         |  WHERE NOT EXISTS (SELECT 1 FROM s$t s
+         |                    WHERE s.q_id = r.q_id AND s.n_id = r.n_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCtes,
+       |qd AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, SUM(a.v * b.v) AS d
+       |  FROM vu a JOIN vu b
+       |    ON a.i = b.i AND b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT qd.q_id, qd.n_id,
+       |         CAST(qd.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM qd
+       |  JOIN nrm nn ON nn.vec_id = qd.n_id
+       |  JOIN nrm nq ON nq.vec_id = qd.q_id
+       |),
+       |cand AS (
+       |  SELECT q_id, n_id,
+       |         CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro, rnk
+       |  FROM (
+       |    SELECT q_id, n_id, cs,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |    FROM scored
+       |  ) WHERE rnk <= 10
+       |),
+       |cv AS (
+       |  SELECT c.q_id, c.n_id, v.i, v.v
+       |  FROM cand c JOIN vu v ON v.vec_id = c.n_id
+       |),
+       |pd AS (
+       |  SELECT x.q_id, x.n_id AS a, y.n_id AS b, SUM(x.v * y.v) AS d
+       |  FROM cv x JOIN cv y
+       |    ON y.q_id = x.q_id AND y.i = x.i AND y.n_id <> x.n_id
+       |  GROUP BY 1, 2, 3
+       |),
+       |psim AS (
+       |  SELECT pd.q_id, pd.a, pd.b,
+       |         CAST(ROUND(CAST(pd.d AS DOUBLE) /
+       |           (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nb.nrm AS DOUBLE))) * $MIC) AS BIGINT)
+       |           AS sim_micro
+       |  FROM pd
+       |  JOIN nrm na ON na.vec_id = pd.a
+       |  JOIN nrm nb ON nb.vec_id = pd.b
+       |),
+       |s1 AS (
+       |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS pick,
+       |         cos_micro AS mmr2_micro
+       |  FROM cand WHERE rnk = 1
+       |),
+       |p1 AS (SELECT * FROM s1),
+       |r1 AS (SELECT q_id, n_id, cos_micro FROM cand WHERE rnk > 1),
+       |$steps
+       |SELECT q_id, n_id, pick, mmr2_micro FROM p$k""".stripMargin
+  }
+
   val annIvf: String =
     s"""WITH $embCtes,
        |${crankCte(DataOps.IvfC)},

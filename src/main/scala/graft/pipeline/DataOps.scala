@@ -1087,6 +1087,71 @@ object DataOps {
         (col("pred_label") === col("label")).cast("long").as("correct"))
   }
 
+  /** MMR picks per query. */
+  val MmrK = 5
+
+  /** MMR DIVERSIFICATION (Carbonell & Goldstein 1998, "The use of MMR,
+    * diversity-based reranking...") — the result-diversification tier
+    * over [[annBrute]]'s top-10 candidates: iteratively select
+    * [[MmrK]] results per query maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)` with λ = 1/2.
+    * The score is kept as `mmr2_micro = cos_micro − maxsim_micro`
+    * (twice the MMR score — argmax-equivalent, and division-free: a
+    * `div 2` on the possibly-NEGATIVE difference would truncate toward
+    * zero in Spark but floor in DuckDB). Ties → smaller n_id. Output
+    * (q_id, n_id, pick, mmr2_micro); pick 1 is the raw top-1
+    * (max-relevance seed, maxsim = 0).
+    *
+    * 100 TB shape: everything after the [[annBrute]] stage lives on
+    * candidate-bounded relations — Q·k candidate rows, ≤ Q·k² pair
+    * sims, and [[MmrK]]−1 unrolled selection rounds each a bounded
+    * join + ≤k-row-per-query window. The corpus is touched only by the
+    * underlying ANN stage (swap in [[annIvf]]/[[graft.sources.PqIndex]]
+    * for the approximate/store tiers — the diversifier only needs
+    * (q_id, n_id, cos) plus candidate pair sims). */
+  def mmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    val cand = pin(annBrute(spark, sfDir))
+    val cv = cand.select(col("q_id"), col("n_id"))
+      .join(v.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+    val xs = cv.select(col("q_id"), col("n_id").as("a"),
+      col("em").as("aem"), col("nrm").as("an"))
+    val ys = cv.select(col("q_id"), col("n_id").as("b"),
+      col("em").as("bem"), col("nrm").as("bn"))
+    val psim = pin(xs.join(ys, Seq("q_id")).where(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        cosMicro(dot(col("aem"), col("bem")), col("an"), col("bn"))
+          .as("sim_micro")))
+    var picked = cand.where(col("rnk") === 1)
+      .select(col("q_id"), col("n_id"), lit(1L).as("pick"),
+        col("cos_micro").as("mmr2_micro"))
+    var remaining = cand.select(col("q_id"), col("n_id"), col("cos_micro"))
+      .join(picked.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti")
+    for (t <- 2 to MmrK) {
+      val ms = remaining
+        .join(psim.withColumnRenamed("a", "n_id"), Seq("q_id", "n_id"))
+        .join(picked.select(col("q_id"), col("n_id").as("b")),
+          Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("n_id"), col("cos_micro"))
+        .agg(max(col("sim_micro")).as("maxsim"))
+      val s = ms
+        .select(col("q_id"), col("n_id"),
+          (col("cos_micro") - col("maxsim")).as("mmr2_micro"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("mmr2_micro").desc, col("n_id").asc)))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(t.toLong).as("pick"),
+          col("mmr2_micro"))
+      picked = pin(picked.union(s))
+      remaining = remaining.join(s.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti")
+    }
+    picked.select(col("q_id"), col("n_id"), col("pick"),
+      col("mmr2_micro"))
+  }
+
   /** IVF-bucketed ANN (the 100 TB scale path): vectors live in their top-1
     * IVF cell; a query probes its 4 nearest cells and ranks only those
     * candidates. Same output shape as [[annBrute]]; recall < 1 by design

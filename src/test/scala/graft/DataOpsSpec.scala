@@ -296,6 +296,54 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrDiversify equals a naive greedy MMR fold over annBrute") {
+    val got = DataOps.mmrDiversify(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val cand = DataOps.annBrute(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .map { case (q, n, rnk, cm) => (q, n, rnk, cm) }
+    // exact pairwise candidate cosines via the micro-integer model
+    val vecs = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(x =>
+        java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()) }
+      .toMap
+    def cosMicro(a: Long, b: Long): Long = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val d = va.zip(vb).map { case (x, y) => x * y }.sum
+      val na = va.map(x => x * x).sum; val nb = vb.map(x => x * x).sum
+      java.math.BigDecimal.valueOf(
+        d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+          * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    val expect = cand.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      val byRnk = rs.sortBy(_._3)
+      var picked = List((q, byRnk.head._2, 1L, byRnk.head._4))
+      var remaining = byRnk.tail.map(r => (r._2, r._4))
+      for (t <- 2L to DataOps.MmrK.toLong) {
+        if (remaining.nonEmpty) {
+          val scoredRem = remaining.map { case (n, cm) =>
+            val maxsim = picked.map(p => cosMicro(n, p._2)).max
+            (n, cm - maxsim)
+          }
+          val (pn, ps) = scoredRem.minBy { case (n, s) => (-s, n) }
+          picked = picked :+ ((q, pn, t, ps))
+          remaining = remaining.filterNot(_._1 == pn)
+        }
+      }
+      picked
+    }
+    assert(got.toSet == expect.toSet)
+    // diversification must actually reorder: some pick sequence differs
+    // from the raw cosine ranking
+    val rawTop5 = cand.filter(_._3 <= DataOps.MmrK)
+      .map(r => (r._1, r._2, r._3)).toSet
+    assert(got.map(r => (r._1, r._2, r._3)).toSet != rawTop5,
+      "MMR must deviate from the pure-relevance ranking on this fixture")
+  }
+
   test("annIvf recall vs annBrute clears the Lloyd-refined floor") {
     // Deterministic by construction, so the floor is a regression pin:
     // refined centroids measure 0.58 recall here (first-16-by-vec_id
