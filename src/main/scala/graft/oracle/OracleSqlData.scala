@@ -2452,6 +2452,17 @@ object OracleSqlData {
        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
   }
 
+  /** k-anonymity mirror ([[graft.pipeline.DataOps.kAnonymity]]): one
+    * aggregate on the identical quasi-identifier tuple, identical
+    * truncating length bucket and k threshold. */
+  val kAnonymity: String =
+    s"""SELECT lang, source, n_chars // 100 AS len_bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS group_size,
+       |       CAST(CASE WHEN COUNT(*) < ${DataOps.KAnonK} THEN 1 ELSE 0
+       |            END AS BIGINT) AS at_risk
+       |FROM documents
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** BPE-application mirror ([[graft.pipeline.DataOps.bpeSegment]]):
     * the learned merge table ([[bpeMerges]] inlined) replayed
     * relationally — a recursive CTE applies merge k at step k (the

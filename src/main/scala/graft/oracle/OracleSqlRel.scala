@@ -1217,6 +1217,37 @@ object OracleSqlRel {
       |         AS outlier_ppm
       |FROM f GROUP BY 1""".stripMargin
 
+  /** Winsorization mirror ([[graft.pipeline.EventOps.winsorize]]):
+    * identical micro conversion, ceil-rank [p5, p95] histogram picks
+    * (RANGE cumulative frames in both engines), identical clamp. */
+  val winsorize: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+      |  FROM events
+      |),
+      |hist AS (
+      |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT event_type, v, c,
+      |         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |         SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hist
+      |),
+      |th AS (
+      |  SELECT event_type,
+      |         MIN(CASE WHEN cum >= (n + 19) // 20 THEN v END) AS lo,
+      |         MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS hi
+      |  FROM cum GROUP BY 1
+      |)
+      |SELECT e.event_id, e.event_type, e.v AS v_micro,
+      |       GREATEST(th.lo, LEAST(th.hi, e.v)) AS v_winsor_micro,
+      |       CAST(CASE WHEN GREATEST(th.lo, LEAST(th.hi, e.v)) <> e.v
+      |            THEN 1 ELSE 0 END AS BIGINT) AS clipped
+      |FROM e JOIN th USING (event_type)""".stripMargin
+
   /** Skew-audit mirror ([[graft.pipeline.EventOps.eventSkewProfile]]):
     * same per-user counts, histogram rank-picked quantiles, bounded
     * top-10 sum and exact-ppm shares. */

@@ -3828,6 +3828,35 @@ object DataOps {
         (col("weight_bits") >= 0L).cast("long"))
   }
 
+  /** k-anonymity threshold: a quasi-identifier group smaller than this
+    * is re-identifiable (the Sweeney 2002 k). */
+  val KAnonK = 5L
+
+  /** K-ANONYMITY AUDIT (Sweeney 2002, "k-anonymity: a model for
+    * protecting privacy") — the release-gate check a training-data drop
+    * runs before publishing metadata: treating (lang, source,
+    * n_chars div 100) as the quasi-identifier tuple, every equivalence
+    * class smaller than [[KAnonK]] is re-identifiable — a row about
+    * "the one German document from src3 of ~2.4k chars" identifies its
+    * subject even with ids stripped. Output one row per equivalence
+    * class: (lang, source, len_bucket, group_size, at_risk), with
+    * `sum(at_risk · group_size) / sum(group_size)` = the corpus'
+    * re-identifiable fraction. Complements the D63/D64 PII tier:
+    * piiScan finds identifiers IN the text, this finds identification
+    * BY the metadata.
+    *
+    * Plan: ONE hash aggregate on the quasi-identifier tuple —
+    * map-side combined, output bounded by the attribute-combination
+    * domain, not the corpus. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk",
+        (col("group_size") < KAnonK).cast("long"))
+
   /** BPE SEGMENTATION — the tokenizer-APPLY step over [[bpeMerges]]'
     * learned table (Sennrich et al. 2016 "Neural Machine Translation of
     * Rare Words with Subword Units", application phase): each distinct

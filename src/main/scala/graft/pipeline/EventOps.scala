@@ -972,4 +972,42 @@ object EventOps {
         coalesce(max(col("str_ord")), lit("")).as("max_str"),
         coalesce(sum(length(col("repr"))), lit(0L)).as("len_sum"))
   }
+
+  /** WINSORIZATION — the standard robust-preprocessing clip a feature
+    * pipeline applies before training on heavy-tailed metrics: per
+    * event_type, values clamp to the exact [p5, p95] percentile band
+    * (ceil-rank picks over the value histogram — the
+    * [[graft.pipeline.DataOps.lengthQuantiles]] discipline), with the
+    * original and clipped micro-unit values plus a 0/1 `clipped` flag
+    * per event. Unlike [[valueOutliers]]' 3σ *flagging*, winsorizing
+    * REPLACES the tails, so the output is the cleaned feature column
+    * itself.
+    *
+    * Plan: the histogram aggregates per (type, DISTINCT value) —
+    * bounded by the value domain, far below event count; the cumulative
+    * window walks that reduced relation; the L-row threshold frame
+    * broadcasts back into one clamp projection over the scan. No window
+    * ever touches raw rows. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = RelOps.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v"))
+    val hist = e.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v").asc)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+    val th = cum.groupBy(col("event_type")).agg(
+      min(when(col("cum") >= expr("(n + 19) div 20"), col("v"))).as("lo"),
+      min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("v")))
+        .as("hi"))
+    e.join(broadcast(th), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("v").as("v_micro"),
+        greatest(col("lo"), least(col("hi"), col("v")))
+          .as("v_winsor_micro"))
+      .withColumn("clipped",
+        (col("v_winsor_micro") =!= col("v_micro")).cast("long"))
+  }
 }

@@ -1503,6 +1503,22 @@ class DataOpsSpec extends SparkSpec {
     assert(got.exists { case (t, (_, _, n)) => n < t.length })
   }
 
+  test("kAnonymity groups match a naive quasi-identifier fold") {
+    val got = DataOps.kAnonymity(spark, SF)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val rows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("lang", "source", "n_chars")
+      .as[(String, String, Long)].collect().toSeq
+    val expect = rows.groupBy(r => (r._1, r._2, r._3 / 100)).map {
+      case ((l, s, b), g) =>
+        (l, s, b, g.size.toLong,
+          if (g.size < DataOps.KAnonK) 1L else 0L)
+    }.toSet
+    assert(got == expect)
+    // the audit must find both safe and at-risk classes on the fixture
+    assert(got.exists(_._5 == 1L) && got.exists(_._5 == 0L))
+  }
+
   test("DsirStore: one build serves two disjoint batches == self-trained") {
     val storeDir =
       java.nio.file.Files.createTempDirectory("graft-dsir").toString

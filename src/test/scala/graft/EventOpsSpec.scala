@@ -678,4 +678,32 @@ class EventOpsSpec extends SparkSpec {
     assert(got("event_type") == (n, 0L, types.distinct.size.toLong, -1L,
       -1L, types.min, types.max, types.map(_.length.toLong).sum))
   }
+
+  test("winsorize clamps to the naive ceil-rank [p5, p95] band") {
+    import spark.implicits._
+    val got = graft.pipeline.EventOps.winsorize(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val evs = graft.pipeline.RelOps.events(spark, sfDir)
+      .selectExpr("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 1000000.0)))
+    assert(got.size == evs.length)
+    val th = evs.groupBy(_._2).view.mapValues { rs =>
+      val vs = rs.map(_._3).sorted
+      val n = vs.length.toLong
+      def pick(rank: Long) = vs((rank - 1).toInt)
+      (pick((n + 19) / 20), pick((19 * n + 19) / 20))
+    }.toMap
+    val expect = evs.map { case (id, t, v) =>
+      val (lo, hi) = th(t)
+      (id, t, v, math.max(lo, math.min(hi, v)))
+    }.map(e => (e._1, e._2) -> (e._3, e._4)).toMap
+    got.foreach { case (id, t, v, w, c) =>
+      assert(expect((id, t)) == (v, w), s"event $id")
+      assert(c == (if (v != w) 1L else 0L), s"event $id clipped")
+    }
+    // both tails must actually clip on the fixture
+    assert(got.exists(r => r._5 == 1L && r._3 < r._4), "low tail")
+    assert(got.exists(r => r._5 == 1L && r._3 > r._4), "high tail")
+  }
 }
