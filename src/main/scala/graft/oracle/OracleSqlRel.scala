@@ -1217,6 +1217,47 @@ object OracleSqlRel {
       |         AS outlier_ppm
       |FROM f GROUP BY 1""".stripMargin
 
+  /** Drift-monitor mirror ([[graft.pipeline.EventOps.valueDrift]]):
+    * identical half-month split, flooring half-unit buckets, exact
+    * HUGEINT cross-multiplied total-variation ppm. */
+  val valueDrift: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         CASE WHEN epoch_ns(ts) // 1000 >
+       |           ${graft.pipeline.EventOps.MidmonthTus}
+       |           THEN 1 ELSE 0 END AS half,
+       |         CAST(ROUND(value * 1000000.0) AS BIGINT) // 500000 AS bkt
+       |  FROM events
+       |),
+       |hist AS (
+       |  SELECT event_type, bkt,
+       |         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS c1,
+       |         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS c2
+       |  FROM e GROUP BY 1, 2
+       |),
+       |tots AS (
+       |  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+       |         CAST(SUM(c2) AS BIGINT) AS n2
+       |  FROM hist GROUP BY 1
+       |),
+       |l1 AS (
+       |  SELECT h.event_type, t.n1, t.n2,
+       |         SUM(abs(CAST(h.c1 AS HUGEINT) * t.n2 -
+       |                 CAST(h.c2 AS HUGEINT) * t.n1)) AS l1
+       |  FROM hist h JOIN tots t USING (event_type)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type, n1 AS n_first, n2 AS n_second,
+       |       CAST((l1 * 500000) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+       |         AS tv_ppm,
+       |       CAST(CASE WHEN (l1 * 500000) //
+       |              (CAST(n1 AS HUGEINT) * n2) >
+       |              ${graft.pipeline.EventOps.DriftTvPpmMax}
+       |            THEN 1 ELSE 0 END AS BIGINT) AS drifted
+       |FROM l1""".stripMargin
+
   /** Winsorization mirror ([[graft.pipeline.EventOps.winsorize]]):
     * identical micro conversion, ceil-rank [p5, p95] histogram picks
     * (RANGE cumulative frames in both engines), identical clamp. */

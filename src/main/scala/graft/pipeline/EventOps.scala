@@ -973,6 +973,57 @@ object EventOps {
         coalesce(sum(length(col("repr"))), lit(0L)).as("len_sum"))
   }
 
+  /** Drift-alarm threshold: total-variation distance above 10% flags
+    * the metric as drifted. */
+  val DriftTvPpmMax = 100000L
+
+  /** VALUE-DISTRIBUTION DRIFT MONITOR — the data-drift check a feature
+    * pipeline runs between snapshots before trusting a model trained on
+    * the old distribution: per event_type, the EXACT total-variation
+    * distance between the value histograms of the first and second
+    * month half (split at [[MidmonthTus]], the SCD2 tier's as-of
+    * boundary), in ppm with pure integer cross-multiplication —
+    * TV = Σ_b |c1_b·n2 − c2_b·n1| / (2·n1·n2), so
+    * `tv_ppm = (Σ|…| · 500000) div (n1·n2)` with DECIMAL(38) products
+    * (HUGEINT in the oracle) — no float anywhere. Buckets are half-unit
+    * steps of v_micro under FLOOR division — written
+    * `(v − pmod(v, s)) div s` on the Spark side so a negative value
+    * buckets identically to DuckDB's flooring `//` (plain `div`
+    * truncates toward zero and would disagree below zero). Output
+    * (event_type, n_first, n_second, tv_ppm, drifted).
+    *
+    * Plan: ONE (type, half, bucket) hash aggregate over the scan
+    * (map-side combined, bounded by type·bucket domain), a full-join
+    * reshape of the two halves, one per-type sum — no window, no
+    * self-scan. */
+  def valueDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = RelOps.events(spark, sfDir)
+      .select(col("event_type"),
+        (expr("ts div 1000") > MidmonthTus).cast("long").as("half"),
+        expr("""(cast(round(value * 1000000.0) as bigint)
+                | - pmod(cast(round(value * 1000000.0) as bigint), 500000))
+                | div 500000""".stripMargin).as("bkt"))
+    val hist = e.groupBy(col("event_type"), col("bkt")).agg(
+      sum(when(col("half") === 0L, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c2"))
+    val tots = hist.groupBy(col("event_type")).agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    hist.join(broadcast(tots), Seq("event_type"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("""abs(cast(c1 as decimal(38,0)) * n2 -
+                |    cast(c2 as decimal(38,0)) * n1)""".stripMargin)
+          .as("num"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n1")).as("n_first"), first(col("n2")).as("n_second"),
+        sum(col("num")).as("l1"))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        expr("""cast((l1 * 500000) div
+                |  (cast(n_first as decimal(38,0)) * n_second)
+                |  as bigint)""".stripMargin).as("tv_ppm"))
+      .withColumn("drifted",
+        (col("tv_ppm") > DriftTvPpmMax).cast("long"))
+  }
+
   /** WINSORIZATION — the standard robust-preprocessing clip a feature
     * pipeline applies before training on heavy-tailed metrics: per
     * event_type, values clamp to the exact [p5, p95] percentile band

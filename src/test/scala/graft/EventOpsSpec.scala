@@ -679,6 +679,40 @@ class EventOpsSpec extends SparkSpec {
       -1L, types.min, types.max, types.map(_.length.toLong).sum))
   }
 
+  test("valueDrift equals the naive exact total-variation fold") {
+    import spark.implicits._
+    val got = graft.pipeline.EventOps.valueDrift(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val evs = graft.pipeline.RelOps.events(spark, sfDir)
+      .selectExpr("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 1000,
+        math.round(r.getDouble(2) * 1000000.0)))
+    def fl(a: Long, b: Long) = math.floorDiv(a, b)
+    val expect = evs.groupBy(_._1).map { case (t, rs) =>
+      val halves = rs.map(r =>
+        (if (r._2 > graft.pipeline.EventOps.MidmonthTus) 1 else 0,
+          fl(r._3, 500000L)))
+      val c1 = halves.filter(_._1 == 0).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val c2 = halves.filter(_._1 == 1).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val (n1, n2) = (c1.values.sum, c2.values.sum)
+      val l1 = (c1.keySet ++ c2.keySet).toSeq.map(b =>
+        BigInt(c1.getOrElse(b, 0L)) * n2 -
+          BigInt(c2.getOrElse(b, 0L)) * n1).map(_.abs).sum
+      val tv = (l1 * 500000 / (BigInt(n1) * n2)).toLong
+      t -> (n1, n2, tv,
+        if (tv > graft.pipeline.EventOps.DriftTvPpmMax) 1L else 0L)
+    }
+    assert(got == expect)
+    // TV is a proper distance: within [0, 1e6], positive somewhere
+    // (sampling noise between halves), and not uniform across types
+    assert(got.values.forall(v => v._3 >= 0L && v._3 <= 1000000L))
+    assert(got.values.exists(_._3 > 0L))
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("winsorize clamps to the naive ceil-rank [p5, p95] band") {
     import spark.implicits._
     val got = graft.pipeline.EventOps.winsorize(spark, sfDir)
