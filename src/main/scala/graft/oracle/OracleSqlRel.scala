@@ -1217,6 +1217,57 @@ object OracleSqlRel {
       |         AS outlier_ppm
       |FROM f GROUP BY 1""".stripMargin
 
+  /** CUSUM mirror ([[graft.pipeline.EventOps.cusumDrift]]): the same
+    * gap-filled hourly grid and integer parameters; the max-clamped
+    * recurrence replays via a recursive CTE stepping the hour index
+    * (anchor = the first grid hour with S from 0). */
+  val cusumDrift: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS h,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t
+      |  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+      |              FROM bounds) g
+      |),
+      |filled AS (
+      |  SELECT grid.event_type, grid.h,
+      |         CAST(COALESCE(hourly.cnt, 0) AS BIGINT) AS cnt
+      |  FROM grid LEFT JOIN hourly
+      |    ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+      |),
+      |params AS (
+      |  SELECT event_type, CAST(SUM(cnt) // COUNT(*) AS BIGINT) AS mu
+      |  FROM filled GROUP BY 1
+      |),
+      |rec AS (
+      |  SELECT f.event_type, f.h, f.cnt,
+      |         GREATEST(CAST(0 AS BIGINT),
+      |           f.cnt - p.mu - p.mu // 4) AS s_pos,
+      |         GREATEST(CAST(0 AS BIGINT),
+      |           (p.mu - p.mu // 4) - f.cnt) AS s_neg
+      |  FROM filled f JOIN params p USING (event_type), bounds b
+      |  WHERE f.h = b.h0
+      |  UNION ALL
+      |  SELECT f.event_type, f.h, f.cnt,
+      |         GREATEST(CAST(0 AS BIGINT),
+      |           r.s_pos + f.cnt - p.mu - p.mu // 4),
+      |         GREATEST(CAST(0 AS BIGINT),
+      |           r.s_neg + (p.mu - p.mu // 4) - f.cnt)
+      |  FROM rec r
+      |  JOIN filled f ON f.event_type = r.event_type AND f.h = r.h + 1
+      |  JOIN params p ON p.event_type = r.event_type
+      |)
+      |SELECT r.event_type, CAST(r.h * 3600 AS BIGINT) AS hour_sec,
+      |       r.cnt, r.s_pos, r.s_neg,
+      |       CAST(CASE WHEN r.s_pos > 2 * p.mu OR r.s_neg > 2 * p.mu
+      |            THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM rec r JOIN params p USING (event_type)""".stripMargin
+
   /** Drift-monitor mirror ([[graft.pipeline.EventOps.valueDrift]]):
     * identical half-month split, flooring half-unit buckets, exact
     * HUGEINT cross-multiplied total-variation ppm. */

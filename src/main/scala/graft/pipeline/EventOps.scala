@@ -973,6 +973,60 @@ object EventOps {
         coalesce(sum(length(col("repr"))), lit(0L)).as("len_sum"))
   }
 
+  /** CUSUM CHANGE-POINT DETECTION (Page 1954, "Continuous inspection
+    * schemes") over the gap-filled hourly count series — the sequential
+    * drift detector that catches a sustained small shift long before a
+    * per-hour 3σ rule ([[anomalousHours]]) fires: per event type, the
+    * two one-sided cumulative sums
+    * `S⁺_h = max(0, S⁺_{h-1} + c_h − μ − κ)` /
+    * `S⁻_h = max(0, S⁻_{h-1} + μ − κ − c_h)` with reference μ = the
+    * type's truncating mean hourly count, slack κ = μ div 4, alarm at
+    * S > 2μ — all integers, so the recursion is bit-reproducible.
+    * Output (event_type, hour_sec, cnt, s_pos, s_neg, alarm).
+    *
+    * Plan note: CUSUM is INHERENTLY sequential (a max-clamped
+    * recurrence has no window-sum decomposition), so the fold runs as
+    * one typed `flatMapGroups` per event type over the gap-filled
+    * series — a relation bounded by the TIME domain (hours in the
+    * window: ~9k rows/type-year), never by event volume; the corpus
+    * pays only the hourly hash aggregate feeding it. The oracle replays
+    * the same recurrence via a recursive CTE stepping the hour index. */
+  def cusumDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = RelOps.events(spark, sfDir)
+      .select(col("event_type"), expr("(ts div 1000) div " + HourUs).as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val filled = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val params = filled.groupBy(col("event_type"))
+      .agg(expr("sum(cnt) div count(1)").as("mu"))
+    filled.join(broadcast(params), Seq("event_type"))
+      .select(col("event_type"), col("h"), col("cnt"), col("mu"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, Long, Long, Long)]) =>
+        val rows = it.toSeq.sortBy(_._2) // bounded by the hour span
+        val mu = rows.head._4
+        val k = mu / 4
+        val th = 2 * mu
+        var sp = 0L
+        var sn = 0L
+        rows.map { case (_, hr, c, _) =>
+          sp = math.max(0L, sp + c - mu - k)
+          sn = math.max(0L, sn + (mu - k) - c)
+          (t, hr * 3600L, c, sp, sn, if (sp > th || sn > th) 1L else 0L)
+        }
+      }
+      .toDF("event_type", "hour_sec", "cnt", "s_pos", "s_neg", "alarm")
+  }
+
   /** Drift-alarm threshold: total-variation distance above 10% flags
     * the metric as drifted. */
   val DriftTvPpmMax = 100000L

@@ -679,6 +679,38 @@ class EventOpsSpec extends SparkSpec {
       -1L, types.min, types.max, types.map(_.length.toLong).sum))
   }
 
+  test("cusumDrift equals the naive sequential CUSUM recurrence") {
+    import spark.implicits._
+    val got = graft.pipeline.EventOps.cusumDrift(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val evs = graft.pipeline.RelOps.events(spark, sfDir)
+      .selectExpr("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 1000 / 3600000000L))
+    val h0 = evs.map(_._2).min
+    val h1 = evs.map(_._2).max
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val byH = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val cnts = (h0 to h1).map(h => h -> byH.getOrElse(h, 0L))
+      val n = h1 - h0 + 1
+      val mu = cnts.map(_._2).sum / n
+      val k = mu / 4
+      var sp = 0L
+      var sn = 0L
+      cnts.map { case (h, c) =>
+        sp = math.max(0L, sp + c - mu - k)
+        sn = math.max(0L, sn + (mu - k) - c)
+        (t, h * 3600L, c, sp, sn, if (sp > 2 * mu || sn > 2 * mu) 1L else 0L)
+      }
+    }.toSet
+    assert(got == expect)
+    // a real detector: the upward state must rise somewhere and sit at
+    // zero somewhere (the max-clamp reset); the DOWNWARD side cannot
+    // rise at sf0.001 — the truncating hourly mean is 0 there, which
+    // the exact-match against the naive fold above already pins
+    assert(got.exists(_._4 > 0L))
+    assert(got.exists(_._4 == 0L))
+  }
+
   test("valueDrift equals the naive exact total-variation fold") {
     import spark.implicits._
     val got = graft.pipeline.EventOps.valueDrift(spark, sfDir)
