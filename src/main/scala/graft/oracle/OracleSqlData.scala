@@ -421,6 +421,60 @@ object OracleSqlData {
        |  JOIN cnrm cnn ON cnn.cid = cd.cid
        |)""".stripMargin
 
+  /** Embedding-outlier mirror ([[graft.pipeline.DataOps.embedOutliers]]):
+    * the [[crankCte]] top-1 assignment re-joined to its dot/norm CTEs
+    * for the micro cosine, then the identical per-cell ceil-rank p5
+    * threshold and strict-below flag. */
+  val embedOutliers: String =
+    s"""WITH $embCtes,
+       |${crankCte(DataOps.IvfC)},
+       |assign AS (
+       |  SELECT cr.vec_id, cr.cid,
+       |         CAST(ROUND(CAST(cd.d AS DOUBLE) /
+       |           (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |            sqrt(CAST(cnn.cn AS DOUBLE))) * $MIC) AS BIGINT)
+       |           AS cs_micro
+       |  FROM crank cr
+       |  JOIN cdot cd ON cd.vec_id = cr.vec_id AND cd.cid = cr.cid
+       |  JOIN nrm na ON na.vec_id = cr.vec_id
+       |  JOIN cnrm cnn ON cnn.cid = cr.cid
+       |  WHERE cr.rnk = 1
+       |),
+       |hist AS (
+       |  SELECT cid, cs_micro, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM assign GROUP BY 1, 2
+       |),
+       |cum AS (
+       |  SELECT cid, cs_micro, c,
+       |         SUM(c) OVER (PARTITION BY cid ORDER BY cs_micro) AS cum,
+       |         SUM(c) OVER (PARTITION BY cid) AS n
+       |  FROM hist
+       |),
+       |th AS (
+       |  SELECT cid,
+       |         MIN(CASE WHEN cum >= (n + 19) // 20 THEN cs_micro END)
+       |           AS t5
+       |  FROM cum GROUP BY 1
+       |)
+       |SELECT a.vec_id, a.cid, a.cs_micro,
+       |       CAST(CASE WHEN a.cs_micro < th.t5 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS outlier
+       |FROM assign a JOIN th USING (cid)""".stripMargin
+
+  /** Class-balance mirror ([[graft.pipeline.DataOps.labelBalance]]):
+    * one aggregate, identical ppm share and floor-log2 bits. */
+  val labelBalance: String =
+    """WITH l AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM embeddings GROUP BY 1
+      |),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM l)
+      |SELECT label, n,
+      |       CAST((n * 1000000) // tot AS BIGINT) AS share_ppm,
+      |       CAST(length(bin(tot // n)) - 1 AS BIGINT) AS surprisal_bits
+      |FROM l, tot""".stripMargin
+
   /** SemDeDup mirror ([[graft.pipeline.DataOps.semdedup]]): same top-1
     * cell assignment, same within-cell smaller-id neighbor test at
     * [[DataOps.SemTauMicro]], same per-vector keep verdict. */

@@ -1087,6 +1087,55 @@ object DataOps {
         (col("pred_label") === col("label")).cast("long").as("correct"))
   }
 
+  /** EMBEDDING-SPACE OUTLIER AUDIT — the corrupt-vector screen a
+    * pipeline runs before trusting an embedding drop (truncated
+    * payloads, wrong-model vectors and mislabeled rows land far from
+    * everything): each vector's cosine to its OWN top-1 IVF centroid,
+    * flagged when below the cell's exact p5 (ceil-rank histogram pick —
+    * a fixed global threshold would misread naturally-tight vs
+    * naturally-diffuse cells). Output (vec_id, cid, cs_micro, outlier).
+    *
+    * Plan: reuses the [[centroids]]/[[cellRanks]] assignment (broadcast
+    * C centroids over ONE scan); the threshold histogram aggregates per
+    * (cell, DISTINCT cos) and the C-row threshold frame broadcasts back
+    * — no window over raw vectors. */
+  def embedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = cellRanks(spark, sfDir, pin(centroids(spark, sfDir)))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"),
+        round(col("cs") * lit(MICRO)).cast("long").as("cs_micro"))
+    val hist = assign.groupBy(col("cid"), col("cs_micro"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("cid")).orderBy(col("cs_micro").asc)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("cid"))))
+    val th = cum.groupBy(col("cid")).agg(
+      min(when(col("cum") >= expr("(n + 19) div 20"), col("cs_micro")))
+        .as("t5"))
+    assign.join(broadcast(th), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("cs_micro"),
+        (col("cs_micro") < col("t5")).cast("long").as("outlier"))
+  }
+
+  /** CLASS-BALANCE AUDIT over the labeled embedding corpus — the
+    * imbalance check run before training on labeled data: per label,
+    * count, exact-ppm share and the [[unigramSurprisal]]-style
+    * floor-log2 surprisal bits (a rare class scores high bits — the
+    * quantity class-weighted losses compensate). One hash aggregate +
+    * a 1-row broadcast; output bounded by the label domain. */
+  def labelBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("label").cast("long").as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val tot = l.agg(sum(col("n")).as("tot"))
+    l.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        expr("(n * 1000000) div tot").as("share_ppm"),
+        (length(bin(expr("tot div n"))) - 1).cast("long")
+          .as("surprisal_bits"))
+  }
+
   /** MMR picks per query. */
   val MmrK = 5
 

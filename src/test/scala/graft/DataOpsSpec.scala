@@ -1503,6 +1503,39 @@ class DataOpsSpec extends SparkSpec {
     assert(got.exists { case (t, (_, _, n)) => n < t.length })
   }
 
+  test("embedOutliers flags below the per-cell ceil-rank p5 exactly") {
+    val got = DataOps.embedOutliers(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val n = spark.read.parquet(s"$SF/embeddings.parquet").count()
+    assert(got.size == n.toInt)
+    got.groupBy(_._2).foreach { case (cid, rs) =>
+      val vs = rs.map(_._3).sorted
+      val m = vs.length.toLong
+      val t5 = vs(((m + 19) / 20 - 1).toInt)
+      rs.foreach { case (vid, _, cs, o) =>
+        assert(o == (if (cs < t5) 1L else 0L), s"vec $vid cell $cid")
+      }
+      // strict-below-ceil-rank keeps the outlier share under 5%
+      assert(20 * rs.count(_._4 == 1L) <= rs.size,
+        s"cell $cid outlier share")
+    }
+    assert(got.exists(_._4 == 1L), "audit must flag something")
+  }
+
+  test("labelBalance equals the naive share/surprisal fold") {
+    val got = DataOps.labelBalance(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val labels = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("label").as[Int].collect().toSeq.map(_.toLong)
+    val tot = labels.size.toLong
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = labels.groupBy(identity).map { case (l, g) =>
+      (l, g.size.toLong, g.size * 1000000L / tot, bits(tot / g.size))
+    }.toSet
+    assert(got == expect)
+    assert(got.size > 1)
+  }
+
   test("kAnonymity groups match a naive quasi-identifier fold") {
     val got = DataOps.kAnonymity(spark, SF)
       .as[(String, String, Long, Long, Long)].collect().toSet
