@@ -2506,6 +2506,32 @@ object OracleSqlData {
        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
   }
 
+  /** Source-Jaccard mirror ([[graft.pipeline.DataOps.sourceJaccard]]):
+    * same distinct (source, token) collapse, ordered pair join on the
+    * token key, exact ppm. */
+  val sourceJaccard: String =
+    s"""WITH $wrdsCte,
+       |st AS (
+       |  SELECT DISTINCT source, unnest(w) AS token FROM wrds
+       |),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS vs FROM st GROUP BY 1
+       |),
+       |inter AS (
+       |  SELECT x.source AS src_a, y.source AS src_b,
+       |         CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM st x JOIN st y
+       |    ON y.token = x.token AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.src_a, i.src_b, i.inter,
+       |       a.vs + b.vs - i.inter AS uni,
+       |       CAST((i.inter * 1000000) // (a.vs + b.vs - i.inter)
+       |            AS BIGINT) AS jaccard_ppm
+       |FROM inter i
+       |JOIN sizes a ON a.source = i.src_a
+       |JOIN sizes b ON b.source = i.src_b""".stripMargin
+
   /** k-anonymity mirror ([[graft.pipeline.DataOps.kAnonymity]]): one
     * aggregate on the identical quasi-identifier tuple, identical
     * truncating length bucket and k threshold. */

@@ -1217,6 +1217,45 @@ object OracleSqlRel {
       |         AS outlier_ppm
       |FROM f GROUP BY 1""".stripMargin
 
+  /** Burstiness mirror ([[graft.pipeline.EventOps.burstiness]]): same
+    * gap-filled grid, same HUGEINT Fano cross-multiplication. */
+  val burstiness: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS h,
+       |         COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |),
+       |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+       |grid AS (
+       |  SELECT t.event_type, g.h
+       |  FROM (SELECT DISTINCT event_type FROM hourly) t
+       |  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+       |              FROM bounds) g
+       |),
+       |filled AS (
+       |  SELECT grid.event_type,
+       |         CAST(COALESCE(hourly.cnt, 0) AS BIGINT) AS cnt
+       |  FROM grid LEFT JOIN hourly
+       |    ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+       |),
+       |agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       |         CAST(SUM(cnt) AS BIGINT) AS s,
+       |         SUM(CAST(cnt AS HUGEINT) * cnt) AS ssq
+       |  FROM filled GROUP BY 1
+       |)
+       |SELECT event_type, n_hours,
+       |       CAST((s * 1000) // n_hours AS BIGINT) AS mean_milli,
+       |       CAST(((CAST(n_hours AS HUGEINT) * ssq -
+       |              CAST(s AS HUGEINT) * s) * 1000000) //
+       |            (CAST(n_hours AS HUGEINT) * s) AS BIGINT) AS fano_ppm,
+       |       CAST(CASE WHEN ((CAST(n_hours AS HUGEINT) * ssq -
+       |              CAST(s AS HUGEINT) * s) * 1000000) //
+       |            (CAST(n_hours AS HUGEINT) * s) >
+       |            ${graft.pipeline.EventOps.FanoPpmMax}
+       |            THEN 1 ELSE 0 END AS BIGINT) AS bursty
+       |FROM agg""".stripMargin
+
   /** CUSUM mirror ([[graft.pipeline.EventOps.cusumDrift]]): the same
     * gap-filled hourly grid and integer parameters; the max-clamped
     * recurrence replays via a recursive CTE stepping the hour index

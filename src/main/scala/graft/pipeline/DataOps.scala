@@ -3877,6 +3877,40 @@ object DataOps {
         (col("weight_bits") >= 0L).cast("long"))
   }
 
+  /** CROSS-SOURCE VOCABULARY JACCARD — the corpus-mixing diagnostic
+    * beside [[dupSourceMatrix]]'s document-level one: for every source
+    * pair, |V_a ∩ V_b| / |V_a ∪ V_b| over the distinct-token
+    * vocabularies, exact ppm — near-1 pairs are the same crawl
+    * twice-labeled (mix quotas double-count them), near-0 pairs carry
+    * genuinely disjoint registers. Output
+    * (src_a, src_b, inter, uni, jaccard_ppm), a < b pairs only.
+    *
+    * Plan: the corpus collapses to the DISTINCT (source, token)
+    * relation first (one hash aggregate); the pair join runs on that
+    * vocab-bounded relation keyed by token (each token contributes its
+    * own source-pair combinations — bounded by S² per token, S = source
+    * count); per-source sizes broadcast into the closing projection. */
+  def sourceJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = persistUnlessLazy(docs(spark, sfDir)
+      .select(col("source"), explode(words(col("text"))).as("token"))
+      .distinct())
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vs"))
+    val inter = st.as("x").join(st.as("y"), Seq("token"))
+      .where(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("vs").as("va"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("vs").as("vb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("va") + col("vb") - col("inter")).as("uni"))
+      .withColumn("jaccard_ppm",
+        expr("(inter * 1000000) div uni"))
+    finish(out, st)
+  }
+
   /** k-anonymity threshold: a quasi-identifier group smaller than this
     * is re-identifiable (the Sweeney 2002 k). */
   val KAnonK = 5L

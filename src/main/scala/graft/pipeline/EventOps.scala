@@ -973,6 +973,46 @@ object EventOps {
         coalesce(sum(length(col("repr"))), lit(0L)).as("len_sum"))
   }
 
+  /** BURSTINESS AUDIT — the index of dispersion (Fano factor,
+    * variance-to-mean ratio) of the gap-filled hourly count series per
+    * event type: a Poisson-like steady stream sits near 1, bursty
+    * traffic (campaign spikes, batch replays, bot storms) runs far
+    * above — the one-number answer to "is this event steady or spiky",
+    * read before sizing stream capacity. EXACT integers only:
+    * `fano_ppm = ((n·Σc² − (Σc)²) · 1e6) div (n·Σc)` with DECIMAL(38)
+    * quadratics (HUGEINT in the oracle), `bursty` flag at > 2×.
+    * Output (event_type, n_hours, mean_milli, fano_ppm, bursty).
+    *
+    * Plan: the gap-filled hourly relation (time-domain bounded) feeds
+    * ONE three-sum aggregate per type — no window, no second pass. */
+  val FanoPpmMax = 2000000L
+
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = RelOps.events(spark, sfDir)
+      .select(col("event_type"), expr("(ts div 1000) div " + HourUs).as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val filled = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    filled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("ssq"))
+      .select(col("event_type"), col("n_hours"),
+        expr("(s * 1000) div n_hours").as("mean_milli"),
+        expr("""cast(((cast(n_hours as decimal(38,0)) * ssq -
+                |  cast(s as decimal(38,0)) * s) * 1000000) div
+                |  (cast(n_hours as decimal(38,0)) * s) as bigint)"""
+          .stripMargin).as("fano_ppm"))
+      .withColumn("bursty",
+        (col("fano_ppm") > FanoPpmMax).cast("long"))
+  }
+
   /** CUSUM CHANGE-POINT DETECTION (Page 1954, "Continuous inspection
     * schemes") over the gap-filled hourly count series — the sequential
     * drift detector that catches a sustained small shift long before a

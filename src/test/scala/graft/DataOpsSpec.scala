@@ -1536,6 +1536,23 @@ class DataOpsSpec extends SparkSpec {
     assert(got.size > 1)
   }
 
+  test("sourceJaccard equals the naive vocabulary set fold") {
+    val got = DataOps.sourceJaccard(spark, SF)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val rows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("source", "text").as[(String, String)].collect().toSeq
+    val vocab = rows.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.split(" ").filter(_.nonEmpty)).toSet).toMap
+    val srcs = vocab.keySet.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+      i = vocab(a).intersect(vocab(b)).size.toLong
+      u = vocab(a).union(vocab(b)).size.toLong
+    } yield (a, b, i, u, i * 1000000L / u)).toSet
+    assert(got == expect)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2)
+  }
+
   test("kAnonymity groups match a naive quasi-identifier fold") {
     val got = DataOps.kAnonymity(spark, SF)
       .as[(String, String, Long, Long, Long)].collect().toSet

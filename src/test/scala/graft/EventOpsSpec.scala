@@ -679,6 +679,31 @@ class EventOpsSpec extends SparkSpec {
       -1L, types.min, types.max, types.map(_.length.toLong).sum))
   }
 
+  test("burstiness equals the naive Fano fold over gap-filled hours") {
+    import spark.implicits._
+    val got = graft.pipeline.EventOps.burstiness(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val evs = graft.pipeline.RelOps.events(spark, sfDir)
+      .selectExpr("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 1000 / 3600000000L))
+    val h0 = evs.map(_._2).min
+    val h1 = evs.map(_._2).max
+    val expect = evs.groupBy(_._1).map { case (t, rs) =>
+      val byH = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val cnts = (h0 to h1).map(h => byH.getOrElse(h, 0L))
+      val n = BigInt(cnts.size)
+      val s = BigInt(cnts.sum)
+      val ssq = cnts.map(c => BigInt(c) * c).sum
+      val fano = ((n * ssq - s * s) * 1000000 / (n * s)).toLong
+      t -> (cnts.size.toLong, (s * 1000 / n).toLong, fano,
+        if (fano > graft.pipeline.EventOps.FanoPpmMax) 1L else 0L)
+    }
+    assert(got == expect)
+    // dispersion must vary across types on the fixture
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("cusumDrift equals the naive sequential CUSUM recurrence") {
     import spark.implicits._
     val got = graft.pipeline.EventOps.cusumDrift(spark, sfDir)
