@@ -1570,6 +1570,43 @@ object OracleSqlData {
        |  (strt + GREATEST(n_tok, 1) - 1) // ${DataOps.PackBudget} AS end_seq
        |FROM c""".stripMargin
 
+  /** Fold-leakage mirror ([[graft.pipeline.DataOps.foldLeakage]]):
+    * identical salted fold hash, exact distinct-fold spread per text
+    * hash, same per-fold rollup. */
+  lazy val foldLeakage: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |         ${h60("concat('fold|', CAST(doc_id AS VARCHAR))")} %
+       |           ${DataOps.KFolds} AS fold
+       |  FROM documents
+       |),
+       |spread AS (
+       |  SELECT h, CAST(COUNT(DISTINCT fold) AS BIGINT) AS nf
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT d.fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN s.nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_leaked,
+       |       CAST((SUM(CASE WHEN s.nf > 1 THEN 1 ELSE 0 END) * 1000000)
+       |            // COUNT(*) AS BIGINT) AS leak_ppm
+       |FROM d JOIN spread s USING (h)
+       |GROUP BY 1""".stripMargin
+
+  /** Packing-efficiency mirror
+    * ([[graft.pipeline.DataOps.packingEfficiency]]): the
+    * [[packSequences]] relation inlined, one per-source rollup. */
+  lazy val packingEfficiency: String =
+    s"""WITH ps AS ($packSequences)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+       |       CAST(MAX(end_seq) + 1 AS BIGINT) AS n_seqs,
+       |       CAST(SUM(CASE WHEN end_seq <> seq_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS split_docs,
+       |       CAST((SUM(n_tok) * 1000000) //
+       |            ((MAX(end_seq) + 1) * ${DataOps.PackBudget})
+       |            AS BIGINT) AS fill_ppm
+       |FROM ps GROUP BY 1""".stripMargin
+
   /** Bigram-head mirror: same bigrams, same (cnt desc, gram asc) rank. */
   val topBigrams: String =
     s"""WITH $wrdsCte,

@@ -2507,6 +2507,53 @@ object DataOps {
           .as("end_seq"))
   }
 
+  /** Number of cross-validation folds. */
+  val KFolds = 5L
+
+  /** TRAIN/TEST FOLD-LEAKAGE AUDIT — the eval-integrity check run
+    * before trusting k-fold numbers: docs assign to [[KFolds]] folds by
+    * salted hash (deterministic, the [[sampleByHash]] discipline), and
+    * any EXACT-duplICATE text whose copies land in more than one fold
+    * is train/test contamination — the model sees the held-out answer
+    * verbatim during training (the within-corpus twin of
+    * [[decontaminate]]'s external-benchmark check). Output per fold:
+    * (fold, n_docs, n_leaked, leak_ppm).
+    *
+    * Plan: one projection (md5 + fold hash), one (text-hash) aggregate
+    * counting distinct folds, one broadcast-size join back and one
+    * per-fold rollup — shuffles carry (hash, fold), never text. */
+  def foldLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        pmod(hash60(concat(lit("fold|"), col("doc_id").cast("string"))),
+          lit(KFolds)).as("fold"))
+    val spread = d.groupBy(col("h"))
+      .agg(countDistinct(col("fold")).as("nf"))
+    d.join(spread, Seq("h"))
+      .withColumn("leaked", (col("nf") > 1).cast("long"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("leaked")).as("n_leaked"))
+      .withColumn("leak_ppm",
+        expr("(n_leaked * 1000000) div n_docs"))
+  }
+
+  /** PACKING-EFFICIENCY READOUT over [[packSequences]] — the one-look
+    * answer to "how much of the token budget does the packed corpus
+    * actually fill": per source, document/sequence/token counts, the
+    * number of boundary-split documents, and the exact-ppm fill factor
+    * `total_tok / (n_seqs · PackBudget)` — the padding waste a trainer
+    * pays is its complement. One rollup over the packing relation. */
+  def packingEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    packSequences(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        (max(col("end_seq")) + 1).as("n_seqs"),
+        sum((col("end_seq") =!= col("seq_id")).cast("long"))
+          .as("split_docs"))
+      .withColumn("fill_ppm",
+        expr(s"(total_tok * 1000000) div (n_seqs * $PackBudget)"))
+
   /** Corpus bigram frequency head — the vocabulary/tokenizer-design
     * statistic: the 100 most frequent word bigrams, ties broken gram
     * asc. Global top-k via `orderBy(...).limit(...)` compiles to

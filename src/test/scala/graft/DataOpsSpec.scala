@@ -1536,6 +1536,60 @@ class DataOpsSpec extends SparkSpec {
     assert(got.size > 1)
   }
 
+  test("foldLeakage equals the naive duplicate-spread fold") {
+    val got = DataOps.foldLeakage(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val rows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val withFold = rows.map { case (id, t) =>
+      (id, t, jvmHash60(s"fold|$id") % DataOps.KFolds) }
+    val spread = withFold.groupBy(_._2).view
+      .mapValues(_.map(_._3).distinct.size).toMap
+    val expect = withFold.groupBy(_._3).map { case (f, g) =>
+      val leaked = g.count(r => spread(r._2) > 1).toLong
+      (f, g.size.toLong, leaked, leaked * 1000000L / g.size)
+    }.toSet
+    assert(got == expect)
+    // the driver fixture has no exact-duplicate texts, so it must read
+    // CLEAN — the positive detection case runs on a crafted corpus
+    assert(got.forall(_._3 == 0L))
+    assert(got.map(_._1) == (0L until DataOps.KFolds).toSet)
+
+    // crafted corpus: one text duplicated under doc_ids that hash to
+    // different folds must flag every copy as leaked
+    val dir = Files.createTempDirectory("graft-fold").toString
+    val ids = (0L until 40L)
+    val folds = ids.map(i => i -> jvmHash60(s"fold|$i") % DataOps.KFolds)
+    assert(folds.map(_._2).distinct.size > 1)
+    ids.map(i => (i, "the same exact text", "en", "srcX", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val crafted = DataOps.foldLeakage(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(crafted.map(_._2).sum == 40L)
+    crafted.foreach { case (f, n, leaked, ppm) =>
+      assert(leaked == n && ppm == 1000000L, s"fold $f must fully leak")
+    }
+  }
+
+  test("packingEfficiency equals a rollup of packSequences") {
+    val got = DataOps.packingEfficiency(spark, SF)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val ps = DataOps.packSequences(spark, SF)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    val expect = ps.groupBy(_._2).map { case (src, g) =>
+      val tok = g.map(_._3).sum
+      val seqs = g.map(_._6).max + 1
+      (src, g.size.toLong, tok, seqs,
+        g.count(r => r._6 != r._4).toLong,
+        tok * 1000000L / (seqs * DataOps.PackBudget))
+    }.toSet
+    assert(got == expect)
+    // packing must be dense but not perfect on the fixture
+    assert(got.forall(r => r._6 > 500000L && r._6 <= 1000000L))
+    assert(got.exists(_._5 > 0L), "some doc must split a boundary")
+  }
+
   test("sourceJaccard equals the naive vocabulary set fold") {
     val got = DataOps.sourceJaccard(spark, SF)
       .as[(String, String, Long, Long, Long)].collect().toSet
