@@ -1007,6 +1007,80 @@ object OracleSqlData {
        |SELECT q_id, n_id, pick, mmr2_micro FROM p$k""".stripMargin
   }
 
+  /** Hard-negative mirror ([[graft.pipeline.DataOps.hardNegatives]]):
+    * the [[annBrute]] exact scoring with the wrong-label predicate
+    * applied before the per-query rank, top
+    * [[graft.pipeline.DataOps.HardNegK]] kept. */
+  val hardNegatives: String =
+    s"""WITH $embCtes,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+       |        FROM embeddings),
+       |qd AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, SUM(a.v * b.v) AS d
+       |  FROM vu a JOIN vu b
+       |    ON a.i = b.i AND b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT qd.q_id, qd.n_id,
+       |         CAST(qd.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM qd
+       |  JOIN nrm nn ON nn.vec_id = qd.n_id
+       |  JOIN nrm nq ON nq.vec_id = qd.q_id
+       |),
+       |flt AS (
+       |  SELECT s.q_id, lq.label AS q_label, s.n_id,
+       |         ln.label AS n_label, s.cs
+       |  FROM scored s
+       |  JOIN lab lq ON lq.vec_id = s.q_id
+       |  JOIN lab ln ON ln.vec_id = s.n_id AND ln.label <> lq.label
+       |)
+       |SELECT q_id, q_label, n_id, n_label, rnk,
+       |       CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro
+       |FROM (
+       |  SELECT q_id, q_label, n_id, n_label, cs,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM flt
+       |) WHERE rnk <= ${DataOps.HardNegK}""".stripMargin
+
+  /** Centroid-drift mirror ([[graft.pipeline.DataOps.centroidDrift]]):
+    * per-label truncating-integer centroids off the same micro-unit
+    * element relation (`//` ≡ Spark `div`, both toward zero — verified
+    * on negatives), pairwise centroid cosine with mirrored double
+    * normalize, zero-norm centroids dropped. */
+  val centroidDrift: String =
+    s"""WITH $embCtes,
+       |lv AS (
+       |  SELECT CAST(e.label AS BIGINT) AS label, v.i, v.v
+       |  FROM vu v JOIN embeddings e ON e.vec_id = v.vec_id
+       |),
+       |comps AS (
+       |  SELECT label, i, SUM(v) // COUNT(*) AS c, COUNT(*) AS n
+       |  FROM lv GROUP BY 1, 2
+       |),
+       |nc AS (
+       |  SELECT label, SUM(c * c) AS nc, MIN(n) AS n
+       |  FROM comps GROUP BY 1 HAVING SUM(c * c) > 0
+       |),
+       |pd AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |         SUM(a.c * b.c) AS d
+       |  FROM comps a JOIN comps b
+       |    ON a.i = b.i AND a.label < b.label
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.label_a, p.label_b, na.n AS n_a, nb.n AS n_b,
+       |       CAST(ROUND(CAST(p.d AS DOUBLE) /
+       |         (sqrt(CAST(na.nc AS DOUBLE)) *
+       |          sqrt(CAST(nb.nc AS DOUBLE))) * $MIC) AS BIGINT)
+       |         AS cos_micro
+       |FROM pd p
+       |JOIN nc na ON na.label = p.label_a
+       |JOIN nc nb ON nb.label = p.label_b""".stripMargin
+
   val annIvf: String =
     s"""WITH $embCtes,
        |${crankCte(DataOps.IvfC)},

@@ -1306,6 +1306,108 @@ object DataOps {
       10)
   }
 
+  /** Negatives kept per query by [[hardNegatives]]. */
+  val HardNegK = 3
+
+  /** HARD-NEGATIVE MINING — the contrastive-training data op (the
+    * retrieval/embedding fine-tune recipe of DPR, Karpukhin et al. 2020:
+    * negatives that are SIMILAR but wrong teach the most): for each
+    * query vector, the [[HardNegK]] nearest neighbors whose `label`
+    * DIFFERS from the query's — exact cosine, the [[annBrute]]
+    * discipline. Output (q_id, q_label, n_id, n_label, rnk, cos_micro).
+    *
+    * 100 TB shape: identical to [[annBrute]] — the asserted-bounded
+    * query side broadcasts over ONE corpus scan (label rides the same
+    * scan, so the wrong-label predicate dies inside the scan's codegen
+    * stage before anything shuffles); the per-query top-k is the bounded
+    * [[graft.functions.TopKAgg]]; the two label-attach joins run with
+    * the BOUNDED top relation broadcast into corpus-scan / query-side
+    * frames, never the reverse. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val vl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+          .as("em"))
+      .withColumn("nrm", dot(col("em"), col("em")))
+    val q = vl.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("em").as("qem"), col("nrm").as("qn"))
+    // The annQueries in-plan size cap, label-carrying variant: the
+    // assert rides in the broadcast build, so an unbounded query side
+    // fails loudly before any probe work.
+    val n = q.limit(MaxAnnQueries.toInt + 1)
+      .agg(count(lit(1)).as("n_queries"))
+    val qb = q.crossJoin(broadcast(n))
+      .select(
+        when(assert_true(col("n_queries") <= lit(MaxAnnQueries),
+            lit(s"ANN query side has >$MaxAnnQueries rows — not " +
+              "broadcastable; bound the query relation")).isNull,
+          col("q_id")).as("q_id"),
+        col("q_label"), col("qem"), col("qn"))
+    val top = rankTopK(spark,
+      vl.crossJoin(broadcast(qb))
+        .where(col("vec_id") =!= col("q_id") &&
+          col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn"))
+            .as("cs")),
+      HardNegK)
+    vl.select(col("vec_id"), col("label"))
+      .join(broadcast(top), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("label").as("n_label"),
+        col("rnk"), col("cos_micro"))
+      .join(broadcast(qb.select(col("q_id"), col("q_label"))), Seq("q_id"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("rnk"), col("cos_micro"))
+  }
+
+  /** CENTROID-DRIFT MATRIX — the embedding-space separation/collapse
+    * readout (the monitoring statistic an embedding pipeline tracks
+    * between model versions or data snapshots: class centroids drifting
+    * together signal representation collapse; a centroid drifting from
+    * its historical position signals upstream data drift): per label,
+    * the exact-integer centroid (truncating per-dimension mean of the
+    * micro-unit vectors — `div` ≡ DuckDB `//`, both toward zero), then
+    * the full pairwise centroid-cosine matrix (label_a < label_b) with
+    * member counts. Double appears only in the final normalize with
+    * operand order mirrored in the oracle ([[annBrute]] discipline);
+    * zero-norm centroids are dropped in both engines.
+    *
+    * 100 TB shape: ONE corpus scan (posexplode → hash aggregate keyed
+    * (label, dim) — map-side combined, L·d rows at any corpus size);
+    * everything after operates on the L·d centroid frame: the pair join
+    * is L²·d over broadcast-sized relations, the norm/count attaches
+    * broadcast the L-row frame. Nothing downstream scales with N. */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val lv = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("label").cast("long").as("label"),
+        posexplode(graft.functions.MicroVecExpr.micro(spark,
+          col("embedding"))).as(Seq("i", "v")))
+    val comps = lv.groupBy(col("label"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"), expr("s div n").as("c"), col("n"))
+    val nc = comps.groupBy(col("label"))
+      .agg(sum(col("c") * col("c")).as("nc"), min(col("n")).as("n"))
+      .where(col("nc") > 0)
+    val a = comps.select(col("label").as("label_a"), col("i"),
+      col("c").as("ca"))
+    val b = comps.select(col("label").as("label_b"), col("i"),
+      col("c").as("cb"))
+    val pairs = a.join(b, Seq("i"))
+      .where(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ca") * col("cb")).as("d"))
+    pairs
+      .join(broadcast(nc.select(col("label").as("label_a"),
+        col("nc").as("nca"), col("n").as("n_a"))), Seq("label_a"))
+      .join(broadcast(nc.select(col("label").as("label_b"),
+        col("nc").as("ncb"), col("n").as("n_b"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("d").cast("double") /
+          (sqrt(col("nca").cast("double")) * sqrt(col("ncb").cast("double")))
+          * lit(MICRO)).cast("long").as("cos_micro"))
+  }
+
   // =================================================================
   // Search-index family
   // =================================================================

@@ -296,6 +296,62 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives equals the naive wrong-label top-k over exact cos") {
+    val got = DataOps.hardNegatives(spark, SF)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val rows = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+      .map { case (id, l, e) => (id, l.toLong, e.map(x =>
+        java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())) }
+    val nrm = rows.map { case (id, _, v) =>
+      id -> v.map(x => x * x).sum }.toMap
+    val expect = (for {
+      (q, ql, qv) <- rows.toSeq if q % 50 == 0
+      cands = (for {
+        (n, nl, nv) <- rows.toSeq if n != q && nl != ql
+        d = qv.zip(nv).map { case (a, b) => a * b }.sum
+        cs = d.toDouble / (math.sqrt(nrm(n).toDouble) *
+          math.sqrt(nrm(q).toDouble))
+      } yield (n, nl, cs)).sortBy { case (n, _, cs) => (-cs, n) }
+        .take(DataOps.HardNegK)
+      ((n, nl, cs), i) <- cands.zipWithIndex
+    } yield (q, ql, n, nl, (i + 1).toLong,
+      java.math.BigDecimal.valueOf(cs * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())).toSet
+    assert(got == expect)
+    // every mined negative carries a label different from its query's
+    assert(got.forall { case (_, ql, _, nl, _, _) => ql != nl })
+  }
+
+  test("centroidDrift equals the naive integer-centroid cosine matrix") {
+    val got = DataOps.centroidDrift(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val rows = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("label", "embedding").as[(Int, Array[Float])].collect()
+      .map { case (l, e) => (l.toLong, e.map(x =>
+        java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())) }
+    val byLabel = rows.groupBy(_._1)
+    val cents = byLabel.map { case (l, vs) =>
+      val n = vs.size.toLong
+      val c = vs.map(_._2).transpose.map(col => col.sum / n) // trunc div
+      (l, n, c.toArray)
+    }.filter { case (_, _, c) => c.map(x => x * x).sum > 0 }.toSeq
+    val expect = (for {
+      (la, na, ca) <- cents
+      (lb, nb, cb) <- cents if la < lb
+      d = ca.zip(cb).map { case (a, b) => a * b }.sum
+      cm = java.math.BigDecimal.valueOf(
+        d.toDouble / (math.sqrt(ca.map(x => x * x).sum.toDouble) *
+          math.sqrt(cb.map(x => x * x).sum.toDouble)) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    } yield (la, lb, na, nb, cm)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("mmrDiversify equals a naive greedy MMR fold over annBrute") {
     val got = DataOps.mmrDiversify(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
