@@ -2216,6 +2216,71 @@ object OracleSqlData {
        |  FROM sc WHERE score_micro > 0
        |) WHERE rnk <= 10""".stripMargin
 
+  /** RRF mirror ([[graft.pipeline.DataOps.rrfFusion]]): the two ranker
+    * mirrors inlined (nested-WITH pattern), full-outer joined, fused by
+    * the exact-integer `10^6 // (k + rank)` sum, re-ranked. */
+  lazy val rrfFusion: String =
+    s"""WITH tf AS ($tfidfSearch),
+       |bm AS ($bm25Search),
+       |j AS (
+       |  SELECT COALESCE(tf.doc_id, bm.doc_id) AS doc_id,
+       |         CAST(COALESCE(tf.rnk, 0) AS BIGINT) AS tfidf_rnk,
+       |         CAST(COALESCE(bm.rnk, 0) AS BIGINT) AS bm25_rnk
+       |  FROM tf FULL OUTER JOIN bm ON bm.doc_id = tf.doc_id
+       |),
+       |s AS (
+       |  SELECT doc_id, tfidf_rnk, bm25_rnk,
+       |         CAST((CASE WHEN tfidf_rnk > 0
+       |                 THEN 1000000 // (${DataOps.RrfK} + tfidf_rnk)
+       |                 ELSE 0 END) +
+       |              (CASE WHEN bm25_rnk > 0
+       |                 THEN 1000000 // (${DataOps.RrfK} + bm25_rnk)
+       |                 ELSE 0 END) AS BIGINT) AS rrf_micro
+       |  FROM j
+       |)
+       |SELECT doc_id, tfidf_rnk, bm25_rnk, rrf_micro,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC,
+       |         doc_id ASC) AS BIGINT) AS rnk
+       |FROM s""".stripMargin
+
+  /** CDC mirror ([[graft.pipeline.DataOps.cdcChunks]]): boundary
+    * prefix-sum chunk ids per doc, HUGEINT positional fingerprints
+    * (≡ the engine's DECIMAL(38) arithmetic), duplicate rollup. */
+  val cdcChunks: String =
+    s"""WITH $wrdsCte,
+       |wu AS (SELECT doc_id, unnest(w) AS t,
+       |              generate_subscripts(w, 1) - 1 AS pos
+       |       FROM wrds),
+       |th AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |              ${h60("t")} AS h
+       |       FROM wu),
+       |ck AS (
+       |  SELECT doc_id, pos, h,
+       |         COALESCE(SUM(CASE WHEN h % ${DataOps.CdcMod} = 0
+       |             THEN 1 ELSE 0 END) OVER
+       |           (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0) AS chunk
+       |  FROM th
+       |),
+       |agg AS (
+       |  SELECT doc_id, chunk, MIN(pos) AS start_pos,
+       |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         SUM(CAST(h AS HUGEINT) * (pos + 1)) AS pw,
+       |         SUM(CAST(h AS HUGEINT)) AS hs
+       |  FROM ck GROUP BY 1, 2
+       |),
+       |fps AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST((pw - start_pos * hs) % ${1L << 60} AS BIGINT) AS fp
+       |  FROM agg
+       |)
+       |SELECT fp, n_tokens,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |       MIN(doc_id) AS min_doc
+       |FROM fps GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+
   val keywordsTfidf: String =
     s"""WITH $wrdsCte,
        |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),

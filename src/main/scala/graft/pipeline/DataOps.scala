@@ -1566,6 +1566,92 @@ object DataOps {
     finish(out, dt)
   }
 
+  /** RRF rank constant (the standard k = 60 of Cormack et al. 2009). */
+  val RrfK = 60L
+
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner over the engine's two rankers:
+    * fuse [[tfidfSearch]] and [[bm25Search]] top-10s by
+    * `Σ 10^6 div (k + rank)` (k = [[RrfK]]), exact integer, re-ranked
+    * by fused score with the doc_id tie-break. A doc absent from one
+    * list contributes 0 for it (rank reported as 0). Output
+    * (doc_id, tfidf_rnk, bm25_rnk, rrf_micro, rnk) — the shape a
+    * RAG retrieval stack ships to its reranker.
+    *
+    * 100 TB shape: both inputs are already bounded top-10 relations
+    * (each one built scan-side by its own operator); everything here —
+    * the full-outer join, the integer fusion, the final rank window —
+    * runs on ≤ 20 rows at any corpus size. */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tfidfSearch(spark, sfDir)
+      .select(col("doc_id"), col("rnk").as("tfidf_rnk"))
+    val b = bm25Search(spark, sfDir)
+      .select(col("doc_id"), col("rnk").as("bm25_rnk"))
+    t.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("tfidf_rnk"), lit(0L)).as("tfidf_rnk"),
+        coalesce(col("bm25_rnk"), lit(0L)).as("bm25_rnk"))
+      .withColumn("rrf_micro",
+        when(col("tfidf_rnk") > 0,
+          expr(s"1000000 div ($RrfK + tfidf_rnk)")).otherwise(lit(0L)) +
+        when(col("bm25_rnk") > 0,
+          expr(s"1000000 div ($RrfK + bm25_rnk)")).otherwise(lit(0L)))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
+  /** CDC boundary modulus: a token whose hash60 ≡ 0 (mod 16) closes the
+    * chunk after itself → expected chunk length 16 tokens. */
+  val CdcMod = 16L
+
+  /** CONTENT-DEFINED CHUNKING + duplicate-chunk detection — the
+    * sub-document dedup tier (the FastCDC/rsync boundary idea applied
+    * at token granularity, beside [[dedupSubstring]]'s gram sketch):
+    * chunk boundaries fall where `hash60(token) mod` [[CdcMod]] `= 0`,
+    * so identical content produces identical chunks REGARDLESS of its
+    * offset in the document (a fixed-stride chunker like
+    * [[chunkDocuments]] loses alignment after one insertion — CDC is
+    * how backup/dedup systems survive shifts). Each chunk carries an
+    * order-sensitive positional fingerprint
+    * `Σ (rel_pos+1)·hash60(token) mod 2^60` (DECIMAL(38)/HUGEINT
+    * arithmetic — per-chunk hash sums alone exceed int64); output is
+    * every fingerprint appearing ≥ 2 times:
+    * (fp, n_tokens, n_docs, n_occ, min_doc).
+    *
+    * 100 TB shape: one codegen'd posexplode scan; the boundary
+    * prefix-sum window partitions PER DOCUMENT (bounded by doc length,
+    * never corpus size — the keywordsTfidf argument); the chunk
+    * aggregate and the fingerprint rollup are hash aggregates whose
+    * shuffle carries (doc, chunk, 3 numbers) and (fp, …) — never
+    * text. */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(words(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        hash60(col("t")).as("h"))
+      .withColumn("b",
+        when(pmod(col("h"), lit(CdcMod)) === 0, lit(1L)).otherwise(lit(0L)))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("chunk", coalesce(sum(col("b")).over(byDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("h").cast("decimal(38,0)") * (col("pos") + 1)).as("pw"),
+        sum(col("h").cast("decimal(38,0)")).as("hs"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"CAST((pw - start_pos * hs) % ${1L << 60} AS BIGINT)")
+          .as("fp"))
+    chunks.groupBy(col("fp"), col("n_tokens"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("min_doc"))
+      .where(col("n_occ") >= 2)
+  }
+
   // =================================================================
   // Text-analysis family
   // =================================================================

@@ -839,6 +839,61 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("rrfFusion equals the hand fold of the two ranker outputs") {
+    val t = DataOps.tfidfSearch(spark, SF)
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toMap
+    val b = DataOps.bm25Search(spark, SF)
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toMap
+    val expect = (t.keySet ++ b.keySet).toSeq.map { id =>
+      val (tr, br) = (t.getOrElse(id, 0L), b.getOrElse(id, 0L))
+      val s = (if (tr > 0) 1000000L / (DataOps.RrfK + tr) else 0L) +
+        (if (br > 0) 1000000L / (DataOps.RrfK + br) else 0L)
+      (id, tr, br, s)
+    }.sortBy { case (id, _, _, s) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, tr, br, s), i) => (id, tr, br, s, (i + 1).toLong) }
+    val got = DataOps.rrfFusion(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._5)
+    assert(got == expect)
+    // fusion must actually mix: some doc gains rank over a single system
+    assert(got.exists { case (_, tr, br, _, _) => tr > 0 && br > 0 })
+  }
+
+  test("cdcChunks equals the naive CDC chunker + duplicate rollup") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mod = java.math.BigInteger.valueOf(2).pow(60)
+    val all = texts.flatMap { case (id, t) =>
+      val hs = t.split(" ").filter(_.nonEmpty).map(jvmHash60)
+      // split AFTER each boundary token (hash ≡ 0 mod CdcMod)
+      val chunks = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      var cur = scala.collection.mutable.ArrayBuffer[Long]()
+      hs.foreach { h =>
+        cur += h
+        if (h % DataOps.CdcMod == 0) { chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[Long]() }
+      }
+      if (cur.nonEmpty) chunks += cur.toSeq
+      chunks.map { c =>
+        val fp = c.zipWithIndex.map { case (h, i) =>
+          java.math.BigInteger.valueOf(h)
+            .multiply(java.math.BigInteger.valueOf(i + 1L))
+        }.foldLeft(java.math.BigInteger.ZERO)(_ add _).mod(mod).longValue()
+        (id, c.size.toLong, fp)
+      }
+    }
+    val expect = all.groupBy(c => (c._3, c._2)).collect {
+      case ((fp, nt), occ) if occ.size >= 2 =>
+        (fp, nt, occ.map(_._1).distinct.size.toLong, occ.size.toLong,
+          occ.map(_._1).min)
+    }.toSet
+    val got = DataOps.cdcChunks(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture dup docs must surface duplicate chunks")
+    // CDC survives offset shifts: the dup family shares multi-token chunks
+    assert(got.exists(_._2 > 1))
+  }
+
   test("winnowOverlap pairs duplicate docs and skips unrelated ones") {
     val pairs = DataOps.winnowOverlap(spark, tinyDir)
       .as[(Long, Long, Long)].collect().toSeq
