@@ -1307,6 +1307,108 @@ object OracleSqlRel {
       |            THEN 1 ELSE 0 END AS BIGINT) AS alarm
       |FROM rec r JOIN params p USING (event_type)""".stripMargin
 
+  /** Sweep-line mirror ([[graft.pipeline.EventOps.concurrentSessions]]):
+    * the sessionize interval CTEs, the definitional global running-sum
+    * window over (t, delta)-ordered deltas (tie groups share their
+    * delta, so the after-row value set — and therefore the hourly max —
+    * is permutation-independent), hour rollup with carry-in. */
+  val concurrentSessions: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id
+      |  FROM events
+      |),
+      |l AS (
+      |  SELECT user_id, tus, event_id,
+      |         lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |           AS prev_tus
+      |  FROM e
+      |),
+      |b AS (
+      |  SELECT user_id, tus, event_id,
+      |         CASE WHEN prev_tus IS NULL
+      |                   OR tus - prev_tus > 1800000000 THEN 1
+      |              ELSE 0 END AS brk
+      |  FROM l
+      |),
+      |s AS (
+      |  SELECT user_id, tus,
+      |         SUM(brk) OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM b
+      |),
+      |iv AS (
+      |  SELECT user_id, sess, MIN(tus) AS start_us, MAX(tus) AS end_us
+      |  FROM s GROUP BY 1, 2
+      |),
+      |d AS (
+      |  SELECT start_us AS t, CAST(1 AS BIGINT) AS delta FROM iv
+      |  UNION ALL
+      |  SELECT end_us + 1, CAST(-1 AS BIGINT) FROM iv
+      |),
+      |r AS (
+      |  SELECT t // 3600000000 AS h, delta,
+      |         SUM(delta) OVER (ORDER BY t, delta
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM d
+      |),
+      |hr AS (SELECT h, MAX(run) AS hmax, SUM(delta) AS net
+      |       FROM r GROUP BY 1),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hr),
+      |grid AS (SELECT UNNEST(generate_series(h0, h1)) AS h FROM bounds),
+      |fl AS (
+      |  SELECT g.h, hr.hmax, COALESCE(hr.net, 0) AS net
+      |  FROM grid g LEFT JOIN hr ON hr.h = g.h
+      |),
+      |cr AS (
+      |  SELECT h, hmax, net,
+      |         COALESCE(SUM(net) OVER (ORDER BY h
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS carry
+      |  FROM fl
+      |)
+      |SELECT CAST(h * 3600 AS BIGINT) AS hour_sec,
+      |       CAST(GREATEST(COALESCE(hmax, carry), carry) AS BIGINT)
+      |         AS max_concurrent,
+      |       CAST(carry + net AS BIGINT) AS end_concurrent
+      |FROM cr""".stripMargin
+
+  /** EWMA mirror ([[graft.pipeline.EventOps.ewmaSmooth]]): the
+    * cusumDrift gap-fill CTEs, then the α=1/4 recursion replayed with
+    * `WITH RECURSIVE` in the same truncating micro-unit integers. */
+  val ewmaSmooth: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS h,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t
+      |  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+      |              FROM bounds) g
+      |),
+      |filled AS (
+      |  SELECT grid.event_type, grid.h,
+      |         CAST(COALESCE(hourly.cnt, 0) AS BIGINT) AS cnt
+      |  FROM grid LEFT JOIN hourly
+      |    ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+      |),
+      |rec AS (
+      |  SELECT f.event_type, f.h, f.cnt,
+      |         CAST(f.cnt * 1000000 AS BIGINT) AS sm
+      |  FROM filled f, bounds b WHERE f.h = b.h0
+      |  UNION ALL
+      |  SELECT f.event_type, f.h, f.cnt,
+      |         CAST((3 * r.sm + f.cnt * 1000000) // 4 AS BIGINT)
+      |  FROM rec r
+      |  JOIN filled f ON f.event_type = r.event_type AND f.h = r.h + 1
+      |)
+      |SELECT event_type, CAST(h * 3600 AS BIGINT) AS hour_sec, cnt,
+      |       sm AS ewma_micro
+      |FROM rec""".stripMargin
+
   /** Drift-monitor mirror ([[graft.pipeline.EventOps.valueDrift]]):
     * identical half-month split, flooring half-unit buckets, exact
     * HUGEINT cross-multiplied total-variation ppm. */

@@ -1067,6 +1067,111 @@ object EventOps {
       .toDF("event_type", "hour_sec", "cnt", "s_pos", "s_neg", "alarm")
   }
 
+  /** Sweep chunk width of [[concurrentSessions]] (µs): one minute, so
+    * the within-chunk rank partition splits each hour's delta volume
+    * into 60 independent tasks. Exactness never depends on it. */
+  val SweepChunkUs: Long = 60L * 1000000L
+
+  /** MAX-CONCURRENCY TIME SERIES — the capacity-planning statistic
+    * (peak simultaneous sessions per hour — what an ops team sizes
+    * connection pools and autoscaling against): the classic sweep-line
+    * over the [[sessionize]] intervals (+1 at session start, −1 just
+    * after session end, running sum = live-session count), rolled to
+    * per-hour `max_concurrent` (including the hour-start carry, so an
+    * hour whose only deltas are departures still reports the level it
+    * started at) and `end_concurrent`, gap-filled over the full hour
+    * span. Tie groups share (t, delta), so every permutation yields the
+    * same after-row value SET — the hourly max is order-independent and
+    * exactly mirrored in DuckDB's definitional window replay.
+    *
+    * 100 TB shape: the global running sum is the two-phase
+    * [[graft.ops.ChatOps.chunkedRunningSum]] (chunk = [[SweepChunkUs]])
+    * — no single-task full-history sort; the per-hour rollup is one
+    * hash aggregate; the carry window and gap-fill grid live on the
+    * CLOCK-bounded hourly relation (8760 rows/year at any corpus
+    * size). */
+  def concurrentSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val iv = RelOps.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"))
+      .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_tus").isNull ||
+          col("tus") - col("prev_tus") > lit(SessionGapUs), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("sess", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+    val d = iv.select(col("start_us").as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select((col("end_us") + 1).as("t"),
+        lit(-1L).as("delta")))
+    val run = graft.ops.ChatOps.chunkedRunningSum(d, col("delta"),
+      Seq.empty, Seq(col("t"), col("delta")), "run",
+      chunkWidth = SweepChunkUs)
+    val hr = run.select(expr(s"t div $HourUs").as("h"), col("delta"),
+        col("run"))
+      .groupBy(col("h"))
+      .agg(max(col("run")).as("hmax"), sum(col("delta")).as("net"))
+    val bounds = hr.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = broadcast(bounds)
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val filled = grid.join(hr, Seq("h"), "left")
+      .select(col("h"), col("hmax"), coalesce(col("net"), lit(0L)).as("net"))
+    val w = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    filled.withColumn("carry", coalesce(sum(col("net")).over(w), lit(0L)))
+      .select((col("h") * 3600L).as("hour_sec"),
+        greatest(coalesce(col("hmax"), col("carry")), col("carry"))
+          .as("max_concurrent"),
+        (col("carry") + col("net")).as("end_concurrent"))
+  }
+
+  /** EWMA SMOOTHING of the dense hourly series, α = 1/4 — the classic
+    * exponentially-weighted level every monitoring stack draws under
+    * its raw counts (and the forecasting baseline CUSUM-style detectors
+    * compare against): per event type over the gap-filled hourly
+    * counts, `s_0 = c_0`, `s_t = (3·s_{t-1} + c_t) / 4`, carried in
+    * exact micro units with truncating integer division so the oracle's
+    * `WITH RECURSIVE` replay is bit-identical (all terms non-negative —
+    * truncation ≡ floor; `3·s` stays far inside int64 until hourly
+    * counts approach 6×10^11). Output (event_type, hour_sec, cnt,
+    * ewma_micro).
+    *
+    * Plan: the recursion is inherently serial per type, but its input
+    * is the CLOCK-bounded dense hourly frame (8760 rows/type/year
+    * regardless of corpus size — the [[cusumDrift]] argument), so the
+    * per-type fold in `flatMapGroups` touches thousands of rows, never
+    * the raw events; the corpus pays one scan + one hash aggregate. */
+  def ewmaSmooth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = RelOps.events(spark, sfDir)
+      .select(col("event_type"), expr("(ts div 1000) div " + HourUs).as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, Long, Long)]) =>
+        val rows = it.toSeq.sortBy(_._2) // bounded by the hour span
+        var sm = -1L
+        rows.map { case (_, h, c) =>
+          sm = if (sm < 0) c * 1000000L else (3L * sm + c * 1000000L) / 4L
+          (t, h * 3600L, c, sm)
+        }
+      }
+      .toDF("event_type", "hour_sec", "cnt", "ewma_micro")
+  }
+
   /** Drift-alarm threshold: total-variation distance above 10% flags
     * the metric as drifted. */
   val DriftTvPpmMax = 100000L

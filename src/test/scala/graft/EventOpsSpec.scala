@@ -736,6 +736,66 @@ class EventOpsSpec extends SparkSpec {
     assert(got.exists(_._4 == 0L))
   }
 
+  test("concurrentSessions equals the naive sweep-line fold") {
+    import spark.implicits._
+    val got = EventOps.concurrentSessions(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // naive sessions per user (µs grain, >30 min gap splits)
+    val ivals = byUser.toSeq.flatMap { case (_, evs) =>
+      val tus = evs.map(_._2 / 1000)
+      val iv = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var s = tus.head
+      var last = tus.head
+      tus.tail.foreach { t =>
+        if (t - last > EventOps.SessionGapUs) { iv += ((s, last)); s = t }
+        last = t
+      }
+      iv += ((s, last))
+      iv.toSeq
+    }
+    val deltas = ivals.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
+      .sortBy(identity)
+    var run = 0L
+    val runs = deltas.map { case (t, d) =>
+      run += d; (t / EventOps.HourUs, d, run)
+    }
+    val hr = runs.groupBy(_._1).view
+      .mapValues(g => (g.map(_._3).max, g.map(_._2).sum)).toMap
+    val (h0, h1) = (hr.keys.min, hr.keys.max)
+    var carry = 0L
+    val expect = (h0 to h1).map { h =>
+      val (hmax, net) = hr.getOrElse(h, (carry, 0L))
+      val row = (h * 3600L, math.max(hmax, carry), carry + net)
+      carry += net
+      row
+    }
+    assert(got == expect)
+    assert(got.last._3 == 0L, "every session must close by the last hour")
+    assert(got.map(_._2).max >= 2L, "fixture sessions must overlap")
+  }
+
+  test("ewmaSmooth equals the naive per-type EWMA recurrence") {
+    import spark.implicits._
+    val got = EventOps.ewmaSmooth(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val evs = graft.pipeline.RelOps.events(spark, sfDir)
+      .selectExpr("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 1000 / EventOps.HourUs))
+    val (h0, h1) = (evs.map(_._2).min, evs.map(_._2).max)
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val byH = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      var sm = -1L
+      (h0 to h1).map { h =>
+        val c = byH.getOrElse(h, 0L)
+        sm = if (sm < 0) c * 1000000L else (3 * sm + c * 1000000L) / 4
+        (t, h * 3600L, c, sm)
+      }
+    }.toSet
+    assert(got == expect)
+    // the level genuinely smooths: it lags the raw count somewhere
+    assert(got.exists(r => r._4 != r._3 * 1000000L))
+  }
+
   test("valueDrift equals the naive exact total-variation fold") {
     import spark.implicits._
     val got = graft.pipeline.EventOps.valueDrift(spark, sfDir)
