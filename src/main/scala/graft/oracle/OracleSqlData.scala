@@ -173,6 +173,56 @@ object OracleSqlData {
 
   /** Connected components over the minhash pair graph via WITH RECURSIVE:
     * rep(doc) = min doc_id reachable through near-dup edges. */
+  /** Store-probe mirror ([[graft.sources.MinhashIndex.dedupIndexed]]):
+    * the [[dedupMinhash]] signature/band CTEs restricted to the
+    * odd-vs-even split, candidates from string band keys (≡ the store's
+    * 64-bit band hash except under a ~2^-64 collision), exact-Jaccard
+    * verify over 60-bit shingle HASHES — precisely what the store
+    * retains (8 bytes/shingle, no text). */
+  val dedupIndexed: String = {
+    val k = DataOps.MinhashK
+    s"""WITH $wrdsCte,
+       |$shCte,
+       |shh AS (SELECT doc_id, sh, ${h60("sh")} % $P AS hp FROM sh),
+       |perm AS (SELECT unnest(range(0, $k)) AS i),
+       |sig AS (
+       |  SELECT s.doc_id, p.i,
+       |         MIN(((((2 * p.i + 1) * 2654435761) % $P) * s.hp +
+       |              ((p.i * 2246822519) % $P)) % $P) AS m
+       |  FROM shh s CROSS JOIN perm p
+       |  GROUP BY 1, 2
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // ${DataOps.MinhashR} AS band,
+       |         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bands n JOIN bands o
+       |    ON n.band = o.band AND n.bkey = o.bkey
+       |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+       |),
+       |shd AS (SELECT doc_id, ${h60("sh")} AS h FROM sh),
+       |nsh AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+       |intr AS (
+       |  SELECT c.new_id, c.old_id, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN shd a ON a.doc_id = c.new_id
+       |  JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  SELECT i.new_id AS doc_id, i.old_id AS dup_of,
+       |         CAST(ROUND(CAST(i.inter AS DOUBLE) /
+       |           CAST(nn.nsh + no.nsh - i.inter AS DOUBLE) * $MIC)
+       |           AS BIGINT) AS jac_micro
+       |  FROM intr i
+       |  JOIN nsh nn ON nn.doc_id = i.new_id
+       |  JOIN nsh no ON no.doc_id = i.old_id
+       |) WHERE jac_micro >= 500000""".stripMargin
+  }
+
   val dedupClusters: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM ($dedupMinhash)

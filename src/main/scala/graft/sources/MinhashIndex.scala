@@ -54,9 +54,17 @@ object MinhashIndex {
     // Persisted: the snapshot shingle relation feeds its bands, the
     // verify join and its size aggregate.
     val shNew = DataOps.shingleHashes(spark, newDocs).persist()
+    probe(spark, shNew,
+      spark.read.parquet(s"$indexDir/bands"),
+      spark.read.parquet(s"$indexDir/shingles"))
+  }
+
+  /** The probe plan proper — snapshot shingles vs an indexed corpus's
+    * band/shingle relations (read from the store by [[dedupAgainst]],
+    * built in-plan by [[dedupIndexed]]'s Explain path). */
+  private def probe(spark: SparkSession, shNew: DataFrame,
+      bandsIdx: DataFrame, shIdx: DataFrame): DataFrame = {
     val bandsNew = DataOps.minhashBandsOf(shNew)
-    val bandsIdx = spark.read.parquet(s"$indexDir/bands")
-    val shIdx = spark.read.parquet(s"$indexDir/shingles")
     val cand = bandsNew.as("n").join(bandsIdx.as("o"),
         col("n.bh") === col("o.bh") &&
           col("n.doc_id") =!= col("o.doc_id"))
@@ -81,5 +89,33 @@ object MinhashIndex {
           lit(MICRO)).cast("long").as("jac_micro"))
       .where(col("jac_micro") >= 500000L),
       shNew)
+  }
+
+  /** Registry form of the store — the K4 analog of
+    * [[PqIndex.annPqIndexed]], giving the incremental-dedup path an
+    * oracle-checked entry: the even-doc_id half of the corpus plays
+    * "the indexed crawl" (built once into a tmp store), the odd half
+    * "the arriving snapshot" deduped against it via [[dedupAgainst]].
+    * Output (doc_id = snapshot doc, dup_of = indexed doc, jac_micro).
+    * The oracle replays the same split definitionally (string band
+    * keys vs the store's 64-bit band hash — identical pair sets except
+    * under a ~2^-64 collision, the documented whp contract; the verify
+    * compares 60-bit shingle hashes exactly as the store does). */
+  def dedupIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val old = docs.where(col("doc_id") % 2 === 0)
+    val nw = docs.where(col("doc_id") % 2 === 1)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: probe plan over fresh index
+      // relations (plan-identical to the store read by design).
+      val shIdx = DataOps.shingleHashes(spark, old)
+      return probe(spark, DataOps.shingleHashes(spark, nw),
+        DataOps.minhashBandsOf(shIdx), shIdx)
+    }
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mh-index-" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    build(spark, old, dir)
+    dedupAgainst(spark, nw, dir)
   }
 }

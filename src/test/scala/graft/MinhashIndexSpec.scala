@@ -43,6 +43,20 @@ class MinhashIndexSpec extends SparkSpec {
     assert(inc.keys.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
   }
 
+  test("dedupIndexed registry entry replays the store split end-to-end") {
+    val got = MinhashIndex.dedupIndexed(spark, SF)
+      .as[(Long, Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val dir = Files.createTempDirectory("graft-mhidx-reg").toString
+    MinhashIndex.build(spark, docs.where(col("doc_id") % 2 === 0), dir)
+    val want = MinhashIndex
+      .dedupAgainst(spark, docs.where(col("doc_id") % 2 === 1), dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // orientation: doc_id is always the snapshot side, dup_of the index
+    assert(got.forall { case (d, o, _) => d % 2 == 1 && o % 2 == 0 })
+  }
+
   test("the index is reusable: a second snapshot probes the same store") {
     val indexDir = Files.createTempDirectory("graft-mhidx2").toString
     val docs = spark.read.parquet(s"$SF/documents.parquet")
