@@ -1093,7 +1093,10 @@ object EventOps {
   def concurrentSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
-    val iv = RelOps.events(spark, sfDir)
+    // pinned: the interval frame feeds both delta selects, which each
+    // feed both chunkedRunningSum phases — without the pin the
+    // sessionize windows re-run four times over the raw events
+    val iv = DataOps.finish(RelOps.events(spark, sfDir)
       .select(col("user_id"), expr("ts div 1000").as("tus"),
         col("event_id"))
       .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
@@ -1104,7 +1107,7 @@ object EventOps {
       .withColumn("sess", sum(col("brk")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sess"))
-      .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+      .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us")))
     val d = iv.select(col("start_us").as("t"), lit(1L).as("delta"))
       .unionByName(iv.select((col("end_us") + 1).as("t"),
         lit(-1L).as("delta")))
