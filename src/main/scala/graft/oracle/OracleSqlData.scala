@@ -173,6 +173,41 @@ object OracleSqlData {
 
   /** Connected components over the minhash pair graph via WITH RECURSIVE:
     * rep(doc) = min doc_id reachable through near-dup edges. */
+  /** LPA mirror ([[graft.pipeline.DataOps.dupCommunities]]): the
+    * [[dedupMinhash]] pair CTE inlined, symmetric edges, the
+    * [[graft.pipeline.DataOps.LpaIters]] synchronous plurality rounds
+    * unrolled as generated CTEs (count desc, label asc tie-break). */
+  lazy val dupCommunities: String = {
+    val iters = DataOps.LpaIters
+    val steps = (1 to iters).map { t =>
+      s"""v$t AS (
+         |  SELECT e.a AS node, l.lab, COUNT(*) AS c
+         |  FROM edges e JOIN l${t - 1} l ON l.node = e.b
+         |  GROUP BY 1, 2
+         |),
+         |l$t AS (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |           ROW_NUMBER() OVER (PARTITION BY node
+         |             ORDER BY c DESC, lab ASC) AS rn
+         |    FROM v$t
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($dedupMinhash),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM edges),
+       |$steps,
+       |sz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_members
+       |       FROM l$iters GROUP BY 1)
+       |SELECT l.node AS doc_id, l.lab AS community, sz.n_members
+       |FROM l$iters l JOIN sz ON sz.lab = l.lab""".stripMargin
+  }
+
   /** Store-probe mirror ([[graft.sources.MinhashIndex.dedupIndexed]]):
     * the [[dedupMinhash]] signature/band CTEs restricted to the
     * odd-vs-even split, candidates from string band keys (≡ the store's

@@ -429,6 +429,60 @@ object DataOps {
     finish(out, p)
   }
 
+  /** Synchronous label-propagation rounds of [[dupCommunities]] —
+    * fixed so the oracle can unroll them. */
+  val LpaIters = 5
+
+  /** COMMUNITY DETECTION by label propagation (Raghavan, Albert &
+    * Kumara 2007) over the near-dup pair graph — the graph tier's
+    * FOURTH member beside components (D15), triangles (D51) and
+    * PageRank (E15): [[LpaIters]] SYNCHRONOUS rounds, every node
+    * simultaneously adopting its neighbors' plurality label (count
+    * desc, label asc tie-break), labels initialized to the node id.
+    * Where components answer "what is connected at all", communities
+    * split a weak LSH-borderline bridge between two dense dup families
+    * — the cluster-granularity QC sitting between D15's components and
+    * D51's per-edge triangle support. Sync LPA with a deterministic
+    * tie-break is fully replayable (no randomized async schedule — what
+    * makes a DuckDB oracle possible), and the fixed round count
+    * sidesteps sync-LPA's known 2-cycles. Output (doc_id, community,
+    * n_members) over the pair-graph nodes.
+    *
+    * 100 TB shape: each round is ONE equi-join of the edge relation
+    * onto the label relation + two hash aggregates (plurality =
+    * `max(struct(cnt, −label))` — no per-node window, no sort); rounds
+    * localCheckpoint like [[connectedComponents]] so lineage stays
+    * flat; every relation is proportional to the DUP GRAPH, never the
+    * corpus. Oracle: the [[dedupMinhash]] pair CTE inlined + the rounds
+    * unrolled as generated CTEs (the mmrDiversify discipline). */
+  def dupCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val lazyMode = java.lang.Boolean.getBoolean("graft.lazyPlans")
+    val pairs = dedupMinhash(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges0 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val edges = if (lazyMode) edges0 else edges0.persist()
+    def step(labels: DataFrame): DataFrame =
+      edges.join(labels.select(col("node").as("b"), col("lab")), Seq("b"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("lab"))
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    if (!lazyMode) labels = labels.localCheckpoint(true)
+    (1 to LpaIters).foreach { _ =>
+      labels =
+        if (lazyMode) step(labels) else step(labels).localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"))
+    finish(labels.join(sizes, Seq("lab"))
+      .select(col("node").as("doc_id"), col("lab").as("community"),
+        col("n_members")),
+      edges)
+  }
+
   /** SimHash signature width and chunk geometry. 60 bits (the full
     * [[hash60]] word) split into 4 chunks of 15 bits ⇒ 32768 buckets per
     * chunk, so bucket population is ~N/32768 and the candidate self-join

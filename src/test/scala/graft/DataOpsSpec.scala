@@ -296,6 +296,28 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("dupCommunities equals the naive synchronous LPA fold") {
+    val pairs = DataOps.dedupMinhash(spark, SF)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(v => v -> v).toMap
+    (1 to DataOps.LpaIters).foreach { _ =>
+      lab = adj.map { case (v, ns) =>
+        v -> ns.groupBy(lab).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lab.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expect = lab.map { case (v, l) => (v, l, sizes(l)) }.toSet
+    val got = DataOps.dupCommunities(spark, SF)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.exists(_._3 > 1),
+      "fixture dup families must form a non-singleton community")
+  }
+
   test("hardNegatives equals the naive wrong-label top-k over exact cos") {
     val got = DataOps.hardNegatives(spark, SF)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
