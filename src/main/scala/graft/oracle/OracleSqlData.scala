@@ -2366,6 +2366,38 @@ object OracleSqlData {
        |       MIN(doc_id) AS min_doc
        |FROM fps GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
 
+  /** Source-profile mirror ([[graft.pipeline.DataOps.sourceKeywords]]):
+    * same (source, token) count relation, HUGEINT lift products,
+    * truncating division, floor-log2 score, per-source top-5. */
+  val sourceKeywords: String =
+    s"""WITH $wrdsCte,
+       |tk AS (SELECT source, unnest(w) AS t FROM wrds),
+       |st AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM tk GROUP BY 1, 2),
+       |rs AS (SELECT source, SUM(cnt) AS r FROM st GROUP BY 1),
+       |cs AS (SELECT t, SUM(cnt) AS c FROM st GROUP BY 1),
+       |n AS (SELECT SUM(cnt) AS n FROM st),
+       |scored AS (
+       |  SELECT st.source, st.t AS token, st.cnt,
+       |         CAST((CAST(st.cnt AS HUGEINT) * n.n * 1000000)
+       |              // (CAST(rs.r AS HUGEINT) * cs.c) AS BIGINT)
+       |           AS lift_micro,
+       |         CAST((CAST(st.cnt AS HUGEINT) * n.n)
+       |              // (CAST(rs.r AS HUGEINT) * cs.c) AS BIGINT) AS q
+       |  FROM st JOIN rs USING (source) JOIN cs USING (t), n
+       |),
+       |sc AS (
+       |  SELECT source, token, cnt, lift_micro,
+       |         cnt * CAST(length(bin(q)) - 1 AS BIGINT) AS score
+       |  FROM scored WHERE q >= 2
+       |)
+       |SELECT source, token, cnt, lift_micro, score, rk
+       |FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY score DESC, token ASC) AS BIGINT) AS rk
+       |  FROM sc
+       |) WHERE rk <= ${DataOps.SourceKeyK}""".stripMargin
+
   val keywordsTfidf: String =
     s"""WITH $wrdsCte,
        |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),

@@ -3816,6 +3816,59 @@ object DataOps {
     finish(out, dt)
   }
 
+  /** Keywords kept per source by [[sourceKeywords]]. */
+  val SourceKeyK = 5
+
+  /** PER-SOURCE DISTINCTIVE VOCABULARY — the domain-profiling statistic
+    * (what IS this crawl domain about / is it boilerplate?) beside
+    * [[keywordsTfidf]]'s per-DOC tagging and [[sourceJaccard]]'s
+    * whole-vocabulary overlap: for each source, the [[SourceKeyK]]
+    * over-represented tokens by a G²-flavored frequency-weighted
+    * log-lift `score = cnt · floor_log2(cnt·N div (R·C))` (cnt = the
+    * token's count in the source, R = source tokens, C = corpus token
+    * count, N = corpus tokens — lift > 1 means the source uses the
+    * token more than the corpus does; the cnt weight keeps one-off
+    * hapax tokens from outranking the genuinely characteristic
+    * vocabulary, exactly why log-likelihood beats raw PMI for corpus
+    * profiling, Rayson & Garside 2000). All arithmetic exact:
+    * cnt·N and R·C ride in DECIMAL(38)/HUGEINT (int64 overflows once
+    * N approaches 10^14 tokens), ONE truncating division, floor-log2
+    * via `length(bin(x))−1`; exact lift also reported in micro units.
+    * Output (source, token, cnt, lift_micro, score, rk ≤ 5).
+    *
+    * 100 TB shape: the corpus collapses to the (source, token) count
+    * relation in ONE hash aggregate; source totals / token totals
+    * re-aggregate that relation (token totals join back on the
+    * vocab-keyed equi-key); the rank window partitions per source over
+    * its DISTINCT over-represented vocabulary (the zipfFit argument) —
+    * nothing after the first aggregate touches raw rows. */
+  def sourceKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = persistUnlessLazy(docs(spark, sfDir)
+      .select(col("source"), explode(words(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt")))
+    val rs = st.groupBy(col("source")).agg(sum(col("cnt")).as("r"))
+    val cs = st.groupBy(col("t")).agg(sum(col("cnt")).as("c"))
+    val n = st.agg(sum(col("cnt")).as("n"))
+    val scored = st.join(rs, Seq("source")).join(cs, Seq("t"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("t").as("token"), col("cnt"),
+        expr("""CAST((CAST(cnt AS DECIMAL(38,0)) * n * 1000000)
+          |     div (CAST(r AS DECIMAL(38,0)) * c) AS BIGINT)"""
+          .stripMargin).as("lift_micro"),
+        expr("""CAST((CAST(cnt AS DECIMAL(38,0)) * n)
+          |     div (CAST(r AS DECIMAL(38,0)) * c) AS BIGINT)"""
+          .stripMargin).as("q"))
+      .where(col("q") >= 2)
+      .select(col("source"), col("token"), col("cnt"), col("lift_micro"),
+        (col("cnt") * (length(bin(col("q"))) - 1).cast("long"))
+          .as("score"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("token").asc)
+    val out = scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= SourceKeyK)
+    finish(out, st)
+  }
+
   /** Tokens longer than this are excluded from typo-pair analysis (they
     * are never typo canonicals, and the deletion-neighborhood blowup is
     * quadratic in token length). The oracle mirrors the same filter. */

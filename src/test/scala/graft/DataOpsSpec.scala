@@ -296,6 +296,48 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceKeywords equals the naive log-lift fold on a crafted corpus") {
+    val dir = Files.createTempDirectory("graft-skw").toString
+    val texts = Seq(
+      (0L, "alpha alpha alpha beta shared shared"),
+      (1L, "alpha alpha beta beta shared shared"),
+      (2L, "gamma gamma gamma delta shared shared"),
+      (3L, "gamma delta delta shared shared shared"))
+    texts.map { case (id, t) =>
+      (id, t, "en", if (id < 2) "srcA" else "srcB", t.length)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DataOps.sourceKeywords(spark, dir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // naive: exact BigInt lift, q >= 2 gate, cnt·floor_log2(q) score
+    val toks = texts.flatMap { case (id, t) =>
+      t.split(" ").map(w => (if (id < 2) "srcA" else "srcB", w))
+    }
+    val st = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    def bits(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val expect = st.toSeq.flatMap { case ((s, t), cnt) =>
+      val q = (BigInt(cnt) * n / (BigInt(r(s)) * c(t))).toLong
+      if (q >= 2)
+        Some((s, t, cnt, (BigInt(cnt) * n * 1000000 /
+          (BigInt(r(s)) * c(t))).toLong, cnt * bits(q)))
+      else None
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, t, _, _, sc) => (-sc, t) }
+        .take(DataOps.SourceKeyK).zipWithIndex
+        .map { case ((s, t, cnt, lm, sc), i) =>
+          (s, t, cnt, lm, sc, (i + 1).toLong)
+        }
+    }.toSet
+    assert(got == expect)
+    // the distinctive vocabulary surfaces, the shared one never does
+    assert(got.exists(r => r._1 == "srcA" && r._2 == "alpha" && r._6 == 1L))
+    assert(got.exists(r => r._1 == "srcB" && r._2 == "gamma" && r._6 == 1L))
+    assert(!got.exists(_._2 == "shared"))
+  }
+
   test("dupCommunities equals the naive synchronous LPA fold") {
     val pairs = DataOps.dedupMinhash(spark, SF)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
