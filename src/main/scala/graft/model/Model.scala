@@ -113,6 +113,13 @@ object Model {
   case class Scd2Open(event_id: Long, event_type: String,
       valid_from_tus: Long)
 
+  /** Per-type streaming-EWMA state
+    * ([[graft.streaming.EventStreamOps.ewmaStream]]): the level is
+    * final through `foldedUpTo`; (`pendHour`, `pendCnt`) is the open
+    * hour, folded only once a later-hour event closes it. */
+  case class EwmaState(foldedUpTo: Long, sm: Long, pendHour: Long,
+      pendCnt: Long)
+
   /** Keyed document for the streaming per-source cap
     * ([[graft.streaming.StreamingOps.sourceCapStream]]). */
   case class CapDoc(doc_id: Long, source: String)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.model.Model.{Attribution, ClickState, FunnelRow, FunnelState, Scd2Open, Scd2Row, StreamEvent}
+import graft.model.Model.{Attribution, ClickState, EwmaState, FunnelRow, FunnelState, Scd2Open, Scd2Row, StreamEvent}
 
 /**
  * Structured Streaming forms of the event-analytics operators
@@ -288,6 +288,56 @@ object EventStreamOps {
           (col("event_type") === "purchase").as("keep")))).as("c"))
       .where(col("c.keep"))
       .select(col("c.k").as("k"), col("c.v").as("v"))
+
+  /** LIVE EWMA LEVEL — the stateful streaming twin of
+    * [[graft.pipeline.EventOps.ewmaSmooth]]: per event type, ONE
+    * [[EwmaState]] (four longs at any stream length); an hour folds
+    * into the level only when a LATER-hour event of the type arrives,
+    * so a micro-batch boundary inside an hour can never half-fold the
+    * recurrence; silent hours zero-fill exactly as the batch grid does;
+    * each closed hour emits one final (event_type, hour_sec, cnt,
+    * ewma_micro) row — append-clean, every row identical to the batch
+    * operator's for that hour. `h0` is the series epoch (the batch
+    * grid's global min hour): production passes its deployment epoch,
+    * the spec the fixture's. Per-key arrival must respect event time
+    * across batches (the [[scd2Stream]] engine contract; within a
+    * batch the group's hours replay sorted). The open hour is emitted
+    * by the batch readout, never the stream — the standard
+    * monitoring-series contract (a live hour is not final). */
+  def ewmaStream(events: Dataset[StreamEvent], h0: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    val hourUs = graft.pipeline.EventOps.HourUs
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (t: String, it: Iterator[StreamEvent],
+            state: GroupState[EwmaState]) => {
+          var st = state.getOption
+            .getOrElse(EwmaState(h0 - 1L, -1L, -1L, 0L))
+          val out = Seq.newBuilder[(String, Long, Long, Long)]
+          def step(sm: Long, c: Long): Long =
+            if (sm < 0L) c * 1000000L else (3L * sm + c * 1000000L) / 4L
+          it.toSeq.map(e => (e.tns / 1000L) / hourUs).sorted.foreach { he =>
+            if (st.pendHour < 0L) st = st.copy(pendHour = he, pendCnt = 1L)
+            else if (he == st.pendHour)
+              st = st.copy(pendCnt = st.pendCnt + 1L)
+            else { // he > pendHour: the open hour (and any gap) closes
+              var sm = st.sm
+              var h = st.foldedUpTo + 1L
+              while (h <= st.pendHour) {
+                val c = if (h == st.pendHour) st.pendCnt else 0L
+                sm = step(sm, c)
+                out += ((t, h * 3600L, c, sm))
+                h += 1L
+              }
+              st = EwmaState(st.pendHour, sm, he, 1L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+      .toDF("event_type", "hour_sec", "cnt", "ewma_micro")
+  }
 
   /** LIVE VALUE-MOMENT TIER — the streaming half of
     * [[graft.pipeline.EventOps.valueOutliers]]: per event type, the

@@ -266,6 +266,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA equals the batch recurrence on every closed hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamEvent]
+    val hourOf = (e: StreamEvent) => (e.tns / 1000L) / EventOps.HourUs
+    val h0 = fixtureEvents.map(hourOf).min
+    val name = freshName("ewma")
+    val q = EventStreamOps.ewmaStream(in.toDS(), h0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val (a, b) = fixtureEvents.splitAt(100)
+      in.addData(a); q.processAllAvailable()
+      val s1 = spark.table(name)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      in.addData(b); q.processAllAvailable()
+      val all = spark.table(name)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(all.size > s1.size, "trigger 2 must close further hours")
+      // a type's level is final through its second-to-last DISTINCT
+      // event hour (the open hour only folds when a later one arrives)
+      val closedThrough = fixtureEvents.groupBy(_.event_type).view
+        .mapValues { evs =>
+          val hs = evs.map(hourOf).distinct.sorted
+          if (hs.size >= 2) hs(hs.size - 2) else h0 - 1
+        }.toMap
+      val batch = EventOps.ewmaSmooth(spark, SF)
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .filter { case (t, hs, _, _) => hs / 3600L <= closedThrough(t) }
+      assert(all.sorted == batch.sorted,
+        "closed-hour stream rows must equal the batch recurrence")
+    } finally q.stop()
+  }
+
   test("value-moment stream equals the batch moments at each trigger") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamEvent]
