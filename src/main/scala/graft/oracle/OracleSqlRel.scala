@@ -1481,6 +1481,56 @@ object OracleSqlRel {
       |            THEN 1 ELSE 0 END AS BIGINT) AS clipped
       |FROM e JOIN th USING (event_type)""".stripMargin
 
+  /** MAD mirror ([[graft.pipeline.EventOps.madOutliers]]): the two
+    * ceil-rank median picks over (type, value) and (type, deviation)
+    * histograms, exact-rational 44478/10^4 consistency threshold. */
+  val madOutliers: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+      |  FROM events
+      |),
+      |h1 AS (
+      |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2
+      |),
+      |c1 AS (
+      |  SELECT event_type, v,
+      |         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |         SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h1
+      |),
+      |med AS (
+      |  SELECT event_type,
+      |         MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med_micro
+      |  FROM c1 GROUP BY 1
+      |),
+      |d AS (
+      |  SELECT e.event_id, e.event_type, e.v, m.med_micro,
+      |         ABS(e.v - m.med_micro) AS dev
+      |  FROM e JOIN med m USING (event_type)
+      |),
+      |h2 AS (
+      |  SELECT event_type, dev, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2
+      |),
+      |c2 AS (
+      |  SELECT event_type, dev,
+      |         SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+      |         SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h2
+      |),
+      |mad AS (
+      |  SELECT event_type,
+      |         MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad_micro
+      |  FROM c2 GROUP BY 1
+      |)
+      |SELECT d.event_id, d.event_type, d.v AS v_micro, d.med_micro,
+      |       m.mad_micro,
+      |       CAST(CASE WHEN d.dev * 10000 > m.mad_micro * 44478
+      |            THEN 1 ELSE 0 END AS BIGINT) AS robust_outlier
+      |FROM d JOIN mad m USING (event_type)""".stripMargin
+
   /** Skew-audit mirror ([[graft.pipeline.EventOps.eventSkewProfile]]):
     * same per-user counts, histogram rank-picked quantiles, bounded
     * top-10 sum and exact-ppm shares. */

@@ -1241,6 +1241,50 @@ object EventOps {
     * window walks that reduced relation; the L-row threshold frame
     * broadcasts back into one clamp projection over the scan. No window
     * ever touches raw rows. */
+  /** Per-type ceil-rank median of `vcol` over `df` — the engine's
+    * histogram rank-pick (element AT a rank, no interpolation), shared
+    * by [[madOutliers]]'s two median passes. */
+  private def medianOf(df: DataFrame, vcol: String,
+      out: String): DataFrame =
+    df.groupBy(col("event_type"), col(vcol))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col(vcol).asc)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(vcol)))
+        .as(out))
+
+  /** MAD ROBUST OUTLIERS — the median/MAD tier beside [[valueOutliers]]'
+    * mean-3σ flags (the Leys et al. 2013 recommendation: mean and σ are
+    * themselves corrupted by the outliers they're meant to find, median
+    * and MAD are not): per event type, median value and the median
+    * absolute deviation via the engine's exact ceil-rank histogram
+    * picks, then flag events where |v − med| > 3·1.4826·MAD — the
+    * consistency constant as the exact rational 44478/10^4, so the
+    * comparison `10^4·|v−med| > 44478·mad` is pure int64 (micro values
+    * ≤ ~10^9 keep the products < 10^14). Output (event_id, event_type,
+    * v_micro, med_micro, mad_micro, robust_outlier).
+    *
+    * Plan: two histogram aggregates, each bounded by the (type, value)
+    * domain — never a window over raw rows; the two |types|-row median
+    * frames broadcast back into one scan-speed flag projection. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = RelOps.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(1000000.0)).cast("long").as("v"))
+    val med = medianOf(e, "v", "med_micro")
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("v") - col("med_micro")))
+    val mad = medianOf(dev, "dev", "mad_micro")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("v").as("v_micro"),
+        col("med_micro"), col("mad_micro"),
+        (col("dev") * lit(10000L) > col("mad_micro") * lit(44478L))
+          .cast("long").as("robust_outlier"))
+  }
+
   def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
     val e = RelOps.events(spark, sfDir)
       .select(col("event_id"), col("event_type"),

@@ -736,6 +736,27 @@ class EventOpsSpec extends SparkSpec {
     assert(got.exists(_._4 == 0L))
   }
 
+  test("madOutliers equals the naive median/MAD fold") {
+    import spark.implicits._
+    val got = EventOps.madOutliers(spark, sfDir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    val evs = graft.pipeline.RelOps.events(spark, sfDir)
+      .selectExpr("event_id", "event_type",
+        "CAST(ROUND(value * 1000000.0) AS LONG) AS v")
+      .as[(Long, String, Long)].collect().toSeq
+    // ceil-rank pick: minimal element whose cumulative count ≥ (n+1)/2
+    def ceilMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val expect = evs.groupBy(_._2).toSeq.flatMap { case (t, rs) =>
+      val med = ceilMed(rs.map(_._3))
+      val mad = ceilMed(rs.map(r => math.abs(r._3 - med)))
+      rs.map(r => (r._1, t, r._3, med, mad,
+        if (math.abs(r._3 - med) * 10000L > mad * 44478L) 1L else 0L))
+    }.toSet
+    assert(got == expect)
+    // both verdicts fire on the fixture
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L))
+  }
+
   test("concurrentSessions equals the naive sweep-line fold") {
     import spark.implicits._
     val got = EventOps.concurrentSessions(spark, sfDir)
