@@ -1373,6 +1373,51 @@ object OracleSqlRel {
       |       CAST(carry + net AS BIGINT) AS end_concurrent
       |FROM cr""".stripMargin
 
+  /** Durbin-Watson mirror ([[graft.pipeline.EventOps.eventAutocorr]]):
+    * same gap-filled hourly grid, lag window, HUGEINT quadratics and
+    * one truncating cross-multiplied division. */
+  val eventAutocorr: String =
+    """WITH hourly AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS h,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t
+      |  CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+      |              FROM bounds) g
+      |),
+      |filled AS (
+      |  SELECT grid.event_type, grid.h,
+      |         CAST(COALESCE(hourly.cnt, 0) AS BIGINT) AS cnt
+      |  FROM grid LEFT JOIN hourly
+      |    ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+      |),
+      |lagged AS (
+      |  SELECT event_type, cnt,
+      |         lag(cnt) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      |  FROM filled
+      |),
+      |agg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |         SUM(cnt) AS s,
+      |         SUM(CAST(cnt AS HUGEINT) * cnt) AS sq,
+      |         SUM(CASE WHEN prev IS NOT NULL
+      |             THEN CAST(cnt - prev AS HUGEINT) * (cnt - prev)
+      |             ELSE 0 END) AS sd
+      |  FROM lagged GROUP BY 1
+      |)
+      |SELECT event_type, n_hours,
+      |       CAST((CAST(1000000 AS HUGEINT) * n_hours * sd)
+      |            // (n_hours * sq - CAST(s AS HUGEINT) * s) AS BIGINT)
+      |         AS dw_ppm,
+      |       CAST(CASE WHEN (CAST(1000000 AS HUGEINT) * n_hours * sd)
+      |            // (n_hours * sq - CAST(s AS HUGEINT) * s) < 1500000
+      |            THEN 1 ELSE 0 END AS BIGINT) AS positive_autocorr
+      |FROM agg""".stripMargin
+
   /** EWMA mirror ([[graft.pipeline.EventOps.ewmaSmooth]]): the
     * cusumDrift gap-fill CTEs, then the α=1/4 recursion replayed with
     * `WITH RECURSIVE` in the same truncating micro-unit integers. */

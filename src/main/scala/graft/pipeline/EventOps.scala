@@ -1175,6 +1175,43 @@ object EventOps {
       .toDF("event_type", "hour_sec", "cnt", "ewma_micro")
   }
 
+  /** DURBIN-WATSON SERIAL-CORRELATION DIAGNOSTIC (Durbin & Watson
+    * 1950) over the gap-filled hourly series — the time-series family's
+    * fifth member (burstiness = dispersion, cusumDrift = level shift,
+    * ewmaSmooth = trend, valueDrift = distribution): per event type,
+    * `DW = Σ(x_t − x_{t−1})² / Σ(x_t − x̄)²` — DW ≈ 2(1−ρ₁), so ≈ 2 is
+    * white noise, ≪ 2 positive autocorrelation (bursty/trending load),
+    * ≫ 2 negative (oscillation). The whole statistic is SQRT-FREE —
+    * why it's the serial-correlation readout an integer engine can make
+    * exact where Pearson's ρ cannot be: cross-multiply the mean out,
+    * `dw_ppm = 10^6 · n · Σd² div (n·Σx² − (Σx)²)` with the quadratics
+    * in DECIMAL(38)/HUGEINT. Output (event_type, n_hours, dw_ppm,
+    * positive_autocorr = dw_ppm < 1.5·10^6 — the classic d_L-style
+    * alert band).
+    *
+    * Plan: the [[activityGapfill]] grid (ROWS lag ≡ hour lag only on a
+    * DENSE series), one lag window + one five-sum aggregate per type —
+    * all on the CLOCK-bounded hourly relation. */
+  def eventAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val lagW = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour_sec"))
+    activityGapfill(spark, sfDir)
+      .withColumn("prev", lag(col("cnt"), 1).over(lagW))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("cnt")).as("s"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("sq"),
+        sum(when(col("prev").isNotNull,
+          (col("cnt") - col("prev")).cast("decimal(38,0)") *
+            (col("cnt") - col("prev"))).otherwise(lit(0L))).as("sd"))
+      .select(col("event_type"), col("n_hours"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * n_hours * sd)
+          |     div (n_hours * sq - CAST(s AS DECIMAL(38,0)) * s)
+          |  AS BIGINT)""".stripMargin).as("dw_ppm"))
+      .withColumn("positive_autocorr",
+        (col("dw_ppm") < lit(1500000L)).cast("long"))
+  }
+
   /** Drift-alarm threshold: total-variation distance above 10% flags
     * the metric as drifted. */
   val DriftTvPpmMax = 100000L

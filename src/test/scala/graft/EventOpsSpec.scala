@@ -795,6 +795,29 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(_._2).max >= 2L, "fixture sessions must overlap")
   }
 
+  test("eventAutocorr equals the naive Durbin-Watson fold") {
+    import spark.implicits._
+    val got = EventOps.eventAutocorr(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val evs = graft.pipeline.RelOps.events(spark, sfDir)
+      .selectExpr("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 1000 / EventOps.HourUs))
+    val (h0, h1) = (evs.map(_._2).min, evs.map(_._2).max)
+    val expect = evs.groupBy(_._1).toSeq.map { case (t, rs) =>
+      val byH = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val xs = (h0 to h1).map(h => byH.getOrElse(h, 0L))
+      val n = xs.size.toLong
+      val s = BigInt(xs.sum)
+      val sq = xs.map(x => BigInt(x) * x).sum
+      val sd = xs.sliding(2).map { case Seq(a, b) => BigInt(b - a).pow(2) }
+        .sum
+      val dw = (BigInt(1000000) * n * sd / (n * sq - s * s)).toLong
+      (t, n, dw, if (dw < 1500000L) 1L else 0L)
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("ewmaSmooth equals the naive per-type EWMA recurrence") {
     import spark.implicits._
     val got = EventOps.ewmaSmooth(spark, sfDir)
