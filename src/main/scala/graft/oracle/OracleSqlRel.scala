@@ -1416,7 +1416,8 @@ object OracleSqlRel {
       |       CAST(CASE WHEN (CAST(1000000 AS HUGEINT) * n_hours * sd)
       |            // (n_hours * sq - CAST(s AS HUGEINT) * s) < 1500000
       |            THEN 1 ELSE 0 END AS BIGINT) AS positive_autocorr
-      |FROM agg""".stripMargin
+      |FROM agg
+      |WHERE n_hours * sq - CAST(s AS HUGEINT) * s > 0""".stripMargin
 
   /** EWMA mirror ([[graft.pipeline.EventOps.ewmaSmooth]]): the
     * cusumDrift gap-fill CTEs, then the α=1/4 recursion replayed with

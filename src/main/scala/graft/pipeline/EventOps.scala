@@ -1187,7 +1187,9 @@ object EventOps {
     * `dw_ppm = 10^6 · n · Σd² div (n·Σx² − (Σx)²)` with the quadratics
     * in DECIMAL(38)/HUGEINT. Output (event_type, n_hours, dw_ppm,
     * positive_autocorr = dw_ppm < 1.5·10^6 — the classic d_L-style
-    * alert band).
+    * alert band). Zero-variance series (single hour, or constant
+    * counts) have an undefined DW and are DROPPED — identically in
+    * engine and oracle, never a NULL-vs-division-error divergence.
     *
     * Plan: the [[activityGapfill]] grid (ROWS lag ≡ hour lag only on a
     * DENSE series), one lag window + one five-sum aggregate per type —
@@ -1204,6 +1206,10 @@ object EventOps {
         sum(when(col("prev").isNotNull,
           (col("cnt") - col("prev")).cast("decimal(38,0)") *
             (col("cnt") - col("prev"))).otherwise(lit(0L))).as("sd"))
+      // zero-variance guard: a constant (or single-hour) series has
+      // n·Σx² − (Σx)² = 0 and DW is undefined — dropped identically by
+      // engine and oracle rather than NULL-vs-error divergence
+      .where(expr("n_hours * sq - CAST(s AS DECIMAL(38,0)) * s > 0"))
       .select(col("event_type"), col("n_hours"),
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * n_hours * sd)
           |     div (n_hours * sq - CAST(s AS DECIMAL(38,0)) * s)

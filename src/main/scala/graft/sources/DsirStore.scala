@@ -68,8 +68,7 @@ object DsirStore {
         DataOps.dsirBuckets(spark, d),
         DataOps.dsirStatsFromBuckets(withB))
     }
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dsir-store-" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = StoreDirs.tmpStoreDir("graft-dsir-store", sfDir)
     build(spark, sfDir, dir)
     scoreAgainst(spark, d, dir)
   }

@@ -113,8 +113,7 @@ object MinhashIndex {
       return probe(spark, DataOps.shingleHashes(spark, nw),
         DataOps.minhashBandsOf(shIdx), shIdx)
     }
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-mh-index-" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = StoreDirs.tmpStoreDir("graft-mh-index", sfDir)
     build(spark, old, dir)
     dedupAgainst(spark, nw, dir)
   }

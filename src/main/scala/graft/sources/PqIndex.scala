@@ -72,8 +72,7 @@ object PqIndex {
       return DataOps.pqProbe(spark, DataOps.annQueries(spark, sfDir),
         refined, coded, DataOps.emb(spark, sfDir))
     }
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-pq-index-" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
     build(spark, sfDir, dir)
     queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }

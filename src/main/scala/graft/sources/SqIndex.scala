@@ -55,8 +55,7 @@ object SqIndex {
         DataOps.sqRecon(spark, DataOps.emb(spark, sfDir)),
         DataOps.emb(spark, sfDir))
     }
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-sq-index-" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = StoreDirs.tmpStoreDir("graft-sq-index", sfDir)
     build(spark, sfDir, dir)
     queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }

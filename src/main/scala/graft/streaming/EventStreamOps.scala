@@ -301,7 +301,8 @@ object EventStreamOps {
     * grid's global min hour): production passes its deployment epoch,
     * the spec the fixture's. Per-key arrival must respect event time
     * across batches (the [[scd2Stream]] engine contract; within a
-    * batch the group's hours replay sorted). The open hour is emitted
+    * batch the group's hours replay sorted) — ENFORCED: a late hour
+    * throws rather than silently corrupting the folded level. The open hour is emitted
     * by the batch readout, never the stream — the standard
     * monitoring-series contract (a live hour is not final). */
   def ewmaStream(events: Dataset[StreamEvent], h0: Long): DataFrame = {
@@ -322,6 +323,14 @@ object EventStreamOps {
             else if (he == st.pendHour)
               st = st.copy(pendCnt = st.pendCnt + 1L)
             else { // he > pendHour: the open hour (and any gap) closes
+              // contract enforcement (per-key event-time order across
+              // micro-batches): a LATE hour would silently re-open an
+              // already-folded hour and corrupt the level — fail the
+              // task loudly instead, like the in-plan size asserts.
+              if (he < st.pendHour) throw new IllegalStateException(
+                s"ewmaStream: late event for key '$t' — hour $he " +
+                  s"arrived after open hour ${st.pendHour}; per-key " +
+                  "arrival must respect event time across batches")
               var sm = st.sm
               var h = st.foldedUpTo + 1L
               while (h <= st.pendHour) {
