@@ -1520,6 +1520,72 @@ object OracleSqlData {
        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id""".stripMargin
   }
 
+  /** Store-probe mirror ([[graft.sources.LangProfileStore.langIdStored]]):
+    * the [[langIdNgram]] CTEs with the TRAIN half (lp) restricted to
+    * even doc_ids and the SCORE half (dp, output base) to odd ids —
+    * the build-once/probe split replayed definitionally, so the parquet
+    * round-trip through the profile store is hash-audited. */
+  val langIdStored: String = {
+    val k = DataOps.CtProfK
+    s"""WITH lt AS (
+       |  SELECT doc_id, lang, lower(text) AS t FROM documents
+       |  WHERE length(lower(text)) >= 3
+       |),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |         ${h60("substr(t, CAST(i AS INTEGER), 3)")} AS h
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(range(1, length(t) - 1)) AS i, t
+       |        FROM lt)
+       |),
+       |lp AS (
+       |  SELECT lang AS plang, h, CAST(rnk AS BIGINT) AS lrank FROM (
+       |    SELECT lang, h,
+       |           ROW_NUMBER() OVER (PARTITION BY lang
+       |             ORDER BY COUNT(*) DESC, h ASC) AS rnk
+       |    FROM g WHERE doc_id % 2 = 0 GROUP BY lang, h
+       |  ) WHERE rnk <= $k
+       |),
+       |dp AS (
+       |  SELECT doc_id, h, CAST(rnk AS BIGINT) AS drank FROM (
+       |    SELECT doc_id, h,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY COUNT(*) DESC, h ASC) AS rnk
+       |    FROM g WHERE doc_id % 2 = 1 GROUP BY doc_id, h
+       |  ) WHERE rnk <= $k
+       |),
+       |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_prof
+       |       FROM dp GROUP BY 1),
+       |ls AS (SELECT DISTINCT plang FROM lp),
+       |mt AS (
+       |  SELECT dp.doc_id, lp.plang,
+       |         CAST(SUM(ABS(dp.drank - lp.lrank)) AS BIGINT) AS s,
+       |         CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM dp JOIN lp ON lp.h = dp.h
+       |  GROUP BY 1, 2
+       |),
+       |dist AS (
+       |  SELECT np.doc_id, ls.plang,
+       |         COALESCE(mt.s, 0) +
+       |           (np.n_prof - COALESCE(mt.m, 0)) * $k AS dist
+       |  FROM np CROSS JOIN ls
+       |  LEFT JOIN mt ON mt.doc_id = np.doc_id AND mt.plang = ls.plang
+       |),
+       |best AS (
+       |  SELECT doc_id, plang, dist FROM (
+       |    SELECT doc_id, plang, dist,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY dist ASC, plang ASC) AS rnk
+       |    FROM dist
+       |  ) WHERE rnk = 1
+       |)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(b.plang, 'und') AS lang_pred,
+       |  CAST(COALESCE(b.dist, 0) AS BIGINT) AS dist
+       |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+       |WHERE d.doc_id % 2 = 1""".stripMargin
+  }
+
   lazy val langConfusion: String =
     s"""WITH li AS ($langId)
        |SELECT d.lang, li.lang_pred, COUNT(*) AS cnt

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.pipeline.DataOps
 
@@ -27,9 +28,15 @@ import graft.pipeline.DataOps
 object LangProfileStore {
 
   /** Train (overwrite) the profile store from the sf corpus. */
-  def build(spark: SparkSession, sfDir: String, storeDir: String): Unit = {
-    val gc = DataOps.ctGramCounts(spark,
-      spark.read.parquet(s"$sfDir/documents.parquet")).persist()
+  def build(spark: SparkSession, sfDir: String, storeDir: String): Unit =
+    buildFrom(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet"), storeDir)
+
+  /** Train (overwrite) the profile store from a (doc_id, lang, text)
+    * labeled corpus frame. */
+  def buildFrom(spark: SparkSession, corpus: DataFrame,
+      storeDir: String): Unit = {
+    val gc = DataOps.ctGramCounts(spark, corpus).persist()
     DataOps.ctProfilesFromCounts(gc)
       .write.mode("overwrite").parquet(s"$storeDir/profiles")
     gc.unpersist()
@@ -43,4 +50,34 @@ object LangProfileStore {
       storeDir: String): DataFrame =
     DataOps.ctScoreCounts(DataOps.ctGramCounts(spark, d),
       spark.read.parquet(s"$storeDir/profiles"))
+
+  /** Registry form of the store — the K4 analog of
+    * [[MinhashIndex.dedupIndexed]] applied to the trained classifier:
+    * the even-doc_id half of the corpus plays "the labeled training
+    * corpus" (its profiles written ONCE into a scratch store), the odd
+    * half "the arriving unlabeled batch" classified purely from the
+    * read-back store via [[classifyAgainst]]. Output =
+    * [[DataOps.langIdNgram]]'s shape restricted to the odd half; the
+    * oracle replays the same split definitionally (train CTE filtered
+    * to even ids, score CTE to odd), so the round-trip through parquet
+    * is hash-audited, not just spec-pinned. */
+  def langIdStored(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val train = d.where(col("doc_id") % 2 === 0)
+    val probe = d.where(col("doc_id") % 2 === 1)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: score plan over the fresh
+      // profile relation (plan-identical to the store read by design).
+      return DataOps.ctScoreCounts(DataOps.ctGramCounts(spark, probe),
+        DataOps.ctProfilesFromCounts(DataOps.ctGramCounts(spark, train)))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-lang-store", sfDir)
+    buildFrom(spark, train, dir)
+    // langIdNgram's cache hygiene: the probe gram counts feed the doc
+    // profile, its size aggregate and the label join.
+    val gc = DataOps.ctGramCounts(spark, probe).persist()
+    DataOps.finish(DataOps.ctScoreCounts(gc,
+      spark.read.parquet(s"$dir/profiles")), gc)
+  }
 }

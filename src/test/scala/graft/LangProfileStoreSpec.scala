@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DataOps
+import graft.sources.LangProfileStore
+
+/** The persistent language-profile store ([[LangProfileStore]], K6)
+  * must be a lossless round-trip: profiles are exact integers (trigram
+  * hash, rank), so classifying against the read-back store is
+  * IDENTICAL to scoring against the freshly trained profile relation,
+  * and one build serves any number of probe batches. */
+class LangProfileStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "lang", "lang_pred", "dist")
+      .as[(Long, String, String, Long)].collect().toSet
+
+  test("langIdStored == classifying the odd half against a fresh-model score") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val train = d.where(col("doc_id") % 2 === 0)
+    val probe = d.where(col("doc_id") % 2 === 1)
+    // no store: score directly against the in-plan trained profiles
+    val direct = rows(DataOps.ctScoreCounts(
+      DataOps.ctGramCounts(spark, probe),
+      DataOps.ctProfilesFromCounts(DataOps.ctGramCounts(spark, train))))
+    val stored = rows(LangProfileStore.langIdStored(spark, SF))
+    assert(stored == direct && stored.nonEmpty)
+    // scope: only the odd (probe) half is ever classified
+    assert(stored.forall(_._1 % 2 == 1))
+    // the store-trained profiles generalize: most predictions must be
+    // real labels, not the no-profile fallback
+    assert(stored.count(_._3 != "und") > stored.size / 2)
+  }
+
+  test("one build serves two probe batches") {
+    val dir = Files.createTempDirectory("graft-langstore").toString
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    LangProfileStore.buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+    val b1 = d.where(col("doc_id") % 4 === 1)
+    val b2 = d.where(col("doc_id") % 4 === 3)
+    val got = rows(LangProfileStore.classifyAgainst(spark, b1, dir)) ++
+      rows(LangProfileStore.classifyAgainst(spark, b2, dir))
+    val whole = rows(LangProfileStore.classifyAgainst(spark,
+      d.where(col("doc_id") % 2 === 1), dir))
+    // batch boundaries are invisible: per-doc work only
+    assert(got == whole && got.nonEmpty)
+  }
+}
