@@ -1548,16 +1548,48 @@ object DataOps {
     * (bounded). */
   def tfidfSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val dt = persistUnlessLazy(docTokenCounts(spark, sfDir))
-    val vocab = dt.groupBy(col("token"))
-      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+    val vocab = vocabOfCounts(dt)
     val ndocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
-    val query = vocab.crossJoin(broadcast(ndocs))
+    finish(tfidfScoreStage(dt, retrievalQueryHead(vocab, ndocs)), dt)
+  }
+
+  /** (token, tf, df) vocabulary relation of a (doc_id, token, cnt)
+    * frame — the store-layout unit of
+    * [[graft.sources.PostingsIndex]]. */
+  private[graft] def vocabOfCounts(dt: DataFrame): DataFrame =
+    dt.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+
+  /** The standard deterministic query head shared by the retrieval
+    * tier: the corpus's 3 most distinctive frequent terms (global
+    * tf·idf_bits desc, token asc) with their integer IDF — computed
+    * from a vocabulary relation + one-row doc count, so it serves both
+    * the self-contained batch queries and the postings-store probe
+    * ([[graft.sources.PostingsIndex.standardQuery]]) unchanged. */
+  private[graft] def retrievalQueryHead(vocab: DataFrame,
+      ndocs: DataFrame): DataFrame =
+    termWeights(vocab, ndocs)
+      .orderBy(col("gscore").desc, col("token").asc).limit(3)
+      .select(col("token"), col("idf_bits"))
+
+  /** (token, idf_bits, gscore) term-weight relation of a vocabulary +
+    * one-row doc count — the IDF arithmetic in ONE place, serving the
+    * standard query head and the postings store's ad-hoc query
+    * weighting ([[graft.sources.PostingsIndex.queryWeights]]). */
+  private[graft] def termWeights(vocab: DataFrame,
+      ndocs: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(ndocs))
       .select(col("token"),
         (length(bin(expr("n div df"))) - 1).cast("long").as("idf_bits"),
         (col("tf") * (length(bin(expr("n div df"))) - 1).cast("long"))
           .as("gscore"))
-      .orderBy(col("gscore").desc, col("token").asc).limit(3)
-    val out = dt.join(broadcast(query), Seq("token"))
+
+  /** SCORE stage of [[tfidfSearch]] — per-doc Σ tf·idf_bits over a
+    * (token, idf_bits) query head, top-10: shared verbatim by the
+    * postings-store probe. */
+  private[graft] def tfidfScoreStage(dt: DataFrame,
+      query: DataFrame): DataFrame =
+    dt.join(broadcast(query), Seq("token"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt") * col("idf_bits")).as("score"),
         count(lit(1)).as("n_terms_hit"))
@@ -1566,8 +1598,6 @@ object DataOps {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
       .select(col("doc_id"), col("score"), col("rnk"), col("n_terms_hit"))
-    finish(out, dt)
-  }
 
   /** EXACT-INTEGER BM25 (Robertson-Spärck Jones, the Okapi ranking
     * function; k1 = 1.2, b = 0.75) — the saturating/length-normalized
@@ -1588,17 +1618,21 @@ object DataOps {
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
     val dt = persistUnlessLazy(docTokenCounts(spark, sfDir))
     val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
-    val vocab = dt.groupBy(col("token"))
-      .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+    val vocab = vocabOfCounts(dt)
     val ndocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
     val sdl = dls.agg(sum(col("dl")).as("sdl"))
-    val query = vocab.crossJoin(broadcast(ndocs))
-      .select(col("token"),
-        (length(bin(expr("n div df"))) - 1).cast("long").as("idf_bits"),
-        (col("tf") * (length(bin(expr("n div df"))) - 1).cast("long"))
-          .as("gscore"))
-      .orderBy(col("gscore").desc, col("token").asc).limit(3)
-    val out = dt.join(broadcast(query), Seq("token"))
+    finish(bm25ScoreStage(dt, dls, ndocs, sdl,
+      retrievalQueryHead(vocab, ndocs)), dt)
+  }
+
+  /** SCORE stage of [[bm25Search]] — the exact-integer Okapi term
+    * scores over a (token, idf_bits) query head, per-doc sum, top-10:
+    * shared verbatim by the postings-store probe
+    * ([[graft.sources.PostingsIndex.bm25Against]]). `ndocs` = one-row
+    * (n), `sdl` = one-row (sdl), `dls` = (doc_id, dl). */
+  private[graft] def bm25ScoreStage(dt: DataFrame, dls: DataFrame,
+      ndocs: DataFrame, sdl: DataFrame, query: DataFrame): DataFrame =
+    dt.join(broadcast(query), Seq("token"))
       .join(dls, Seq("doc_id"))
       .crossJoin(broadcast(ndocs)).crossJoin(broadcast(sdl))
       .select(col("doc_id"),
@@ -1617,8 +1651,6 @@ object DataOps {
         .cast("long"))
       .select(col("doc_id"), col("score_micro"), col("rnk"),
         col("n_terms_hit"))
-    finish(out, dt)
-  }
 
   /** RRF rank constant (the standard k = 60 of Cormack et al. 2009). */
   val RrfK = 60L
@@ -3074,7 +3106,7 @@ object DataOps {
     * aggregate; every downstream statistic (vocab frequencies, document
     * frequencies, surprisal) derives from this bounded-width relation
     * instead of re-scanning text. */
-  private def docTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def docTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"), explode(graft.functions.WordGramsExpr.grams(
         spark, col("text"), 1, distinct = false)).as("token"))

@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DataOps
+
+/**
+ * PERSISTENT ranked-retrieval store — the build-once/query-many form of
+ * [[DataOps.tfidfSearch]] / [[DataOps.bm25Search]] (the K4
+ * [[MinhashIndex]] pattern applied to lexical SEARCH): a production
+ * search tier never re-tokenizes its corpus per query — the postings
+ * relation and the df/length statistics are written ONCE and every
+ * query batch only probes, while the per-invocation batch operators
+ * retokenize the whole corpus each call (fine for a one-shot audit,
+ * wrong for serving).
+ *
+ * Layout (`indexDir/`), all plain parquet of exact integers/strings
+ * (lossless round-trip — probe ≡ fresh build, pinned in
+ * PostingsIndexSpec and hash-audited by the `bm25Indexed` /
+ * `tfidfIndexed` registry entries against the batch operators' own
+ * oracles):
+ *   - `postings/` (doc_id, token, cnt): the inverted-file body — the
+ *     only corpus-sized relation;
+ *   - `doclen/`   (doc_id, dl): per-doc token counts (BM25's length
+ *     normalizer);
+ *   - `vocab/`    (token, tf, df): per-term corpus/document frequency;
+ *   - `stats/`    one row (n, sdl): doc count + total corpus length.
+ *
+ * 100 TB shape: `postings` is written straight from the (doc, token)
+ * aggregate — at cluster scale bucket it by `token` so a query's
+ * broadcast-semi probe prunes to its terms' buckets (the classic
+ * posting-list lookup; a layout knob, not a plan change), and `doclen`
+ * by `doc_id` to co-locate the BM25 length join. `vocab` is
+ * vocabulary-bounded and `stats` is ONE row — both broadcast on every
+ * probe.
+ */
+object PostingsIndex {
+
+  /** Tokenize the sf corpus once and write (overwrite) the four store
+    * relations. */
+  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val dt = DataOps.docTokenCounts(spark, sfDir).persist()
+    dt.write.mode("overwrite").parquet(s"$indexDir/postings")
+    val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+      .persist()
+    dls.write.mode("overwrite").parquet(s"$indexDir/doclen")
+    DataOps.vocabOfCounts(dt)
+      .write.mode("overwrite").parquet(s"$indexDir/vocab")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(dls.agg(sum(col("dl")).as("sdl")))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    dls.unpersist()
+    dt.unpersist()
+    ()
+  }
+
+  /** The standard deterministic 3-term query head computed purely from
+    * the READ-BACK store (same arithmetic as the batch operators' fresh
+    * head — [[DataOps.retrievalQueryHead]] verbatim). */
+  def standardQuery(spark: SparkSession, indexDir: String): DataFrame =
+    DataOps.retrievalQueryHead(
+      spark.read.parquet(s"$indexDir/vocab"),
+      spark.read.parquet(s"$indexDir/stats").select(col("n")))
+
+  /** Weight an ad-hoc (token) term frame from the stored df/N — terms
+    * absent from the corpus vocabulary drop out (df would be 0). */
+  def queryWeights(spark: SparkSession, terms: DataFrame,
+      indexDir: String): DataFrame =
+    DataOps.termWeights(
+      spark.read.parquet(s"$indexDir/vocab")
+        .join(terms.select(col("token")), Seq("token"), "left_semi"),
+      spark.read.parquet(s"$indexDir/stats").select(col("n")))
+      .select(col("token"), col("idf_bits"))
+
+  /** BM25 top-10 for an ad-hoc (token) term frame — probe-only: the
+    * [[DataOps.bm25ScoreStage]] scoring verbatim over the stored
+    * relations, NO corpus tokenization. */
+  def bm25Against(spark: SparkSession, terms: DataFrame,
+      indexDir: String): DataFrame =
+    DataOps.bm25ScoreStage(
+      spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/doclen"),
+      spark.read.parquet(s"$indexDir/stats").select(col("n")),
+      spark.read.parquet(s"$indexDir/stats").select(col("sdl")),
+      queryWeights(spark, terms, indexDir))
+
+  /** tf-idf top-10 for an ad-hoc (token) term frame — probe-only. */
+  def tfidfAgainst(spark: SparkSession, terms: DataFrame,
+      indexDir: String): DataFrame =
+    DataOps.tfidfScoreStage(
+      spark.read.parquet(s"$indexDir/postings"),
+      queryWeights(spark, terms, indexDir))
+
+  /** One store build per (JVM, directory): the second registry entry
+    * (and any later probe) reuses the first's store — exactly the
+    * build-once contract the store exists to prove. */
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def buildOnce(spark: SparkSession, sfDir: String,
+      indexDir: String): Unit =
+    if (built.add(indexDir)) build(spark, sfDir, indexDir)
+
+  /** Registry form — the full round-trip: build (write) the postings
+    * store for the sf directory ONCE, then answer the standard query
+    * purely from the read-back relations. Result ≡ [[DataOps.bm25Search]]
+    * (same oracle) — the claim a persistent index must prove: nothing
+    * was lost between the tokenized corpus and the serving store. */
+  def bm25Indexed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: audit the probe plan over fresh
+      // relations (plan-identical to the store read by design).
+      return DataOps.bm25Search(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-postings-index", sfDir)
+    buildOnce(spark, sfDir, dir)
+    DataOps.bm25ScoreStage(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclen"),
+      spark.read.parquet(s"$dir/stats").select(col("n")),
+      spark.read.parquet(s"$dir/stats").select(col("sdl")),
+      standardQuery(spark, dir))
+  }
+
+  /** Registry form of the tf-idf probe — shares [[bm25Indexed]]'s store
+    * (one build, two rankers served), ≡ [[DataOps.tfidfSearch]] (same
+    * oracle). */
+  def tfidfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      return DataOps.tfidfSearch(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-postings-index", sfDir)
+    buildOnce(spark, sfDir, dir)
+    DataOps.tfidfScoreStage(
+      spark.read.parquet(s"$dir/postings"),
+      standardQuery(spark, dir))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DataOps
+import graft.sources.PostingsIndex
+
+/** The persistent retrieval store ([[PostingsIndex]]) must be a
+  * lossless round-trip: postings, lengths and df/N statistics are exact
+  * integers, so probing the read-back store is IDENTICAL to scoring
+  * against freshly tokenized relations — and ONE build serves any
+  * number of query batches across both rankers. */
+class PostingsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("one build serves both rankers and ad-hoc term batches") {
+    val dir = Files.createTempDirectory("graft-postings").toString
+    PostingsIndex.build(spark, SF, dir)
+
+    // batch 1: the standard head — must equal the self-contained ops
+    assert(rows(PostingsIndex.bm25Against(spark,
+        PostingsIndex.standardQuery(spark, dir).select("token"), dir)) ==
+      rows(DataOps.bm25Search(spark, SF)))
+    assert(rows(PostingsIndex.tfidfAgainst(spark,
+        PostingsIndex.standardQuery(spark, dir).select("token"), dir)) ==
+      rows(DataOps.tfidfSearch(spark, SF)))
+
+    // batch 2: an ad-hoc term set against the SAME store == the shared
+    // scoring stage over freshly tokenized relations
+    // "dup" is the fixture's one high-IDF frequent token; "the" is in
+    // vocabulary but idf_bits = 0 (scores 0, filtered); the third is
+    // out of vocabulary entirely
+    val terms = Seq("dup", "the", "nosuchtokenanywhere")
+      .toDF("token")
+    val dt = DataOps.docTokenCounts(spark, SF).persist()
+    val ndocs = spark.read.parquet(s"$SF/documents.parquet")
+      .agg(count(lit(1)).as("n"))
+    val weights = DataOps.termWeights(
+      DataOps.vocabOfCounts(dt)
+        .join(terms, Seq("token"), "left_semi"), ndocs)
+      .select(col("token"), col("idf_bits"))
+    val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+    val sdl = dls.agg(sum(col("dl")).as("sdl"))
+    val wantBm = rows(DataOps.bm25ScoreStage(dt, dls, ndocs, sdl, weights))
+    val wantTf = rows(DataOps.tfidfScoreStage(dt, weights))
+    assert(rows(PostingsIndex.bm25Against(spark, terms, dir)) == wantBm)
+    assert(rows(PostingsIndex.tfidfAgainst(spark, terms, dir)) == wantTf)
+    assert(wantBm.nonEmpty && wantTf.nonEmpty)
+    dt.unpersist()
+
+    // out-of-vocabulary terms drop out of the weighting entirely
+    val w = PostingsIndex.queryWeights(spark, terms, dir)
+      .select("token").as[String].collect().toSet
+    assert(!w.contains("nosuchtokenanywhere") && w.contains("the"))
+  }
+}
