@@ -2995,4 +2995,37 @@ object OracleSqlData {
        |              AS BIGINT) AS rnk
        |  FROM pr WHERE it = ${DataOps.TextrankIters}
        |) WHERE rnk <= 20""".stripMargin
+
+  /** Recall-audit mirror ([[graft.pipeline.DataOps.annRecallEval]]):
+    * each tier's full mirror inlined as a nested CTE (DuckDB supports
+    * nested WITH), brute-force ground truth joined on (q_id, n_id),
+    * truncating integer recall. */
+  lazy val annRecallEval: String = {
+    val tiers = Seq("ivf" -> annIvf, "ivfpq" -> annIvfPq,
+      "lsh" -> annLsh, "pq" -> annPq, "sq" -> annSq)
+    val tierCtes = tiers.map { case (n, sql) =>
+      s"t_$n AS (\n$sql\n)" }.mkString(",\n")
+    val unions = tiers.map { case (n, _) =>
+      s"SELECT '$n' AS tier, q_id, n_id FROM t_$n" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH brute AS (
+       |$annBrute
+       |),
+       |$tierCtes,
+       |tr AS (
+       |  $unions
+       |),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM brute),
+       |ag AS (
+       |  SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |         CAST(SUM(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_hit
+       |  FROM tr LEFT JOIN brute b
+       |    ON b.q_id = tr.q_id AND b.n_id = tr.n_id
+       |  GROUP BY 1
+       |)
+       |SELECT tier, nt.n_true, n_cand, n_hit,
+       |       CAST(n_hit * 1000000 // nt.n_true AS BIGINT) AS recall_micro
+       |FROM ag, nt""".stripMargin
+  }
 }

@@ -2408,6 +2408,46 @@ object DataOps {
     v.select(col("vec_id"),
       graft.functions.Sq8ReconExpr.recon(spark, col("em")).as("r254"))
 
+  /** ANN RECALL AUDIT — the [[minhashRecallEval]] discipline applied to
+    * the whole similarity-search family: every approximate tier's
+    * standard-query top-10 scored against the [[annBrute]] exact ground
+    * truth, as an ORACLE-CHECKED relation rather than a spec-pinned
+    * constant — the recall a vector store actually delivers on this
+    * corpus is an audited number the driver hashes, not a comment.
+    * Per tier: n_true (brute top-10 rows over the bounded standard
+    * query sample), n_cand (rows the tier returned — its verify-stage
+    * workload), n_hit (tier ∩ truth on (q_id, n_id)), recall_micro
+    * (truncating integer div, mirroring DuckDB `//`). Output 5 rows:
+    * tier ∈ {ivf, ivfpq, lsh, pq, sq}.
+    *
+    * 100 TB shape: each tier's relation is ALREADY bounded (top-10 per
+    * query over the guarded sample), so everything here — the semi
+    * joins, the counts, the union — runs on Q·10-row inputs; the heavy
+    * work is the tiers themselves, each with its own documented scale
+    * plan. The oracle inlines each tier's full mirror as a nested CTE
+    * and replays the same set algebra. */
+  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = persistUnlessLazy(
+      annBrute(spark, sfDir).select(col("q_id"), col("n_id")))
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "ivf"   -> annIvf(spark, sfDir),
+      "ivfpq" -> annIvfPq(spark, sfDir),
+      "lsh"   -> annLsh(spark, sfDir),
+      "pq"    -> annPq(spark, sfDir),
+      "sq"    -> annSq(spark, sfDir))
+    val out = tiers.map { case (name, df) =>
+      val cand = df.select(col("q_id"), col("n_id"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(cand.join(truth, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(lit(name).as("tier"), col("n_true"), col("n_cand"),
+          col("n_hit"),
+          expr("n_hit * 1000000 div n_true").as("recall_micro"))
+    }.reduce(_ unionByName _)
+    finish(out, truth)
+  }
+
   /** The probe-only half of [[annSq]] — shared verbatim by the fresh
     * path above and the persistent [[graft.sources.SqIndex]] store, so
     * the two are plan-identical by construction. */

@@ -1896,4 +1896,23 @@ class DataOpsSpec extends SparkSpec {
     assert(en.map(_._4).sum * ot.size > ot.map(_._4).sum * en.size,
       "target-language docs must keep at a higher rate")
   }
+
+  test("annRecallEval: audited recalls clear each tier's pinned floor") {
+    val rows = DataOps.annRecallEval(spark, SF).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the floors the per-tier spot tests pin, now read off the audited
+    // relation (sq is exact on this corpus: 8-bit quantization never
+    // reorders the fixture's top-10 margins)
+    val floors = Map("ivf" -> 550000L, "ivfpq" -> 450000L,
+      "lsh" -> 500000L, "pq" -> 450000L, "sq" -> 900000L)
+    assert(rows.keySet == floors.keySet)
+    floors.foreach { case (t, f) =>
+      val (nTrue, nCand, nHit, recall) = rows(t)
+      assert(recall >= f, s"$t recall $recall < floor $f")
+      assert(recall == nHit * 1000000L / nTrue, s"$t arithmetic")
+      // top-10 contract: a tier never returns more than the truth size
+      assert(nCand <= nTrue && nHit <= nCand, s"$t bounds")
+    }
+  }
 }
