@@ -39,4 +39,21 @@ object CorpusSink {
       .parquet(outDir)
     curated
   }
+
+  /** Append-mode publish of an already-curated batch (the streaming
+    * ingest's per-micro-batch sink — [[graft.streaming.IngestPipeline]])
+    * with the same lang-partitioned layout discipline as
+    * [[writeCurated]]: one shuffle routes each language to few writer
+    * tasks, `maxRecordsPerFile` re-splits a dominant language. */
+  def appendCurated(batch: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    batch
+      .repartition(col("lang"))
+      .write
+      .mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang")
+      .parquet(outDir)
+    ()
+  }
 }

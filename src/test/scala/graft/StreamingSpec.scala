@@ -7,7 +7,7 @@ import graft.model.Model.{MoodRec, TimedMessage}
 import graft.ops.ChatOps
 import graft.pipeline.ParityQueries
 import graft.sources.Messages
-import graft.streaming.{SentimentPipeline, StreamingOps}
+import graft.streaming.{IngestPipeline, SentimentPipeline, StreamingOps}
 
 /** Document row for MemoryStream-fed ingest-twin tests (mirrors the
   * driver's documents.parquet schema). */
@@ -849,5 +849,58 @@ class StreamingSpec extends SparkSpec {
       queries.foreach(_.processAllAvailable())
       assert(queries.forall(_.isActive))
     } finally queries.foreach(_.stop())
+  }
+
+  test("IngestPipeline: two micro-batches through the composed DAG == batch curation") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-ingest-idx").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-ingest-out").toString
+    // the existing corpus (even ids) is indexed ONCE; the stream lands
+    // the odd-id documents in two micro-batches
+    graft.sources.MinhashIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      indexDir)
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = IngestPipeline.start(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      SF, indexDir, outDir)
+    try {
+      def half(m: Long) = docs.where(col("doc_id") % 4 === m)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      in.addData(half(1L))
+      q.processAllAvailable()
+      in.addData(half(3L))
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "lang", "source", "clean_text",
+        "n_redacted", "lang_pred", "quality_micro")
+      val streamed = spark.read.parquet(s"$outDir/corpus")
+        .select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+      val streamedDups = spark.read.parquet(s"$outDir/dups")
+        .as[(Long, Long, Long)].collect().toSet
+
+      // batch twin: the same composed stages over the odd half at once
+      val (bCurated, bDups) = IngestPipeline.finishBatch(
+        StreamingOps.curationStream(
+          docs.where(col("doc_id") % 2 === 1), SF), indexDir)
+      assert(streamed ==
+        bCurated.select(cols.head, cols.tail: _*)
+          .collect().map(_.toSeq).toSet)
+      assert(streamedDups ==
+        bDups.as[(Long, Long, Long)].collect().toSet)
+      // the DAG actually curates: keeps some, drops some, audits dups
+      assert(streamed.nonEmpty && streamedDups.nonEmpty)
+      assert(streamed.size < half(1L).size + half(3L).size)
+      // near-dup hits never reach the published corpus
+      val pubIds = streamed.map(_.head.asInstanceOf[Long])
+      assert(streamedDups.forall { case (d, _, _) => !pubIds.contains(d) })
+      // publish layout: the corpus is partitioned by language
+      assert(new java.io.File(s"$outDir/corpus").listFiles()
+        .exists(_.getName.startsWith("lang=")))
+    } finally q.stop()
   }
 }
