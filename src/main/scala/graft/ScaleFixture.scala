@@ -22,10 +22,20 @@ import org.apache.spark.sql.functions._
   *    BY CONSTRUCTION and mask what the measurement is after — plan
   *    scaling, not fixture artifacts. n_chars is recomputed to stay
   *    consistent with the new text;
-  *  - embeddings copy UNSCALED: replicated identical vectors would make
-  *    every ANN answer its own clones (and both ANN sides scale, so
-  *    brute force is quadratic by definition) — the embedding family is
-  *    measured at its native size instead. */
+  *  - embeddings replicate under the PRODUCTION ANN scaling model —
+  *    corpus grows, query batch stays fixed: replica k > 0 drops the
+  *    query-eligible rows (vec_id ≡ 0 mod 50) so the standard query
+  *    set stays exactly replica 0's, re-keys by a multiple of 50
+  *    (residues preserved), and DECORRELATES each replica by a cyclic
+  *    dimension shift of the vector (norm-preserving, deterministic) —
+  *    replicated identical vectors would otherwise make every ANN
+  *    answer its own clones and every semantic-dedup pair a
+  *    constructed artifact. Under this model brute force is linear BY
+  *    DEFINITION (Q fixed × 10× corpus); the interesting exponents are
+  *    the pruned tiers (IVF/PQ/SQ cell+ADC scans) and the quadratic
+  *    risks (semdedup's within-cell pairing). Rounds ≤ 10 copied
+  *    embeddings unscaled; their recorded exponents are text/event
+  *    queries only, unaffected by this change. */
 object ScaleFixture {
 
   def main(args: Array[String]): Unit = {
@@ -50,6 +60,9 @@ object ScaleFixture {
   private val OrderOff = 10L * 1000 * 1000 * 1000
   private val PartyOff = 100L * 1000 * 1000 // cust/supp/part keys
   private val EventOff = 1000L * 1000 * 1000
+  /** vec_id offset: multiple of 50 (standard query-set modulus), far
+    * above any sf0.1 vec_id. */
+  private[graft] val VecOff = 1000L * 1000
 
   def build(spark: SparkSession, src: String, out: String,
       n: Int): Unit = {
@@ -95,10 +108,30 @@ object ScaleFixture {
       d.withColumn("p_partkey", col("p_partkey") + lit(k * PartyOff))
     }, "part")
 
-    // fixed dims and the unreplicated embedding family
+    // fixed dims
     w(t("nation"), "nation")
     w(t("region"), "region")
-    w(t("embeddings"), "embeddings")
+
+    // embeddings: corpus replicates, the query set does NOT (see the
+    // scaladoc re-keying rules); dim-cycled replicas stay decorrelated
+    val dim = t("embeddings")
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    w(rep(t("embeddings")) { (d, k) =>
+      if (k == 0) d
+      else {
+        val s = k % dim
+        // k a multiple of dim would cycle back to a clone — negate
+        // instead (also norm-preserving, cosine −1 to the original)
+        val cycled =
+          if (s == 0) transform(col("embedding"), x => -x)
+          else concat(slice(col("embedding"), s + 1, dim - s),
+            slice(col("embedding"), 1, s))
+        d.where(col("vec_id") % 50 =!= 0)
+          .select((col("vec_id") + lit(k * VecOff)).as("vec_id"),
+            cycled.as("embedding"), col("label"))
+      }
+    }, "embeddings")
   }
 
   /** The raw events frame with ts in its PHYSICAL form (no nanos

@@ -32,10 +32,18 @@ class ScaleFixtureSpec extends SparkSpec {
       "supplier", "part").foreach { t =>
       assert(n(dir, t) == 2 * n(SF, t), t)
     }
-    // fixed dims and the unscaled embedding family copy 1:1
-    Seq("nation", "region", "embeddings").foreach { t =>
+    // fixed dims copy 1:1
+    Seq("nation", "region").foreach { t =>
       assert(n(dir, t) == n(SF, t), t)
     }
+    // embeddings scale under the production ANN model: the corpus
+    // replicates but the standard query set (vec_id % 50 = 0) stays
+    // exactly replica 0's
+    val e1 = spark.read.parquet(s"$SF/embeddings.parquet")
+    val e2 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q1 = e1.where(col("vec_id") % 50 === 0).count()
+    assert(e2.count() == 2 * e1.count() - q1)
+    assert(e2.where(col("vec_id") % 50 === 0).count() == q1)
     // decontamination benchmark fraction (doc_id % 97) scales with the
     // corpus, so the stand-in keeps its meaning
     def bench(d: String) = spark.read.parquet(s"$d/documents.parquet")
@@ -63,6 +71,23 @@ class ScaleFixtureSpec extends SparkSpec {
     val origGroups = spark.read.parquet(s"$SF/documents.parquet")
       .groupBy(md5(col("text"))).count()
     assert(groups.count() == 2 * origGroups.count())
+  }
+
+  test("embedding replicas are norm-preserving dimension cycles, decorrelated") {
+    val e1 = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val e2 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") >= ScaleFixture.VecOff)
+      .select((col("vec_id") - ScaleFixture.VecOff).as("vec_id"),
+        col("embedding").as("emb2"))
+    val j = e1.join(e2, Seq("vec_id")).persist()
+    // same value multiset per vector (norms and distributions preserved)
+    assert(j.count() > 0 &&
+      j.where(array_sort(col("embedding")) =!= array_sort(col("emb2")))
+        .count() == 0)
+    // but genuinely cycled — replicas are not clones of the originals
+    assert(j.where(col("embedding") === col("emb2")).count() < j.count())
+    j.unpersist()
   }
 
   test("a TPC-H join query returns exactly doubled aggregate rows") {
