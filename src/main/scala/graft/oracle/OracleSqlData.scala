@@ -3028,4 +3028,107 @@ object OracleSqlData {
        |       CAST(n_hit * 1000000 // nt.n_true AS BIGINT) AS recall_micro
        |FROM ag, nt""".stripMargin
   }
+
+  /** Novelty mirror ([[graft.pipeline.DataOps.docNovelty]]): same
+    * distinct-gram hashes, df by counting, truncating micro share. */
+  val docNovelty: String = {
+    val n = DataOps.ContamN
+    s"""WITH $wrdsCte,
+       |gl AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= $n THEN
+       |           list_distinct(list_transform(range(1, len(w) - ${n - 2}),
+       |             i -> ${(0 until n).map(o => s"w[i+$o]").mkString(" || ' ' || ")}))
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |g AS (SELECT doc_id, ${h60("gr")} AS gh
+       |      FROM (SELECT doc_id, unnest(gs) AS gr FROM gl)),
+       |gdf AS (SELECT gh, COUNT(*) AS gdf FROM g GROUP BY 1),
+       |per AS (
+       |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |         CAST(SUM(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_novel
+       |  FROM g JOIN gdf USING (gh) GROUP BY 1
+       |)
+       |SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+       |       COALESCE(per.n_novel, 0) AS n_novel,
+       |       CAST(CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0
+       |            ELSE per.n_novel * 1000000 // per.n_grams END
+       |         AS BIGINT) AS novelty_micro
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** Shard-plan mirror ([[graft.pipeline.DataOps.shardPlan]]): the
+    * engine's two-phase rank replayed as one definitional ROW_NUMBER
+    * (they agree by construction), same modulo fan-out and ppm share. */
+  val shardPlan: String = {
+    val sc = DataOps.ShardCount
+    s"""WITH $wrdsCte,
+       |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM wrds),
+       |r AS (
+       |  SELECT n_tok,
+       |         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id ASC) AS rn
+       |  FROM tok
+       |),
+       |g AS (
+       |  SELECT CAST((rn - 1) % $sc AS BIGINT) AS shard,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+       |  FROM r GROUP BY 1
+       |),
+       |t AS (SELECT SUM(sum_tokens) AS t FROM g)
+       |SELECT shard, n_docs, sum_tokens,
+       |       CAST(sum_tokens * 1000000 // t.t AS BIGINT) AS share_ppm
+       |FROM g, t""".stripMargin
+  }
+
+  /** Serving mirror ([[graft.pipeline.DataOps.bm25Serve]]): the
+    * [[bm25Search]] CTEs with the 6-term two-query head and per-query
+    * score/rank partitions. */
+  val bm25Serve: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),
+       |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM t GROUP BY 1, 2),
+       |dls AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl
+       |        FROM dt GROUP BY 1),
+       |vocab AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS tf,
+       |                 CAST(COUNT(*) AS BIGINT) AS df
+       |          FROM dt GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |s AS (SELECT CAST(SUM(dl) AS HUGEINT) AS sdl FROM dls),
+       |q AS (
+       |  SELECT (CAST(ROW_NUMBER() OVER (
+       |            ORDER BY tf * (length(bin(n.n // df)) - 1) DESC,
+       |              token ASC) AS BIGINT) - 1) // 3 + 1 AS q_id,
+       |         token,
+       |         CAST(length(bin(n.n // df)) - 1 AS BIGINT) AS idf_bits
+       |  FROM vocab, n
+       |  ORDER BY tf * (length(bin(n.n // df)) - 1) DESC, token ASC
+       |  LIMIT 6
+       |),
+       |terms AS (
+       |  SELECT q.q_id, dt.doc_id,
+       |         CAST((CAST(44 AS HUGEINT) * q.idf_bits * dt.cnt * s.sdl
+       |                 * 1000000)
+       |              // (CAST(20 AS HUGEINT) * dt.cnt * s.sdl + 6 * s.sdl
+       |                 + CAST(18 AS HUGEINT) * dls.dl * n.n)
+       |           AS BIGINT) AS term_micro
+       |  FROM dt
+       |  JOIN q USING (token)
+       |  JOIN dls USING (doc_id), n, s
+       |),
+       |sc AS (
+       |  SELECT q_id, doc_id, CAST(SUM(term_micro) AS BIGINT)
+       |           AS score_micro,
+       |         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+       |  FROM terms GROUP BY 1, 2
+       |)
+       |SELECT q_id, doc_id, score_micro, rnk, n_terms_hit FROM (
+       |  SELECT q_id, doc_id, score_micro, n_terms_hit,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM sc WHERE score_micro > 0
+       |) WHERE rnk <= 10""".stripMargin
 }

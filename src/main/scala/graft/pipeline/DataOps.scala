@@ -1652,6 +1652,69 @@ object DataOps {
       .select(col("doc_id"), col("score_micro"), col("rnk"),
         col("n_terms_hit"))
 
+  /** MULTI-QUERY BM25 SERVING — the per-query form of
+    * [[bm25ScoreStage]] (what a search tier actually runs: a BATCH of
+    * queries against one index, each getting its own top-10): `queries`
+    * is (q_id, token, idf_bits); scoring is the identical exact-integer
+    * Okapi arithmetic, aggregated per (q_id, doc) and ranked per q_id.
+    * Shared verbatim by the postings-store serving probe
+    * ([[graft.sources.PostingsIndex.bm25ServeAgainst]]) and its
+    * streaming twin.
+    *
+    * 100 TB shape: the query relation BROADCASTS (a serving batch is
+    * KB-sized); postings filter to its tokens before anything shuffles;
+    * the per-(q, doc) sum is one hash aggregate and the per-query
+    * top-10 window partitions on q_id over only score-positive rows. */
+  private[graft] def bm25ServeStage(dt: DataFrame, dls: DataFrame,
+      ndocs: DataFrame, sdl: DataFrame, queries: DataFrame): DataFrame =
+    dt.join(broadcast(queries), Seq("token"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(ndocs)).crossJoin(broadcast(sdl))
+      .select(col("q_id"), col("doc_id"),
+        expr("""cast((cast(44 as decimal(38,0)) * idf_bits * cnt * sdl
+          |         * 1000000)
+          |     div (cast(20 as decimal(38,0)) * cnt * sdl + 6 * sdl
+          |         + cast(18 as decimal(38,0)) * dl * n)
+          |  as bigint)""".stripMargin).as("term_micro"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .where(col("score_micro") > 0)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc))
+        .cast("long"))
+      .where(col("rnk") <= 10)
+      .select(col("q_id"), col("doc_id"), col("score_micro"), col("rnk"),
+        col("n_terms_hit"))
+
+  /** Registry form of the serving tier: the standard deterministic
+    * TWO-query batch — global-distinctiveness term ranks 1-3 form query
+    * 1, ranks 4-6 query 2 (gscore desc, token asc, the
+    * [[retrievalQueryHead]] ordering) — each answered with its own
+    * exact-integer BM25 top-10. Output (q_id, doc_id, score_micro, rnk,
+    * n_terms_hit); q_id 1's rows ≡ [[bm25Search]] by construction. */
+  def bm25Serve(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = persistUnlessLazy(docTokenCounts(spark, sfDir))
+    val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+    val ndocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val sdl = dls.agg(sum(col("dl")).as("sdl"))
+    val qs = standardServeQueries(vocabOfCounts(dt), ndocs)
+    finish(bm25ServeStage(dt, dls, ndocs, sdl, qs), dt)
+  }
+
+  /** The standard 2×3-term serving batch off a vocabulary + doc count
+    * (6-row LIMIT, then ranks assigned over the already-bounded rows —
+    * never a whole-vocabulary window). */
+  private[graft] def standardServeQueries(vocab: DataFrame,
+      ndocs: DataFrame): DataFrame =
+    termWeights(vocab, ndocs)
+      .orderBy(col("gscore").desc, col("token").asc).limit(6)
+      .withColumn("trnk", row_number().over(
+        Window.orderBy(col("gscore").desc, col("token").asc)))
+      .select((expr("(trnk - 1) div 3").cast("long") + 1).as("q_id"),
+        col("token"), col("idf_bits"))
+
   /** RRF rank constant (the standard k = 60 of Cormack et al. 2009). */
   val RrfK = 60L
 
@@ -2534,6 +2597,42 @@ object DataOps {
     got
   }
 
+  /** DOCUMENT NOVELTY / BOILERPLATE SCORE — the originality statistic a
+    * crawl-curation pipeline reads beside dedup (a template page shares
+    * almost every n-gram with its siblings without any pair clearing a
+    * dup threshold; a Dolma/C4-style pipeline down-weights it): per
+    * document, how many of its distinct [[ContamN]]-token gram hashes
+    * occur in NO other document (gram document-frequency 1), and that
+    * share in micro units. Sub-[[ContamN]]-token documents report
+    * (0, 0, 0). Output (doc_id, n_grams, n_novel, novelty_micro).
+    *
+    * 100 TB shape: the (doc, gram-hash) relation off ONE scan (only
+    * 60-bit hashes shuffle, never gram text), the df aggregate on the
+    * gram-vocabulary key, one co-partitioned join back on that same key
+    * (no second corpus scan), one doc aggregate. Nothing is quadratic:
+    * df is computed by COUNTING, not pairing — the same statistic
+    * dedupNgramSource would need a pair join for costs one aggregate
+    * when only the df=1 verdict is wanted. */
+  def docNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = persistUnlessLazy(docs(spark, sfDir)
+      .select(col("doc_id"),
+        explode(contamGramHashes(col("text"))).as("gh")))
+    val gdf = g.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    val per = g.join(gdf, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1L, lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+    finish(docs(spark, sfDir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_micro",
+        when(col("n_grams") === 0L, lit(0L))
+          .otherwise(expr("n_novel * 1000000 div n_grams"))), g)
+  }
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val gramRows = docs(spark, sfDir)
       .select(col("doc_id"),
@@ -2807,6 +2906,51 @@ object DataOps {
     * partials + prefix offsets — so a source holding 30% of the corpus
     * still packs without a single-task full-history sort; everything
     * after the prefix sum is stateless integer arithmetic. */
+  /** Training shard fan-out of [[shardPlan]]. */
+  val ShardCount = 8L
+
+  /** TRAINING-SHARD PLAN — the step between curation and the trainer:
+    * assign every document to one of [[ShardCount]] shards with
+    * SORTED ROUND-ROBIN (documents ranked by whitespace-token count
+    * desc, doc_id asc; shard = (rank−1) mod S — the classic
+    * LPT-flavored static balancer: consecutive ranks land on different
+    * shards, so each shard gets one document from every size stratum
+    * and the token totals equalize without any sequential bin-state).
+    * Output the 8-row shard readout (shard, n_docs, sum_tokens,
+    * share_ppm) — share_ppm = this shard's token share in exact ppm,
+    * the number a training job reads to bound stragglers.
+    *
+    * 100 TB shape: the global size rank is DECOMPOSED, never a
+    * single-task window — per-doc rank = (running count of all docs
+    * with a strictly larger token count) + (rank within this token
+    * count by doc_id): the offset term is a window over the
+    * DOMAIN-BOUNDED distinct-token-count relation (broadcast back),
+    * the within-count rank partitions by token count. Same two-phase
+    * discipline as chunkedRunningSum; the oracle replays it as one
+    * definitional ROW_NUMBER. */
+  def shardPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = docs(spark, sfDir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long")
+        .as("n_tok"))
+    val counts = perDoc.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy(col("n_tok").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tok"), col("off"))
+    val ranked = perDoc.join(broadcast(offs), Seq("n_tok"))
+      .withColumn("rn", col("off") + row_number().over(
+        Window.partitionBy(col("n_tok")).orderBy(col("doc_id")))
+        .cast("long"))
+      .select(col("n_tok"), ((col("rn") - 1) % lit(ShardCount)).as("shard"))
+    val sh = ranked.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+    val tot = sh.agg(sum(col("sum_tokens")).as("t"))
+    finish(sh.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"),
+        expr("sum_tokens * 1000000 div t").as("share_ppm")))
+  }
+
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val t = docs(spark, sfDir)
       .select(col("doc_id"), col("source"),

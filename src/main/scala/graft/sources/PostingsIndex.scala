@@ -93,6 +93,22 @@ object PostingsIndex {
       spark.read.parquet(s"$indexDir/postings"),
       queryWeights(spark, terms, indexDir))
 
+  /** Per-query BM25 top-10 for a (q_id, token) query BATCH — the
+    * serving probe ([[DataOps.bm25ServeStage]] verbatim over the stored
+    * relations): each query in the batch gets its own ranked top-10,
+    * OOV terms drop, no corpus tokenization. The shape the streaming
+    * serving twin ([[graft.streaming.StreamingOps.bm25ServeStream]])
+    * runs per micro-batch. */
+  def bm25ServeAgainst(spark: SparkSession, queries: DataFrame,
+      indexDir: String): DataFrame =
+    DataOps.bm25ServeStage(
+      spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/doclen"),
+      spark.read.parquet(s"$indexDir/stats").select(col("n")),
+      spark.read.parquet(s"$indexDir/stats").select(col("sdl")),
+      queries.select(col("q_id"), col("token"))
+        .join(queryWeights(spark, queries, indexDir), Seq("token")))
+
   /** One store build per (JVM, directory): the second registry entry
     * (and any later probe) reuses the first's store — exactly the
     * build-once contract the store exists to prove. */

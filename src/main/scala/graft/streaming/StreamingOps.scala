@@ -257,6 +257,28 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming lexical-search serving over the K9 persistent postings
+    * store ([[graft.sources.PostingsIndex]]) — the search-tier query
+    * path: each micro-batch of (q_id, token) query rows probes the
+    * stored postings/length/df relations via `foreachBatch` →
+    * [[graft.sources.PostingsIndex.bm25ServeAgainst]], appending each
+    * query's exact-integer BM25 top-10 (q_id, doc_id, score_micro, rnk,
+    * n_terms_hit) to `outDir`. A query's answer depends only on its own
+    * terms and the frozen store, so results are independent of
+    * micro-batch boundaries — stream ≡ batch pinned in StreamingSpec.
+    * Stream state is zero; every heavy relation lives in the store. */
+  def bm25ServeStream(queryStream: DataFrame, indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.PostingsIndex
+          .bm25ServeAgainst(batch.sparkSession, batch.toDF(), indexDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming ANN serving over the K5 persistent PQ store
     * ([[graft.sources.PqIndex]]) — the vector-store query path: each
     * micro-batch of raw float query vectors converts to the micro-unit

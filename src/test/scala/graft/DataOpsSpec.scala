@@ -1915,4 +1915,69 @@ class DataOpsSpec extends SparkSpec {
       assert(nCand <= nTrue && nHit <= nCand, s"$t bounds")
     }
   }
+
+  test("docNovelty: naive distinct-gram df fold over gram strings") {
+    val n = DataOps.ContamN
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val gramSets: Map[Long, Set[String]] = texts.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).sliding(n)
+        .filter(_.length == n).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = gramSets.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val want = gramSets.map { case (id, gs) =>
+      val novel = gs.count(g => df(g) == 1).toLong
+      val ng = gs.size.toLong
+      id -> (ng, novel, if (ng == 0) 0L else novel * 1000000L / ng)
+    }
+    val got = DataOps.docNovelty(spark, SF)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == want)
+    // non-degenerate: the fixture has both boilerplate-ish and novel docs
+    assert(got.values.exists(_._3 == 1000000L) &&
+      got.values.exists(v => v._1 > 0 && v._3 < 1000000L))
+  }
+
+  test("shardPlan: naive sorted round-robin fold, 8 balanced shards") {
+    val toks = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, t.split("\\s+").count(_.nonEmpty).toLong) }
+    val ranked = toks.sortBy { case (id, nt) => (-nt, id) }
+    val naive = ranked.zipWithIndex
+      .groupBy { case (_, i) => i.toLong % DataOps.ShardCount }
+      .map { case (sh, xs) =>
+        sh -> (xs.size.toLong, xs.map(_._1._2).sum) }
+    val total = toks.map(_._2).sum
+    val got = DataOps.shardPlan(spark, SF)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == (0L until DataOps.ShardCount).toSet)
+    got.foreach { case (sh, (nd, st, share)) =>
+      assert((nd, st) == naive(sh), s"shard $sh")
+      assert(share == st * 1000000L / total, s"shard $sh share")
+    }
+    // the balancer works: token shares within 2% of each other
+    val shares = got.values.map(_._3)
+    assert(shares.max - shares.min <= 20000L,
+      s"share spread ${shares.max - shares.min}")
+  }
+
+  test("bm25Serve: query 1 reproduces bm25Search; two bounded rankings") {
+    val serve = DataOps.bm25Serve(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val q1 = serve.filter(_._1 == 1L)
+      .map(r => (r._2, r._3, r._4, r._5)).toSet
+    val search = DataOps.bm25Search(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(q1 == search && q1.nonEmpty)
+    assert(serve.map(_._1).toSet.subsetOf(Set(1L, 2L)))
+    serve.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 10, s"query $q overflows top-10")
+      assert(rows.map(_._4).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"query $q ranks")
+    }
+  }
 }

@@ -60,4 +60,25 @@ class PostingsIndexSpec extends SparkSpec {
       .select("token").as[String].collect().toSet
     assert(!w.contains("nosuchtokenanywhere") && w.contains("the"))
   }
+
+  test("bm25ServeAgainst: the store answers a multi-query batch == self-contained serve") {
+    val dir = Files.createTempDirectory("graft-postings-serve").toString
+    PostingsIndex.build(spark, SF, dir)
+    // the standard 2-query batch, regenerated purely from the store
+    val ndocs = spark.read.parquet(s"$dir/stats").select(col("n"))
+    val qs = graft.pipeline.DataOps.standardServeQueries(
+      spark.read.parquet(s"$dir/vocab"), ndocs)
+    val got = PostingsIndex.bm25ServeAgainst(spark,
+        qs.select("q_id", "token"), dir)
+      .collect().map(_.toSeq).toSet
+    val want = graft.pipeline.DataOps.bm25Serve(spark, SF)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // ad-hoc batch: OOV-only query answers empty, mixed query answers
+    val adhoc = Seq((7L, "dup"), (7L, "the"), (9L, "nosuchtokenanywhere"))
+      .toDF("q_id", "token")
+    val rows = PostingsIndex.bm25ServeAgainst(spark, adhoc, dir)
+      .select("q_id").as[Long].collect()
+    assert(rows.nonEmpty && rows.forall(_ == 7L))
+  }
 }

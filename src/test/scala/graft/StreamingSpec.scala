@@ -903,4 +903,31 @@ class StreamingSpec extends SparkSpec {
         .exists(_.getName.startsWith("lang=")))
     } finally q.stop()
   }
+
+  test("bm25ServeStream: two query micro-batches over one store == batch serve") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-postings-s").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-postings-sout")
+        .toString + "/hits"
+    graft.sources.PostingsIndex.build(spark, SF, indexDir)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25ServeStream(
+      in.toDF().toDF("q_id", "token"), indexDir, outDir)
+    try {
+      in.addData(Seq((1L, "dup")))
+      q.processAllAvailable()
+      in.addData(Seq((2L, "dup"), (2L, "the")))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.sources.PostingsIndex.bm25ServeAgainst(spark,
+          Seq((1L, "dup"), (2L, "dup"), (2L, "the")).toDF("q_id", "token"),
+          indexDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.map(_._1) == Set(1L, 2L))
+    } finally q.stop()
+  }
 }
