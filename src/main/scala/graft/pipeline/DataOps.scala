@@ -3291,8 +3291,15 @@ object DataOps {
     * frequencies, surprisal) derives from this bounded-width relation
     * instead of re-scanning text. */
   private[graft] def docTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .select(col("doc_id"), explode(graft.functions.WordGramsExpr.grams(
+    docTokenCountsOf(spark, docs(spark, sfDir))
+
+  /** The same (doc_id, token, cnt) aggregate over any (doc_id, text)
+    * frame — the unit the postings store's incremental append path
+    * ([[graft.sources.PostingsIndex.appendBatch]]) tokenizes per
+    * landed batch. */
+  private[graft] def docTokenCountsOf(spark: SparkSession,
+      d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(graft.functions.WordGramsExpr.grams(
         spark, col("text"), 1, distinct = false)).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("cnt"))

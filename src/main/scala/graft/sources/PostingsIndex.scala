@@ -39,18 +39,63 @@ object PostingsIndex {
 
   /** Tokenize the sf corpus once and write (overwrite) the four store
     * relations. */
-  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
-    val dt = DataOps.docTokenCounts(spark, sfDir).persist()
+  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit =
+    buildFrom(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")), indexDir)
+
+  /** Build (overwrite) the store from a (doc_id, text) corpus frame. */
+  def buildFrom(spark: SparkSession, corpus: DataFrame,
+      indexDir: String): Unit = {
+    val dt = DataOps.docTokenCountsOf(spark, corpus).persist()
     dt.write.mode("overwrite").parquet(s"$indexDir/postings")
     val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
       .persist()
     dls.write.mode("overwrite").parquet(s"$indexDir/doclen")
     DataOps.vocabOfCounts(dt)
       .write.mode("overwrite").parquet(s"$indexDir/vocab")
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .agg(count(lit(1)).as("n"))
-      .crossJoin(dls.agg(sum(col("dl")).as("sdl")))
+    corpus.agg(count(lit(1)).as("n"))
+      .crossJoin(dls.agg(coalesce(sum(col("dl")), lit(0L)).as("sdl")))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+    dls.unpersist()
+    dt.unpersist()
+    ()
+  }
+
+  /** INCREMENTAL MAINTENANCE — append a landed (doc_id, text) batch
+    * (doc_ids disjoint from the store's) to an existing store without
+    * rebuilding: postings and doclen rows APPEND (disjoint keys), vocab
+    * and stats MERGE ADDITIVELY (tf/df/n/Σdl are sums, so the merge is
+    * exact, associative and commutative — any batch decomposition
+    * yields the bit-identical store, pinned in PostingsIndexSpec and
+    * hash-audited by the `bm25Incremental` registry entry against the
+    * full-corpus oracle). The merged vocab/stats materialize
+    * (localCheckpoint) BEFORE overwriting the directories they read.
+    *
+    * 100 TB shape: the batch side is one tokenize + hash aggregate
+    * (proportional to the BATCH); the vocab merge is one
+    * vocabulary-bounded aggregate; stats is one row. Nothing rereads
+    * the corpus-sized postings. */
+  def appendBatch(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    val dt = DataOps.docTokenCountsOf(spark, batch).persist()
+    dt.write.mode("append").parquet(s"$indexDir/postings")
+    val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+      .persist()
+    dls.write.mode("append").parquet(s"$indexDir/doclen")
+    val mergedVocab = spark.read.parquet(s"$indexDir/vocab")
+      .unionByName(DataOps.vocabOfCounts(dt))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+      .localCheckpoint(true)
+    mergedVocab.write.mode("overwrite").parquet(s"$indexDir/vocab")
+    val mergedStats = spark.read.parquet(s"$indexDir/stats")
+      .crossJoin(batch.agg(count(lit(1)).as("bn")))
+      .crossJoin(dls.agg(coalesce(sum(col("dl")), lit(0L)).as("bsdl")))
+      .select((col("n") + col("bn")).as("n"),
+        (col("sdl") + col("bsdl")).as("sdl"))
+      .localCheckpoint(true)
+    mergedStats.write.mode("overwrite").parquet(s"$indexDir/stats")
     dls.unpersist()
     dt.unpersist()
     ()
@@ -132,12 +177,37 @@ object PostingsIndex {
     }
     val dir = StoreDirs.tmpStoreDir("graft-postings-index", sfDir)
     buildOnce(spark, sfDir, dir)
+    probeStandardBm25(spark, dir)
+  }
+
+  /** The standard-head BM25 probe over a store directory. */
+  private def probeStandardBm25(spark: SparkSession,
+      dir: String): DataFrame =
     DataOps.bm25ScoreStage(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclen"),
       spark.read.parquet(s"$dir/stats").select(col("n")),
       spark.read.parquet(s"$dir/stats").select(col("sdl")),
       standardQuery(spark, dir))
+
+  /** Registry form of the INCREMENTAL path: build the store from the
+    * even-doc_id half of the corpus, [[appendBatch]] the odd half as
+    * "the landed batch", then answer the standard query purely from the
+    * merged store. Result ≡ [[DataOps.bm25Search]] over the FULL corpus
+    * (same oracle) — the exact claim incremental maintenance must
+    * prove: the additive merge loses nothing vs a from-scratch build. */
+  def bm25Incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      return DataOps.bm25Search(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-postings-incr", sfDir)
+    if (built.add(dir)) {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+      appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
+    }
+    probeStandardBm25(spark, dir)
   }
 
   /** Registry form of the tf-idf probe — shares [[bm25Indexed]]'s store

@@ -81,4 +81,34 @@ class PostingsIndexSpec extends SparkSpec {
       .select("q_id").as[Long].collect()
     assert(rows.nonEmpty && rows.forall(_ == 7L))
   }
+
+  test("appendBatch: incremental merge is batch-decomposition-invariant == full build") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // full build in one shot
+    val full = Files.createTempDirectory("graft-postings-full").toString
+    PostingsIndex.buildFrom(spark, d, full)
+    // build evens, then land the odds in TWO separate batches
+    val incr = Files.createTempDirectory("graft-postings-incr").toString
+    PostingsIndex.buildFrom(spark, d.where(col("doc_id") % 2 === 0), incr)
+    PostingsIndex.appendBatch(spark, d.where(col("doc_id") % 4 === 1), incr)
+    PostingsIndex.appendBatch(spark, d.where(col("doc_id") % 4 === 3), incr)
+    // every store relation merged bit-identically
+    for (rel <- Seq("postings", "doclen", "vocab", "stats")) {
+      val a = spark.read.parquet(s"$full/$rel")
+        .collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$incr/$rel")
+        .collect().map(_.toSeq).toSet
+      assert(a == b, rel)
+    }
+    // and the served answers agree, standard head and ad-hoc batch
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(PostingsIndex.bm25Against(spark,
+        PostingsIndex.standardQuery(spark, incr).select("token"), incr)) ==
+      rows(DataOps.bm25Search(spark, SF)))
+    val adhoc = Seq("dup").toDF("token")
+    assert(rows(PostingsIndex.bm25Against(spark, adhoc, incr)) ==
+      rows(PostingsIndex.bm25Against(spark, adhoc, full)))
+  }
 }
