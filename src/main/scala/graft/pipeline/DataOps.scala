@@ -2943,8 +2943,11 @@ object DataOps {
         Window.partitionBy(col("n_tok")).orderBy(col("doc_id")))
         .cast("long"))
       .select(col("n_tok"), ((col("rn") - 1) % lit(ShardCount)).as("shard"))
-    val sh = ranked.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+    // Pinned (localCheckpoint): the 8-row shard frame feeds BOTH the
+    // readout and its own total — without the pin the whole rank
+    // subplan would execute twice (Explain-audited).
+    val sh = pin(ranked.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens")))
     val tot = sh.agg(sum(col("sum_tokens")).as("t"))
     finish(sh.crossJoin(broadcast(tot))
       .select(col("shard"), col("n_docs"), col("sum_tokens"),
