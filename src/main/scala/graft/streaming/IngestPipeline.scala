@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.sources.{CorpusSink, MinhashIndex}
+import graft.sources.{CorpusSink, MinhashIndex, PostingsIndex}
 
 /**
  * The end-to-end INGEST JOB — the data-pipeline surface in the same
@@ -21,6 +21,12 @@ import graft.sources.{CorpusSink, MinhashIndex}
  *     (per-batch batch-join — zero stream state, the store holds every
  *     heavy relation)
  *   → [[CorpusSink.appendCurated]] (lang-partitioned parquet publish)
+ *   → [[PostingsIndex.appendBatch]] (the K9 search index absorbs the
+ *     published batch — landed documents become immediately
+ *     BM25-searchable, indexed on the same redacted text that was
+ *     published; the additive merge is batch-decomposition-invariant,
+ *     so the ingest-maintained index ≡ a one-shot build over the
+ *     published corpus)
  *
  * with near-dup hits appended to `outDir/dups` as the audit trail.
  * Every stage is stateless or store-backed, so the composed DAG is
@@ -77,19 +83,35 @@ object IngestPipeline {
 
   /** Compose and start the DAG over a (doc_id, text, lang, source, ...)
     * document stream. The curation verdict runs IN-STREAM (stateless,
-    * its benchmark gram literal is built once at plan time); the
-    * store probe and the partitioned publish run per micro-batch. */
+    * its benchmark gram literal is built once at plan time); the dedup
+    * probe, the partitioned publish and the search-index merge run per
+    * micro-batch. The K9 postings store under `outDir/index` is seeded
+    * EMPTY up front, then absorbs each published batch additively —
+    * after any number of batches it is bit-identical to a one-shot
+    * build over the published corpus (the [[PostingsIndex.appendBatch]]
+    * invariance, pinned in StreamingSpec). */
   def start(docStream: DataFrame, sfDir: String, indexDir: String,
-      outDir: String): StreamingQuery =
+      outDir: String): StreamingQuery = {
+    val spark = docStream.sparkSession
+    val searchDir = s"$outDir/index"
+    PostingsIndex.buildFrom(spark,
+      spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("text")), searchDir)
     StreamingOps.curationStream(docStream, sfDir).writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val (curated, dups) = finishBatch(batch.toDF(), indexDir)
         dups.write.mode("append").parquet(s"$outDir/dups")
-        CorpusSink.appendCurated(curated, s"$outDir/corpus")
+        val published = curated.persist()
+        CorpusSink.appendCurated(published, s"$outDir/corpus")
+        PostingsIndex.appendBatch(batch.sparkSession,
+          published.select(col("doc_id"),
+            col("clean_text").as("text")), searchDir)
+        published.unpersist()
         ()
       }
       .queryName("ingestPipeline")
       .start()
+  }
 
   /** The job form: bootstrap the dedup store from the existing corpus
     * if absent (index-once), then watch `--in` for landing document

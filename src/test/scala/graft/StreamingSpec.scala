@@ -901,6 +901,24 @@ class StreamingSpec extends SparkSpec {
       // publish layout: the corpus is partitioned by language
       assert(new java.io.File(s"$outDir/corpus").listFiles()
         .exists(_.getName.startsWith("lang=")))
+      // the ingest-maintained K9 search index == a one-shot build over
+      // the published corpus (appendBatch decomposition invariance,
+      // end-to-end through the composed job)
+      val oneShot = java.nio.file.Files
+        .createTempDirectory("graft-ingest-oneshot").toString
+      graft.sources.PostingsIndex.buildFrom(spark,
+        spark.read.parquet(s"$outDir/corpus")
+          .select(col("doc_id"), col("clean_text").as("text")), oneShot)
+      for (rel <- Seq("postings", "doclen", "vocab", "stats")) {
+        assert(spark.read.parquet(s"$outDir/index/$rel")
+            .collect().map(_.toSeq).toSet ==
+          spark.read.parquet(s"$oneShot/$rel")
+            .collect().map(_.toSeq).toSet, rel)
+      }
+      // and the maintained index actually serves: the published docs
+      // are searchable on a term they contain
+      assert(graft.sources.PostingsIndex.bm25Against(spark,
+        Seq("dup").toDF("token"), s"$outDir/index").count() > 0)
     } finally q.stop()
   }
 
