@@ -3131,4 +3131,55 @@ object OracleSqlData {
        |           ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
        |  FROM sc WHERE score_micro > 0
        |) WHERE rnk <= 10""".stripMargin
+
+  /** Deletion mirror ([[graft.sources.PostingsIndex.bm25Removed]]): the
+    * [[bm25Search]] CTEs recomputed from scratch over the SURVIVING
+    * (even-doc_id) half — exactly what a store that physically forgot
+    * the odd half must serve, query head statistics included. */
+  val bm25Removed: String =
+    s"""WITH wrds AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents WHERE doc_id % 2 = 0
+       |),
+       |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),
+       |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM t GROUP BY 1, 2),
+       |dls AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl
+       |        FROM dt GROUP BY 1),
+       |vocab AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS tf,
+       |                 CAST(COUNT(*) AS BIGINT) AS df
+       |          FROM dt GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+       |      WHERE doc_id % 2 = 0),
+       |s AS (SELECT CAST(SUM(dl) AS HUGEINT) AS sdl FROM dls),
+       |q AS (
+       |  SELECT token,
+       |         CAST(length(bin(n.n // df)) - 1 AS BIGINT) AS idf_bits
+       |  FROM vocab, n
+       |  ORDER BY tf * (length(bin(n.n // df)) - 1) DESC, token ASC
+       |  LIMIT 3
+       |),
+       |terms AS (
+       |  SELECT dt.doc_id,
+       |         CAST((CAST(44 AS HUGEINT) * q.idf_bits * dt.cnt * s.sdl
+       |                 * 1000000)
+       |              // (CAST(20 AS HUGEINT) * dt.cnt * s.sdl + 6 * s.sdl
+       |                 + CAST(18 AS HUGEINT) * dls.dl * n.n)
+       |           AS BIGINT) AS term_micro
+       |  FROM dt
+       |  JOIN q USING (token)
+       |  JOIN dls USING (doc_id), n, s
+       |),
+       |sc AS (
+       |  SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro,
+       |         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+       |  FROM terms GROUP BY 1
+       |)
+       |SELECT doc_id, score_micro, rnk, n_terms_hit FROM (
+       |  SELECT doc_id, score_micro, n_terms_hit,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+       |           doc_id ASC) AS BIGINT) AS rnk
+       |  FROM sc WHERE score_micro > 0
+       |) WHERE rnk <= 10""".stripMargin
 }

@@ -101,6 +101,114 @@ object PostingsIndex {
     ()
   }
 
+  /** DELETION — remove a set of doc_ids from an existing store (the
+    * right-to-be-forgotten path a production corpus must serve without
+    * a full rebuild): postings/doclen rewrite WITHOUT the victims
+    * (anti-join), vocab DECREMENTS by exactly the victims' (token, cnt)
+    * contribution — read off the store's own postings BEFORE the
+    * rewrite, so no text is retokenized — and stats subtracts their
+    * count/length. All merged relations materialize before overwriting
+    * the directories they read. Removal is the exact inverse of
+    * [[appendBatch]]'s additive merge, so remove(append(S, B), B) ≡ S
+    * bit-for-bit — pinned in PostingsIndexSpec and hash-audited by the
+    * `bm25Removed` registry entry against a victims-filtered oracle.
+    *
+    * 100 TB shape: the victim relation broadcasts (deletion batches are
+    * small); the postings rewrite is one scan-and-filter of the store —
+    * the unavoidable cost of physical deletion (a tombstone tier would
+    * amortize it; the STORE's correctness contract is the same either
+    * way and this is the compaction-style full form). */
+  def removeBatch(spark: SparkSession, docIds: DataFrame,
+      indexDir: String): Unit = {
+    val ids = docIds.select(col("doc_id"))
+    val dtDel = spark.read.parquet(s"$indexDir/postings")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").persist()
+    val mergedVocab = spark.read.parquet(s"$indexDir/vocab")
+      .unionByName(DataOps.vocabOfCounts(dtDel)
+        .select(col("token"), (-col("tf")).as("tf"), (-col("df")).as("df")))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+      .where(col("df") > 0)
+      .localCheckpoint(true)
+    // dn from the request, not the postings: a zero-token victim has no
+    // postings/doclen rows yet still counted into stats.n at build —
+    // the ids frame is the authority (contract: previously indexed
+    // doc_ids, each exactly once)
+    val delStats = ids.distinct().agg(count(lit(1)).as("dn"))
+      .crossJoin(dtDel.agg(coalesce(sum(col("cnt")), lit(0L)).as("dsdl")))
+      .localCheckpoint(true)
+    dtDel.unpersist()
+    val mergedStats = spark.read.parquet(s"$indexDir/stats")
+      .crossJoin(delStats)
+      .select((col("n") - col("dn")).as("n"),
+        (col("sdl") - col("dsdl")).as("sdl"))
+      .localCheckpoint(true)
+    val keptPostings = spark.read.parquet(s"$indexDir/postings")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val keptDoclen = spark.read.parquet(s"$indexDir/doclen")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    keptPostings.write.mode("overwrite").parquet(s"$indexDir/postings")
+    keptDoclen.write.mode("overwrite").parquet(s"$indexDir/doclen")
+    mergedVocab.write.mode("overwrite").parquet(s"$indexDir/vocab")
+    mergedStats.write.mode("overwrite").parquet(s"$indexDir/stats")
+    ()
+  }
+
+  /** COMPACTION — rewrite the corpus-sized relations into
+    * `numFiles`-file layout (postings additionally sorted by (token,
+    * doc_id) inside each file): a long-lived store accumulates one
+    * parquet file batch per [[appendBatch]], and the small-files pileup
+    * — not the data — eventually dominates probe open costs. Contents
+    * are bit-identical before and after (pinned in PostingsIndexSpec);
+    * at cluster scale the same rewrite buckets postings by `token`
+    * (the layout knob of the K4 store scaladoc). */
+  def compact(spark: SparkSession, indexDir: String,
+      numFiles: Int = 1): Unit = {
+    val p = spark.read.parquet(s"$indexDir/postings")
+      .repartition(numFiles).sortWithinPartitions(col("token"),
+        col("doc_id"))
+      .localCheckpoint(true)
+    p.write.mode("overwrite").parquet(s"$indexDir/postings")
+    val d = spark.read.parquet(s"$indexDir/doclen")
+      .repartition(numFiles).localCheckpoint(true)
+    d.write.mode("overwrite").parquet(s"$indexDir/doclen")
+    ()
+  }
+
+  /** Registry form of the DELETION path: build the store over the full
+    * corpus, [[removeBatch]] the odd-doc_id half as "the forget
+    * request", then answer the standard query from the shrunken store.
+    * Result ≡ a from-scratch build over the even half (the oracle
+    * filters its CTEs to even ids) — the claim physical deletion must
+    * prove: nothing of the victims remains in postings, vocabulary,
+    * lengths or the query head's own statistics. */
+  def bm25Removed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: probe plan over fresh even-half
+      // relations (plan-identical to the shrunken store by design).
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 2 === 0)
+      val dt = DataOps.docTokenCountsOf(spark, d)
+      val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+      val ndocs = d.agg(count(lit(1)).as("n"))
+      val sdl = dls.agg(sum(col("dl")).as("sdl"))
+      return DataOps.bm25ScoreStage(dt, dls, ndocs, sdl,
+        DataOps.retrievalQueryHead(DataOps.vocabOfCounts(dt), ndocs))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-postings-del", sfDir)
+    if (built.add(dir)) {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      buildFrom(spark, d, dir)
+      removeBatch(spark, d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id")), dir)
+    }
+    probeStandardBm25(spark, dir)
+  }
+
   /** The standard deterministic 3-term query head computed purely from
     * the READ-BACK store (same arithmetic as the batch operators' fresh
     * head — [[DataOps.retrievalQueryHead]] verbatim). */

@@ -111,4 +111,44 @@ class PostingsIndexSpec extends SparkSpec {
     assert(rows(PostingsIndex.bm25Against(spark, adhoc, incr)) ==
       rows(PostingsIndex.bm25Against(spark, adhoc, full)))
   }
+
+  test("removeBatch inverts appendBatch bit-for-bit; compact preserves contents") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rels(dir: String) =
+      Seq("postings", "doclen", "vocab", "stats").map { rel =>
+        rel -> spark.read.parquet(s"$dir/$rel")
+          .collect().map(_.toSeq).toSet
+      }.toMap
+    // S = evens-only store
+    val base = Files.createTempDirectory("graft-postings-base").toString
+    PostingsIndex.buildFrom(spark, d.where(col("doc_id") % 2 === 0), base)
+    val want = rels(base)
+    // append the odds, then forget them: remove(append(S, B), B) == S
+    val roundTrip =
+      Files.createTempDirectory("graft-postings-rt").toString
+    PostingsIndex.buildFrom(spark, d.where(col("doc_id") % 2 === 0),
+      roundTrip)
+    PostingsIndex.appendBatch(spark, d.where(col("doc_id") % 2 === 1),
+      roundTrip)
+    PostingsIndex.removeBatch(spark,
+      d.where(col("doc_id") % 2 === 1).select("doc_id"), roundTrip)
+    assert(rels(roundTrip) == want)
+    // nothing of the victims remains anywhere
+    val victims = d.where(col("doc_id") % 2 === 1)
+      .select("doc_id").as[Long].collect().toSet
+    for (rel <- Seq("postings", "doclen")) {
+      assert(spark.read.parquet(s"$roundTrip/$rel")
+        .select("doc_id").as[Long].collect().forall(!victims.contains(_)),
+        rel)
+    }
+    // compaction: contents identical, corpus-sized relations in 1 file
+    PostingsIndex.compact(spark, roundTrip)
+    assert(rels(roundTrip) == want)
+    for (rel <- Seq("postings", "doclen")) {
+      val files = new java.io.File(s"$roundTrip/$rel").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$rel has $files files after compact")
+    }
+  }
 }
