@@ -43,6 +43,50 @@ object MinhashIndex {
     sh.unpersist()
   }
 
+  /** DELETION — physically forget a doc_id set from the index (the K9
+    * [[PostingsIndex.removeBatch]] discipline applied to the dedup
+    * store): both relations rewrite WITHOUT the victims via anti-join —
+    * a signature depends only on its own document, so removal is exact
+    * and local (no other doc's bands/shingles change). Pinned in
+    * MinhashIndexSpec (remove(build(all), odds) ≡ build(evens)
+    * bit-for-bit) and hash-audited by the `dedupRemoved` registry entry
+    * — which, after forgetting the odd half, probes it as a fresh
+    * snapshot and must reproduce [[dedupIndexed]]'s own oracle exactly
+    * (a single surviving victim band would self-match at Jaccard 1). */
+  def removeBatch(spark: SparkSession, docIds: DataFrame,
+      indexDir: String): Unit = {
+    val ids = docIds.select(col("doc_id"))
+    val sh = spark.read.parquet(s"$indexDir/shingles")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val bands = spark.read.parquet(s"$indexDir/bands")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    bands.write.mode("overwrite").parquet(s"$indexDir/bands")
+    ()
+  }
+
+  /** Registry form of the DELETION path: index the FULL corpus, forget
+    * the odd half, then dedup that half against the shrunken store —
+    * result ≡ [[dedupIndexed]] (same oracle): deletion left exactly the
+    * even-half index and no victim can match itself. */
+  def dedupRemoved(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nw = docs.where(col("doc_id") % 2 === 1)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      val shIdx = DataOps.shingleHashes(spark,
+        docs.where(col("doc_id") % 2 === 0))
+      return probe(spark, DataOps.shingleHashes(spark, nw),
+        DataOps.minhashBandsOf(shIdx), shIdx)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-mh-del", sfDir)
+    build(spark, docs, dir)
+    removeBatch(spark, nw.select(col("doc_id")), dir)
+    dedupAgainst(spark, nw, dir)
+  }
+
   /** Near-duplicates of `newDocs` AGAINST the stored corpus: banded
     * candidates (new bands ⋈ stored bands), exact-Jaccard verify ≥ 0.5
     * over shingle hashes. Output (doc_id, dup_of, jac_micro) — doc_id

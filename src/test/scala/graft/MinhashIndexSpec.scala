@@ -74,4 +74,26 @@ class MinhashIndexSpec extends SparkSpec {
     assert((s1 ++ s2) == all)
     assert(s1.map(_._1).forall(_ % 4 == 1) && s2.map(_._1).forall(_ % 4 == 3))
   }
+
+  test("removeBatch forgets the odd half: shrunken index == evens-only build") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rels(dir: String) = Seq("shingles", "bands").map { rel =>
+      rel -> spark.read.parquet(s"$dir/$rel")
+        .collect().map(_.toSeq).toSet
+    }.toMap
+    val evens = Files.createTempDirectory("graft-mh-evens").toString
+    MinhashIndex.build(spark, docs.where(col("doc_id") % 2 === 0), evens)
+    val full = Files.createTempDirectory("graft-mh-full").toString
+    MinhashIndex.build(spark, docs, full)
+    MinhashIndex.removeBatch(spark,
+      docs.where(col("doc_id") % 2 === 1).select("doc_id"), full)
+    assert(rels(full) == rels(evens))
+    // and the registry deletion round-trip equals the build-split form
+    val got = MinhashIndex.dedupRemoved(spark, SF)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = MinhashIndex.dedupIndexed(spark, SF)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
