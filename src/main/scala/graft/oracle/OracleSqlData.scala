@@ -3182,4 +3182,22 @@ object OracleSqlData {
        |           doc_id ASC) AS BIGINT) AS rnk
        |  FROM sc WHERE score_micro > 0
        |) WHERE rnk <= 10""".stripMargin
+
+  /** Telemetry mirror ([[graft.sources.PostingsIndex.postingsStats]]):
+    * the store's own integrity numbers recomputed from corpus truth. */
+  val postingsStats: String =
+    s"""WITH $wrdsCte,
+       |t AS (SELECT doc_id, unnest(w) AS token FROM wrds),
+       |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM t GROUP BY 1, 2),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS n_terms
+       |      FROM dt),
+       |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+       |             CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS sdl
+       |      FROM dt)
+       |SELECT n.n AS n_docs, v.n_terms, p.n_postings,
+       |       p.sdl AS sum_dl,
+       |       CAST(p.sdl * 1000000 // n.n AS BIGINT) AS avg_dl_micro
+       |FROM n, v, p""".stripMargin
 }

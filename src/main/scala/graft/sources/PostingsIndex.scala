@@ -209,6 +209,49 @@ object PostingsIndex {
     probeStandardBm25(spark, dir)
   }
 
+  /** STORE TELEMETRY — the health readout an index operator watches
+    * across append/remove cycles: one row (n_docs, n_terms,
+    * n_postings, sum_dl, avg_dl_micro), every number read off the
+    * STORE relations (stats/vocab/postings — no corpus access). As a
+    * registry entry it is an INTEGRITY AUDIT: the oracle recomputes
+    * the same numbers from the documents table, so any drift between
+    * the maintained store and corpus truth (a missed merge, a
+    * double-append) breaks the hash. */
+  def statsOf(spark: SparkSession, indexDir: String): DataFrame = {
+    val st = spark.read.parquet(s"$indexDir/stats")
+    st.crossJoin(broadcast(spark.read.parquet(s"$indexDir/vocab")
+        .agg(count(lit(1)).as("n_terms"))))
+      .crossJoin(broadcast(spark.read.parquet(s"$indexDir/postings")
+        .agg(count(lit(1)).as("n_postings"))))
+      .select(col("n").as("n_docs"), col("n_terms"), col("n_postings"),
+        col("sdl").cast("long").as("sum_dl"),
+        expr("cast(sdl as bigint) * 1000000 div n").as("avg_dl_micro"))
+  }
+
+  /** Registry form: build (once per JVM, shared with
+    * [[bm25Indexed]]/[[tfidfIndexed]]) and read the telemetry row
+    * purely from the store. */
+  def postingsStats(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: same aggregates over fresh
+      // relations (plan-identical to the store read by design).
+      val dt = DataOps.docTokenCounts(spark, sfDir)
+      val n = spark.read.parquet(s"$sfDir/documents.parquet")
+        .agg(count(lit(1)).as("n"))
+      return n
+        .crossJoin(broadcast(DataOps.vocabOfCounts(dt)
+          .agg(count(lit(1)).as("n_terms"))))
+        .crossJoin(broadcast(dt.agg(count(lit(1)).as("n_postings"),
+          coalesce(sum(col("cnt")), lit(0L)).as("sdl"))))
+        .select(col("n").as("n_docs"), col("n_terms"), col("n_postings"),
+          col("sdl").as("sum_dl"),
+          expr("cast(sdl as bigint) * 1000000 div n").as("avg_dl_micro"))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-postings-index", sfDir)
+    buildOnce(spark, sfDir, dir)
+    statsOf(spark, dir)
+  }
+
   /** The standard deterministic 3-term query head computed purely from
     * the READ-BACK store (same arithmetic as the batch operators' fresh
     * head — [[DataOps.retrievalQueryHead]] verbatim). */

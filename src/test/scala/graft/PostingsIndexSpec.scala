@@ -142,6 +142,11 @@ class PostingsIndexSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().forall(!victims.contains(_)),
         rel)
     }
+    // telemetry tracks the lifecycle: the round-tripped store reports
+    // exactly the evens-only numbers
+    def stats(dir: String) =
+      PostingsIndex.statsOf(spark, dir).collect().map(_.toSeq).toSet
+    assert(stats(roundTrip) == stats(base))
     // compaction: contents identical, corpus-sized relations in 1 file
     PostingsIndex.compact(spark, roundTrip)
     assert(rels(roundTrip) == want)
