@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-fixture synthesizer: builds an ~N× corpus from an sf directory
@@ -73,6 +73,17 @@ object ScaleFixture {
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
+    // guard FIRST — before any table writes: the embedding
+    // shift/flip composition below is injective over exactly 2·dim
+    // replicas; past that, replica k and k − 2·dim would be exact
+    // clones and every ANN/semdedup answer a fixture artifact
+    val dim = t("embeddings")
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    require(n <= 2 * dim,
+      s"embedding decorrelation supports at most ${2 * dim} replicas " +
+        s"(shift × sign-flip period); got $n")
+
     w(rep(t("documents")) { (d, k) =>
       val txt =
         if (k == 0) col("text")
@@ -114,24 +125,31 @@ object ScaleFixture {
 
     // embeddings: corpus replicates, the query set does NOT (see the
     // scaladoc re-keying rules); dim-cycled replicas stay decorrelated
-    val dim = t("embeddings")
-      .select(org.apache.spark.sql.functions.size(col("embedding")))
-      .head().getInt(0)
     w(rep(t("embeddings")) { (d, k) =>
       if (k == 0) d
-      else {
-        val s = k % dim
-        // k a multiple of dim would cycle back to a clone — negate
-        // instead (also norm-preserving, cosine −1 to the original)
-        val cycled =
-          if (s == 0) transform(col("embedding"), x => -x)
-          else concat(slice(col("embedding"), s + 1, dim - s),
-            slice(col("embedding"), 1, s))
-        d.where(col("vec_id") % 50 =!= 0)
-          .select((col("vec_id") + lit(k * VecOff)).as("vec_id"),
-            cycled.as("embedding"), col("label"))
-      }
+      else d.where(col("vec_id") % 50 =!= 0)
+        .select((col("vec_id") + lit(k * VecOff)).as("vec_id"),
+          decorrelated(col("embedding"), k, dim).as("embedding"),
+          col("label"))
     }, "embeddings")
+  }
+
+  /** Replica `k`'s decorrelation of an embedding column: a cyclic
+    * dimension shift (period `dim`) composed with a per-period sign
+    * flip — without the flip, replicas k and k + dim receive the
+    * identical shift and are distance-0 clones of each other once
+    * n > dim. Both halves are norm-preserving, and the composition is
+    * injective over k ∈ [1, 2·dim) (pinned pairwise in
+    * ScaleFixtureSpec); [[build]] asserts that bound. */
+  private[graft] def decorrelated(embedding: Column, k: Int,
+      dim: Int): Column = {
+    val s = k % dim
+    val flip = (k / dim) % 2 == 1
+    val shifted =
+      if (s == 0) embedding
+      else concat(slice(embedding, s + 1, dim - s),
+        slice(embedding, 1, s))
+    if (flip) transform(shifted, x => -x) else shifted
   }
 
   /** The raw events frame with ts in its PHYSICAL form (no nanos

@@ -225,7 +225,16 @@ object PostingsIndex {
         .agg(count(lit(1)).as("n_postings"))))
       .select(col("n").as("n_docs"), col("n_terms"), col("n_postings"),
         col("sdl").cast("long").as("sum_dl"),
-        expr("cast(sdl as bigint) * 1000000 div n").as("avg_dl_micro"))
+        // decimal(38,0) multiply (the bm25ScoreStage discipline): the
+        // int64 product sdl·1e6 wraps past sum_dl ≈ 9.2e12 — well
+        // inside the 100 TB shape this store targets — and a store
+        // emptied by removeBatch (n = 0) reads avg 0 instead of a
+        // division error (the oracle side never sees n = 0: it
+        // recomputes from a non-empty documents table).
+        expr("""case when n = 0 then 0L
+          |     else cast(cast(sdl as decimal(38,0)) * 1000000 div n
+          |               as bigint) end""".stripMargin)
+          .as("avg_dl_micro"))
   }
 
   /** Registry form: build (once per JVM, shared with
@@ -245,7 +254,10 @@ object PostingsIndex {
           coalesce(sum(col("cnt")), lit(0L)).as("sdl"))))
         .select(col("n").as("n_docs"), col("n_terms"), col("n_postings"),
           col("sdl").as("sum_dl"),
-          expr("cast(sdl as bigint) * 1000000 div n").as("avg_dl_micro"))
+          expr("""case when n = 0 then 0L
+            |     else cast(cast(sdl as decimal(38,0)) * 1000000 div n
+            |               as bigint) end""".stripMargin)
+            .as("avg_dl_micro"))
     }
     val dir = StoreDirs.tmpStoreDir("graft-postings-index", sfDir)
     buildOnce(spark, sfDir, dir)

@@ -73,6 +73,35 @@ class ScaleFixtureSpec extends SparkSpec {
     assert(groups.count() == 2 * origGroups.count())
   }
 
+  test("decorrelation is injective over the full 2·dim replica period") {
+    // one fixed base vector, transformed by every replica index in
+    // [0, 2·dim): all 2·dim results must be pairwise distinct — the
+    // shift alone has period dim (k and k + dim were clones); the
+    // per-period sign flip extends the period to 2·dim
+    val dim = 8
+    val base = (1 to dim).map(_.toDouble).toArray
+    val rows = (0 until 2 * dim).map { k =>
+      spark.range(1).select(lit(k).as("k"),
+        (if (k == 0) lit(base) else ScaleFixture.decorrelated(
+          lit(base), k, dim)).as("e"))
+    }.reduce(_ unionAll _).collect()
+    val vecs = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toVector)
+      .toMap
+    assert(vecs.size == 2 * dim)
+    for (a <- 0 until 2 * dim; b <- (a + 1) until 2 * dim)
+      assert(vecs(a) != vecs(b), s"replicas $a and $b are clones")
+    // norm-preserving in every case
+    val n0 = vecs(0).map(x => x * x).sum
+    vecs.values.foreach(v => assert(v.map(x => x * x).sum == n0))
+  }
+
+  test("build refuses replica counts past the decorrelation period") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleFixture.build(spark, SF, "/tmp/graft-scale-overflow", 1000)
+    }
+    assert(e.getMessage.contains("replicas"))
+  }
+
   test("embedding replicas are norm-preserving dimension cycles, decorrelated") {
     val e1 = spark.read.parquet(s"$SF/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
