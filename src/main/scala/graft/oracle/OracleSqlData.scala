@@ -214,7 +214,11 @@ object OracleSqlData {
     * 64-bit band hash except under a ~2^-64 collision), exact-Jaccard
     * verify over 60-bit shingle HASHES — precisely what the store
     * retains (8 bytes/shingle, no text). */
-  val dedupIndexed: String = {
+  /** Store-probe mirror of the MinhashIndex registry entries: banded
+    * candidates restricted to (snapshot `newPred`, indexed `oldPred`)
+    * pairs — [[dedupIndexed]] is the even/odd split, [[dedupIncremental]]
+    * the build-third/append-third store probed by the last third. */
+  private def dedupSplit(newPred: String, oldPred: String): String = {
     val k = DataOps.MinhashK
     s"""WITH $wrdsCte,
        |$shCte,
@@ -236,7 +240,7 @@ object OracleSqlData {
        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
        |  FROM bands n JOIN bands o
        |    ON n.band = o.band AND n.bkey = o.bkey
-       |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+       |  WHERE $newPred AND $oldPred
        |),
        |shd AS (SELECT doc_id, ${h60("sh")} AS h FROM sh),
        |nsh AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
@@ -257,6 +261,12 @@ object OracleSqlData {
        |  JOIN nsh no ON no.doc_id = i.old_id
        |) WHERE jac_micro >= 500000""".stripMargin
   }
+
+  val dedupIndexed: String =
+    dedupSplit("n.doc_id % 2 = 1", "o.doc_id % 2 = 0")
+
+  val dedupIncremental: String =
+    dedupSplit("n.doc_id % 3 = 2", "o.doc_id % 3 < 2")
 
   val dedupClusters: String =
     s"""WITH RECURSIVE pairs AS (

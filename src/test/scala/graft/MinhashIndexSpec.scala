@@ -75,6 +75,57 @@ class MinhashIndexSpec extends SparkSpec {
     assert(s1.map(_._1).forall(_ % 4 == 1) && s2.map(_._1).forall(_ % 4 == 3))
   }
 
+  test("appendBatch merge is batch-decomposition-invariant; compact preserves contents") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rels(dir: String) = Seq("shingles", "bands").map { rel =>
+      rel -> spark.read.parquet(s"$dir/$rel")
+        .collect().map(_.toSeq).toSet
+    }.toMap
+    // one-shot build over the full corpus ...
+    val full = Files.createTempDirectory("graft-mh-one").toString
+    MinhashIndex.build(spark, docs, full)
+    // ... vs build(third) + append(third) + append(third)
+    val inc = Files.createTempDirectory("graft-mh-three").toString
+    MinhashIndex.build(spark, docs.where(col("doc_id") % 3 === 0), inc)
+    MinhashIndex.appendBatch(spark, docs.where(col("doc_id") % 3 === 1), inc)
+    MinhashIndex.appendBatch(spark, docs.where(col("doc_id") % 3 === 2), inc)
+    assert(rels(inc) == rels(full))
+    // compact re-lays-out the files without changing contents, and a
+    // probe over the compacted store answers identically
+    val before = rels(inc)
+    val probeBefore = MinhashIndex.dedupAgainst(spark,
+      docs.where(col("doc_id") % 97 === 1), inc)
+      .as[(Long, Long, Long)].collect().toSet
+    MinhashIndex.compact(spark, inc)
+    assert(rels(inc) == before)
+    assert(Seq("shingles", "bands").forall { rel =>
+      new java.io.File(s"$inc/$rel").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1
+    })
+    val probeAfter = MinhashIndex.dedupAgainst(spark,
+      docs.where(col("doc_id") % 97 === 1), inc)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probeAfter == probeBefore)
+  }
+
+  test("dedupIncremental registry entry: two-step store == one-shot build probe") {
+    val got = MinhashIndex.dedupIncremental(spark, SF)
+      .as[(Long, Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-mh-incr-spec").toString
+    MinhashIndex.build(spark, docs.where(col("doc_id") % 3 < 2), dir)
+    val want = MinhashIndex.dedupAgainst(spark,
+      docs.where(col("doc_id") % 3 === 2), dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // snapshot docs can match APPENDED documents, not just the bootstrap
+    // build — the gap the lifecycle exists to close
+    assert(got.exists { case (_, o, _) => o % 3 == 1 })
+    assert(got.forall { case (d, o, _) => d % 3 == 2 && o % 3 < 2 })
+  }
+
   test("removeBatch forgets the odd half: shrunken index == evens-only build") {
     val docs = spark.read.parquet(s"$SF/documents.parquet")
       .select(col("doc_id"), col("text"))
