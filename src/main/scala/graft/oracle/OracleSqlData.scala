@@ -686,8 +686,16 @@ object OracleSqlData {
     * one-Lloyd-step codebook with truncating-integer means (`//` here,
     * `div` in Spark — both truncate toward zero, verified on
     * negatives), exact squared-L2 assignments with (distance, cid)
-    * tie-break. Ends with `ref` (codebook) and `a1` (codes). */
-  private val pqCtes: String = {
+    * tie-break. Ends with `ref` (codebook) and `a1` (codes).
+    *
+    * `trainPred` (over bare `vec_id`) restricts the TRAINING half —
+    * seeds, seed assignment, Lloyd means — to a sub-corpus, while the
+    * coding pass (`d1`/`a1`) always codes EVERY vector against the
+    * trained codebook: the frozen-codebook contract of the
+    * [[graft.sources.PqIndex]] lifecycle mirrors (`annPqIncremental`
+    * trains on the build half, codes build + appended batches). With
+    * `TRUE` it is the self-trained full-corpus chain. */
+  private def pqCtesT(trainPred: String): String = {
     val k = DataOps.PqK
     val sd = DataOps.PqSubDim
     s"""$embCtes,
@@ -696,22 +704,24 @@ object OracleSqlData {
        |         (i - 1) % $sd AS j, v AS x
        |  FROM vu
        |),
+       |elt AS (SELECT * FROM el WHERE $trainPred),
        |sds AS (
        |  SELECT stratum AS cid, vec_id AS cvid FROM (
        |    SELECT vec_id, h, h % $k AS stratum,
        |           ROW_NUMBER() OVER (PARTITION BY h % $k
        |             ORDER BY h, vec_id) AS rnk
        |    FROM (SELECT vec_id,
-       |            ${h60("'pq:' || CAST(vec_id AS VARCHAR)")} AS h FROM ev)
+       |            ${h60("'pq:' || CAST(vec_id AS VARCHAR)")} AS h
+       |          FROM ev WHERE $trainPred)
        |  ) WHERE rnk = 1
        |),
        |sel AS (
        |  SELECT s.cid, e.m, e.j, e.x AS c
-       |  FROM sds s JOIN el e ON e.vec_id = s.cvid
+       |  FROM sds s JOIN elt e ON e.vec_id = s.cvid
        |),
        |d0 AS (
        |  SELECT e.vec_id, e.m, c.cid, SUM((e.x - c.c) * (e.x - c.c)) AS d
-       |  FROM el e JOIN sel c ON c.m = e.m AND c.j = e.j
+       |  FROM elt e JOIN sel c ON c.m = e.m AND c.j = e.j
        |  GROUP BY 1, 2, 3
        |),
        |a0 AS (
@@ -724,7 +734,7 @@ object OracleSqlData {
        |),
        |ref AS (
        |  SELECT e.m, a.cid, e.j, SUM(e.x) // COUNT(*) AS c
-       |  FROM a0 a JOIN el e ON e.vec_id = a.vec_id AND e.m = a.m
+       |  FROM a0 a JOIN elt e ON e.vec_id = a.vec_id AND e.m = a.m
        |  GROUP BY 1, 2, 3
        |),
        |d1 AS (
@@ -741,6 +751,8 @@ object OracleSqlData {
        |  ) WHERE rnk = 1
        |)""".stripMargin
   }
+
+  private lazy val pqCtes: String = pqCtesT("TRUE")
 
   val embedPq: String =
     s"""WITH $pqCtes,
@@ -762,10 +774,13 @@ object OracleSqlData {
 
   /** PQ ADC+refine ANN mirror ([[DataOps.annPq]]): same distance
     * tables (exact int64), same code-lookup sum, same (adc, n_id)
-    * shortlist, same exact-cosine re-rank as the annBrute mirror. */
-  val annPq: String = {
+    * shortlist, same exact-cosine re-rank as the annBrute mirror.
+    * `codesPred` (over `a.vec_id`) restricts which CODES the ADC scan
+    * sees — the [[graft.sources.PqIndex.removeBatch]] mirror (codes
+    * filtered to survivors, codebook still full-corpus-trained). */
+  private def annPqSql(ctes: String, codesPred: String): String = {
     val short = DataOps.PqShortlist
-    s"""WITH $pqCtes,
+    s"""WITH $ctes,
        |qel AS (
        |  SELECT vec_id AS q_id, m, j, x AS qx FROM el
        |  WHERE vec_id % 50 = 0
@@ -779,7 +794,7 @@ object OracleSqlData {
        |adc AS (
        |  SELECT t.q_id, a.vec_id AS n_id, SUM(t.dtv) AS adc
        |  FROM a1 a JOIN dt t ON t.m = a.m AND t.cid = a.cid
-       |  WHERE t.q_id <> a.vec_id
+       |  WHERE t.q_id <> a.vec_id AND ($codesPred)
        |  GROUP BY 1, 2
        |),
        |short AS (
@@ -814,6 +829,20 @@ object OracleSqlData {
        |  FROM scored
        |) WHERE rnk <= 10""".stripMargin
   }
+
+  val annPq: String = annPqSql(pqCtes, "TRUE")
+
+  /** [[graft.sources.PqIndex.annPqIncremental]] mirror: codebook
+    * trained on the even-vec_id build half, EVERY vector coded against
+    * it (frozen-codebook FAISS `add` semantics). */
+  lazy val annPqIncremental: String =
+    annPqSql(pqCtesT("vec_id % 2 = 0"), "TRUE")
+
+  /** [[graft.sources.PqIndex.annPqRemoved]] mirror: full-corpus-trained
+    * codebook, codes filtered to the surviving even vec_ids (`remove_ids`
+    * never retrains). */
+  lazy val annPqRemoved: String =
+    annPqSql(pqCtes, "a.vec_id % 2 = 0")
 
   /** IVFPQ composed mirror ([[DataOps.annIvfPq]]): the annIvf mirror's
     * coarse cells prune which PQ codes enter the annPq mirror's ADC
@@ -886,8 +915,10 @@ object OracleSqlData {
     * per-vector affine codes ([[embedQuantize]]'s rounding), identical
     * exact-integer reconstruction dot `Σ qx·(254·mn + (q+127)·rng)`,
     * same shortlist order (ad DESC, n_id ASC, width
-    * [[DataOps.SqShortlist]]), same exact-cosine re-rank tail. */
-  val annSq: String =
+    * [[DataOps.SqShortlist]]), same exact-cosine re-rank tail.
+    * `codesPred` (over `c.vec_id`) restricts which stored codes the
+    * scan sees — the [[graft.sources.SqIndex.removeBatch]] mirror. */
+  private def annSqSql(codesPred: String): String =
     s"""WITH $embCtes,
        |mm AS (
        |  SELECT vec_id, list_min(em) AS mn,
@@ -906,6 +937,7 @@ object OracleSqlData {
        |  SELECT b.vec_id AS q_id, c.vec_id AS n_id, SUM(b.v * c.r254) AS ad
        |  FROM cd c JOIN vu b
        |    ON b.i = c.i AND b.vec_id % 50 = 0 AND c.vec_id <> b.vec_id
+       |       AND ($codesPred)
        |  GROUP BY 1, 2
        |),
        |short AS (
@@ -939,6 +971,12 @@ object OracleSqlData {
        |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
        |  FROM scored
        |) WHERE rnk <= 10""".stripMargin
+
+  val annSq: String = annSqSql("TRUE")
+
+  /** [[graft.sources.SqIndex.annSqRemoved]] mirror: the stored
+    * reconstruction filtered to the surviving even vec_ids. */
+  lazy val annSqRemoved: String = annSqSql("c.vec_id % 2 = 0")
 
   val annBrute: String =
     s"""WITH $embCtes,

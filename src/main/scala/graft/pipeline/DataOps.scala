@@ -831,8 +831,10 @@ object DataOps {
     * undefined and NaN ordering differs across engines. One Lloyd step
     * cuts quantization error vs raw samples; more steps would converge
     * further but each costs a full assignment pass. */
-  private[graft] def centroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = emb(spark, sfDir)
+  private[graft] def centroids(spark: SparkSession, sfDir: String): DataFrame =
+    centroidsFrom(emb(spark, sfDir))
+
+  private[graft] def centroidsFrom(v: DataFrame): DataFrame = {
     val seeds = v
       .withColumn("h", hash60(col("vec_id").cast("string")))
       .withColumn("stratum", pmod(col("h"), lit(IvfC.toLong)))
@@ -874,8 +876,11 @@ object DataOps {
     * given centroids (desc, cid asc) — broadcast the C centroids, never
     * shuffle the big side. */
   private[graft] def cellRanks(spark: SparkSession, sfDir: String,
+      cents: DataFrame): DataFrame =
+    cellRanksFrom(emb(spark, sfDir), cents)
+
+  private[graft] def cellRanksFrom(v: DataFrame,
       cents: DataFrame): DataFrame = {
-    val v = emb(spark, sfDir)
     v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
@@ -2235,19 +2240,39 @@ object DataOps {
   /** Shared PQ model build — (element relation [persisted], refined
     * codebook [pinned], coding assignments): the common front of
     * [[embedPq]] and [[annPq]]. Caller must release `el` (via `finish`). */
-  private[graft] def pqParts(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
-    val v = emb(spark, sfDir)
-    // element relation: (vec_id, m = sub-space, j = dim within it, x).
-    // Persisted: it feeds the seed-cell assignment, the Lloyd means,
-    // the coding assignment and the MAE join — four plan branches.
-    val el = v.select(col("vec_id"), posexplode(col("em")).as(Seq("i", "x")))
+  /** PQ element relation of a (vec_id, em, ...) vectors frame:
+    * (vec_id, m = sub-space, j = dim within it, x). */
+  private[graft] def pqElements(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("em")).as(Seq("i", "x")))
       .select(col("vec_id"),
         (col("i") / PqSubDim).cast("int").as("m"),
         pmod(col("i"), lit(PqSubDim)).as("j"), col("x"))
-      .persist()
-    // hash-stratified seed vectors (insert-order independent), one per
-    // stratum; their sub-vectors seed every sub-space's codebook
+
+  /** PQ ENCODING: exact squared-L2 assignment of every sub-vector to
+    * its best codebook cell. The argmin is min(struct(d, cid)) —
+    * lexicographic struct order IS the (distance asc, cid asc)
+    * tie-break — so both passes are pure hash aggregates with map-side
+    * partials; a row_number window here cost a full sort exchange of
+    * |vectors|·M·K rows per pass. Shared by training, the fresh-model
+    * coding pass and the persistent store's FROZEN-codebook append
+    * path ([[graft.sources.PqIndex.appendBatch]] — FAISS `add`
+    * semantics: new vectors encode against the stored codebook, no
+    * retrain). */
+  private[graft] def pqAssign(el: DataFrame, cents: DataFrame): DataFrame =
+    el.join(broadcast(cents), Seq("m", "j"))
+      .groupBy(col("vec_id"), col("m"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
+
+  /** PQ TRAINING over a vectors frame `v` and its element relation:
+    * hash-stratified seed vectors (insert-order independent), one per
+    * stratum, refined by one Lloyd step of member-wise
+    * truncating-integer means (exact and identical in Spark `div` /
+    * DuckDB `//` — both truncate toward 0). Returns the pinned
+    * (m, cid, j, c) codebook. */
+  private[graft] def pqTrain(v: DataFrame, el: DataFrame): DataFrame = {
     val seeds = v
       .withColumn("h",
         hash60(concat(lit("pq:"), col("vec_id").cast("string"))))
@@ -2258,25 +2283,25 @@ object DataOps {
         col("mn.vec_id").as("cvid"))
     val seedEl = seeds.join(el, col("cvid") === col("vec_id"))
       .select(col("cid"), col("m"), col("j"), col("x").as("c"))
-    // exact squared-L2 assignment of every sub-vector to its best cell:
-    // the argmin is min(struct(d, cid)) — lexicographic struct order IS
-    // the (distance asc, cid asc) tie-break — so both passes are pure
-    // hash aggregates with map-side partials; a row_number window here
-    // cost a full sort exchange of |vectors|·M·K rows per pass
-    def assign(cents: DataFrame): DataFrame =
-      el.join(broadcast(cents), Seq("m", "j"))
-        .groupBy(col("vec_id"), col("m"), col("cid"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d"), col("cid"))).as("b"))
-        .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
-    // one Lloyd step: member-wise truncating-integer means (exact and
-    // identical in Spark `div` / DuckDB `//` — both truncate toward 0)
-    val refined = pin(assign(seedEl).join(el, Seq("vec_id", "m"))
+    pin(pqAssign(el, seedEl).join(el, Seq("vec_id", "m"))
       .groupBy(col("m"), col("cid"), col("j"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
       .select(col("m"), col("cid"), col("j"), expr("s div cnt").as("c")))
-    (el, refined, assign(refined))
+  }
+
+  private[graft] def pqParts(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    pqPartsFrom(emb(spark, sfDir))
+
+  /** Train + code a vectors frame. The element relation is persisted:
+    * it feeds the seed-cell assignment, the Lloyd means, the coding
+    * assignment and (in [[embedPq]]) the MAE join — four plan
+    * branches. */
+  private[graft] def pqPartsFrom(
+      v: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val el = pqElements(v).persist()
+    val refined = pqTrain(v, el)
+    (el, refined, pqAssign(el, refined))
   }
 
   def embedPq(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.pipeline.DataOps
 
@@ -24,28 +25,93 @@ import graft.pipeline.DataOps
  *     cell-pruned probing ([[DataOps.annIvfPq]]);
  *   - `cells/`     (vec_id, cid): each vector's top-1 IVF cell.
  *
+ * LIFECYCLE (the K9 [[PostingsIndex]] discipline at the vector tier,
+ * FAISS `add`/`remove_ids` semantics): [[appendBatch]] encodes new
+ * vectors against the FROZEN codebook and coarse quantizer — no
+ * retrain; that is the store contract (what FAISS ships, and what
+ * makes the oracle replayable) — so `codes`/`cells` rows append on
+ * disjoint vec_ids while `codebook`/`centroids` never change;
+ * [[removeBatch]] anti-joins the victims out of the two corpus-sized
+ * relations, the exact inverse (remove(append(S,B),B) ≡ S bit-for-bit,
+ * pinned in PqIndexSpec). Registry entries `annPqIncremental` /
+ * `annPqRemoved` hash-audit both paths against split DuckDB mirrors
+ * (train CTEs filtered to the build half / codes filtered to the
+ * survivors).
+ *
  * 100 TB notes: `codes` and `cells` shuffle nothing at build beyond
  * what the model training already does, and at cluster scale both are
  * written bucketed by the probe key (`cid` for cells, `m` is only
  * M-valued so codes bucket by `vec_id`) — a layout knob, not a plan
  * change. Queries broadcast their KB-sized ADC tables over ONE scan of
- * `codes`; the raw-vector re-read touches shortlist·Q rows.
+ * `codes`; the raw-vector re-read touches shortlist·Q rows. Appends
+ * cost one codebook-broadcast encode of the BATCH; removals one
+ * scan-and-filter of codes/cells (the compaction-style full form, as
+ * in [[PostingsIndex.removeBatch]]).
  */
 object PqIndex {
 
   /** Train the PQ model + IVF coarse quantizer over the sf directory's
     * embeddings and write (overwrite) the four store relations. */
-  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
-    val (el, refined, coded) = DataOps.pqParts(spark, sfDir)
+  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit =
+    buildFrom(spark, DataOps.emb(spark, sfDir), indexDir)
+
+  /** Train + build the store from a (vec_id, em, nrm) vectors frame
+    * ([[DataOps.emb]] shape). */
+  def buildFrom(spark: SparkSession, v: DataFrame,
+      indexDir: String): Unit = {
+    val (el, refined, coded) = DataOps.pqPartsFrom(v)
     refined.write.mode("overwrite").parquet(s"$indexDir/codebook")
     coded.write.mode("overwrite").parquet(s"$indexDir/codes")
-    val cents = DataOps.pin(DataOps.centroids(spark, sfDir))
+    val cents = DataOps.pin(DataOps.centroidsFrom(v))
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    DataOps.cellRanks(spark, sfDir, cents)
-      .where(org.apache.spark.sql.functions.col("rnk") === 1)
+    DataOps.cellRanksFrom(v, cents)
+      .where(col("rnk") === 1)
       .select("vec_id", "cid")
       .write.mode("overwrite").parquet(s"$indexDir/cells")
     el.unpersist()
+    ()
+  }
+
+  /** INCREMENTAL MAINTENANCE — add a (vec_id, em, nrm) vector batch
+    * (vec_ids disjoint from the store's) by encoding it against the
+    * FROZEN codebook and coarse quantizer: one broadcast-codebook
+    * assignment pass over the BATCH appends its `codes` rows, one
+    * broadcast-centroid rank its `cells` rows; `codebook`/`centroids`
+    * are untouched. No retrain — FAISS `add` semantics, and the reason
+    * any batch decomposition yields the identical store (pinned in
+    * PqIndexSpec; hash-audited by `annPqIncremental`). */
+  def appendBatch(spark: SparkSession, v: DataFrame,
+      indexDir: String): Unit = {
+    val el = DataOps.pqElements(v).persist()
+    DataOps.pqAssign(el,
+        spark.read.parquet(s"$indexDir/codebook"))
+      .write.mode("append").parquet(s"$indexDir/codes")
+    DataOps.cellRanksFrom(v,
+        spark.read.parquet(s"$indexDir/centroids"))
+      .where(col("rnk") === 1)
+      .select("vec_id", "cid")
+      .write.mode("append").parquet(s"$indexDir/cells")
+    el.unpersist()
+    ()
+  }
+
+  /** DELETION — forget a vec_id set (FAISS `remove_ids`): the two
+    * corpus-sized relations rewrite WITHOUT the victims via anti-join;
+    * the trained model is frozen, so nothing else changes. Exact
+    * inverse of [[appendBatch]] — remove(append(S,B),B) ≡ S
+    * bit-for-bit (PqIndexSpec); hash-audited by `annPqRemoved`. */
+  def removeBatch(spark: SparkSession, vecIds: DataFrame,
+      indexDir: String): Unit = {
+    val ids = vecIds.select(col("vec_id"))
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+    cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+    ()
   }
 
   /** Probe-only ANN against the stored model: ADC tables from the
@@ -58,6 +124,14 @@ object PqIndex {
       spark.read.parquet(s"$indexDir/codebook"),
       spark.read.parquet(s"$indexDir/codes"),
       DataOps.emb(spark, sfDir))
+
+  /** One store build+mutate per (JVM, directory): the lifecycle
+    * entries run a build + append/remove SEQUENCE whose append half is
+    * not idempotent, so a second registry call in the same JVM must
+    * probe the existing store, never re-mutate it (the
+    * [[PostingsIndex.bm25Incremental]] discipline). */
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Registry form — the full round-trip: build (write) the store for
     * the sf directory, then answer the standard ANN query set purely
@@ -74,6 +148,56 @@ object PqIndex {
     }
     val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
     build(spark, sfDir, dir)
+    queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
+  }
+
+  /** Registry form of the INCREMENTAL path: train + build the store
+    * from the even-vec_id half ("the initial corpus"), [[appendBatch]]
+    * the odd half encoded against the frozen model, then answer the
+    * standard query set from the merged store. The oracle replays
+    * frozen-codebook semantics definitionally: its training CTEs
+    * filter to even vec_ids, its coding/probe run over the full
+    * corpus — the exact claim FAISS-style `add` must prove (appended
+    * vectors are first-class probe results without a retrain). */
+  def annPqIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = DataOps.emb(spark, sfDir)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: even-trained codebook coding the
+      // full corpus (plan-identical to the merged store by design).
+      val even = v.where(col("vec_id") % 2 === 0)
+      val refined = DataOps.pqTrain(even, DataOps.pqElements(even))
+      return DataOps.pqProbe(spark, DataOps.annQueries(spark, sfDir),
+        refined, DataOps.pqAssign(DataOps.pqElements(v), refined), v)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-pq-incr", sfDir)
+    if (built.add(dir)) {
+      buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
+      appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
+    }
+    queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
+  }
+
+  /** Registry form of the DELETION path: build the store over the full
+    * corpus, [[removeBatch]] the odd vec_ids as "the forget request",
+    * then answer the standard query set from the shrunken store. The
+    * model stays trained on the full corpus (frozen — `remove_ids`
+    * never retrains), so the oracle is the annPq mirror with only its
+    * CODES filtered to the survivors: no victim may surface in any
+    * shortlist, while surviving codes keep their full-corpus codebook. */
+  def annPqRemoved(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      val (_, refined, coded) = DataOps.pqParts(spark, sfDir)
+      return DataOps.pqProbe(spark, DataOps.annQueries(spark, sfDir),
+        refined, coded.where(col("vec_id") % 2 === 0),
+        DataOps.emb(spark, sfDir))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-pq-del", sfDir)
+    if (built.add(dir)) {
+      build(spark, sfDir, dir)
+      removeBatch(spark,
+        DataOps.emb(spark, sfDir).where(col("vec_id") % 2 === 1)
+          .select(col("vec_id")), dir)
+    }
     queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }
 }

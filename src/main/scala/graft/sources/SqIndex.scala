@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 import graft.pipeline.DataOps
 
@@ -18,20 +19,65 @@ import graft.pipeline.DataOps
  * against `annSq`'s own oracle, and SqIndexSpec pins one build serving
  * two disjoint query batches).
  *
+ * LIFECYCLE (the K9 discipline; FAISS `add`/`remove_ids` at the SQ8
+ * tier): SQ8 codes are PER-VECTOR affine quantizations — no trained
+ * global state at all — so [[appendBatch]] is one quantize pass over
+ * the BATCH appended on disjoint vec_ids, and [[removeBatch]] one
+ * anti-join rewrite; remove(append(S,B),B) ≡ S bit-for-bit (pinned in
+ * SqIndexSpec). `annSqIncremental` proves build(evens)+append(odds) ≡
+ * the one-shot build against annSq's own oracle VERBATIM (per-vector
+ * codes make the merged relation identical, not just equivalent);
+ * `annSqRemoved` proves deletion against the survivors-filtered
+ * mirror.
+ *
  * 100 TB notes: `recon` is the only corpus-sized relation (N rows of
  * dim longs — in production SQ ships the int8 codes + 2 scalars and
  * reconstructs in the scan; the engine stores the reconstruction
  * because exact-integer replay is the contract here); queries broadcast
  * over ONE scan of it, and the raw-vector re-read touches shortlist·Q
- * rows only.
+ * rows only. Appends cost one quantize pass over the batch; removals
+ * one scan-and-filter (the compaction-style full form).
  */
 object SqIndex {
 
   /** Quantize the sf directory's embeddings and write (overwrite) the
     * reconstruction relation. */
-  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
-    DataOps.sqRecon(spark, DataOps.emb(spark, sfDir))
+  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit =
+    buildFrom(spark, DataOps.emb(spark, sfDir), indexDir)
+
+  /** Build (overwrite) the store from a (vec_id, em, nrm) vectors
+    * frame ([[DataOps.emb]] shape). */
+  def buildFrom(spark: SparkSession, v: DataFrame,
+      indexDir: String): Unit = {
+    DataOps.sqRecon(spark, v)
       .write.mode("overwrite").parquet(s"$indexDir/recon")
+    ()
+  }
+
+  /** INCREMENTAL MAINTENANCE — add a (vec_id, em, nrm) vector batch
+    * (vec_ids disjoint from the store's): each vector's SQ8 code is a
+    * pure function of its OWN values, so the append is one quantize
+    * pass over the batch and any decomposition yields the identical
+    * store (pinned in SqIndexSpec; hash-audited by
+    * `annSqIncremental`). */
+  def appendBatch(spark: SparkSession, v: DataFrame,
+      indexDir: String): Unit = {
+    DataOps.sqRecon(spark, v)
+      .write.mode("append").parquet(s"$indexDir/recon")
+    ()
+  }
+
+  /** DELETION — forget a vec_id set (FAISS `remove_ids`): one
+    * anti-join rewrite of the reconstruction relation; exact inverse
+    * of [[appendBatch]] (SqIndexSpec), hash-audited by
+    * `annSqRemoved`. */
+  def removeBatch(spark: SparkSession, vecIds: DataFrame,
+      indexDir: String): Unit = {
+    val kept = spark.read.parquet(s"$indexDir/recon")
+      .join(broadcast(vecIds.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+      .localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(s"$indexDir/recon")
     ()
   }
 
@@ -43,6 +89,13 @@ object SqIndex {
     DataOps.sqProbe(spark, queries,
       spark.read.parquet(s"$indexDir/recon"),
       DataOps.emb(spark, sfDir))
+
+  /** One store build+mutate per (JVM, directory) — the
+    * [[PqIndex]]/[[PostingsIndex]] guard: the lifecycle entries' append
+    * half is not idempotent, so later registry calls probe, never
+    * re-mutate. */
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Registry form — the full round-trip: build (write) the store,
     * then answer the standard ANN query set purely from the read-back
@@ -57,6 +110,44 @@ object SqIndex {
     }
     val dir = StoreDirs.tmpStoreDir("graft-sq-index", sfDir)
     build(spark, sfDir, dir)
+    queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
+  }
+
+  /** Registry form of the INCREMENTAL path: build from the even-vec_id
+    * half, [[appendBatch]] the odd half, probe the standard query set
+    * from the merged store. Per-vector codes make the merged relation
+    * IDENTICAL to a one-shot build, so the result shares
+    * [[DataOps.annSq]]'s oracle verbatim. */
+  def annSqIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = DataOps.emb(spark, sfDir)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      return DataOps.sqProbe(spark, DataOps.annQueries(spark, sfDir),
+        DataOps.sqRecon(spark, v), v)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-sq-incr", sfDir)
+    if (built.add(dir)) {
+      buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
+      appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
+    }
+    queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
+  }
+
+  /** Registry form of the DELETION path: build over the full corpus,
+    * [[removeBatch]] the odd vec_ids, probe — no victim may surface in
+    * any shortlist (oracle = the annSq mirror with its codes filtered
+    * to the survivors). */
+  def annSqRemoved(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = DataOps.emb(spark, sfDir)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      return DataOps.sqProbe(spark, DataOps.annQueries(spark, sfDir),
+        DataOps.sqRecon(spark, v.where(col("vec_id") % 2 === 0)), v)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-sq-del", sfDir)
+    if (built.add(dir)) {
+      build(spark, sfDir, dir)
+      removeBatch(spark,
+        v.where(col("vec_id") % 2 === 1).select(col("vec_id")), dir)
+    }
     queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }
 }

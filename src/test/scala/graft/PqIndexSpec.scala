@@ -24,6 +24,60 @@ class PqIndexSpec extends SparkSpec {
       rows(DataOps.annPq(spark, SF)))
   }
 
+  test("removeBatch inverts appendBatch bit-for-bit; append is decomposition-invariant") {
+    val v = DataOps.emb(spark, SF)
+    def rels(dir: String) = Seq("codebook", "codes", "centroids",
+      "cells").map { rel =>
+      rel -> spark.read.parquet(s"$dir/$rel")
+        .collect().map(_.toSeq).toSet
+    }.toMap
+    // S = even-half build; B = the odd half appended (frozen codebook)
+    val dir = Files.createTempDirectory("graft-pq-life").toString
+    PqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
+    val s0 = rels(dir)
+    PqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
+    // the model is frozen: only the corpus-sized relations grew
+    val s1 = rels(dir)
+    assert(s1("codebook") == s0("codebook"))
+    assert(s1("centroids") == s0("centroids"))
+    assert(s0("codes").subsetOf(s1("codes")) &&
+      s1("codes").size > s0("codes").size)
+    // remove(append(S, B), B) == S, relation by relation
+    PqIndex.removeBatch(spark,
+      v.where(col("vec_id") % 2 === 1).select(col("vec_id")), dir)
+    assert(rels(dir) == s0)
+    // and append in two quarters == append in one half
+    val dir2 = Files.createTempDirectory("graft-pq-life2").toString
+    PqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir2)
+    PqIndex.appendBatch(spark, v.where(col("vec_id") % 4 === 1), dir2)
+    PqIndex.appendBatch(spark, v.where(col("vec_id") % 4 === 3), dir2)
+    PqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
+    assert(rels(dir2) == rels(dir))
+  }
+
+  test("lifecycle registry entries replay their splits end-to-end") {
+    // incremental: even-trained codebook coding the full corpus
+    val v = DataOps.emb(spark, SF)
+    val even = v.where(col("vec_id") % 2 === 0)
+    val refined = DataOps.pqTrain(even, DataOps.pqElements(even))
+    val wantInc = rows(DataOps.pqProbe(spark,
+      DataOps.annQueries(spark, SF), refined,
+      DataOps.pqAssign(DataOps.pqElements(v), refined), v))
+    assert(rows(PqIndex.annPqIncremental(spark, SF)) == wantInc)
+    // removed: full-trained model, survivors-only codes — and no odd
+    // vec_id may surface as a neighbor
+    val got = rows(PqIndex.annPqRemoved(spark, SF))
+    val (_, refFull, codedFull) = DataOps.pqParts(spark, SF)
+    assert(got == rows(DataOps.pqProbe(spark,
+      DataOps.annQueries(spark, SF), refFull,
+      codedFull.where(col("vec_id") % 2 === 0), v)))
+    assert(got.nonEmpty && got.forall(_._2 % 2 == 0))
+    // the two mutated stores answer differently from the pristine one
+    // on this corpus (the audit would catch a no-op lifecycle)
+    val pristine = rows(DataOps.annPq(spark, SF))
+    assert(got != pristine)
+  }
+
   test("one build serves two query batches, results identical to the fresh model") {
     val dir = Files.createTempDirectory("graft-pqidx").toString
     PqIndex.build(spark, SF, dir)

@@ -24,6 +24,35 @@ class SqIndexSpec extends SparkSpec {
       rows(DataOps.annSq(spark, SF)))
   }
 
+  test("removeBatch inverts appendBatch; two-step store == one-shot build") {
+    val v = DataOps.emb(spark, SF)
+    def recon(dir: String) = spark.read.parquet(s"$dir/recon")
+      .collect().map(_.toSeq).toSet
+    // two-step (evens build + odds append) == one-shot full build:
+    // SQ8 codes are per-vector, so the relations are identical
+    val full = Files.createTempDirectory("graft-sq-one").toString
+    SqIndex.build(spark, SF, full)
+    val inc = Files.createTempDirectory("graft-sq-two").toString
+    SqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), inc)
+    val s0 = recon(inc)
+    SqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), inc)
+    assert(recon(inc) == recon(full))
+    // remove(append(S, B), B) == S
+    SqIndex.removeBatch(spark,
+      v.where(col("vec_id") % 2 === 1).select(col("vec_id")), inc)
+    assert(recon(inc) == s0)
+    // registry entries: incremental == annSq verbatim; removed ==
+    // survivors-only probe with no odd neighbor surfacing
+    assert(rows(SqIndex.annSqIncremental(spark, SF)) ==
+      rows(DataOps.annSq(spark, SF)))
+    val got = rows(SqIndex.annSqRemoved(spark, SF))
+    assert(got == rows(DataOps.sqProbe(spark,
+      DataOps.annQueries(spark, SF),
+      DataOps.sqRecon(spark, v.where(col("vec_id") % 2 === 0)), v)))
+    assert(got.nonEmpty && got.forall(_._2 % 2 == 0))
+    assert(got != rows(DataOps.annSq(spark, SF)))
+  }
+
   test("one build serves two query batches, identical to the fresh model") {
     val dir = Files.createTempDirectory("graft-sqidx").toString
     SqIndex.build(spark, SF, dir)
