@@ -1894,18 +1894,30 @@ object DataOps {
       graft.functions.CharGramCountsExpr.counts(
         spark, col("text"), 3).as("gc"))
 
-  /** TRAIN half: the L·[[CtProfK]] profile relation
-    * (plang, h, lrank) from a gram-count frame. */
-  private[graft] def ctProfilesFromCounts(gc: DataFrame): DataFrame =
+  /** The ADDITIVE half of profile training: per-(lang, trigram) count
+    * sums of a gram-count frame — pure sums, so two sub-corpora's
+    * relations merge into the full corpus's by one more sum (what makes
+    * the [[graft.sources.LangProfileStore]] append lifecycle exact). */
+  private[graft] def ctLangCounts(gc: DataFrame): DataFrame =
     gc.select(col("lang"), explode(col("gc")).as("e"))
       .select(col("lang"), col("e.h").as("h"), col("e.c").as("c0"))
       .groupBy(col("lang"), col("h"))
       .agg(sum(col("c0")).as("c"))
-      .withColumn("lrank", row_number().over(
+
+  /** The RANKED half: the L·[[CtProfK]] profile relation
+    * (plang, h, lrank) — a deterministic function of the count
+    * relation, re-derived after every count merge. */
+  private[graft] def ctProfilesOfLangCounts(lc: DataFrame): DataFrame =
+    lc.withColumn("lrank", row_number().over(
         Window.partitionBy(col("lang"))
           .orderBy(col("c").desc, col("h").asc)).cast("long"))
       .where(col("lrank") <= CtProfK)
       .select(col("lang").as("plang"), col("h"), col("lrank"))
+
+  /** TRAIN half: the L·[[CtProfK]] profile relation
+    * (plang, h, lrank) from a gram-count frame. */
+  private[graft] def ctProfilesFromCounts(gc: DataFrame): DataFrame =
+    ctProfilesOfLangCounts(ctLangCounts(gc))
 
   /** SCORE half: classify a gram-count frame against a (small, pinned)
     * profile relation — per-doc work only, so the same code serves the

@@ -30,13 +30,45 @@ import graft.pipeline.DataOps
 object DsirStore {
 
   /** Train (overwrite) the bucket-statistics store from the sf corpus. */
-  def build(spark: SparkSession, sfDir: String, storeDir: String): Unit = {
-    val dbl = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("lang"), col("text"))
-    val withB = DataOps.dsirBuckets(spark, dbl.select("doc_id", "text"))
-      .join(dbl.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    DataOps.dsirStatsFromBuckets(withB)
+  def build(spark: SparkSession, sfDir: String, storeDir: String): Unit =
+    buildFrom(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text")), storeDir)
+
+  /** Train (overwrite) the store from a (doc_id, lang, text) labeled
+    * corpus frame. */
+  def buildFrom(spark: SparkSession, dbl: DataFrame,
+      storeDir: String): Unit = {
+    batchStats(spark, dbl)
       .write.mode("overwrite").parquet(s"$storeDir/stats")
+    ()
+  }
+
+  /** The (b, raw_cnt, tgt_cnt) bucket statistics of one labeled
+    * frame. */
+  private def batchStats(spark: SparkSession, dbl: DataFrame): DataFrame =
+    DataOps.dsirStatsFromBuckets(
+      DataOps.dsirBuckets(spark, dbl.select("doc_id", "text"))
+        .join(dbl.select(col("doc_id"), col("lang")), Seq("doc_id")))
+
+  /** INCREMENTAL MAINTENANCE — absorb a newly-landed
+    * (doc_id, lang, text) batch into the trained importance model (the
+    * K9 [[PostingsIndex.appendBatch]] discipline): the per-bucket
+    * raw/target counts are pure sums over a FIXED feature space
+    * (≤ [[DataOps.DsirBuckets]] rows), so the merge is one
+    * KB-sized aggregate — exact, associative, commutative: any batch
+    * decomposition yields the bit-identical store (pinned in
+    * DataOpsSpec; hash-audited by the `dsirIncremental` registry entry
+    * against [[DataOps.dsirWeights]]'s own full-corpus oracle). */
+  def appendBatch(spark: SparkSession, batch: DataFrame,
+      storeDir: String): Unit = {
+    val merged = spark.read.parquet(s"$storeDir/stats")
+      .unionByName(batchStats(spark, batch))
+      .groupBy(col("b"))
+      .agg(org.apache.spark.sql.functions.sum(col("raw_cnt")).as("raw_cnt"),
+        org.apache.spark.sql.functions.sum(col("tgt_cnt")).as("tgt_cnt"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$storeDir/stats")
     ()
   }
 
@@ -71,5 +103,24 @@ object DsirStore {
     val dir = StoreDirs.tmpStoreDir("graft-dsir-store", sfDir)
     build(spark, sfDir, dir)
     scoreAgainst(spark, d, dir)
+  }
+
+  /** Registry form of the INCREMENTAL path: train from the even-doc_id
+    * half, [[appendBatch]] the odd half, score the full corpus from
+    * the merged store. Bucket sums make the merged store ≡ a one-shot
+    * full-corpus build, so the result shares [[DataOps.dsirWeights]]'s
+    * oracle verbatim. */
+  def dsirIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: the merged store is the full
+      // self-trained model by construction — audit that plan.
+      return dsirStored(spark, sfDir)
+    }
+    val dbl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val dir = StoreDirs.tmpStoreDir("graft-dsir-incr", sfDir)
+    buildFrom(spark, dbl.where(col("doc_id") % 2 === 0), dir)
+    appendBatch(spark, dbl.where(col("doc_id") % 2 === 1), dir)
+    scoreAgainst(spark, dbl.select(col("doc_id"), col("text")), dir)
   }
 }

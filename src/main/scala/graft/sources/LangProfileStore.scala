@@ -21,9 +21,17 @@ import graft.pipeline.DataOps
  * built from the same corpus — pinned in StreamingSpec (stream over
  * two micro-batches ≡ [[DataOps.langIdNgram]]).
  *
- * Layout (`storeDir/profiles`): (plang, h, lrank) plain parquet —
- * KB-sized (L·K rows of three longs/strings), broadcast on every
- * probe; at cluster scale the store is trivially replicated.
+ * Layout (`storeDir/`): `profiles/` (plang, h, lrank) — the ranked
+ * serving relation every probe broadcasts — and `counts/`
+ * (lang, h, c), the ADDITIVE training state behind it: per-language
+ * trigram count sums, the sufficient statistic that makes
+ * [[appendBatch]] exact (counts merge by one more sum; the ranked
+ * profiles are a deterministic function of the merged counts, so any
+ * batch decomposition yields the identical store — pinned in
+ * LangProfileStoreSpec, hash-audited by `langIdIncremental`). Both
+ * relations are vocabulary-bounded KB-sized (L·K rows for profiles,
+ * L·|trigrams| for counts), broadcast on every probe; at cluster
+ * scale the store is trivially replicated.
  */
 object LangProfileStore {
 
@@ -37,9 +45,35 @@ object LangProfileStore {
   def buildFrom(spark: SparkSession, corpus: DataFrame,
       storeDir: String): Unit = {
     val gc = DataOps.ctGramCounts(spark, corpus).persist()
-    DataOps.ctProfilesFromCounts(gc)
+    val lc = DataOps.ctLangCounts(gc).localCheckpoint(true)
+    lc.write.mode("overwrite").parquet(s"$storeDir/counts")
+    DataOps.ctProfilesOfLangCounts(lc)
       .write.mode("overwrite").parquet(s"$storeDir/profiles")
     gc.unpersist()
+    ()
+  }
+
+  /** INCREMENTAL MAINTENANCE — absorb a newly-labeled
+    * (doc_id, lang, text) batch into the trained store (the K9
+    * [[PostingsIndex.appendBatch]] discipline on a classifier): the
+    * per-(lang, trigram) counts are pure sums, so the merge is exact,
+    * associative and commutative — any batch decomposition yields the
+    * bit-identical store — and the ranked profiles re-derive from the
+    * merged counts (a vocabulary-bounded window, never a corpus pass).
+    * Pinned in LangProfileStoreSpec; hash-audited by the
+    * `langIdIncremental` registry entry against [[DataOps.langIdNgram]]'s
+    * own full-corpus oracle. */
+  def appendBatch(spark: SparkSession, batch: DataFrame,
+      storeDir: String): Unit = {
+    val merged = spark.read.parquet(s"$storeDir/counts")
+      .unionByName(DataOps.ctLangCounts(
+        DataOps.ctGramCounts(spark, batch)))
+      .groupBy(col("lang"), col("h"))
+      .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$storeDir/counts")
+    DataOps.ctProfilesOfLangCounts(merged)
+      .write.mode("overwrite").parquet(s"$storeDir/profiles")
     ()
   }
 
@@ -77,6 +111,28 @@ object LangProfileStore {
     // langIdNgram's cache hygiene: the probe gram counts feed the doc
     // profile, its size aggregate and the label join.
     val gc = DataOps.ctGramCounts(spark, probe).persist()
+    DataOps.finish(DataOps.ctScoreCounts(gc,
+      spark.read.parquet(s"$dir/profiles")), gc)
+  }
+
+  /** Registry form of the INCREMENTAL path (the `bm25Incremental`
+    * discipline on the classifier store): train from the even-doc_id
+    * half, [[appendBatch]] the odd half as "the newly-labeled batch",
+    * then classify the FULL corpus purely from the merged store.
+    * Count sums make the merged store ≡ a one-shot full-corpus build,
+    * so the result shares [[DataOps.langIdNgram]]'s oracle verbatim. */
+  def langIdIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: the merged store is the full
+      // self-trained model by construction — audit that plan.
+      return DataOps.langIdNgram(spark, sfDir)
+    }
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val dir = StoreDirs.tmpStoreDir("graft-lang-incr", sfDir)
+    buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+    appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
+    val gc = DataOps.ctGramCounts(spark, d).persist()
     DataOps.finish(DataOps.ctScoreCounts(gc,
       spark.read.parquet(s"$dir/profiles")), gc)
   }

@@ -1820,6 +1820,30 @@ class DataOpsSpec extends SparkSpec {
     assert(stored == self)
   }
 
+  test("DsirStore.appendBatch: bucket-sum merge is decomposition-invariant") {
+    val dbl = spark.read.parquet(s"$SF/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+    def stats(dir: String) = spark.read.parquet(s"$dir/stats")
+      .collect().map(_.toSeq).toSet
+    val full =
+      java.nio.file.Files.createTempDirectory("graft-dsir-one").toString
+    graft.sources.DsirStore.buildFrom(spark, dbl, full)
+    val inc =
+      java.nio.file.Files.createTempDirectory("graft-dsir-three").toString
+    graft.sources.DsirStore.buildFrom(spark,
+      dbl.where($"doc_id" % 3 === 0), inc)
+    graft.sources.DsirStore.appendBatch(spark,
+      dbl.where($"doc_id" % 3 === 1), inc)
+    graft.sources.DsirStore.appendBatch(spark,
+      dbl.where($"doc_id" % 3 === 2), inc)
+    assert(stats(inc) == stats(full) && stats(inc).nonEmpty)
+    // and the registry entry == the self-trained batch scorer
+    val got = graft.sources.DsirStore.dsirIncremental(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == DataOps.dsirWeights(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
   test("textrankKeywords equals the naive integer power iteration") {
     val got = DataOps.textrankKeywords(spark, SF)
       .as[(String, Long, Long)].collect().toSeq

@@ -21,6 +21,27 @@ class LangProfileStoreSpec extends SparkSpec {
     df.select("doc_id", "lang", "lang_pred", "dist")
       .as[(Long, String, String, Long)].collect().toSet
 
+  test("appendBatch merge is batch-decomposition-invariant == one-shot train") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    def rels(dir: String) = Seq("counts", "profiles").map { rel =>
+      rel -> spark.read.parquet(s"$dir/$rel")
+        .collect().map(_.toSeq).toSet
+    }.toMap
+    val full = Files.createTempDirectory("graft-lang-one").toString
+    LangProfileStore.buildFrom(spark, d, full)
+    // build(third) + append(third) + append(third), counts AND ranked
+    // profiles relation-identical to the one-shot train
+    val inc = Files.createTempDirectory("graft-lang-three").toString
+    LangProfileStore.buildFrom(spark, d.where(col("doc_id") % 3 === 0), inc)
+    LangProfileStore.appendBatch(spark, d.where(col("doc_id") % 3 === 1), inc)
+    LangProfileStore.appendBatch(spark, d.where(col("doc_id") % 3 === 2), inc)
+    assert(rels(inc) == rels(full))
+    // and the registry entry == the self-trained batch classifier
+    val got = rows(LangProfileStore.langIdIncremental(spark, SF))
+    assert(got == rows(DataOps.langIdNgram(spark, SF)) && got.nonEmpty)
+  }
+
   test("langIdStored == classifying the odd half against a fresh-model score") {
     val d = spark.read.parquet(s"$SF/documents.parquet")
       .select(col("doc_id"), col("lang"), col("text"))
