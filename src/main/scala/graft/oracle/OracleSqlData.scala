@@ -3048,9 +3048,24 @@ object OracleSqlData {
     * each tier's full mirror inlined as a nested CTE (DuckDB supports
     * nested WITH), brute-force ground truth joined on (q_id, n_id),
     * truncating integer recall. */
-  lazy val annRecallEval: String = {
-    val tiers = Seq("ivf" -> annIvf, "ivfpq" -> annIvfPq,
-      "lsh" -> annLsh, "pq" -> annPq, "sq" -> annSq)
+  lazy val annRecallEval: String = recallEvalSql(Seq(
+    "ivf" -> annIvf, "ivfpq" -> annIvfPq,
+    "lsh" -> annLsh, "pq" -> annPq, "sq" -> annSq))
+
+  /** Store-tier recall mirror ([[DataOps.annStoreRecall]]): same audit
+    * algebra, tiers = the persistent-store round-trip/lifecycle
+    * mirrors (pristine stores replay their model mirrors verbatim;
+    * append/remove tiers their split mirrors). */
+  lazy val annStoreRecall: String = recallEvalSql(Seq(
+    "pq_add" -> annPqIncremental, "pq_rm" -> annPqRemoved,
+    "pq_store" -> annPq,
+    "sq_add" -> annSq, "sq_rm" -> annSqRemoved,
+    "sq_store" -> annSq))
+
+  /** The shared recall-audit SQL: each tier's full mirror inlined as a
+    * nested CTE (DuckDB accepts nested WITH) over the brute-truth CTE,
+    * then the counting algebra on the bounded tier relations. */
+  private def recallEvalSql(tiers: Seq[(String, String)]): String = {
     val tierCtes = tiers.map { case (n, sql) =>
       s"t_$n AS (\n$sql\n)" }.mkString(",\n")
     val unions = tiers.map { case (n, _) =>

@@ -2535,7 +2535,15 @@ object DataOps {
       "lsh"   -> annLsh(spark, sfDir),
       "pq"    -> annPq(spark, sfDir),
       "sq"    -> annSq(spark, sfDir))
-    val out = tiers.map { case (name, df) =>
+    finish(recallRows(truth, tiers), truth)
+  }
+
+  /** The shared audit algebra of [[annRecallEval]] / [[annStoreRecall]]:
+    * per tier, candidate/hit counts against the brute ground truth and
+    * the truncating-div micro recall — all over Q·10-row relations. */
+  private def recallRows(truth: DataFrame,
+      tiers: Seq[(String, DataFrame)]): DataFrame =
+    tiers.map { case (name, df) =>
       val cand = df.select(col("q_id"), col("n_id"))
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -2545,7 +2553,40 @@ object DataOps {
           col("n_hit"),
           expr("n_hit * 1000000 div n_true").as("recall_micro"))
     }.reduce(_ unionByName _)
-    finish(out, truth)
+
+  /** STORE-TIER RECALL AUDIT — [[annRecallEval]] pointed at the
+    * PERSISTENT vector stores and their lifecycle mutations: the
+    * round-trip stores (`pq_store`/`sq_store`,
+    * [[graft.sources.PqIndex.annPqIndexed]] /
+    * [[graft.sources.SqIndex.annSqIndexed]]), the frozen-codebook
+    * appends (`pq_add`/`sq_add`) and the post-deletion stores
+    * (`pq_rm`/`sq_rm`), each scored against the SAME full-corpus brute
+    * truth. This turns "store ≡ model" from a hash identity into a
+    * MONITORED quality number that moves after a bad append or remove:
+    * a pristine store matches its model tier exactly (pinned in
+    * DataOpsSpec), an append trained on half the corpus shows its
+    * quantization cost, and a deletion tier's recall is bounded by the
+    * survivors' share of the truth set (victims CANNOT be returned —
+    * if one were, n_hit would differ from the survivors-only oracle
+    * and the driver hash would break).
+    *
+    * 100 TB shape: identical to [[annRecallEval]] — every tier
+    * relation is bounded (top-10 per query over the guarded sample),
+    * so the audit's own algebra runs on Q·10-row inputs; the heavy
+    * work is the store probes, each with its own documented scale
+    * plan, and the stores are built ONCE per JVM (the lifecycle
+    * entries' build-guard). */
+  def annStoreRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = persistUnlessLazy(
+      annBrute(spark, sfDir).select(col("q_id"), col("n_id")))
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "pq_add"   -> graft.sources.PqIndex.annPqIncremental(spark, sfDir),
+      "pq_rm"    -> graft.sources.PqIndex.annPqRemoved(spark, sfDir),
+      "pq_store" -> graft.sources.PqIndex.annPqIndexed(spark, sfDir),
+      "sq_add"   -> graft.sources.SqIndex.annSqIncremental(spark, sfDir),
+      "sq_rm"    -> graft.sources.SqIndex.annSqRemoved(spark, sfDir),
+      "sq_store" -> graft.sources.SqIndex.annSqIndexed(spark, sfDir))
+    finish(recallRows(truth, tiers), truth)
   }
 
   /** The probe-only half of [[annSq]] — shared verbatim by the fresh

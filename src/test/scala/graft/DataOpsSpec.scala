@@ -1940,6 +1940,38 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("annStoreRecall: store tiers match their models; lifecycle floors hold") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val store = rowsOf(DataOps.annStoreRecall(spark, SF))
+    val model = rowsOf(DataOps.annRecallEval(spark, SF))
+    assert(store.keySet == Set("pq_add", "pq_rm", "pq_store",
+      "sq_add", "sq_rm", "sq_store"))
+    // pristine stores ARE their models: identical audited rows
+    assert(store("pq_store") == model("pq"))
+    assert(store("sq_store") == model("sq"))
+    // SQ codes are per-vector, so the appended store is exactly the
+    // one-shot build — identical row again
+    assert(store("sq_add") == model("sq"))
+    // frozen-codebook append: trained on half the corpus, the appended
+    // half still answers (floor), below never above the full-trained
+    // store on this structureless fixture
+    assert(store("pq_add")._4 >= 450000L &&
+      store("pq_add")._4 <= store("pq_store")._4)
+    // deletion tiers: victims cannot be returned, so recall vs the
+    // FULL truth drops toward the survivors' share — strictly below
+    // the pristine store, still clearing a sanity floor
+    assert(store("pq_rm")._4 < store("pq_store")._4 &&
+      store("pq_rm")._4 >= 250000L)
+    assert(store("sq_rm")._4 < store("sq_store")._4 &&
+      store("sq_rm")._4 >= 350000L)
+    store.values.foreach { case (nTrue, nCand, nHit, recall) =>
+      assert(recall == nHit * 1000000L / nTrue)
+      assert(nCand <= nTrue && nHit <= nCand)
+    }
+  }
+
   test("docNovelty: naive distinct-gram df fold over gram strings") {
     val n = DataOps.ContamN
     val texts = spark.read.parquet(s"$SF/documents.parquet")
