@@ -265,6 +265,17 @@ object OracleSqlData {
   val dedupIndexed: String =
     dedupSplit("n.doc_id % 2 = 1", "o.doc_id % 2 = 0")
 
+  /** Survivors-only per-language rollup
+    * ([[graft.sources.Forget.corpusForget]]): what the rewritten
+    * published partitions must still contain after the composed
+    * forget. */
+  val corpusForget: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |GROUP BY lang""".stripMargin
+
   val dedupIncremental: String =
     dedupSplit("n.doc_id % 3 = 2", "o.doc_id % 3 < 2")
 

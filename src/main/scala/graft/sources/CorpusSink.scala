@@ -40,6 +40,35 @@ object CorpusSink {
     curated
   }
 
+  /** DELETION — forget a doc_id set from the published lang-partitioned
+    * corpus with a PARTITION-PRUNED rewrite: the victims' languages are
+    * resolved first (one broadcast-semi probe of the published corpus —
+    * the language list is dims-sized, so collecting it is driver-side
+    * metadata work, not data work), then ONLY the affected `lang=<l>`
+    * directories rewrite without their victims; every other partition's
+    * files are untouched. At 100 TB that is the difference between
+    * rewriting a few languages' worth of files and rewriting the
+    * corpus for every right-to-be-forgotten request. Per-partition
+    * rewrite (not dynamic partition overwrite) so a partition whose
+    * EVERY document is forgotten still rewrites to empty instead of
+    * silently surviving. */
+  def deleteDocs(spark: SparkSession, docIds: DataFrame,
+      outDir: String): Unit = {
+    val ids = docIds.select(col("doc_id"))
+    val affected = spark.read.parquet(outDir)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("lang").cast("string")).distinct()
+      .collect().map(_.getString(0))
+    affected.foreach { l =>
+      val part = s"$outDir/lang=$l"
+      val kept = spark.read.parquet(part)
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      kept.write.mode("overwrite").parquet(part)
+    }
+    ()
+  }
+
   /** Append-mode publish of an already-curated batch (the streaming
     * ingest's per-micro-batch sink — [[graft.streaming.IngestPipeline]])
     * with the same lang-partitioned layout discipline as

@@ -344,7 +344,7 @@ object PostingsIndex {
   }
 
   /** The standard-head BM25 probe over a store directory. */
-  private def probeStandardBm25(spark: SparkSession,
+  private[sources] def probeStandardBm25(spark: SparkSession,
       dir: String): DataFrame =
     DataOps.bm25ScoreStage(
       spark.read.parquet(s"$dir/postings"),

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CorpusSink, Forget, MinhashIndex, PostingsIndex}
+
+/** The composed right-to-be-forgotten ([[Forget]]) must scrub EVERY
+  * surface with one call, refuse malformed requests before any store
+  * mutates, and leave unaffected corpus partitions physically
+  * untouched. */
+class ForgetSpec extends SparkSpec {
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def publishAll(dir: String) = {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    CorpusSink.appendCurated(docs, s"$dir/corpus")
+    PostingsIndex.buildFrom(spark,
+      docs.select(col("doc_id"), col("text")), s"$dir/postings")
+    MinhashIndex.build(spark,
+      docs.select(col("doc_id"), col("text")), s"$dir/minhash")
+    docs
+  }
+
+  test("malformed requests fail atomically, before any surface mutates") {
+    val dir = Files.createTempDirectory("graft-forget-guard").toString
+    val docs = publishAll(dir)
+    def snapshot() = spark.read.parquet(s"$dir/corpus").count()
+    val before = snapshot()
+    // duplicate ids
+    val dup = intercept[IllegalArgumentException] {
+      Forget.forget(spark,
+        docs.limit(1).select(col("doc_id"))
+          .unionAll(docs.limit(1).select(col("doc_id"))),
+        s"$dir/corpus", s"$dir/postings", s"$dir/minhash")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // an id that was never published
+    val missing = intercept[IllegalArgumentException] {
+      Forget.forget(spark,
+        spark.range(1).select((col("id") + 999999999L).as("doc_id")),
+        s"$dir/corpus", s"$dir/postings", s"$dir/minhash")
+    }
+    assert(missing.getMessage.contains("not in the published"))
+    assert(snapshot() == before)
+  }
+
+  test("one forget call scrubs corpus, search and dedup surfaces together") {
+    val dir = Files.createTempDirectory("graft-forget-e2e").toString
+    val docs = publishAll(dir)
+    // remember which partitions exist and their file sets
+    def files(sub: String) =
+      new java.io.File(s"$dir/corpus/$sub").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // victims: every odd doc of ONE language only — other partitions
+    // must keep their exact files (partition-pruned rewrite)
+    val victimLang = langs.head
+    val untouched = langs.tail.map(l => l -> files(s"lang=$l")).toMap
+    val victims = docs
+      .where(col("lang") === victimLang && col("doc_id") % 2 === 1)
+      .select(col("doc_id"))
+    val nVictims = victims.count()
+    assert(nVictims > 0)
+    Forget.forget(spark, victims, s"$dir/corpus", s"$dir/postings",
+      s"$dir/minhash")
+    // corpus: victims gone, everyone else intact, other partitions'
+    // files bit-identical (names unchanged == no rewrite happened)
+    val after = spark.read.parquet(s"$dir/corpus")
+    assert(after.count() == docs.count() - nVictims)
+    assert(after.join(victims, Seq("doc_id"), "left_semi").count() == 0)
+    langs.tail.foreach(l => assert(files(s"lang=$l") == untouched(l), l))
+    // search: the maintained store == a from-scratch survivors-only
+    // build, relation by relation (the removeBatch inverse contract,
+    // now driven through the composed call)
+    val survivors = docs.join(victims, Seq("doc_id"), "left_anti")
+    val fresh = Files.createTempDirectory("graft-forget-fresh").toString
+    PostingsIndex.buildFrom(spark,
+      survivors.select(col("doc_id"), col("text")), s"$fresh/postings")
+    Seq("postings", "doclen", "vocab", "stats").foreach { rel =>
+      assert(spark.read.parquet(s"$dir/postings/$rel")
+        .collect().map(_.toSeq).toSet ==
+        spark.read.parquet(s"$fresh/postings/$rel")
+          .collect().map(_.toSeq).toSet, rel)
+    }
+    // dedup: no victim band survives — probing a victim back as a
+    // snapshot cannot self-match at jac 1.0
+    MinhashIndex.build(spark,
+      survivors.select(col("doc_id"), col("text")), s"$fresh/minhash")
+    val probeMaintained = MinhashIndex.dedupAgainst(spark,
+      docs.where(col("lang") === victimLang && col("doc_id") % 2 === 1),
+      s"$dir/minhash").collect().map(_.toSeq).toSet
+    val probeFresh = MinhashIndex.dedupAgainst(spark,
+      docs.where(col("lang") === victimLang && col("doc_id") % 2 === 1),
+      s"$fresh/minhash").collect().map(_.toSeq).toSet
+    assert(probeMaintained == probeFresh)
+  }
+}
