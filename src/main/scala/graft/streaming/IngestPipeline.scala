@@ -15,6 +15,9 @@ import graft.sources.{CorpusSink, MinhashIndex, PostingsIndex}
  *
  *   curationStream (language-ID ∧ quality ∧ decontamination verdict,
  *     stateless — the gram set rides as one broadcast literal)
+ *   → re-landed-id gate (anti-join against the `seen` ledger — a
+ *     doc_id processed by ANY earlier batch is dropped, so re-landed
+ *     files can never double-publish or double-count postings)
  *   → keep filter
  *   → piiRedactStream (mask BEFORE anything persists)
  *   → near-dup probe against the K4 [[MinhashIndex]] store
@@ -24,20 +27,41 @@ import graft.sources.{CorpusSink, MinhashIndex, PostingsIndex}
  *   → [[PostingsIndex.appendBatch]] (the K9 search index absorbs the
  *     published batch — landed documents become immediately
  *     BM25-searchable, indexed on the same redacted text that was
- *     published; the additive merge is batch-decomposition-invariant,
- *     so the ingest-maintained index ≡ a one-shot build over the
- *     published corpus)
+ *     published)
+ *   → [[MinhashIndex.appendBatch]] (the dedup store absorbs the same
+ *     published batch, so batch N+1 dedups against every batch ≤ N —
+ *     CONTINUOUS ingest dedup, not just new-vs-bootstrap; within ONE
+ *     micro-batch documents still pass independently, the documented
+ *     batch-granularity scope — [[graft.pipeline.DataOps.dedupMinhash]]
+ *     over a batch is the new-vs-new complement)
  *
  * with near-dup hits appended to `outDir/dups` as the audit trail.
- * Every stage is stateless or store-backed, so the composed DAG is
- * append-clean and micro-batch-boundary-independent: two batches ≡ one
- * batch ≡ the batch composition on the union (pinned in
- * StreamingSpec).
+ *
+ * RESTART SAFETY: the query checkpoints under `outDir/checkpoint`, and
+ * because the three sinks (corpus, dups, postings) are append-only and
+ * NOT idempotent, each batch commits a marker file
+ * (`outDir/committed/<batchId>`) after its writes — a crash-replayed
+ * batch (same batchId, same data under the checkpointed file source)
+ * finds its marker and skips, so restarts can never double-publish or
+ * double-merge store sums. The `seen` ledger additionally drops
+ * re-LANDED doc_ids (same document, different batch), which the marker
+ * cannot see.
+ *
+ * The composed DAG is therefore SEQUENTIALLY deterministic: two
+ * micro-batches ≡ replaying the same two batches through
+ * [[finishBatch]] + store appends (pinned in StreamingSpec, including
+ * the cross-batch near-dup case and the replay no-op), and the
+ * maintained search index stays ≡ a one-shot build over the published
+ * corpus ([[PostingsIndex.appendBatch]] invariance).
  *
  * 100 TB shape: the file source admits micro-batches by
  * `maxFilesPerTrigger`; per batch the only shuffles are the probe's
- * band join (against the store, proportional to the BATCH) and the
- * publish `repartition(lang)`; nothing grows with stream length.
+ * band join (against the store, proportional to the BATCH), the
+ * publish `repartition(lang)` and the ledger anti-join (doc_id-only
+ * columns); nothing grows with stream length except the stores
+ * themselves, whose file pileup the `compactEvery` maintenance hook
+ * folds ([[PostingsIndex.compact]]/[[MinhashIndex.compact]] every N
+ * batches — contents-identical re-layout).
  */
 object IngestPipeline {
 
@@ -45,16 +69,19 @@ object IngestPipeline {
   case class Config(inDir: String = "/tmp/graft-ingest-in",
       sfDir: String = "/root/testdata/sf0.001",
       indexDir: String = "/tmp/graft-ingest-index",
-      outDir: String = "/tmp/graft-ingest-out")
+      outDir: String = "/tmp/graft-ingest-out",
+      compactEvery: Int = 64)
 
-  /** Parse `--in/--sf/--index/--out` pairs; unknown flags ignored,
-    * defaults kept — ParameterTool-style leniency. */
+  /** Parse `--in/--sf/--index/--out/--compact-every` pairs; unknown
+    * flags ignored, defaults kept — ParameterTool-style leniency. */
   def parseArgs(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
       case (c, Array("--in", v))    => c.copy(inDir = v)
       case (c, Array("--sf", v))    => c.copy(sfDir = v)
       case (c, Array("--index", v)) => c.copy(indexDir = v)
       case (c, Array("--out", v))   => c.copy(outDir = v)
+      case (c, Array("--compact-every", v)) =>
+        c.copy(compactEvery = v.toInt)
       case (c, _)                   => c
     }
 
@@ -62,8 +89,8 @@ object IngestPipeline {
     * curation verdict: keep filter → PII redaction (metadata re-joined
     * on doc_id) → near-dup probe against the store. Returns (curated
     * survivors, dup audit rows). Pure function of (verdict batch,
-    * store), so the StreamingSpec batch twin calls it on a static
-    * frame. */
+    * store state), so the StreamingSpec batch twin replays the batch
+    * sequence on static frames. */
   def finishBatch(verdict: DataFrame,
       indexDir: String): (DataFrame, DataFrame) = {
     val kept = verdict.where(col("keep") === 1L)
@@ -84,33 +111,64 @@ object IngestPipeline {
   /** Compose and start the DAG over a (doc_id, text, lang, source, ...)
     * document stream. The curation verdict runs IN-STREAM (stateless,
     * its benchmark gram literal is built once at plan time); the dedup
-    * probe, the partitioned publish and the search-index merge run per
+    * probe, the partitioned publish and both store merges run per
     * micro-batch. The K9 postings store under `outDir/index` is seeded
-    * EMPTY up front, then absorbs each published batch additively —
-    * after any number of batches it is bit-identical to a one-shot
-    * build over the published corpus (the [[PostingsIndex.appendBatch]]
-    * invariance, pinned in StreamingSpec). */
+    * EMPTY up front, then absorbs each published batch additively;
+    * the K4 dedup store under `indexDir` (bootstrapped by the caller)
+    * absorbs the same batches, closing the loop that lets later
+    * batches dedup against earlier ones. */
   def start(docStream: DataFrame, sfDir: String, indexDir: String,
-      outDir: String): StreamingQuery = {
+      outDir: String, compactEvery: Int = 0): StreamingQuery = {
     val spark = docStream.sparkSession
     val searchDir = s"$outDir/index"
     PostingsIndex.buildFrom(spark,
       spark.range(0).select(col("id").as("doc_id"),
         lit("").as("text")), searchDir)
     StreamingOps.curationStream(docStream, sfDir).writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val (curated, dups) = finishBatch(batch.toDF(), indexDir)
-        dups.write.mode("append").parquet(s"$outDir/dups")
-        val published = curated.persist()
-        CorpusSink.appendCurated(published, s"$outDir/corpus")
-        PostingsIndex.appendBatch(batch.sparkSession,
-          published.select(col("doc_id"),
-            col("clean_text").as("text")), searchDir)
-        published.unpersist()
-        ()
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val marker = new java.io.File(s"$outDir/committed/$batchId")
+        if (!marker.exists()) {
+          processBatch(batch.toDF(), indexDir, searchDir, outDir)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            PostingsIndex.compact(batch.sparkSession, searchDir)
+            MinhashIndex.compact(batch.sparkSession, indexDir)
+          }
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+          ()
+        }
       }
+      .option("checkpointLocation", s"$outDir/checkpoint")
       .queryName("ingestPipeline")
       .start()
+  }
+
+  /** One batch's writes: ledger gate → curation tail → publish →
+    * store merges → ledger append. */
+  private def processBatch(verdict: DataFrame, indexDir: String,
+      searchDir: String, outDir: String): Unit = {
+    val spark = verdict.sparkSession
+    val seenPath = s"$outDir/seen"
+    val fresh = (if (new java.io.File(seenPath).exists())
+        verdict.join(spark.read.parquet(seenPath), Seq("doc_id"),
+          "left_anti")
+      else verdict).persist()
+    if (fresh.isEmpty) { fresh.unpersist(); return }
+    val (curated, dups) = finishBatch(fresh, indexDir)
+    dups.write.mode("append").parquet(s"$outDir/dups")
+    val published = curated.persist()
+    CorpusSink.appendCurated(published, s"$outDir/corpus")
+    val pubText = published.select(col("doc_id"),
+      col("clean_text").as("text"))
+    PostingsIndex.appendBatch(spark, pubText, searchDir)
+    MinhashIndex.appendBatch(spark, pubText, indexDir)
+    // ledger LAST: a crash before this line replays the batch, whose
+    // marker is also unwritten — the marker, not the ledger, is the
+    // restart-idempotency boundary
+    fresh.select(col("doc_id")).write.mode("append").parquet(seenPath)
+    published.unpersist()
+    fresh.unpersist()
+    ()
   }
 
   /** The job form: bootstrap the dedup store from the existing corpus
@@ -134,7 +192,8 @@ object IngestPipeline {
       .schema(corpus.schema)
       .option("maxFilesPerTrigger", 8)
       .parquet(config.inDir)
-    start(docStream, config.sfDir, config.indexDir, config.outDir)
+    start(docStream, config.sfDir, config.indexDir, config.outDir,
+      config.compactEvery)
     spark.streams.awaitAnyTermination()
   }
 }

@@ -883,18 +883,37 @@ class StreamingSpec extends SparkSpec {
       val streamedDups = spark.read.parquet(s"$outDir/dups")
         .as[(Long, Long, Long)].collect().toSet
 
-      // batch twin: the same composed stages over the odd half at once
-      val (bCurated, bDups) = IngestPipeline.finishBatch(
-        StreamingOps.curationStream(
-          docs.where(col("doc_id") % 2 === 1), SF), indexDir)
-      assert(streamed ==
-        bCurated.select(cols.head, cols.tail: _*)
-          .collect().map(_.toSeq).toSet)
-      assert(streamedDups ==
-        bDups.as[(Long, Long, Long)].collect().toSet)
+      // batch twin: the SAME two batches replayed sequentially — the
+      // store absorbs each published batch before the next probes, so
+      // batch 2 dedups against batch 1's survivors, not just the
+      // bootstrap corpus
+      val twinIdx = java.nio.file.Files
+        .createTempDirectory("graft-ingest-twin").toString
+      graft.sources.MinhashIndex.build(spark,
+        docs.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
+        twinIdx)
+      def step(m: Long) = {
+        val (c, d) = IngestPipeline.finishBatch(
+          StreamingOps.curationStream(
+            docs.where(col("doc_id") % 4 === m), SF), twinIdx)
+        val cs = c.select(cols.head, cols.tail: _*)
+          .collect().map(_.toSeq).toSet
+        val ds = d.as[(Long, Long, Long)].collect().toSet
+        graft.sources.MinhashIndex.appendBatch(spark,
+          c.select(col("doc_id"), col("clean_text").as("text")), twinIdx)
+        (cs, ds)
+      }
+      val (c1, d1) = step(1L)
+      val (c2, d2) = step(3L)
+      assert(streamed == (c1 ++ c2))
+      assert(streamedDups == (d1 ++ d2))
       // the DAG actually curates: keeps some, drops some, audits dups
       assert(streamed.nonEmpty && streamedDups.nonEmpty)
       assert(streamed.size < half(1L).size + half(3L).size)
+      // CROSS-BATCH dedup: at least one batch-2 doc was flagged
+      // against a batch-1 PUBLISHED doc (dup_of odd == not in the
+      // bootstrap store) — the case the store append exists to catch
+      assert(d2.exists { case (_, dupOf, _) => dupOf % 2 == 1 })
       // near-dup hits never reach the published corpus
       val pubIds = streamed.map(_.head.asInstanceOf[Long])
       assert(streamedDups.forall { case (d, _, _) => !pubIds.contains(d) })
@@ -917,6 +936,57 @@ class StreamingSpec extends SparkSpec {
       }
       // and the maintained index actually serves: the published docs
       // are searchable on a term they contain
+      assert(graft.sources.PostingsIndex.bm25Against(spark,
+        Seq("dup").toDF("token"), s"$outDir/index").count() > 0)
+      // RE-LANDED idempotency: the same documents landing again are
+      // dropped by the seen ledger — nothing publishes, audits or
+      // merges twice
+      val corpusN = spark.read.parquet(s"$outDir/corpus").count()
+      val dupsN = spark.read.parquet(s"$outDir/dups").count()
+      val statsBefore = graft.sources.PostingsIndex
+        .statsOf(spark, s"$outDir/index").collect().map(_.toSeq).toSet
+      in.addData(half(1L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$outDir/corpus").count() == corpusN)
+      assert(spark.read.parquet(s"$outDir/dups").count() == dupsN)
+      assert(graft.sources.PostingsIndex
+        .statsOf(spark, s"$outDir/index").collect().map(_.toSeq).toSet ==
+        statsBefore)
+      // restart safety artifacts exist: checkpoint + per-batch markers
+      assert(new java.io.File(s"$outDir/checkpoint").exists())
+      assert(new java.io.File(s"$outDir/committed").listFiles()
+        .length >= 2)
+    } finally q.stop()
+  }
+
+  test("IngestPipeline compactEvery: maintained stores fold to single files") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-cidx").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-cout").toString
+    graft.sources.MinhashIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      indexDir)
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = graft.streaming.IngestPipeline.start(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      SF, indexDir, outDir, compactEvery = 2)
+    try {
+      def half(m: Long) = docs.where(col("doc_id") % 4 === m)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      in.addData(half(1L)); q.processAllAvailable()
+      in.addData(half(3L)); q.processAllAvailable()
+      // after batch 2 (the compactEvery boundary) both maintained
+      // stores' corpus-sized relations are one file each, contents
+      // still serving (probe returns rows)
+      def nFiles(dir: String) = new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles(s"$outDir/index/postings") == 1)
+      assert(nFiles(s"$indexDir/shingles") == 1)
+      assert(nFiles(s"$indexDir/bands") == 1)
       assert(graft.sources.PostingsIndex.bm25Against(spark,
         Seq("dup").toDF("token"), s"$outDir/index").count() > 0)
     } finally q.stop()
