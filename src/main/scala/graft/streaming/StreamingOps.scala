@@ -308,6 +308,36 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ANN serving over the K7 persistent SQ store
+    * ([[graft.sources.SqIndex]]) — the [[annAgainstStream]] twin at the
+    * scalar-quantized tier (the one store that had no streaming
+    * serving path): each micro-batch of raw float query vectors
+    * converts to the micro-unit query shape and probes the stored
+    * reconstruction relation via `foreachBatch` →
+    * [[graft.sources.SqIndex.queryAgainst]], appending
+    * (q_id, n_id, rnk, cos_micro) to `outDir`. Per-query answers
+    * depend only on the store and the query's own vector, so results
+    * are independent of micro-batch boundaries — stream ≡ batch pinned
+    * in StreamingSpec across two micro-batches. Stream state is zero;
+    * the corpus-sized relation lives in the store. */
+  def sqAgainstStream(vecStream: DataFrame, indexDir: String,
+      sfDir: String, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark = batch.sparkSession
+        val q = batch.toDF()
+          .select(col("vec_id").as("q_id"),
+            graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+              .as("qem"))
+          .withColumn("qn",
+            graft.functions.VecDotExpr.dot(spark, col("qem"), col("qem")))
+        graft.sources.SqIndex.queryAgainst(spark, q, indexDir, sfDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming classification over the persistent Cavnar-Trenkle
     * profile store ([[graft.sources.LangProfileStore]]) — the
     * train-offline/score-online production shape: each micro-batch of

@@ -279,6 +279,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN over the SqIndex store, two micro-batches == batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-sqidx-s").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-sqidx-out").toString +
+        "/hits"
+    graft.sources.SqIndex.build(spark, SF, indexDir)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.sqAgainstStream(
+      in.toDF().toDF("vec_id", "embedding"), indexDir, SF, outDir)
+    try {
+      val queries = spark.read.parquet(s"$SF/embeddings.parquet")
+        .where(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val (b1, b2) = queries.splitAt(queries.size / 2)
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.sources.SqIndex.annSqIndexed(spark, SF)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("toxicTopicStream fires count windows over entity moods") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TimedMessage]
