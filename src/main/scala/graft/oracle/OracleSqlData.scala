@@ -265,6 +265,38 @@ object OracleSqlData {
   val dedupIndexed: String =
     dedupSplit("n.doc_id % 2 = 1", "o.doc_id % 2 = 0")
 
+  /** K4 store-telemetry mirror ([[graft.sources.MinhashIndex.statsOf]]):
+    * the dedup store's integrity numbers recomputed from corpus truth
+    * (distinct (band, key) strings vs the store's 64-bit band hashes —
+    * the documented whp contract). */
+  val minhashStats: String = {
+    val k = DataOps.MinhashK
+    s"""WITH $wrdsCte,
+       |$shCte,
+       |shh AS (SELECT doc_id, sh, ${h60("sh")} % $P AS hp FROM sh),
+       |perm AS (SELECT unnest(range(0, $k)) AS i),
+       |sig AS (
+       |  SELECT s.doc_id, p.i,
+       |         MIN(((((2 * p.i + 1) * 2654435761) % $P) * s.hp +
+       |              ((p.i * 2246822519) % $P)) % $P) AS m
+       |  FROM shh s CROSS JOIN perm p
+       |  GROUP BY 1, 2
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // ${DataOps.MinhashR} AS band,
+       |         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY 1, 2
+       |),
+       |d AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |             CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh),
+       |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_band_rows,
+       |             CAST(COUNT(DISTINCT (band, bkey)) AS BIGINT)
+       |               AS n_buckets
+       |      FROM bands)
+       |SELECT d.n_docs, d.n_shingles, b.n_band_rows, b.n_buckets
+       |FROM d, b""".stripMargin
+  }
+
   /** Survivors-only per-language rollup
     * ([[graft.sources.Forget.corpusForget]]): what the rewritten
     * published partitions must still contain after the composed
@@ -2871,7 +2903,16 @@ object OracleSqlData {
     * ([[graft.pipeline.DataOps.dsirWeights]]): identical hashed-bigram
     * bucketing (hash60 % B), identical add-one-smoothed exact-integer
     * floor-log2 bit difference, identical keep rule. */
-  val dsirWeights: String = {
+  /** DSIR mirror, parameterized by the TRAINING predicate (over bare
+    * `doc_id`): the bucket statistics derive from the `trainPred`
+    * sub-corpus while every document scores — the
+    * [[graft.sources.DsirStore.removeBatch]] mirror (`dsirRemoved`
+    * trains on the surviving evens, scores all). The score join is
+    * LEFT + coalesce-0 exactly like the Spark side: a bucket the
+    * training half never produced falls to the add-one smoothing
+    * floor instead of dropping (with `TRUE` the left join is
+    * definitionally inner — every scored bucket exists). */
+  private def dsirWeightsT(trainPred: String): String = {
     val B = DataOps.DsirBuckets
     s"""WITH wl AS (
        |  SELECT doc_id, lang,
@@ -2890,11 +2931,12 @@ object OracleSqlData {
        |         CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM bg GROUP BY 1, 2, 3
        |),
+       |dbt AS (SELECT * FROM db WHERE $trainPred),
        |rawc AS (
-       |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS raw_cnt FROM db GROUP BY 1
+       |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS raw_cnt FROM dbt GROUP BY 1
        |),
        |tgtc AS (
-       |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS tgt_cnt FROM db
+       |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS tgt_cnt FROM dbt
        |  WHERE lang = '${DataOps.DsirTargetLang}' GROUP BY 1
        |),
        |bk AS (
@@ -2909,11 +2951,13 @@ object OracleSqlData {
        |per AS (
        |  SELECT doc_id,
        |    CAST(SUM(cnt * (
-       |      (length(bin((raw_tot + $B) // (raw_cnt + 1))) - 1)
-       |      - (length(bin((tgt_tot + $B) // (tgt_cnt + 1))) - 1)))
+       |      (length(bin((raw_tot + $B) // (COALESCE(raw_cnt, 0) + 1)))
+       |        - 1)
+       |      - (length(bin((tgt_tot + $B) // (COALESCE(tgt_cnt, 0) + 1)))
+       |        - 1)))
        |      AS BIGINT) AS weight_bits,
        |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams
-       |  FROM db JOIN bk USING (b), tot
+       |  FROM db LEFT JOIN bk USING (b), tot
        |  GROUP BY 1
        |)
        |SELECT d.doc_id,
@@ -2923,6 +2967,12 @@ object OracleSqlData {
        |       AS BIGINT) AS keep
        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin
   }
+
+  val dsirWeights: String = dsirWeightsT("TRUE")
+
+  /** [[graft.sources.DsirStore.dsirRemoved]] mirror: statistics from
+    * the surviving even half, every document scored against them. */
+  lazy val dsirRemoved: String = dsirWeightsT("doc_id % 2 = 0")
 
   /** Source-Jaccard mirror ([[graft.pipeline.DataOps.sourceJaccard]]):
     * same distinct (source, token) collapse, ordered pair join on the

@@ -72,6 +72,30 @@ object DsirStore {
     ()
   }
 
+  /** DELETION — subtract a previously-absorbed (doc_id, lang, text)
+    * batch from the bucket statistics (the
+    * [[LangProfileStore.removeBatch]] contract: the store keeps no
+    * per-document relation, so the caller supplies the same labeled
+    * text it trained with): the batch's stats re-derive and subtract;
+    * fully-zeroed buckets drop (a legitimate raw_cnt is always ≥ 1).
+    * Exact inverse of [[appendBatch]] — remove(append(S,B),B) ≡ S
+    * bit-for-bit (DataOpsSpec), hash-audited by `dsirRemoved` against
+    * the evens-trained scoring mirror. */
+  def removeBatch(spark: SparkSession, batch: DataFrame,
+      storeDir: String): Unit = {
+    val merged = spark.read.parquet(s"$storeDir/stats")
+      .unionByName(batchStats(spark, batch)
+        .select(col("b"), (-col("raw_cnt")).as("raw_cnt"),
+          (-col("tgt_cnt")).as("tgt_cnt")))
+      .groupBy(col("b"))
+      .agg(org.apache.spark.sql.functions.sum(col("raw_cnt")).as("raw_cnt"),
+        org.apache.spark.sql.functions.sum(col("tgt_cnt")).as("tgt_cnt"))
+      .where(col("raw_cnt") > 0)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$storeDir/stats")
+    ()
+  }
+
   /** Score a (doc_id, text)-shaped frame against the stored statistics
     * — per-doc work only; the store side is READ, never recomputed.
     * Output = [[DataOps.dsirWeights]]'s shape. */
@@ -122,5 +146,33 @@ object DsirStore {
     buildFrom(spark, dbl.where(col("doc_id") % 2 === 0), dir)
     appendBatch(spark, dbl.where(col("doc_id") % 2 === 1), dir)
     scoreAgainst(spark, dbl.select(col("doc_id"), col("text")), dir)
+  }
+
+  /** Registry form of the DELETION path: train on the FULL corpus,
+    * [[removeBatch]] the odd half (the store becomes the evens-trained
+    * model), then score the FULL corpus against it — forgotten
+    * documents still score (DSIR weighs any text against the frozen
+    * model; unseen buckets hit the smoothing floor), but their counts
+    * no longer shape the statistics. Oracle: the dsirWeights mirror
+    * with its training CTEs filtered to even ids. */
+  def dsirRemoved(spark: SparkSession, sfDir: String): DataFrame = {
+    val dbl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val d = dbl.select(col("doc_id"), col("text"))
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: evens-trained stats scoring the
+      // full corpus (plan-identical to the shrunken store by design).
+      val evens = dbl.where(col("doc_id") % 2 === 0)
+      val withB = DataOps.dsirBuckets(spark,
+          evens.select(col("doc_id"), col("text")))
+        .join(evens.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      return DataOps.dsirScore(d.select(col("doc_id")),
+        DataOps.dsirBuckets(spark, d),
+        DataOps.dsirStatsFromBuckets(withB))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-dsir-del", sfDir)
+    buildFrom(spark, dbl, dir)
+    removeBatch(spark, dbl.where(col("doc_id") % 2 === 1), dir)
+    scoreAgainst(spark, d, dir)
   }
 }

@@ -77,6 +77,36 @@ object LangProfileStore {
     ()
   }
 
+  /** DELETION — subtract a previously-absorbed (doc_id, lang, text)
+    * batch from the trained store (the K9
+    * [[PostingsIndex.removeBatch]] discipline): the batch's
+    * per-(lang, trigram) counts re-derive from the provided frame —
+    * the store keeps no per-document relation, so the CALLER supplies
+    * the same labeled text it trained with (the contract every
+    * text-free store cannot offer; K9 reads victims off its own
+    * postings instead) — and subtract from the count relation;
+    * zeroed rows drop (a legitimate count is always ≥ 1), and the
+    * ranked profiles re-derive. Exact inverse of [[appendBatch]]:
+    * remove(append(S,B),B) ≡ S bit-for-bit (LangProfileStoreSpec),
+    * hash-audited by `langIdRemoved` (≡ the evens-trained
+    * `langIdStored` oracle after forgetting the odd half). */
+  def removeBatch(spark: SparkSession, batch: DataFrame,
+      storeDir: String): Unit = {
+    val merged = spark.read.parquet(s"$storeDir/counts")
+      .unionByName(DataOps.ctLangCounts(
+          DataOps.ctGramCounts(spark, batch))
+        .select(col("lang"), col("h"),
+          (-col("c")).as("c")))
+      .groupBy(col("lang"), col("h"))
+      .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+      .where(col("c") > 0)
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$storeDir/counts")
+    DataOps.ctProfilesOfLangCounts(merged)
+      .write.mode("overwrite").parquet(s"$storeDir/profiles")
+    ()
+  }
+
   /** Classify a (doc_id, lang, text)-shaped frame against the stored
     * profiles — per-doc work only; the store side is READ, never
     * recomputed. Output = [[DataOps.langIdNgram]]'s shape. */
@@ -133,6 +163,28 @@ object LangProfileStore {
     buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
     appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
     val gc = DataOps.ctGramCounts(spark, d).persist()
+    DataOps.finish(DataOps.ctScoreCounts(gc,
+      spark.read.parquet(s"$dir/profiles")), gc)
+  }
+
+  /** Registry form of the DELETION path: train on the FULL corpus,
+    * [[removeBatch]] the odd half (count subtraction — the store
+    * becomes the evens-trained model), then classify the forgotten odd
+    * half against it. Result ≡ [[langIdStored]] (same oracle: train
+    * CTE filtered to even ids, score CTE to odd) — the claim count
+    * deletion must prove: nothing of the victims remains in any
+    * language's profile. */
+  def langIdRemoved(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val odds = d.where(col("doc_id") % 2 === 1)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      return langIdStored(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-lang-del", sfDir)
+    buildFrom(spark, d, dir)
+    removeBatch(spark, odds, dir)
+    val gc = DataOps.ctGramCounts(spark, odds).persist()
     DataOps.finish(DataOps.ctScoreCounts(gc,
       spark.read.parquet(s"$dir/profiles")), gc)
   }

@@ -93,6 +93,54 @@ object MinhashIndex {
     ()
   }
 
+  /** STORE TELEMETRY — the K9 [[PostingsIndex.statsOf]] discipline on
+    * the dedup store: one row (n_docs, n_shingles, n_band_rows,
+    * n_buckets), every number read off the STORE relations (no corpus
+    * access). As a registry entry (`minhashStats`) it is an INTEGRITY
+    * AUDIT: the oracle recomputes the same numbers from the documents
+    * table, so any drift between the maintained store and corpus
+    * truth — a missed append, a double append, a half-applied remove —
+    * breaks the hash. (n_buckets counts distinct 64-bit band hashes vs
+    * the oracle's distinct (band, key) strings — equal under the
+    * store's documented whp contract.) */
+  def statsOf(spark: SparkSession, indexDir: String): DataFrame = {
+    val sh = spark.read.parquet(s"$indexDir/shingles")
+    val bands = spark.read.parquet(s"$indexDir/bands")
+    sh.agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_shingles"))
+      .crossJoin(broadcast(bands.agg(
+        count(lit(1)).as("n_band_rows"),
+        count_distinct(col("bh")).as("n_buckets"))))
+  }
+
+  /** One full-corpus store build per (JVM, sf directory) for the
+    * telemetry audit. */
+  private val statsBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Registry form of the telemetry: build the full-corpus store once,
+    * read the one-row health readout purely from it. */
+  def minhashStats(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: same aggregates over fresh
+      // relations (plan-identical to the store read by design).
+      val sh = DataOps.shingleHashes(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")))
+      return sh.agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_shingles"))
+        .crossJoin(broadcast(DataOps.minhashBandsOf(sh).agg(
+          count(lit(1)).as("n_band_rows"),
+          count_distinct(col("bh")).as("n_buckets"))))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-mh-stats", sfDir)
+    if (statsBuilt.add(dir)) {
+      build(spark, spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")), dir)
+    }
+    statsOf(spark, dir)
+  }
+
   /** Registry form of the INCREMENTAL path (the `bm25Incremental`
     * discipline on the dedup store): build the index from the
     * doc_id%3==0 third of the corpus, [[appendBatch]] the %3==1 third

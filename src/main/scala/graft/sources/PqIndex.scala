@@ -114,6 +114,25 @@ object PqIndex {
     ()
   }
 
+  /** COMPACTION — rewrite the two corpus-sized relations into
+    * `numFiles`-file layout (codes sorted by (vec_id, m), cells by
+    * (cid, vec_id) — the probe keys), folding the one-file-set-per-
+    * [[appendBatch]] pileup; contents bit-identical (PqIndexSpec). */
+  def compact(spark: SparkSession, indexDir: String,
+      numFiles: Int = 1): Unit = {
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .repartition(numFiles)
+      .sortWithinPartitions(col("vec_id"), col("m"))
+      .localCheckpoint(true)
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .repartition(numFiles)
+      .sortWithinPartitions(col("cid"), col("vec_id"))
+      .localCheckpoint(true)
+    cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+    ()
+  }
+
   /** Probe-only ANN against the stored model: ADC tables from the
     * stored codebook, one scan of the stored codes, exact re-rank
     * against the raw vectors in `sfDir` — NO training work. `queries`

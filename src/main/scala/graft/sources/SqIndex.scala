@@ -81,6 +81,20 @@ object SqIndex {
     ()
   }
 
+  /** COMPACTION — rewrite the reconstruction relation into
+    * `numFiles`-file layout sorted by vec_id, folding the
+    * one-file-set-per-[[appendBatch]] pileup; contents bit-identical
+    * (SqIndexSpec). */
+  def compact(spark: SparkSession, indexDir: String,
+      numFiles: Int = 1): Unit = {
+    val recon = spark.read.parquet(s"$indexDir/recon")
+      .repartition(numFiles)
+      .sortWithinPartitions(col("vec_id"))
+      .localCheckpoint(true)
+    recon.write.mode("overwrite").parquet(s"$indexDir/recon")
+    ()
+  }
+
   /** Probe-only ANN against the stored reconstruction: NO quantization
     * work. `queries` must carry (q_id, qem, qn) ([[DataOps.annQueries]]
     * shape). */

@@ -1842,6 +1842,26 @@ class DataOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == DataOps.dsirWeights(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSet)
+    // removeBatch inverts appendBatch bit-for-bit
+    val life =
+      java.nio.file.Files.createTempDirectory("graft-dsir-life").toString
+    graft.sources.DsirStore.buildFrom(spark,
+      dbl.where($"doc_id" % 2 === 0), life)
+    val s0 = stats(life)
+    graft.sources.DsirStore.appendBatch(spark,
+      dbl.where($"doc_id" % 2 === 1), life)
+    graft.sources.DsirStore.removeBatch(spark,
+      dbl.where($"doc_id" % 2 === 1), life)
+    assert(stats(life) == s0)
+    // dsirRemoved == scoring everyone against the evens-trained model,
+    // and it differs from the self-trained scoring (the audit would
+    // catch a no-op removal)
+    val removed = graft.sources.DsirStore.dsirRemoved(spark, SF)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(removed == graft.sources.DsirStore.scoreAgainst(spark,
+      dbl.select($"doc_id", $"text"), life)
+      .as[(Long, Long, Long, Long)].collect().toSet)
+    assert(removed != got)
   }
 
   test("textrankKeywords equals the naive integer power iteration") {

@@ -42,6 +42,25 @@ class LangProfileStoreSpec extends SparkSpec {
     assert(got == rows(DataOps.langIdNgram(spark, SF)) && got.nonEmpty)
   }
 
+  test("removeBatch inverts appendBatch; langIdRemoved == the stored split") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    def rels(dir: String) = Seq("counts", "profiles").map { rel =>
+      rel -> spark.read.parquet(s"$dir/$rel")
+        .collect().map(_.toSeq).toSet
+    }.toMap
+    val dir = Files.createTempDirectory("graft-lang-life").toString
+    LangProfileStore.buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+    val s0 = rels(dir)
+    LangProfileStore.appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
+    LangProfileStore.removeBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
+    assert(rels(dir) == s0)
+    // registry deletion round-trip == the evens-trained split form
+    val got = rows(LangProfileStore.langIdRemoved(spark, SF))
+    assert(got == rows(LangProfileStore.langIdStored(spark, SF)) &&
+      got.nonEmpty)
+  }
+
   test("langIdStored == classifying the odd half against a fresh-model score") {
     val d = spark.read.parquet(s"$SF/documents.parquet")
       .select(col("doc_id"), col("lang"), col("text"))

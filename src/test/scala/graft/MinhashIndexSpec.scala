@@ -109,6 +109,29 @@ class MinhashIndexSpec extends SparkSpec {
     assert(probeAfter == probeBefore)
   }
 
+  test("statsOf telemetry tracks every lifecycle mutation") {
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def stats(dir: String) =
+      MinhashIndex.statsOf(spark, dir).collect().map(_.toSeq).toSet
+    val dir = Files.createTempDirectory("graft-mh-tel").toString
+    MinhashIndex.build(spark, docs.where(col("doc_id") % 2 === 0), dir)
+    val evens = stats(dir)
+    // append moves every counter; remove restores them exactly
+    MinhashIndex.appendBatch(spark, docs.where(col("doc_id") % 2 === 1), dir)
+    val full = stats(dir)
+    assert(full != evens)
+    MinhashIndex.removeBatch(spark,
+      docs.where(col("doc_id") % 2 === 1).select("doc_id"), dir)
+    assert(stats(dir) == evens)
+    // the registry form reads the same numbers off a full-corpus build
+    val reg = MinhashIndex.minhashStats(spark, SF)
+      .collect().map(_.toSeq).toSet
+    val fullDir = Files.createTempDirectory("graft-mh-tel-full").toString
+    MinhashIndex.build(spark, docs, fullDir)
+    assert(reg == stats(fullDir) && reg == full)
+  }
+
   test("dedupIncremental registry entry: two-step store == one-shot build probe") {
     val got = MinhashIndex.dedupIncremental(spark, SF)
       .as[(Long, Long, Long)].collect().toSet

@@ -53,6 +53,14 @@ class PqIndexSpec extends SparkSpec {
     PqIndex.appendBatch(spark, v.where(col("vec_id") % 4 === 3), dir2)
     PqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
     assert(rels(dir2) == rels(dir))
+    // compact folds the append pileup without changing contents
+    val before = rels(dir2)
+    PqIndex.compact(spark, dir2)
+    assert(rels(dir2) == before)
+    assert(Seq("codes", "cells").forall { rel =>
+      new java.io.File(s"$dir2/$rel").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1
+    })
   }
 
   test("lifecycle registry entries replay their splits end-to-end") {

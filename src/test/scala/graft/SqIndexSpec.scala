@@ -41,6 +41,11 @@ class SqIndexSpec extends SparkSpec {
     SqIndex.removeBatch(spark,
       v.where(col("vec_id") % 2 === 1).select(col("vec_id")), inc)
     assert(recon(inc) == s0)
+    // compact folds the append pileup without changing contents
+    SqIndex.compact(spark, inc)
+    assert(recon(inc) == s0)
+    assert(new java.io.File(s"$inc/recon").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
     // registry entries: incremental == annSq verbatim; removed ==
     // survivors-only probe with no odd neighbor surfacing
     assert(rows(SqIndex.annSqIncremental(spark, SF)) ==
