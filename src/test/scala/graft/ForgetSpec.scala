@@ -48,6 +48,36 @@ class ForgetSpec extends SparkSpec {
     assert(snapshot() == before)
   }
 
+  test("a fully-forgotten language partition rewrites to empty, not survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-forget-empty").toString
+    val docs = Seq(
+      (1L, "de", "ein kleines deutsches dokument mit etwas text"),
+      (2L, "de", "noch ein deutsches dokument mit anderem text"),
+      (3L, "en", "a small english document with some text inside"))
+      .toDF("doc_id", "lang", "text")
+    CorpusSink.appendCurated(docs, s"$dir/corpus")
+    PostingsIndex.buildFrom(spark,
+      docs.select(col("doc_id"), col("text")), s"$dir/postings")
+    MinhashIndex.build(spark,
+      docs.select(col("doc_id"), col("text")), s"$dir/minhash")
+    Forget.forget(spark, Seq(1L, 2L).toDF("doc_id"),
+      s"$dir/corpus", s"$dir/postings", s"$dir/minhash")
+    // the de partition still exists but reads back zero rows — the
+    // per-partition rewrite handles the all-victims case the dynamic
+    // overwrite mode would silently skip
+    val after = spark.read.parquet(s"$dir/corpus")
+    assert(after.count() == 1L &&
+      after.select("doc_id").head().getLong(0) == 3L)
+    assert(spark.read.parquet(s"$dir/corpus/lang=de").count() == 0L)
+    // and the stores agree: only doc 3 remains indexed
+    assert(spark.read.parquet(s"$dir/postings/doclen")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(spark.read.parquet(s"$dir/minhash/shingles")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("one forget call scrubs corpus, search and dedup surfaces together") {
     val dir = Files.createTempDirectory("graft-forget-e2e").toString
     val docs = publishAll(dir)
