@@ -2871,7 +2871,13 @@ object OracleSqlData {
     * same modal-trigram head (count DESC, gram ASC LIMIT 1), same
     * start-anchor alignment aggregate (a posting for part i at position
     * p votes for start p − i; a start with 3 votes is an occurrence). */
-  val phraseSearch: String =
+  /** Phrase-search mirror, parameterized by the POSITIONAL-side
+    * predicate (over `pos.doc_id`): the phrase head stays the full
+    * corpus's modal trigram (the query stand-in comes from outside the
+    * store), while the position algebra sees only the predicate's
+    * documents — the [[graft.sources.PositionsIndex.removeBatch]]
+    * mirror. */
+  private def phraseSearchT(postingsPred: String): String =
     s"""WITH $posCte,
        |tri AS (
        |  SELECT doc_id,
@@ -2893,11 +2899,18 @@ object OracleSqlData {
        |  SELECT pos.doc_id, parts.gr, pos.pos - parts.i AS strt,
        |         COUNT(*) AS k
        |  FROM pos JOIN parts ON pos.t = parts.t
+       |  WHERE $postingsPred
        |  GROUP BY 1, 2, 3
        |)
        |SELECT doc_id, gr AS phrase, COUNT(*) AS n_hits,
        |       CAST(MIN(strt) AS BIGINT) AS first_pos
        |FROM starts WHERE k = 3 GROUP BY 1, 2""".stripMargin
+
+  val phraseSearch: String = phraseSearchT("TRUE")
+
+  /** [[graft.sources.PositionsIndex.phraseRemoved]] mirror: positions
+    * filtered to the surviving even doc_ids. */
+  lazy val phraseRemoved: String = phraseSearchT("pos.doc_id % 2 = 0")
 
   /** DSIR importance-weight mirror
     * ([[graft.pipeline.DataOps.dsirWeights]]): identical hashed-bigram

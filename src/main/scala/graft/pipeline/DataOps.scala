@@ -1513,18 +1513,44 @@ object DataOps {
     * classic posting-list-intersection cost, proportional to the
     * phrase tokens' list sizes, not the corpus. Output (doc_id,
     * phrase, n_hits, first_pos). */
-  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val pos = docs(spark, sfDir)
-      .select(col("doc_id"), posexplode(graft.functions.WordGramsExpr
-        .grams(spark, col("text"), 1, distinct = false))
-        .as(Seq("pos", "t")))
-    val top = docs(spark, sfDir)
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame =
+    phraseProbeStage(
+      positionsOf(spark, docs(spark, sfDir)),
+      phraseParts(spark, docs(spark, sfDir)))
+
+  /** The positional relation (doc_id, pos, t) of a (doc_id, text)
+    * corpus frame — the store-layout unit of
+    * [[graft.sources.PositionsIndex]] (a position depends only on its
+    * own document, so the relation appends/removes per-doc — the K9
+    * lifecycle discipline applies verbatim). */
+  private[graft] def positionsOf(spark: SparkSession,
+      corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), posexplode(graft.functions.WordGramsExpr
+      .grams(spark, col("text"), 1, distinct = false))
+      .as(Seq("pos", "t")))
+
+  /** The standard deterministic phrase query: the corpus's modal
+    * trigram exploded to (g, i, t) parts — the query-side stand-in
+    * (the annQueries discipline: queries come from OUTSIDE the store),
+    * shared by the self-contained batch operator and the
+    * [[graft.sources.PositionsIndex]] probes. */
+  private[graft] def phraseParts(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    val top = corpus
       .select(explode(graft.functions.WordGramsExpr.grams(spark,
         col("text"), 3, distinct = false)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g").asc).limit(1)
-    val parts = top.select(col("g"),
+    top.select(col("g"),
       posexplode(split(col("g"), " ")).as(Seq("i", "t")))
+  }
+
+  /** The probe proper — position algebra of a (g, i, t) parts frame
+    * against a positional relation; shared VERBATIM by
+    * [[phraseSearch]] and the persistent store's probes, so the two
+    * are plan-identical by construction. */
+  private[graft] def phraseProbeStage(pos: DataFrame,
+      parts: DataFrame): DataFrame =
     pos.join(broadcast(parts), Seq("t"))
       .groupBy(col("doc_id"), col("g").as("phrase"),
         (col("pos") - col("i")).as("strt"))
@@ -1533,7 +1559,6 @@ object DataOps {
       .groupBy(col("doc_id"), col("phrase"))
       .agg(count(lit(1)).as("n_hits"),
         min(col("strt")).cast("long").as("first_pos"))
-  }
 
   /** RANKED RETRIEVAL over the [[invertedIndex]] tier — the scored
     * search primitive beside [[phraseSearch]]'s exact positional match:

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.DataOps
+import graft.sources.PositionsIndex
+
+/** The persistent positional index ([[PositionsIndex]], K10) must be a
+  * lossless round-trip (positions are exact integers, so probing the
+  * read-back store is IDENTICAL to the self-contained batch operator)
+  * with the K9 lifecycle invariants: per-doc-additive append, exact-
+  * inverse removal, contents-identical compaction. */
+class PositionsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, String, Long, Long)].collect().toSet
+
+  test("store probes reproduce the batch operator; lifecycle invariants hold") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def store(dir: String) = spark.read.parquet(s"$dir/positions")
+      .collect().map(_.toSeq).toSet
+    val batch = rows(DataOps.phraseSearch(spark, SF))
+    assert(batch.nonEmpty)
+    // round-trip == batch operator
+    assert(rows(PositionsIndex.phraseIndexed(spark, SF)) == batch)
+    // build(evens)+append(odds) == one-shot build, relation-identical
+    val full = Files.createTempDirectory("graft-pos-one").toString
+    PositionsIndex.buildFrom(spark, d, full)
+    val inc = Files.createTempDirectory("graft-pos-two").toString
+    PositionsIndex.buildFrom(spark, d.where(col("doc_id") % 2 === 0), inc)
+    val s0 = store(inc)
+    PositionsIndex.appendBatch(spark, d.where(col("doc_id") % 2 === 1), inc)
+    assert(store(inc) == store(full))
+    assert(rows(PositionsIndex.phraseIncremental(spark, SF)) == batch)
+    // remove(append(S,B),B) == S; compact preserves contents
+    PositionsIndex.removeBatch(spark,
+      d.where(col("doc_id") % 2 === 1).select("doc_id"), inc)
+    assert(store(inc) == s0)
+    PositionsIndex.compact(spark, inc)
+    assert(store(inc) == s0)
+    assert(new java.io.File(s"$inc/positions").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // deletion: no victim reports a hit; survivors answer exactly the
+    // evens-filtered probe (head still the full corpus's phrase)
+    val removed = rows(PositionsIndex.phraseRemoved(spark, SF))
+    assert(removed.nonEmpty && removed.forall(_._1 % 2 == 0))
+    assert(removed == rows(DataOps.phraseProbeStage(
+      DataOps.positionsOf(spark, d.where(col("doc_id") % 2 === 0)),
+      DataOps.phraseParts(spark, d))))
+    assert(removed != batch)
+    // ad-hoc phrase serving: a caller-supplied phrase probes the store
+    val adhoc = Seq(("the quick fox", 0, "the"), ("the quick fox", 1, "quick"),
+      ("the quick fox", 2, "fox")).toDF("g", "i", "t")
+    PositionsIndex.phraseAgainst(spark, adhoc, full).collect()
+  }
+}
