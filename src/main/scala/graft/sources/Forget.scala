@@ -46,7 +46,8 @@ object Forget {
     * store mutates, so a bad request fails atomically instead of
     * half-applying. */
   def forget(spark: SparkSession, docIds: DataFrame, corpusDir: String,
-      postingsDir: String, minhashDir: String): Unit = {
+      postingsDir: String, minhashDir: String,
+      positionsDir: Option[String] = None): Unit = {
     val ids = docIds.select(col("doc_id")).localCheckpoint(true)
     val n = ids.count()
     require(n == ids.distinct().count(),
@@ -62,6 +63,7 @@ object Forget {
     CorpusSink.deleteDocs(spark, ids, corpusDir)
     PostingsIndex.removeBatch(spark, ids, postingsDir)
     MinhashIndex.removeBatch(spark, ids, minhashDir)
+    positionsDir.foreach(PositionsIndex.removeBatch(spark, ids, _))
     ()
   }
 
@@ -79,9 +81,12 @@ object Forget {
         docs.select(col("doc_id"), col("text")), s"$dir/postings")
       MinhashIndex.build(spark,
         docs.select(col("doc_id"), col("text")), s"$dir/minhash")
+      PositionsIndex.buildFrom(spark,
+        docs.select(col("doc_id"), col("text")), s"$dir/positions")
       forget(spark,
         docs.where(col("doc_id") % 2 === 1).select(col("doc_id")),
-        s"$dir/corpus", s"$dir/postings", s"$dir/minhash")
+        s"$dir/corpus", s"$dir/postings", s"$dir/minhash",
+        Some(s"$dir/positions"))
     }
     dir
   }
@@ -121,6 +126,21 @@ object Forget {
     }
     PostingsIndex.probeStandardBm25(spark,
       s"${forgottenDirs(spark, sfDir)}/postings")
+  }
+
+  /** Registry entry: the standard phrase probed against the
+    * composed-forget positional store ≡ the survivors-filtered
+    * [[PositionsIndex.phraseRemoved]] oracle — no forgotten document
+    * may still report an exact-phrase hit. */
+  def forgetPhrase(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      return PositionsIndex.phraseRemoved(spark, sfDir)
+    }
+    PositionsIndex.phraseAgainst(spark,
+      DataOps.phraseParts(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))),
+      s"${forgottenDirs(spark, sfDir)}/positions")
   }
 
   /** Registry entry: the victims probed as a fresh snapshot against

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.sources.{CorpusSink, MinhashIndex, PostingsIndex}
+import graft.sources.{CorpusSink, MinhashIndex, PositionsIndex,
+  PostingsIndex}
 
 /**
  * The end-to-end INGEST JOB — the data-pipeline surface in the same
@@ -24,10 +25,11 @@ import graft.sources.{CorpusSink, MinhashIndex, PostingsIndex}
  *     (per-batch batch-join — zero stream state, the store holds every
  *     heavy relation)
  *   → [[CorpusSink.appendCurated]] (lang-partitioned parquet publish)
- *   → [[PostingsIndex.appendBatch]] (the K9 search index absorbs the
- *     published batch — landed documents become immediately
- *     BM25-searchable, indexed on the same redacted text that was
- *     published)
+ *   → [[PostingsIndex.appendBatch]] + [[PositionsIndex.appendBatch]]
+ *     (the K9 search index and the K10 positional index absorb the
+ *     published batch — landed documents become immediately BM25- AND
+ *     exact-phrase-searchable, indexed on the same redacted text that
+ *     was published)
  *   → [[MinhashIndex.appendBatch]] (the dedup store absorbs the same
  *     published batch, so batch N+1 dedups against every batch ≤ N —
  *     CONTINUOUS ingest dedup, not just new-vs-bootstrap; within ONE
@@ -121,16 +123,19 @@ object IngestPipeline {
       outDir: String, compactEvery: Int = 0): StreamingQuery = {
     val spark = docStream.sparkSession
     val searchDir = s"$outDir/index"
-    PostingsIndex.buildFrom(spark,
-      spark.range(0).select(col("id").as("doc_id"),
-        lit("").as("text")), searchDir)
+    val posDir = s"$outDir/positions"
+    val empty = spark.range(0).select(col("id").as("doc_id"),
+      lit("").as("text"))
+    PostingsIndex.buildFrom(spark, empty, searchDir)
+    PositionsIndex.buildFrom(spark, empty, posDir)
     StreamingOps.curationStream(docStream, sfDir).writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val marker = new java.io.File(s"$outDir/committed/$batchId")
         if (!marker.exists()) {
-          processBatch(batch.toDF(), indexDir, searchDir, outDir)
+          processBatch(batch.toDF(), indexDir, searchDir, posDir, outDir)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
             PostingsIndex.compact(batch.sparkSession, searchDir)
+            PositionsIndex.compact(batch.sparkSession, posDir)
             MinhashIndex.compact(batch.sparkSession, indexDir)
           }
           marker.getParentFile.mkdirs()
@@ -146,7 +151,7 @@ object IngestPipeline {
   /** One batch's writes: ledger gate → curation tail → publish →
     * store merges → ledger append. */
   private def processBatch(verdict: DataFrame, indexDir: String,
-      searchDir: String, outDir: String): Unit = {
+      searchDir: String, posDir: String, outDir: String): Unit = {
     val spark = verdict.sparkSession
     val seenPath = s"$outDir/seen"
     val fresh = (if (new java.io.File(seenPath).exists())
@@ -161,6 +166,7 @@ object IngestPipeline {
     val pubText = published.select(col("doc_id"),
       col("clean_text").as("text"))
     PostingsIndex.appendBatch(spark, pubText, searchDir)
+    PositionsIndex.appendBatch(spark, pubText, posDir)
     MinhashIndex.appendBatch(spark, pubText, indexDir)
     // ledger LAST: a crash before this line replays the batch, whose
     // marker is also unwritten — the marker, not the ledger, is the

@@ -308,6 +308,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming phrase serving over the K10 persistent positional
+    * index ([[graft.sources.PositionsIndex]]) — the exact-phrase query
+    * path: each micro-batch of (g, i, t) phrase-part rows probes the
+    * stored positional relation via `foreachBatch` →
+    * [[graft.sources.PositionsIndex.phraseAgainst]], appending each
+    * phrase's (doc_id, phrase, n_hits, first_pos) hits to `outDir`.
+    * A phrase's answer depends only on its own parts and the frozen
+    * store, so results are independent of micro-batch boundaries —
+    * stream ≡ batch pinned in StreamingSpec. Stream state is zero. */
+  def phraseServeStream(partsStream: DataFrame, indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    partsStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.PositionsIndex
+          .phraseAgainst(batch.sparkSession, batch.toDF(), indexDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming ANN serving over the K7 persistent SQ store
     * ([[graft.sources.SqIndex]]) — the [[annAgainstStream]] twin at the
     * scalar-quantized tier (the one store that had no streaming

@@ -968,6 +968,18 @@ class StreamingSpec extends SparkSpec {
       // are searchable on a term they contain
       assert(graft.sources.PostingsIndex.bm25Against(spark,
         Seq("dup").toDF("token"), s"$outDir/index").count() > 0)
+      // the K10 positional store tracks the same published corpus:
+      // maintained == a one-shot build, relation-identical
+      val posOneShot = java.nio.file.Files
+        .createTempDirectory("graft-ingest-pos-oneshot").toString
+      graft.sources.PositionsIndex.buildFrom(spark,
+        spark.read.parquet(s"$outDir/corpus")
+          .select(col("doc_id"), col("clean_text").as("text")),
+        posOneShot)
+      assert(spark.read.parquet(s"$outDir/positions/positions")
+          .collect().map(_.toSeq).toSet ==
+        spark.read.parquet(s"$posOneShot/positions")
+          .collect().map(_.toSeq).toSet)
       // RE-LANDED idempotency: the same documents landing again are
       // dropped by the seen ledger — nothing publishes, audits or
       // merges twice
@@ -1019,6 +1031,42 @@ class StreamingSpec extends SparkSpec {
       assert(nFiles(s"$indexDir/bands") == 1)
       assert(graft.sources.PostingsIndex.bm25Against(spark,
         Seq("dup").toDF("token"), s"$outDir/index").count() > 0)
+    } finally q.stop()
+  }
+
+  test("phraseServeStream: two phrase micro-batches over one store == batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-pos-s").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-pos-sout")
+        .toString + "/hits"
+    graft.sources.PositionsIndex.build(spark, SF, indexDir)
+    // two deterministic ad-hoc phrases: the corpus's top two trigrams
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val top2 = docs.select(explode(graft.functions.WordGramsExpr
+        .grams(spark, col("text"), 3, distinct = false)).as("g"))
+      .groupBy("g").count()
+      .orderBy(col("count").desc, col("g").asc).limit(2)
+      .select("g").as[String].collect()
+    def parts(g: String) =
+      g.split(" ").zipWithIndex.map { case (t, i) => (g, i, t) }.toSeq
+    val in = MemoryStream[(String, Int, String)]
+    val q = StreamingOps.phraseServeStream(
+      in.toDF().toDF("g", "i", "t"), indexDir, outDir)
+    try {
+      in.addData(parts(top2(0)))
+      q.processAllAvailable()
+      in.addData(parts(top2(1)))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = graft.sources.PositionsIndex.phraseAgainst(spark,
+        (parts(top2(0)) ++ parts(top2(1))).toDF("g", "i", "t"), indexDir)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed.map(_._2) == top2.toSet)
     } finally q.stop()
   }
 
