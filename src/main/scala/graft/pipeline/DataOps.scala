@@ -1761,11 +1761,19 @@ object DataOps {
     * (each one built scan-side by its own operator); everything here —
     * the full-outer join, the integer fusion, the final rank window —
     * runs on ≤ 20 rows at any corpus size. */
-  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tfidfSearch(spark, sfDir)
-      .select(col("doc_id"), col("rnk").as("tfidf_rnk"))
-    val b = bm25Search(spark, sfDir)
-      .select(col("doc_id"), col("rnk").as("bm25_rnk"))
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame =
+    rrfStage(tfidfSearch(spark, sfDir), bm25Search(spark, sfDir))
+
+  /** The fusion stage proper — reciprocal-rank fusion of a tf-idf and
+    * a BM25 top-10 relation (each carrying (doc_id, rnk)); shared
+    * VERBATIM by the self-contained [[rrfFusion]] and the
+    * store-served [[graft.sources.PostingsIndex.rrfIndexed]] (both
+    * rankers probed off ONE persistent index), so the two are
+    * plan-identical by construction. */
+  private[graft] def rrfStage(tfidf: DataFrame,
+      bm25: DataFrame): DataFrame = {
+    val t = tfidf.select(col("doc_id"), col("rnk").as("tfidf_rnk"))
+    val b = bm25.select(col("doc_id"), col("rnk").as("bm25_rnk"))
     t.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("tfidf_rnk"), lit(0L)).as("tfidf_rnk"),
@@ -2448,7 +2456,20 @@ object DataOps {
     val cells = cellRanks(spark, sfDir, cents).where(col("rnk") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val (el, refined, coded) = pqParts(spark, sfDir)
-    val q = annQueries(spark, sfDir)
+    finish(ivfPqProbe(spark, annQueries(spark, sfDir), cents, cells,
+      refined, coded, emb(spark, sfDir)), el)
+  }
+
+  /** The probe-only half of [[annIvfPq]] — coarse probe lists against
+    * given centroids, cell-pruned ADC against a given codebook/code
+    * relation, exact re-rank. Shared VERBATIM by the fresh-model path
+    * above and the persistent [[graft.sources.PqIndex]] store (all
+    * four relations read back from parquet — `annIvfPqIndexed`), so
+    * the two are plan-identical by construction. `cells` must carry
+    * (vec_id, cell). */
+  private[graft] def ivfPqProbe(spark: SparkSession, q: DataFrame,
+      cents: DataFrame, cells: DataFrame, refined: DataFrame,
+      coded: DataFrame, v: DataFrame): DataFrame = {
     val probes = q.crossJoin(broadcast(cents))
       .select(col("q_id"), col("cid").as("cell"),
         cosRaw(dot(col("qem"), col("cem")), col("qn"), col("cn")).as("cs"))
@@ -2481,13 +2502,12 @@ object DataOps {
         PqShortlist).as("top"))
       .select(col("q_id"), explode(col("top")).as("e"))
       .select(col("q_id"), (-col("e.nn")).as("n_id"))
-    val v = emb(spark, sfDir)
     val rescored = short
       .join(v, col("n_id") === col("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         cosRaw(dot(col("em"), col("qem")), col("nrm"), col("qn")).as("cs"))
-    finish(rankTopK(spark, rescored, 10), el)
+    rankTopK(spark, rescored, 10)
   }
 
   /** Scalar-quantized ANN shortlist width (the [[PqShortlist]]

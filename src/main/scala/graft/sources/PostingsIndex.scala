@@ -373,6 +373,25 @@ object PostingsIndex {
     probeStandardBm25(spark, dir)
   }
 
+  /** Registry form of HYBRID FUSION served from the store — both
+    * rankers ([[bm25Indexed]]'s probe and [[tfidfIndexed]]'s) run off
+    * ONE persistent index and fuse by reciprocal rank
+    * ([[DataOps.rrfStage]] verbatim): the production hybrid-search
+    * shape (one index, N rankers, one fused list). Result ≡
+    * [[DataOps.rrfFusion]] (same oracle). */
+  def rrfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      return DataOps.rrfFusion(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-postings-index", sfDir)
+    buildOnce(spark, sfDir, dir)
+    DataOps.rrfStage(
+      DataOps.tfidfScoreStage(
+        spark.read.parquet(s"$dir/postings"),
+        standardQuery(spark, dir)),
+      probeStandardBm25(spark, dir))
+  }
+
   /** Registry form of the tf-idf probe — shares [[bm25Indexed]]'s store
     * (one build, two rankers served), ≡ [[DataOps.tfidfSearch]] (same
     * oracle). */

@@ -153,10 +153,12 @@ object PqIndex {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Registry form — the full round-trip: build (write) the store for
-    * the sf directory, then answer the standard ANN query set purely
-    * from the read-back relations. Result ≡ [[DataOps.annPq]] (same
-    * oracle), which is exactly the claim a persistent index must prove:
-    * nothing was lost between the trained model and the serving store. */
+    * the sf directory ONCE (shared with [[annIvfPqIndexed]] — one
+    * build, both probes), then answer the standard ANN query set
+    * purely from the read-back relations. Result ≡ [[DataOps.annPq]]
+    * (same oracle), which is exactly the claim a persistent index must
+    * prove: nothing was lost between the trained model and the serving
+    * store. */
   def annPqIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
       // Explain mode must run no job: audit the probe plan over fresh
@@ -166,8 +168,39 @@ object PqIndex {
         refined, coded, DataOps.emb(spark, sfDir))
     }
     val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
-    build(spark, sfDir, dir)
+    if (built.add(dir)) build(spark, sfDir, dir)
     queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
+  }
+
+  /** Composed IVF+PQ probe against the stored model — the FAISS IVFPQ
+    * SERVING path from the persistent store: stored centroids build
+    * the probe lists, stored cells prune which stored codes enter the
+    * ADC scan, exact re-rank against the raw vectors. All four store
+    * relations serve ONE probe; NO training work. */
+  def ivfPqAgainst(spark: SparkSession, queries: DataFrame,
+      indexDir: String, sfDir: String): DataFrame =
+    DataOps.ivfPqProbe(spark, queries,
+      spark.read.parquet(s"$indexDir/centroids"),
+      spark.read.parquet(s"$indexDir/cells")
+        .select(col("vec_id"), col("cid").as("cell")),
+      spark.read.parquet(s"$indexDir/codebook"),
+      spark.read.parquet(s"$indexDir/codes"),
+      DataOps.emb(spark, sfDir))
+
+  /** Registry form of the composed probe — shares [[annPqIndexed]]'s
+    * store (one build, BOTH ANN probes served: the flat ADC scan and
+    * the cell-pruned composed path — what makes the K5 store a real
+    * FAISS-style index, not a single-query cache). Result ≡
+    * [[DataOps.annIvfPq]] (same oracle). */
+  def annIvfPqIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: probe plan over fresh model
+      // relations (plan-identical to the store read by design).
+      return DataOps.annIvfPq(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
+    if (built.add(dir)) build(spark, sfDir, dir)
+    ivfPqAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }
 
   /** Registry form of the INCREMENTAL path: train + build the store

@@ -61,6 +61,13 @@ class PostingsIndexSpec extends SparkSpec {
     assert(!w.contains("nosuchtokenanywhere") && w.contains("the"))
   }
 
+  test("rrfIndexed: hybrid fusion off one store == the self-contained fusion") {
+    assert(PostingsIndex.rrfIndexed(spark, SF)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet ==
+      graft.pipeline.DataOps.rrfFusion(spark, SF)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet)
+  }
+
   test("bm25ServeAgainst: the store answers a multi-query batch == self-contained serve") {
     val dir = Files.createTempDirectory("graft-postings-serve").toString
     PostingsIndex.build(spark, SF, dir)

@@ -24,6 +24,11 @@ class PqIndexSpec extends SparkSpec {
       rows(DataOps.annPq(spark, SF)))
   }
 
+  test("one store serves the composed IVFPQ probe == the fresh model") {
+    assert(rows(PqIndex.annIvfPqIndexed(spark, SF)) ==
+      rows(DataOps.annIvfPq(spark, SF)))
+  }
+
   test("removeBatch inverts appendBatch bit-for-bit; append is decomposition-invariant") {
     val v = DataOps.emb(spark, SF)
     def rels(dir: String) = Seq("codebook", "codes", "centroids",
