@@ -3131,6 +3131,7 @@ object OracleSqlData {
     * mirrors (pristine stores replay their model mirrors verbatim;
     * append/remove tiers their split mirrors). */
   lazy val annStoreRecall: String = recallEvalSql(Seq(
+    "ivfpq_store" -> annIvfPq,
     "pq_add" -> annPqIncremental, "pq_rm" -> annPqRemoved,
     "pq_store" -> annPq,
     "sq_add" -> annSq, "sq_rm" -> annSqRemoved,

@@ -2625,6 +2625,8 @@ object DataOps {
     val truth = persistUnlessLazy(
       annBrute(spark, sfDir).select(col("q_id"), col("n_id")))
     val tiers: Seq[(String, DataFrame)] = Seq(
+      "ivfpq_store" ->
+        graft.sources.PqIndex.annIvfPqIndexed(spark, sfDir),
       "pq_add"   -> graft.sources.PqIndex.annPqIncremental(spark, sfDir),
       "pq_rm"    -> graft.sources.PqIndex.annPqRemoved(spark, sfDir),
       "pq_store" -> graft.sources.PqIndex.annPqIndexed(spark, sfDir),

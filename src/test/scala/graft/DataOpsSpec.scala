@@ -1966,11 +1966,12 @@ class DataOpsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val store = rowsOf(DataOps.annStoreRecall(spark, SF))
     val model = rowsOf(DataOps.annRecallEval(spark, SF))
-    assert(store.keySet == Set("pq_add", "pq_rm", "pq_store",
-      "sq_add", "sq_rm", "sq_store"))
+    assert(store.keySet == Set("ivfpq_store", "pq_add", "pq_rm",
+      "pq_store", "sq_add", "sq_rm", "sq_store"))
     // pristine stores ARE their models: identical audited rows
     assert(store("pq_store") == model("pq"))
     assert(store("sq_store") == model("sq"))
+    assert(store("ivfpq_store") == model("ivfpq"))
     // SQ codes are per-vector, so the appended store is exactly the
     // one-shot build — identical row again
     assert(store("sq_add") == model("sq"))
