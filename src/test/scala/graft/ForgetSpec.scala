@@ -4,7 +4,8 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{CorpusSink, Forget, MinhashIndex, PostingsIndex}
+import graft.sources.{CorpusSink, DsirStore, Forget, LangProfileStore,
+  MinhashIndex, PostingsIndex, PqIndex, SqIndex}
 
 /** The composed right-to-be-forgotten ([[Forget]]) must scrub EVERY
   * surface with one call, refuse malformed requests before any store
@@ -128,5 +129,54 @@ class ForgetSpec extends SparkSpec {
       docs.where(col("lang") === victimLang && col("doc_id") % 2 === 1),
       s"$fresh/minhash").collect().map(_.toSeq).toSet
     assert(probeMaintained == probeFresh)
+  }
+
+  test("one forget call also scrubs the vector and model stores") {
+    val dir = Files.createTempDirectory("graft-forget-full").toString
+    val docs = publishAll(dir)
+    PqIndex.build(spark, SF, s"$dir/pq")
+    SqIndex.build(spark, SF, s"$dir/sq")
+    LangProfileStore.buildFrom(spark, docs, s"$dir/lang")
+    DsirStore.buildFrom(spark, docs, s"$dir/dsir")
+    // snapshot the full-corpus-trained vector models BEFORE the forget
+    def rel(p: String) =
+      spark.read.parquet(s"$dir/$p").collect().map(_.toSeq).toSet
+    val fullCodebook = rel("pq/codebook")
+    val fullCentroids = rel("pq/centroids")
+    val fullCodes = rel("pq/codes")
+    val fullCells = rel("pq/cells")
+    val fullRecon = rel("sq/recon")
+    // the composed call: the model stores' subtraction needs victim
+    // text fetched BEFORE the corpus rewrite — exercised for real here
+    // because the corpus is deleted first inside forget()
+    Forget.forget(spark,
+      docs.where(col("doc_id") % 2 === 1).select(col("doc_id")),
+      s"$dir/corpus", s"$dir/postings", s"$dir/minhash",
+      None, Some(s"$dir/pq"), Some(s"$dir/sq"),
+      Some(s"$dir/lang"), Some(s"$dir/dsir"))
+    // vector stores: model FROZEN (codebook/centroids untouched),
+    // corpus relations = the full build minus the victims' rows
+    assert(rel("pq/codebook") == fullCodebook)
+    assert(rel("pq/centroids") == fullCentroids)
+    def evenVec(rows: Set[Seq[Any]]) =
+      rows.filter(_.head.asInstanceOf[Long] % 2 == 0)
+    assert(rel("pq/codes") == evenVec(fullCodes))
+    assert(rel("pq/cells") == evenVec(fullCells))
+    assert(rel("sq/recon") == evenVec(fullRecon))
+    // model stores: count subtraction left the evens-trained model,
+    // bit-identical to training on the survivors from scratch
+    val fresh = Files.createTempDirectory("graft-forget-full-fresh").toString
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    LangProfileStore.buildFrom(spark, evens, s"$fresh/lang")
+    DsirStore.buildFrom(spark, evens, s"$fresh/dsir")
+    assert(rel("lang/counts") ==
+      spark.read.parquet(s"$fresh/lang/counts")
+        .collect().map(_.toSeq).toSet)
+    assert(rel("lang/profiles") ==
+      spark.read.parquet(s"$fresh/lang/profiles")
+        .collect().map(_.toSeq).toSet)
+    assert(rel("dsir/stats") ==
+      spark.read.parquet(s"$fresh/dsir/stats")
+        .collect().map(_.toSeq).toSet)
   }
 }
