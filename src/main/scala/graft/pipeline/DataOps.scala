@@ -1268,7 +1268,17 @@ object DataOps {
     val cents = pin(centroids(spark, sfDir))
     val assign = cellRanks(spark, sfDir, cents).where(col("rnk") === 1)
       .select(col("vec_id"), col("cid"))
-    val q = annQueries(spark, sfDir)
+    ivfProbe(spark, annQueries(spark, sfDir), cents, assign,
+      emb(spark, sfDir))
+  }
+
+  /** The probe-only half of [[annIvf]] — probe-cell selection, cell
+    * join, exact re-rank — shared verbatim with [[annRecallEval]]'s
+    * ivf tier (which supplies the centroids/assignments it already
+    * trained for the composed IVFPQ tier), so the two are
+    * plan-identical by construction. */
+  private[graft] def ivfProbe(spark: SparkSession, q: DataFrame,
+      cents: DataFrame, assign: DataFrame, v: DataFrame): DataFrame = {
     val probes = q.crossJoin(broadcast(cents))
       .select(col("q_id"), col("cid"),
         cosRaw(dot(col("qem"), col("cem")), col("qn"), col("cn")).as("cs"))
@@ -1277,7 +1287,6 @@ object DataOps {
           .orderBy(col("cs").desc, col("cid").asc)))
       .where(col("prnk") <= 4)
       .select(col("q_id"), col("cid"))
-    val v = emb(spark, sfDir)
     // The probe list (queries × 4 cells) is tiny and the cell id has only
     // IvfC distinct values — broadcast the probes so the big assignment
     // side never shuffles onto <= IvfC partitions; the final per-query
@@ -2570,17 +2579,37 @@ object DataOps {
     * joins, the counts, the union — runs on Q·10-row inputs; the heavy
     * work is the tiers themselves, each with its own documented scale
     * plan. The oracle inlines each tier's full mirror as a nested CTE
-    * and replays the same set algebra. */
+    * and replays the same set algebra.
+    *
+    * The audit TRAINS EACH MODEL ONCE and fans it out to every tier
+    * that shares it — the IVF centroids/assignments feed both the ivf
+    * tier and the composed ivfpq tier, the PQ codebook/codes feed both
+    * pq and ivfpq — instead of letting each standalone operator retrain
+    * the identical model (identical by determinism, so only the work is
+    * shared, never the result: each tier runs the standalone operator's
+    * own probe stage verbatim — [[ivfProbe]] / [[ivfPqProbe]] /
+    * [[pqProbe]] / [[sqProbe]]). */
   def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = persistUnlessLazy(
       annBrute(spark, sfDir).select(col("q_id"), col("n_id")))
+    val q = annQueries(spark, sfDir)
+    val v = emb(spark, sfDir)
+    val cents = pin(centroids(spark, sfDir))
+    val ranks = persistUnlessLazy(
+      cellRanks(spark, sfDir, cents).where(col("rnk") === 1)
+        .select(col("vec_id"), col("cid")))
+    val (el, refined, coded0) = pqPartsFrom(v)
+    val coded = persistUnlessLazy(coded0)
+    val recon = persistUnlessLazy(sqRecon(spark, v))
     val tiers: Seq[(String, DataFrame)] = Seq(
-      "ivf"   -> annIvf(spark, sfDir),
-      "ivfpq" -> annIvfPq(spark, sfDir),
+      "ivf"   -> ivfProbe(spark, q, cents, ranks, v),
+      "ivfpq" -> ivfPqProbe(spark, q, cents,
+        ranks.select(col("vec_id"), col("cid").as("cell")),
+        refined, coded, v),
       "lsh"   -> annLsh(spark, sfDir),
-      "pq"    -> annPq(spark, sfDir),
-      "sq"    -> annSq(spark, sfDir))
-    finish(recallRows(truth, tiers), truth)
+      "pq"    -> pqProbe(spark, q, refined, coded, v),
+      "sq"    -> sqProbe(spark, q, recon, v))
+    finish(recallRows(truth, tiers), truth, ranks, el, coded, recon)
   }
 
   /** The shared audit algebra of [[annRecallEval]] / [[annStoreRecall]]:
