@@ -171,6 +171,149 @@ object OracleSqlData {
        |FROM agg""".stripMargin
   }
 
+  /** Dedup-family recall audit mirror
+    * ([[graft.pipeline.DataOps.dedupRecallEval]]): the
+    * [[minhashRecallEval]] sample + shingle-Jaccard ≥ 0.5 truth, with
+    * each SHIPPED tier pair relation replayed over the same sample —
+    * exact md5 pairs, the banded-LSH verified minhash pairs (string
+    * band keys, the same with-high-probability parity note as
+    * [[dedupMinhash]]), and the simhash / within-source-ngram tiers in
+    * their DEFINITIONAL all-pairs forms (Hamming ≤ 3, Jaccard ≥ 0.8 —
+    * the engine's chunk-bucket and PPJoin prunings are exact, so the
+    * filtered forms are the definition). */
+  val dedupRecallEval: String = {
+    val k = DataOps.MinhashK
+    s"""WITH wrds AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |  WHERE ${h60("'recall:' || doc_id")} % 5 = 0
+       |),
+       |$shCte,
+       |nsh AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+       |tr AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM tr
+       |  JOIN nsh na ON na.doc_id = tr.doc_a
+       |  JOIN nsh nb ON nb.doc_id = tr.doc_b
+       |  WHERE CAST(ROUND(CAST(inter AS DOUBLE) /
+       |    CAST(na.nsh + nb.nsh - inter AS DOUBLE) * $MIC) AS BIGINT)
+       |    >= 500000
+       |),
+       |docsub AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${h60("'recall:' || doc_id")} % 5 = 0
+       |),
+       |ex AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM docsub a JOIN docsub b
+       |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+       |),
+       |shh AS (SELECT doc_id, ${h60("sh")} % $P AS hp FROM sh),
+       |perm AS (SELECT unnest(range(0, $k)) AS i),
+       |sig AS (
+       |  SELECT s.doc_id, p.i,
+       |         MIN(((((2 * p.i + 1) * 2654435761) % $P) * s.hp +
+       |              ((p.i * 2246822519) % $P)) % $P) AS m
+       |  FROM shh s CROSS JOIN perm p
+       |  GROUP BY 1, 2
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // ${DataOps.MinhashR} AS band,
+       |         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY 1, 2
+       |),
+       |mhcand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |),
+       |mh AS (
+       |  SELECT c.doc_a, c.doc_b FROM mhcand c
+       |  JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |),
+       |wc AS (
+       |  SELECT doc_id, w_, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(w) AS w_ FROM wrds)
+       |  GROUP BY 1, 2
+       |),
+       |wh AS (SELECT doc_id, cnt, ${h60("w_")} AS h FROM wc),
+       |sb AS (
+       |  SELECT doc_id, j,
+       |         SUM(CASE WHEN ((h >> j) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM wh CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+       |  GROUP BY 1, 2
+       |),
+       |sim AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+       |                       ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM sb GROUP BY 1
+       |),
+       |sm AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |),
+       |tok AS (
+       |  SELECT doc_id, source, unnest(list_distinct(w)) AS w_ FROM wrds
+       |),
+       |ntok AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
+       |intr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM tok a JOIN tok b
+       |    ON a.source = b.source AND a.w_ = b.w_ AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |ng AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT i.doc_a, i.doc_b,
+       |           CAST(ROUND(CAST(i.inter AS DOUBLE) /
+       |             CAST(na.nt + nb.nt - i.inter AS DOUBLE) * $MIC)
+       |             AS BIGINT) AS jac_micro
+       |    FROM intr i
+       |    JOIN ntok na ON na.doc_id = i.doc_a
+       |    JOIN ntok nb ON nb.doc_id = i.doc_b
+       |  ) WHERE jac_micro >= 800000
+       |),
+       |tiers AS (
+       |  SELECT 'exact' AS tier,
+       |         (SELECT COUNT(*) FROM ex) AS n_cand,
+       |         (SELECT COUNT(*) FROM ex c JOIN truth t
+       |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+       |  UNION ALL
+       |  SELECT 'minhash',
+       |         (SELECT COUNT(*) FROM mh),
+       |         (SELECT COUNT(*) FROM mh c JOIN truth t
+       |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |  UNION ALL
+       |  SELECT 'ngram',
+       |         (SELECT COUNT(*) FROM ng),
+       |         (SELECT COUNT(*) FROM ng c JOIN truth t
+       |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |  UNION ALL
+       |  SELECT 'simhash',
+       |         (SELECT COUNT(*) FROM sm),
+       |         (SELECT COUNT(*) FROM sm c JOIN truth t
+       |            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |)
+       |SELECT tier,
+       |       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       |       CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+       |                 THEN (n_hit * 1000000) //
+       |                      (SELECT COUNT(*) FROM truth)
+       |                 ELSE 1000000 END AS BIGINT) AS recall_micro,
+       |       CAST(CASE WHEN n_cand > 0 THEN (n_hit * 1000000) // n_cand
+       |                 ELSE 1000000 END AS BIGINT) AS precision_micro
+       |FROM tiers""".stripMargin
+  }
+
   /** Connected components over the minhash pair graph via WITH RECURSIVE:
     * rep(doc) = min doc_id reachable through near-dup edges. */
   /** LPA mirror ([[graft.pipeline.DataOps.dupCommunities]]): the

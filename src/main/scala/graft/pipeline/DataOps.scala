@@ -92,7 +92,10 @@ object DataOps {
     * interpreted evaluation cost more than all of dedupMinhash's joins
     * and aggregates combined (5.5 s vs 0.6 s at sf0.1). */
   private def shingleRows(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).select(col("doc_id"),
+    shingleRowsOf(spark, docs(spark, sfDir))
+
+  private def shingleRowsOf(spark: SparkSession, d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
       explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 3,
         distinct = true)).as("sh"))
 
@@ -144,11 +147,18 @@ object DataOps {
     * The signature is ONE groupBy(doc_id) with 48 min() aggregates over a
     * per-shingle hash array — map-side partial min keeps the shuffle at
     * 48 longs per document regardless of document size. */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    dedupMinhashFrom(spark, docs(spark, sfDir))
+
+  /** [[dedupMinhash]] over an explicit (doc_id, text) frame — the same
+    * plan on any sub-corpus (shared with [[dedupRecallEval]]'s
+    * sample-restricted tier). */
+  private[graft] def dedupMinhashFrom(spark: SparkSession,
+      d: DataFrame): DataFrame = {
     // Persisted: the shingle relation feeds four plan branches (signature,
     // both verify sides, sizes) and the band relation two (the bucket
     // self-join); without persistence Spark re-executes each occurrence.
-    val sh = shingleRows(spark, sfDir).withColumn("hp", hashP(col("sh")))
+    val sh = shingleRowsOf(spark, d).withColumn("hp", hashP(col("sh")))
       .persist()
     val mins = (0 until MinhashK).map(i =>
       min(permHash(i, col("hp"))).as(s"m$i"))
@@ -284,6 +294,90 @@ object DataOps {
         expr("CASE WHEN n_cand > 0 THEN (n_hit * 1000000) div n_cand " +
           "ELSE 1000000 END").as("precision_micro"))
     finish(out, sh, ndocs)
+  }
+
+  /** DEDUP-FAMILY RECALL AUDIT — the [[annRecallEval]] discipline
+    * applied to the text-dedup tiers: every SHIPPED pair relation
+    * (exact md5 pairs, the MinHash-LSH verified pairs of
+    * [[dedupMinhash]], the Hamming ≤ 3 pairs of [[dedupSimhash]], the
+    * within-source Jaccard ≥ 0.8 pairs of [[dedupNgramSource]]) scored
+    * on ONE sampled sub-corpus against ONE exact ground truth — the
+    * complete common-shingle pair set at shingle-Jaccard ≥ 0.5
+    * ([[minhashRecallEval]]'s truth) — so the tiers' coverage is
+    * COMPARABLE: which true near-dup pairs each tier actually reports,
+    * and how much verify workload it admits per hit. Output 4 rows:
+    * (tier ∈ {exact, minhash, ngram, simhash}, n_true, n_cand, n_hit,
+    * recall_micro, precision_micro). Expected shape, pinned in
+    * DataOpsSpec: exact recall ≪ simhash/ngram ≪ minhash (each tier
+    * targets a stricter similarity than the truth's 0.5), minhash
+    * precision = 10^6 by construction (its verify threshold IS the
+    * truth's).
+    *
+    * Each tier runs its standalone operator's own plan verbatim over
+    * the sampled frame ([[dedupMinhashFrom]] / [[dedupSimhashFrom]] /
+    * [[ngramPairsFrom]] — per-doc signatures depend only on a doc's
+    * own text, and the PPJoin prefix filter is lossless, so
+    * sample-restriction commutes with every tier).
+    *
+    * 100 TB shape: the sample is guarded at [[MaxRecallEvalDocs]]
+    * (in-plan assert — the all-pairs truth is the one quadratic here);
+    * every tier inherits its operator's own scale plan; the audit
+    * algebra runs on pair relations of the bounded sample. */
+  def dedupRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids0 = docs(spark, sfDir).select(col("doc_id"))
+      .where(pmod(graft.functions.HashFns.hash60(
+        concat(lit("recall:"), col("doc_id"))), lit(5L)) === 0L)
+    val ndocs = persistUnlessLazy(ids0.agg(count(lit(1)).as("n_docs")))
+    val ids = ids0.crossJoin(broadcast(ndocs))
+      .select(when(assert_true(col("n_docs") <= lit(MaxRecallEvalDocs),
+          lit(s"recall-eval sample has >$MaxRecallEvalDocs docs — the " +
+            "all-pairs ground truth would go quadratic; shrink the " +
+            "sample rate")).isNull,
+        col("doc_id")).as("doc_id"))
+    val d = persistUnlessLazy(docs(spark, sfDir)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text")))
+    // exact ground truth: common-shingle pairs + Jaccard >= 0.5 (the
+    // minhashRecallEval truth, over the same sample)
+    val sh = shingleRowsOf(spark, d).persist()
+    val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val truth = persistUnlessLazy(sh.as("sa").join(sh.as("sb"),
+        col("sa.sh") === col("sb.sh") &&
+          col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .where(round(col("inter").cast("double") /
+        (col("na.nsh") + col("nb.nsh") - col("inter")).cast("double") *
+        lit(MICRO)).cast("long") >= 500000L)
+      .select(col("doc_a"), col("doc_b")))
+    val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactPairs = hashes.as("a").join(hashes.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "exact"   -> exactPairs,
+      "minhash" -> dedupMinhashFrom(spark, d)
+        .select(col("doc_a"), col("doc_b")),
+      "ngram"   -> ngramPairsFrom(spark, d)
+        .select(col("doc_a"), col("doc_b")),
+      "simhash" -> dedupSimhashFrom(spark, d)
+        .select(col("doc_a"), col("doc_b")))
+    val out = tiers.map { case (name, pairs) =>
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(pairs.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(lit(name).as("tier"), col("n_true"), col("n_cand"),
+          col("n_hit"),
+          expr("CASE WHEN n_true > 0 THEN (n_hit * 1000000) div n_true " +
+            "ELSE 1000000 END").as("recall_micro"),
+          expr("CASE WHEN n_cand > 0 THEN (n_hit * 1000000) div n_cand " +
+            "ELSE 1000000 END").as("precision_micro"))
+    }.reduce(_ unionByName _)
+    finish(out, d, sh, truth, ndocs)
   }
 
   /** Min-label connected components over an undirected edge list
@@ -497,8 +591,11 @@ object DataOps {
   /** 60-bit SimHash over whitespace-token frequencies (Charikar 2002
     * similarity estimation; chunk-bucketed pairing as in Manku et al.
     * 2007, "Detecting Near-Duplicates for Web Crawling"). */
-  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    val wc = docs(spark, sfDir)
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigsFrom(spark, docs(spark, sfDir))
+
+  private def simhashSigsFrom(spark: SparkSession, d: DataFrame): DataFrame = {
+    val wc = d
       .select(col("doc_id"),
         explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 1,
           distinct = false)).as("w"))
@@ -521,9 +618,15 @@ object DataOps {
     * 15-bit-chunk buckets — EXACT for d ≤ 3 by pigeonhole (4 chunks,
     * ≤ 3 differing bits ⇒ ≥ 1 equal chunk), so the bucket join loses
     * nothing vs all-pairs. Output (doc_a, doc_b, hamming). */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSimhashFrom(spark, docs(spark, sfDir))
+
+  /** [[dedupSimhash]] over an explicit (doc_id, text) frame (shared
+    * with [[dedupRecallEval]]'s sample-restricted tier). */
+  private[graft] def dedupSimhashFrom(spark: SparkSession,
+      d: DataFrame): DataFrame = {
     // Persisted: feeds the chunk self-join (twice) and both verify sides.
-    val sig = simhashSigs(spark, sfDir).persist()
+    val sig = simhashSigsFrom(spark, d).persist()
     val chunkArr = array((0 until SimhashChunks).map(c =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), SimhashChunkBits * c)
@@ -559,9 +662,18 @@ object DataOps {
     * enter the bucket join, pruning the frequent-token buckets that
     * dominate an unfiltered (block, token) self-join. Verification then
     * touches candidate pairs only. */
-  def dedupNgramSource(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupNgramSource(spark: SparkSession, sfDir: String): DataFrame =
+    ngramPairsFrom(spark, docs(spark, sfDir))
+
+  /** [[dedupNgramSource]] over an explicit (doc_id, source, text) frame
+    * (shared with [[dedupRecallEval]]'s sample-restricted tier). The
+    * PPJoin prefix ranks re-derive from whatever corpus is passed, and
+    * since prefix+position filtering is LOSSLESS the output pair set is
+    * the definitional Jaccard ≥ 0.8 relation either way. */
+  private[graft] def ngramPairsFrom(spark: SparkSession,
+      d: DataFrame): DataFrame = {
     // Persisted: token relation feeds ranking, both verify sides, sizes.
-    val tok = docs(spark, sfDir)
+    val tok = d
       .select(col("doc_id"), col("source"),
         explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 1,
           distinct = true)).as("w"))

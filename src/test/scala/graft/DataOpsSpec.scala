@@ -732,6 +732,38 @@ class DataOpsSpec extends SparkSpec {
       s"true=$nTrue recall=${r.getLong(4)}")
   }
 
+  test("dedupRecallEval scores every shipped tier against one truth") {
+    val rows = DataOps.dedupRecallEval(spark, SF).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(rows.keySet == Set("exact", "minhash", "ngram", "simhash"))
+    // one shared truth relation across all tiers
+    assert(rows.values.map(_._1).toSet.size == 1)
+    rows.foreach { case (tier, (nTrue, nCand, nHit, rec, prec)) =>
+      assert(nHit <= math.min(nTrue, nCand), tier)
+      assert(rec >= 0 && rec <= 1000000L && prec >= 0 &&
+        prec <= 1000000L, tier)
+    }
+    // minhash verifies at the truth's own threshold, so every shipped
+    // pair is a hit: precision 10^6 by construction
+    assert(rows("minhash")._3 == rows("minhash")._2)
+    // driver-side recount of the exact tier: identical-text pairs
+    // within the same deterministic sample
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter { case (id, _) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"recall:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16) % 5 == 0 }
+    val naiveExact = d.groupBy(_._2).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(rows("exact")._2 == naiveExact)
+    // the fixture's sampled near-dup pair exists and minhash finds it
+    assert(rows("minhash")._1 >= 1 && rows("minhash")._4 == 1000000L)
+  }
+
   test("vocabCoverage ranks the head with exact cumulative coverage") {
     val rows = DataOps.vocabCoverage(spark, SF)
       .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
