@@ -279,6 +279,49 @@ object StreamingOps {
       }
       .start()
 
+  /** STREAMING RIGHT-TO-BE-FORGOTTEN — the deletion-request QUEUE a
+    * pipeline actually operates (GDPR/CCPA requests arrive
+    * continuously, not as one batch): each micro-batch of (doc_id)
+    * deletion requests drives ONE composed [[graft.sources.Forget]]
+    * call across every maintained surface the pipeline publishes, and
+    * appends the honored ids to `outDir` as the compliance audit log
+    * (request → batch_id → honored, the trail an auditor asks for).
+    *
+    * Micro-batch boundaries don't matter: every store's `removeBatch`
+    * is the exact inverse of its `appendBatch` and the model stores'
+    * subtraction is associative, so forgetting ids in two batches ≡
+    * forgetting their union in one (pinned in StreamingSpec against
+    * the single-call composed forget, relation by relation). The
+    * per-batch contract guard still applies per batch: requests must
+    * be duplicate-free within a batch and name still-published docs —
+    * a re-request of an already-forgotten id fails the batch loudly
+    * (the alternative, silently skipping, would corrupt the audit
+    * trail's "honored" meaning).
+    *
+    * 100 TB shape: deletion batches are KB-sized and broadcast into
+    * every store's anti-join; per batch the corpus rewrite touches
+    * only the victims' lang partitions. */
+  def forgetStream(requestStream: DataFrame, corpusDir: String,
+      postingsDir: String, minhashDir: String,
+      positionsDir: Option[String] = None,
+      pqDir: Option[String] = None, sqDir: Option[String] = None,
+      langDir: Option[String] = None, dsirDir: Option[String] = None,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    requestStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Forget.forget(batch.sparkSession, batch.toDF(),
+            corpusDir, postingsDir, minhashDir, positionsDir,
+            pqDir, sqDir, langDir, dsirDir)
+          batch.toDF().select(col("doc_id"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming ANN serving over the K5 persistent PQ store
     * ([[graft.sources.PqIndex]]) — the vector-store query path: each
     * micro-batch of raw float query vectors converts to the micro-unit

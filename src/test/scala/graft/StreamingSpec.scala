@@ -1096,4 +1096,65 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.map(_._1) == Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("forgetStream: two deletion-request micro-batches == one composed forget") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{CorpusSink, DsirStore, Forget, MinhashIndex,
+      PostingsIndex}
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    def buildAll(dir: String): Unit = {
+      CorpusSink.appendCurated(docs, s"$dir/corpus")
+      PostingsIndex.buildFrom(spark,
+        docs.select(col("doc_id"), col("text")), s"$dir/postings")
+      MinhashIndex.build(spark,
+        docs.select(col("doc_id"), col("text")), s"$dir/minhash")
+      DsirStore.buildFrom(spark, docs, s"$dir/dsir")
+    }
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft-forget-stream").toString
+    val bDir = java.nio.file.Files
+      .createTempDirectory("graft-forget-stream-ref").toString
+    buildAll(sDir); buildAll(bDir)
+    val outDir = s"$sDir/audit"
+    val in = MemoryStream[Long]
+    val q = StreamingOps.forgetStream(
+      in.toDF().toDF("doc_id"), s"$sDir/corpus", s"$sDir/postings",
+      s"$sDir/minhash", None, None, None, None, Some(s"$sDir/dsir"),
+      outDir)
+    try {
+      def ids(m: Long) = docs.where(col("doc_id") % 4 === m)
+        .select("doc_id").as[Long].collect().toSeq
+      in.addData(ids(1L))
+      q.processAllAvailable()
+      in.addData(ids(3L))
+      q.processAllAvailable()
+      // reference: the SAME odd ids forgotten in ONE composed call
+      Forget.forget(spark, docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id")),
+        s"$bDir/corpus", s"$bDir/postings", s"$bDir/minhash",
+        None, None, None, None, Some(s"$bDir/dsir"))
+      def rel(root: String, p: String) =
+        spark.read.parquet(s"$root/$p").collect().map(_.toSeq).toSet
+      Seq("corpus", "postings/postings", "postings/doclen",
+        "postings/vocab", "postings/stats", "minhash/shingles",
+        "minhash/bands", "dsir/stats").foreach { p =>
+        assert(rel(sDir, p) == rel(bDir, p), p)
+      }
+      // the audit log holds every honored id across both batch_ids
+      val audit = spark.read.parquet(outDir)
+        .as[(Long, Long)].collect()
+      assert(audit.map(_._1).toSet == (ids(1L) ++ ids(3L)).toSet)
+      assert(audit.map(_._2).toSet.size == 2)
+      // a re-request of an already-forgotten id fails the batch loudly
+      // (silently skipping would corrupt the audit trail's meaning)
+      in.addData(Seq(ids(1L).head))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("not in the published") ||
+        Option(err.getCause).exists(
+          _.getMessage.contains("not in the published")))
+    } finally q.stop()
+  }
 }
