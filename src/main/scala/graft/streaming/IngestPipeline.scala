@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.sources.{CorpusSink, MinhashIndex, PositionsIndex,
-  PostingsIndex}
+import graft.sources.{CorpusSink, DsirStore, LangProfileStore,
+  MinhashIndex, PositionsIndex, PostingsIndex}
 
 /**
  * The end-to-end INGEST JOB — the data-pipeline surface in the same
@@ -36,6 +36,15 @@ import graft.sources.{CorpusSink, MinhashIndex, PositionsIndex,
  *     micro-batch documents still pass independently, the documented
  *     batch-granularity scope — [[graft.pipeline.DataOps.dedupMinhash]]
  *     over a batch is the new-vs-new complement)
+ *   → [[LangProfileStore.appendBatch]] + [[DsirStore.appendBatch]]
+ *     (the K6/K8 trained-model stores absorb the published batch's
+ *     labeled text — the language classifier and importance model the
+ *     pipeline serves RETRAIN CONTINUOUSLY from what it publishes;
+ *     count merges are associative, so the maintained models stay
+ *     bit-identical to one-shot builds over the published corpus, and
+ *     [[graft.sources.Forget.forget]]'s subtraction is their exact
+ *     inverse — the append/forget loop is closed for every store this
+ *     job maintains)
  *
  * with near-dup hits appended to `outDir/dups` as the audit trail.
  *
@@ -128,6 +137,14 @@ object IngestPipeline {
       lit("").as("text"))
     PostingsIndex.buildFrom(spark, empty, searchDir)
     PositionsIndex.buildFrom(spark, empty, posDir)
+    // Model stores seed empty too: counts/stats are pure sums, so the
+    // maintained model after N batches IS the one-shot build over the
+    // published corpus. (No compact hook needed — their appends rewrite
+    // the KB-sized relations wholesale, nothing piles up.)
+    val emptyLabeled = spark.range(0).select(col("id").as("doc_id"),
+      lit("").as("lang"), lit("").as("text"))
+    LangProfileStore.buildFrom(spark, emptyLabeled, s"$outDir/lang")
+    DsirStore.buildFrom(spark, emptyLabeled, s"$outDir/dsir")
     StreamingOps.curationStream(docStream, sfDir).writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val marker = new java.io.File(s"$outDir/committed/$batchId")
@@ -168,6 +185,10 @@ object IngestPipeline {
     PostingsIndex.appendBatch(spark, pubText, searchDir)
     PositionsIndex.appendBatch(spark, pubText, posDir)
     MinhashIndex.appendBatch(spark, pubText, indexDir)
+    val pubLabeled = published.select(col("doc_id"), col("lang"),
+      col("clean_text").as("text"))
+    LangProfileStore.appendBatch(spark, pubLabeled, s"$outDir/lang")
+    DsirStore.appendBatch(spark, pubLabeled, s"$outDir/dsir")
     // ledger LAST: a crash before this line replays the batch, whose
     // marker is also unwritten — the marker, not the ledger, is the
     // restart-idempotency boundary

@@ -980,6 +980,30 @@ class StreamingSpec extends SparkSpec {
           .collect().map(_.toSeq).toSet ==
         spark.read.parquet(s"$posOneShot/positions")
           .collect().map(_.toSeq).toSet)
+      // the K6/K8 maintained MODEL stores retrain continuously from
+      // the published batches: after two appends onto the empty seed,
+      // counts/stats are bit-identical to one-shot builds over the
+      // published corpus (associative sums, end-to-end)
+      val pubLabeled = spark.read.parquet(s"$outDir/corpus")
+        .select(col("doc_id"), col("lang").cast("string").as("lang"),
+          col("clean_text").as("text"))
+      val langOneShot = java.nio.file.Files
+        .createTempDirectory("graft-ingest-lang-oneshot").toString
+      graft.sources.LangProfileStore.buildFrom(spark, pubLabeled,
+        langOneShot)
+      for (rel <- Seq("counts", "profiles")) {
+        assert(spark.read.parquet(s"$outDir/lang/$rel")
+            .collect().map(_.toSeq).toSet ==
+          spark.read.parquet(s"$langOneShot/$rel")
+            .collect().map(_.toSeq).toSet, rel)
+      }
+      val dsirOneShot = java.nio.file.Files
+        .createTempDirectory("graft-ingest-dsir-oneshot").toString
+      graft.sources.DsirStore.buildFrom(spark, pubLabeled, dsirOneShot)
+      assert(spark.read.parquet(s"$outDir/dsir/stats")
+          .collect().map(_.toSeq).toSet ==
+        spark.read.parquet(s"$dsirOneShot/stats")
+          .collect().map(_.toSeq).toSet)
       // RE-LANDED idempotency: the same documents landing again are
       // dropped by the seen ledger — nothing publishes, audits or
       // merges twice
