@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.sources.{MinhashIndex, PositionsIndex, PostingsIndex}
+import graft.sources.{CorpusSink, DsirStore, Forget, LangProfileStore,
+  MinhashIndex, PositionsIndex, PostingsIndex}
 
 /** Property checks of the persistent-store LIFECYCLE invariants beyond
   * the suites' fixed even/odd splits: for RANDOM corpora and RANDOM
@@ -94,6 +95,52 @@ class StoreLifecyclePropertiesSpec extends SparkSpec {
       val prels = Seq("postings", "doclen", "vocab", "stats")
       assert(rels(full, prels) == rels(want, prels),
         s"case $k victims=${victims.map(_._1)}")
+    }
+  }
+
+  test("composed forget: random victims leave survivors-only surfaces") {
+    // random LABELED corpora (two languages) so the corpus partitions,
+    // the language profiles and the importance stats all have structure
+    val labeledGen: Gen[(Seq[(Long, String, String)], Seq[Boolean])] = for {
+      (c, parts) <- splitGen
+      langs <- Gen.listOfN(c.length, Gen.oneOf("aa", "bb"))
+    } yield (c.zip(langs).map { case ((id, t), l) => (id, l, t) },
+      parts.map(_ == 0))
+    for (((corpus, victimFlags), k) <- cases(labeledGen, 3).zipWithIndex) {
+      val df = corpus.toDF("doc_id", "lang", "text")
+      val victims = corpus.zip(victimFlags).collect { case (d, true) => d }
+      val survivors = corpus.zip(victimFlags)
+        .collect { case (d, false) => d }
+      val dir = Files.createTempDirectory(s"prop-forget$k").toString
+      CorpusSink.appendCurated(df, s"$dir/corpus")
+      PostingsIndex.buildFrom(spark,
+        df.select(col("doc_id"), col("text")), s"$dir/postings")
+      MinhashIndex.build(spark,
+        df.select(col("doc_id"), col("text")), s"$dir/minhash")
+      LangProfileStore.buildFrom(spark, df, s"$dir/lang")
+      DsirStore.buildFrom(spark, df, s"$dir/dsir")
+      Forget.forget(spark, victims.map(_._1).toDF("doc_id"),
+        s"$dir/corpus", s"$dir/postings", s"$dir/minhash",
+        None, None, None, Some(s"$dir/lang"), Some(s"$dir/dsir"))
+      // every surface == built over the survivors from scratch
+      val want = Files.createTempDirectory(s"prop-forget-want$k").toString
+      val sdf = survivors.toDF("doc_id", "lang", "text")
+      PostingsIndex.buildFrom(spark,
+        sdf.select(col("doc_id"), col("text")), s"$want/postings")
+      MinhashIndex.build(spark,
+        sdf.select(col("doc_id"), col("text")), s"$want/minhash")
+      LangProfileStore.buildFrom(spark, sdf, s"$want/lang")
+      DsirStore.buildFrom(spark, sdf, s"$want/dsir")
+      val surfaces = Seq("postings/postings", "postings/doclen",
+        "postings/vocab", "postings/stats", "minhash/shingles",
+        "minhash/bands", "lang/counts", "lang/profiles", "dsir/stats")
+      surfaces.foreach { p =>
+        assert(rels(dir, Seq(p)) == rels(want, Seq(p)),
+          s"case $k surface $p victims=${victims.map(_._1)}")
+      }
+      val corpusLeft = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(corpusLeft == survivors.map(_._1).toSet, s"case $k corpus")
     }
   }
 }
