@@ -2430,6 +2430,41 @@ object OracleSqlData {
        |JOIN ($dedupClusters) c ON c.doc_id = d.doc_id
        |LEFT JOIN ($decontaminate) x ON x.doc_id = d.doc_id""".stripMargin
 
+  /** Curation-funnel mirror ([[DataOps.curationFunnel]]): the
+    * [[retentionDecision]] mirror nested verbatim, rolled up with
+    * first-gate drop attribution in the fixed pipeline order — the
+    * funnel can never drift from the per-doc verdicts. */
+  def curationFunnel: String =
+    s"""WITH rd AS ($retentionDecision),
+       |a AS (
+       |  SELECT COUNT(*) AS n0,
+       |         COALESCE(SUM(lang_keep), 0) AS n1,
+       |         COALESCE(SUM(lang_keep * quality_keep), 0) AS n2,
+       |         COALESCE(SUM(lang_keep * quality_keep * rep_keep), 0)
+       |           AS n3,
+       |         COALESCE(SUM(lang_keep * quality_keep * rep_keep *
+       |           dup_keep), 0) AS n4,
+       |         COALESCE(SUM(lang_keep * quality_keep * rep_keep *
+       |           dup_keep * contam_keep), 0) AS n5
+       |  FROM rd
+       |),
+       |f AS (
+       |  SELECT 1 AS stage_ord, 'language' AS stage, n0 AS n_in,
+       |         n1 AS n_out FROM a
+       |  UNION ALL SELECT 2, 'quality', n1, n2 FROM a
+       |  UNION ALL SELECT 3, 'repetition', n2, n3 FROM a
+       |  UNION ALL SELECT 4, 'dedup', n3, n4 FROM a
+       |  UNION ALL SELECT 5, 'decontamination', n4, n5 FROM a
+       |)
+       |SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+       |       CAST(n_in AS BIGINT) AS n_in,
+       |       CAST(n_out AS BIGINT) AS n_out,
+       |       CAST(n_in - n_out AS BIGINT) AS n_dropped,
+       |       CAST(CASE WHEN n_in > 0
+       |                 THEN ((n_in - n_out) * 1000000) // n_in
+       |                 ELSE 0 END AS BIGINT) AS drop_ppm
+       |FROM f""".stripMargin
+
   /** Common-vocabulary mirror ([[graft.pipeline.DataOps.commonVocab]]):
     * the same per-source distinct-token sets, INTERSECT instead of
     * EXCEPT. */

@@ -4141,6 +4141,54 @@ object DataOps {
         col("rep_keep") * col("dup_keep") * col("contam_keep"))
   }
 
+  /** CURATION FUNNEL — the per-gate rollup of [[retentionDecision]]:
+    * the "where did my documents go" dashboard every pipeline
+    * operates. The five independent gate bits are read in the fixed
+    * pipeline order (language → quality → repetition → dedup →
+    * decontamination) and each dropped document is attributed to the
+    * FIRST gate that rejects it (standard funnel semantics — gate N's
+    * n_in is gate N−1's n_out, so the rows compose into one
+    * monotonically-shrinking funnel instead of five overlapping drop
+    * sets). Output 5 rows: (stage_ord, stage, n_in, n_out, n_dropped,
+    * drop_ppm) with drop_ppm = dropped·10^6 div n_in (0 when n_in=0);
+    * the last row's n_out is exactly [[retentionDecision]]'s kept
+    * count. Oracle: the retentionDecision mirror nested verbatim, so
+    * the funnel can never drift from the per-doc verdicts.
+    *
+    * 100 TB shape: the heavy work IS [[retentionDecision]] (one fused
+    * scan + its two documented stateful joins); the funnel itself adds
+    * one 6-sum aggregate and a 5-row literal stack — nothing
+    * corpus-sized shuffles beyond the member's own plan. */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val rd = retentionDecision(spark, sfDir)
+    // Pinned: the 1-row aggregate feeds all five stage selects — without
+    // it the whole retentionDecision subplan re-executes per stage row.
+    val agg = pin(rd.agg(
+      count(lit(1)).as("n0"),
+      sum(col("lang_keep")).as("n1"),
+      sum(col("lang_keep") * col("quality_keep")).as("n2"),
+      sum(col("lang_keep") * col("quality_keep") * col("rep_keep"))
+        .as("n3"),
+      sum(col("lang_keep") * col("quality_keep") * col("rep_keep") *
+        col("dup_keep")).as("n4"),
+      sum(col("lang_keep") * col("quality_keep") * col("rep_keep") *
+        col("dup_keep") * col("contam_keep")).as("n5")))
+    val stages = Seq(("language", "n0", "n1"), ("quality", "n1", "n2"),
+      ("repetition", "n2", "n3"), ("dedup", "n3", "n4"),
+      ("decontamination", "n4", "n5"))
+    stages.zipWithIndex.map { case ((stage, in, out), i) =>
+      agg.select(lit(i.toLong + 1L).as("stage_ord"),
+        lit(stage).as("stage"),
+        coalesce(col(in), lit(0L)).as("n_in"),
+        coalesce(col(out), lit(0L)).as("n_out"),
+        (coalesce(col(in), lit(0L)) - coalesce(col(out), lit(0L)))
+          .as("n_dropped"),
+        expr(s"CASE WHEN coalesce($in, 0) > 0 THEN " +
+          s"((coalesce($in, 0) - coalesce($out, 0)) * 1000000) " +
+          s"div coalesce($in, 0) ELSE 0 END").as("drop_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   // =================================================================
   // Rule-based quality filter + data mixing
   // =================================================================

@@ -764,6 +764,40 @@ class DataOpsSpec extends SparkSpec {
     assert(rows("minhash")._1 >= 1 && rows("minhash")._4 == 1000000L)
   }
 
+  test("curationFunnel rolls the retention verdicts into one funnel") {
+    val rd = DataOps.retentionDecision(spark, SF)
+      .select("lang_keep", "quality_keep", "rep_keep", "dup_keep",
+        "contam_keep")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val rows = DataOps.curationFunnel(spark, SF)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("language", "quality",
+      "repetition", "dedup", "decontamination"))
+    // the funnel composes: each stage's n_in is the previous n_out
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._4, s"${b._2} n_in vs ${a._2} n_out") }
+    // driver-side recount with first-gate attribution
+    val naive = Seq(
+      rd.length.toLong,
+      rd.count(_._1 == 1L).toLong,
+      rd.count(r => r._1 == 1L && r._2 == 1L).toLong,
+      rd.count(r => r._1 == 1L && r._2 == 1L && r._3 == 1L).toLong,
+      rd.count(r => r._1 == 1L && r._2 == 1L && r._3 == 1L &&
+        r._4 == 1L).toLong,
+      rd.count(r => r._1 == 1L && r._2 == 1L && r._3 == 1L &&
+        r._4 == 1L && r._5 == 1L).toLong)
+    rows.zipWithIndex.foreach { case ((_, stage, nIn, nOut, drop, ppm), i) =>
+      assert(nIn == naive(i) && nOut == naive(i + 1), stage)
+      assert(drop == nIn - nOut, stage)
+      assert(ppm == (if (nIn > 0) (nIn - nOut) * 1000000L / nIn else 0L),
+        stage)
+    }
+    // the funnel ends at exactly the kept count
+    assert(rows.last._4 ==
+      rd.count(r => r.productIterator.forall(_ == 1L)).toLong)
+  }
+
   test("vocabCoverage ranks the head with exact cumulative coverage") {
     val rows = DataOps.vocabCoverage(spark, SF)
       .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
