@@ -3086,6 +3086,47 @@ object OracleSqlData {
 
   val phraseSearch: String = phraseSearchT("TRUE")
 
+  /** Proximity-search mirror ([[DataOps.proximitySearch]]): the modal
+    * trigram's first/last words as the standard term pair, windowed
+    * position-pair algebra (same-position pairs excluded), min
+    * distance + within-window pair count, HAVING the window. */
+  val proximitySearch: String = {
+    val w = DataOps.ProximityWindow
+    s"""WITH $posCte,
+       |tri AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 3 THEN
+       |           list_transform(range(1, len(w) - 1),
+       |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |g AS (SELECT doc_id, unnest(gs) AS gr FROM tri),
+       |top AS (SELECT gr FROM (SELECT gr, COUNT(*) AS c FROM g GROUP BY 1
+       |                        ORDER BY c DESC, gr ASC LIMIT 1)),
+       |terms AS (
+       |  SELECT string_split(gr, ' ')[1] AS ta,
+       |         string_split(gr, ' ')[3] AS tb
+       |  FROM top
+       |),
+       |pa AS (SELECT pos.doc_id, t.ta, pos.pos AS pos_a
+       |       FROM pos JOIN terms t ON pos.t = t.ta),
+       |pb AS (SELECT pos.doc_id, t.tb, pos.pos AS pos_b
+       |       FROM pos JOIN terms t ON pos.t = t.tb),
+       |pr AS (
+       |  SELECT pa.doc_id, pa.ta AS t_a, pb.tb AS t_b,
+       |         ABS(pos_a - pos_b) AS d
+       |  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+       |  WHERE pos_a <> pos_b
+       |)
+       |SELECT doc_id, t_a, t_b,
+       |       CAST(MIN(d) AS BIGINT) AS min_dist,
+       |       CAST(SUM(CASE WHEN d <= $w THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pairs_w
+       |FROM pr GROUP BY 1, 2, 3
+       |HAVING MIN(d) <= $w""".stripMargin
+  }
+
   /** [[graft.sources.PositionsIndex.phraseRemoved]] mirror: positions
     * filtered to the surviving even doc_ids. */
   lazy val phraseRemoved: String = phraseSearchT("pos.doc_id % 2 = 0")

@@ -1681,6 +1681,71 @@ object DataOps {
       .agg(count(lit(1)).as("n_hits"),
         min(col("strt")).cast("long").as("first_pos"))
 
+  /** Proximity window: two terms "near" each other means within 4
+    * token positions — the Lucene `"a b"~slop` convention at slop 4. */
+  val ProximityWindow = 4L
+
+  /** PROXIMITY SEARCH — the windowed-co-occurrence retrieval primitive
+    * between [[phraseSearch]]'s exact adjacency and [[bm25Search]]'s
+    * bag-of-words scoring (Lucene's SpanNearQuery / `"..."~slop`): all
+    * documents where the two standard terms occur within
+    * [[ProximityWindow]] positions, with the closest distance and the
+    * number of within-window position pairs (the proximity-boost
+    * evidence a ranker consumes). The standard query is deterministic:
+    * the modal trigram's FIRST and LAST words ([[phraseParts]]' own
+    * head — guaranteed co-occurring at distance 2 wherever the phrase
+    * occurs, plus whatever looser co-occurrences the corpus carries).
+    * Same-position pairs are excluded (one occurrence cannot witness
+    * its own proximity — also what makes the degenerate equal-terms
+    * query well-defined). Output (doc_id, t_a, t_b, min_dist,
+    * n_pairs_w), min_dist ≤ W.
+    *
+    * 100 TB shape: the two posting lists filter AT THE SCAN (broadcast
+    * single-term joins — the position relation never shuffles); the
+    * pair join is per-doc_id on the two terms' occurrence lists (the
+    * skew bound is the posting-list product of ONE document, the same
+    * bound Lucene's span scorer walks); the rollup is one hash
+    * aggregate. Served from the K10 store by
+    * [[graft.sources.PositionsIndex.proximityAgainst]] — this stage
+    * VERBATIM over the stored relation. */
+  def proximitySearch(spark: SparkSession, sfDir: String): DataFrame =
+    proximityStage(
+      positionsOf(spark, docs(spark, sfDir)),
+      proximityTerms(spark, docs(spark, sfDir)))
+
+  /** The standard deterministic proximity query: the modal trigram's
+    * first and last words as (t, role a|b) — derived from
+    * [[phraseParts]] so phrase and proximity probes share one
+    * standard-query discipline. */
+  private[graft] def proximityTerms(spark: SparkSession,
+      corpus: DataFrame): DataFrame =
+    phraseParts(spark, corpus)
+      .where(col("i") =!= 1)
+      .select(col("t"),
+        when(col("i") === 0, lit("a")).otherwise(lit("b")).as("role"))
+
+  /** The probe proper — windowed pair algebra of an (t, role) term
+    * frame against a positional relation; shared VERBATIM by
+    * [[proximitySearch]] and the persistent store's probe. */
+  private[graft] def proximityStage(pos: DataFrame,
+      terms: DataFrame): DataFrame = {
+    val pa = pos.join(broadcast(
+        terms.where(col("role") === "a").select(col("t"))), Seq("t"))
+      .select(col("doc_id"), col("t").as("t_a"), col("pos").as("pos_a"))
+    val pb = pos.join(broadcast(
+        terms.where(col("role") === "b").select(col("t"))), Seq("t"))
+      .select(col("doc_id"), col("t").as("t_b"), col("pos").as("pos_b"))
+    pa.join(pb, Seq("doc_id"))
+      .where(col("pos_a") =!= col("pos_b"))
+      .select(col("doc_id"), col("t_a"), col("t_b"),
+        abs(col("pos_a") - col("pos_b")).as("d"))
+      .groupBy(col("doc_id"), col("t_a"), col("t_b"))
+      .agg(min(col("d")).cast("long").as("min_dist"),
+        sum(when(col("d") <= ProximityWindow, 1L).otherwise(0L))
+          .as("n_pairs_w"))
+      .where(col("min_dist") <= ProximityWindow)
+  }
+
   /** RANKED RETRIEVAL over the [[invertedIndex]] tier — the scored
     * search primitive beside [[phraseSearch]]'s exact positional match:
     * rank all documents for a query by Σ tf(doc, term)·idf_bits(term)

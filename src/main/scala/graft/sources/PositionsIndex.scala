@@ -94,6 +94,17 @@ object PositionsIndex {
     DataOps.phraseProbeStage(
       spark.read.parquet(s"$indexDir/positions"), parts)
 
+  /** Proximity probe against the store: `terms` must carry (t, role)
+    * ([[DataOps.proximityTerms]] shape — any ad-hoc term pair fits);
+    * [[DataOps.proximityStage]] VERBATIM over the stored relation, so
+    * store and self-contained operator are plan-identical. The SAME
+    * positions file serves phrase AND proximity queries — the point of
+    * storing positions rather than phrase results. */
+  def proximityAgainst(spark: SparkSession, terms: DataFrame,
+      indexDir: String): DataFrame =
+    DataOps.proximityStage(
+      spark.read.parquet(s"$indexDir/positions"), terms)
+
   /** One store build+mutate per (JVM, directory) — the K9 guard: the
     * lifecycle entries' append half is not idempotent. */
   private val built =
@@ -118,6 +129,23 @@ object PositionsIndex {
     val dir = StoreDirs.tmpStoreDir("graft-pos-index", sfDir)
     if (built.add(dir)) build(spark, sfDir, dir)
     phraseAgainst(spark, standardParts(spark, sfDir), dir)
+  }
+
+  /** Registry form of the proximity probe — the SAME buildOnce store
+    * as [[phraseIndexed]] answers the standard windowed-co-occurrence
+    * query purely from the read-back relation. Result ≡
+    * [[DataOps.proximitySearch]] (same oracle): one positional store,
+    * two query families. */
+  def proximityIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      return DataOps.proximitySearch(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-pos-index", sfDir)
+    if (built.add(dir)) build(spark, sfDir, dir)
+    proximityAgainst(spark,
+      DataOps.proximityTerms(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))), dir)
   }
 
   /** Registry form of the INCREMENTAL path: build from the even half,

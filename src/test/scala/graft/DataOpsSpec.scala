@@ -764,6 +764,39 @@ class DataOpsSpec extends SparkSpec {
     assert(rows("minhash")._1 >= 1 && rows("minhash")._4 == 1000000L)
   }
 
+  test("proximitySearch matches the naive windowed pair walk") {
+    val texts = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    // naive modal trigram (count desc, gram asc)
+    val tri = texts.flatMap(_._2.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (g, c) => (-c, g) }.head._1.split(" ")
+    val (ta, tb) = (tri.head, tri.last)
+    val naive = texts.flatMap { case (id, ws) =>
+      val pa = ws.zipWithIndex.collect { case (w, i) if w == ta => i }
+      val pb = ws.zipWithIndex.collect { case (w, i) if w == tb => i }
+      val ds = for (a <- pa; b <- pb if a != b) yield math.abs(a - b)
+      if (ds.nonEmpty && ds.min <= DataOps.ProximityWindow)
+        Some((id, ta, tb, ds.min.toLong,
+          ds.count(_ <= DataOps.ProximityWindow).toLong))
+      else None
+    }.toSet
+    val got = DataOps.proximitySearch(spark, SF)
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    // the K10 store serves the identical relation from its positions
+    val stored = graft.sources.PositionsIndex
+      .proximityIndexed(spark, SF)
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(stored == got)
+    // every hit is within the window; the phrase's own occurrences
+    // guarantee distance-2 witnesses exist somewhere in the corpus
+    assert(got.forall(_._4 <= DataOps.ProximityWindow))
+    assert(got.exists(_._4 == 2L))
+  }
+
   test("curationFunnel rolls the retention verdicts into one funnel") {
     val rd = DataOps.retentionDecision(spark, SF)
       .select("lang_keep", "quality_keep", "rep_keep", "dup_keep",
