@@ -372,6 +372,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming proximity serving over the SAME K10 positional index —
+    * the windowed-co-occurrence query path beside [[phraseServeStream]]
+    * (one stored positions relation, both query families live): each
+    * micro-batch of (t, role) term-pair rows probes the store via
+    * `foreachBatch` →
+    * [[graft.sources.PositionsIndex.proximityAgainst]], appending each
+    * pair's (doc_id, t_a, t_b, min_dist, n_pairs_w) hits to `outDir`.
+    * CONTRACT: one term PAIR per micro-batch — the (t, role) shape
+    * keys terms by role only, so a batch IS one query (two pairs in
+    * one batch would cross their roles); the request queue admits
+    * pairs one trigger at a time. A pair's answer depends only on its
+    * own terms and the frozen store — stream ≡ batch pinned in
+    * StreamingSpec; zero stream state. */
+  def proximityServeStream(termsStream: DataFrame, indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    termsStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.PositionsIndex
+          .proximityAgainst(batch.sparkSession, batch.toDF(), indexDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming ANN serving over the K7 persistent SQ store
     * ([[graft.sources.SqIndex]]) — the [[annAgainstStream]] twin at the
     * scalar-quantized tier (the one store that had no streaming

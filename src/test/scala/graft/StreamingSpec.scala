@@ -1094,6 +1094,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("proximityServeStream: two term-pair micro-batches over one store == batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-prox-s").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-prox-sout")
+        .toString + "/hits"
+    graft.sources.PositionsIndex.build(spark, SF, indexDir)
+    // two deterministic ad-hoc term pairs off the top two trigrams:
+    // (first, last) of each — the proximityTerms shape
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val top2 = docs.select(explode(graft.functions.WordGramsExpr
+        .grams(spark, col("text"), 3, distinct = false)).as("g"))
+      .groupBy("g").count()
+      .orderBy(col("count").desc, col("g").asc).limit(2)
+      .select("g").as[String].collect()
+    def pair(g: String) = {
+      val ws = g.split(" ")
+      Seq((ws.head, "a"), (ws.last, "b"))
+    }
+    val in = MemoryStream[(String, String)]
+    val q = StreamingOps.proximityServeStream(
+      in.toDF().toDF("t", "role"), indexDir, outDir)
+    try {
+      in.addData(pair(top2(0)))
+      q.processAllAvailable()
+      in.addData(pair(top2(1)))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      // batch twin: each pair probed separately (a combined frame
+      // would cross the two pairs' roles), then unioned
+      val batch = top2.map(g =>
+        graft.sources.PositionsIndex.proximityAgainst(spark,
+          pair(g).toDF("t", "role"), indexDir)
+          .as[(Long, String, String, Long, Long)].collect().toSet)
+        .reduce(_ ++ _)
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed.forall(_._4 <= graft.pipeline.DataOps.ProximityWindow))
+    } finally q.stop()
+  }
+
   test("bm25ServeStream: two query micro-batches over one store == batch serve") {
     implicit val sqlCtx = spark.sqlContext
     val indexDir =
