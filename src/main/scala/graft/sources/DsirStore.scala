@@ -29,6 +29,11 @@ import graft.pipeline.DataOps
  */
 object DsirStore {
 
+  /** One store build+mutate per (JVM, directory) — the K9 guard:
+    * later registry calls probe, never re-mutate. */
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Train (overwrite) the bucket-statistics store from the sf corpus. */
   def build(spark: SparkSession, sfDir: String, storeDir: String): Unit =
     buildFrom(spark,
@@ -125,7 +130,7 @@ object DsirStore {
         DataOps.dsirStatsFromBuckets(withB))
     }
     val dir = StoreDirs.tmpStoreDir("graft-dsir-store", sfDir)
-    build(spark, sfDir, dir)
+    if (built.add(dir)) build(spark, sfDir, dir)
     scoreAgainst(spark, d, dir)
   }
 
@@ -143,8 +148,10 @@ object DsirStore {
     val dbl = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("text"))
     val dir = StoreDirs.tmpStoreDir("graft-dsir-incr", sfDir)
-    buildFrom(spark, dbl.where(col("doc_id") % 2 === 0), dir)
-    appendBatch(spark, dbl.where(col("doc_id") % 2 === 1), dir)
+    if (built.add(dir)) {
+      buildFrom(spark, dbl.where(col("doc_id") % 2 === 0), dir)
+      appendBatch(spark, dbl.where(col("doc_id") % 2 === 1), dir)
+    }
     scoreAgainst(spark, dbl.select(col("doc_id"), col("text")), dir)
   }
 
@@ -171,8 +178,10 @@ object DsirStore {
         DataOps.dsirStatsFromBuckets(withB))
     }
     val dir = StoreDirs.tmpStoreDir("graft-dsir-del", sfDir)
-    buildFrom(spark, dbl, dir)
-    removeBatch(spark, dbl.where(col("doc_id") % 2 === 1), dir)
+    if (built.add(dir)) {
+      buildFrom(spark, dbl, dir)
+      removeBatch(spark, dbl.where(col("doc_id") % 2 === 1), dir)
+    }
     scoreAgainst(spark, d, dir)
   }
 }

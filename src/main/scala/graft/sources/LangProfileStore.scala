@@ -35,6 +35,11 @@ import graft.pipeline.DataOps
  */
 object LangProfileStore {
 
+  /** One store build+mutate per (JVM, directory) — the K9 guard:
+    * later registry calls probe, never re-mutate. */
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Train (overwrite) the profile store from the sf corpus. */
   def build(spark: SparkSession, sfDir: String, storeDir: String): Unit =
     buildFrom(spark,
@@ -137,7 +142,7 @@ object LangProfileStore {
         DataOps.ctProfilesFromCounts(DataOps.ctGramCounts(spark, train)))
     }
     val dir = StoreDirs.tmpStoreDir("graft-lang-store", sfDir)
-    buildFrom(spark, train, dir)
+    if (built.add(dir)) buildFrom(spark, train, dir)
     // langIdNgram's cache hygiene: the probe gram counts feed the doc
     // profile, its size aggregate and the label join.
     val gc = DataOps.ctGramCounts(spark, probe).persist()
@@ -160,8 +165,10 @@ object LangProfileStore {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("text"))
     val dir = StoreDirs.tmpStoreDir("graft-lang-incr", sfDir)
-    buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
-    appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
+    if (built.add(dir)) {
+      buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+      appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
+    }
     val gc = DataOps.ctGramCounts(spark, d).persist()
     DataOps.finish(DataOps.ctScoreCounts(gc,
       spark.read.parquet(s"$dir/profiles")), gc)
@@ -182,8 +189,10 @@ object LangProfileStore {
       return langIdStored(spark, sfDir)
     }
     val dir = StoreDirs.tmpStoreDir("graft-lang-del", sfDir)
-    buildFrom(spark, d, dir)
-    removeBatch(spark, odds, dir)
+    if (built.add(dir)) {
+      buildFrom(spark, d, dir)
+      removeBatch(spark, odds, dir)
+    }
     val gc = DataOps.ctGramCounts(spark, odds).persist()
     DataOps.finish(DataOps.ctScoreCounts(gc,
       spark.read.parquet(s"$dir/profiles")), gc)

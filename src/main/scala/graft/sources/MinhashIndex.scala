@@ -113,9 +113,11 @@ object MinhashIndex {
         count_distinct(col("bh")).as("n_buckets"))))
   }
 
-  /** One full-corpus store build per (JVM, sf directory) for the
-    * telemetry audit. */
-  private val statsBuilt =
+  /** One store build+mutate per (JVM, directory) — the K9 guard: the
+    * lifecycle entries' mutation half re-run per call would only
+    * rebuild the identical store (build overwrites), so later registry
+    * calls probe, never re-mutate. */
+  private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Registry form of the telemetry: build the full-corpus store once,
@@ -134,7 +136,7 @@ object MinhashIndex {
           count_distinct(col("bh")).as("n_buckets"))))
     }
     val dir = StoreDirs.tmpStoreDir("graft-mh-stats", sfDir)
-    if (statsBuilt.add(dir)) {
+    if (built.add(dir)) {
       build(spark, spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text")), dir)
     }
@@ -159,8 +161,10 @@ object MinhashIndex {
         DataOps.minhashBandsOf(shIdx), shIdx)
     }
     val dir = StoreDirs.tmpStoreDir("graft-mh-incr", sfDir)
-    build(spark, docs.where(col("doc_id") % 3 === 0), dir)
-    appendBatch(spark, docs.where(col("doc_id") % 3 === 1), dir)
+    if (built.add(dir)) {
+      build(spark, docs.where(col("doc_id") % 3 === 0), dir)
+      appendBatch(spark, docs.where(col("doc_id") % 3 === 1), dir)
+    }
     dedupAgainst(spark, nw, dir)
   }
 
@@ -203,8 +207,10 @@ object MinhashIndex {
         DataOps.minhashBandsOf(shIdx), shIdx)
     }
     val dir = StoreDirs.tmpStoreDir("graft-mh-del", sfDir)
-    build(spark, docs, dir)
-    removeBatch(spark, nw.select(col("doc_id")), dir)
+    if (built.add(dir)) {
+      build(spark, docs, dir)
+      removeBatch(spark, nw.select(col("doc_id")), dir)
+    }
     dedupAgainst(spark, nw, dir)
   }
 
@@ -279,7 +285,7 @@ object MinhashIndex {
         DataOps.minhashBandsOf(shIdx), shIdx)
     }
     val dir = StoreDirs.tmpStoreDir("graft-mh-index", sfDir)
-    build(spark, old, dir)
+    if (built.add(dir)) build(spark, old, dir)
     dedupAgainst(spark, nw, dir)
   }
 }
