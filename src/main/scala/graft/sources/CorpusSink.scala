@@ -51,7 +51,13 @@ object CorpusSink {
     * corpus for every right-to-be-forgotten request. Per-partition
     * rewrite (not dynamic partition overwrite) so a partition whose
     * EVERY document is forgotten still rewrites to empty instead of
-    * silently surviving. */
+    * silently surviving. Each partition rewrite is write-then-rename
+    * ([[StoreDirs.replaceParquet]]) — a crash mid-request leaves every
+    * touched partition whole — and the directory name goes through the
+    * SAME escaping Spark used to write it
+    * (ExternalCatalogUtils.escapePathName), so a language value
+    * carrying a space/'%'/':' still resolves to its on-disk
+    * `lang=<escaped>` directory instead of silently surviving. */
   def deleteDocs(spark: SparkSession, docIds: DataFrame,
       outDir: String): Unit = {
     val ids = docIds.select(col("doc_id"))
@@ -60,11 +66,12 @@ object CorpusSink {
       .select(col("lang").cast("string")).distinct()
       .collect().map(_.getString(0))
     affected.foreach { l =>
-      val part = s"$outDir/lang=$l"
+      val escaped = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(l)
+      val part = s"$outDir/lang=$escaped"
       val kept = spark.read.parquet(part)
         .join(broadcast(ids), Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      kept.write.mode("overwrite").parquet(part)
+      StoreDirs.replaceParquet(kept, part)
     }
     ()
   }

@@ -44,8 +44,8 @@ object DsirStore {
     * corpus frame. */
   def buildFrom(spark: SparkSession, dbl: DataFrame,
       storeDir: String): Unit = {
-    batchStats(spark, dbl)
-      .write.mode("overwrite").parquet(s"$storeDir/stats")
+    StoreDirs.replaceParquet(batchStats(spark, dbl),
+      s"$storeDir/stats")
     ()
   }
 
@@ -72,8 +72,7 @@ object DsirStore {
       .groupBy(col("b"))
       .agg(org.apache.spark.sql.functions.sum(col("raw_cnt")).as("raw_cnt"),
         org.apache.spark.sql.functions.sum(col("tgt_cnt")).as("tgt_cnt"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$storeDir/stats")
+    StoreDirs.replaceParquet(merged, s"$storeDir/stats")
     ()
   }
 
@@ -96,8 +95,7 @@ object DsirStore {
       .agg(org.apache.spark.sql.functions.sum(col("raw_cnt")).as("raw_cnt"),
         org.apache.spark.sql.functions.sum(col("tgt_cnt")).as("tgt_cnt"))
       .where(col("raw_cnt") > 0)
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$storeDir/stats")
+    StoreDirs.replaceParquet(merged, s"$storeDir/stats")
     ()
   }
 

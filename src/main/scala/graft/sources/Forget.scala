@@ -89,15 +89,23 @@ object Forget {
       s"forget request names $unpublished doc_ids not in the published " +
         "corpus — removal is only defined for indexed documents")
     // The model stores' subtraction needs the victims' labeled text —
-    // fetch it from the corpus while the corpus still has it.
+    // fetch it from the corpus while the corpus still has it. The
+    // column is `text` on a raw-published corpus but `clean_text` on
+    // one published by the ingest job (survivors carry only the
+    // redacted text — the SAME text the maintained stores trained on,
+    // which is exactly what the subtraction must use).
     val victims =
-      if (langDir.isDefined || dsirDir.isDefined)
-        Some(spark.read.parquet(corpusDir)
+      if (langDir.isDefined || dsirDir.isDefined) {
+        val corpus = spark.read.parquet(corpusDir)
+        val textCol =
+          if (corpus.columns.contains("text")) col("text")
+          else col("clean_text")
+        Some(corpus
           .join(broadcast(ids), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("lang").cast("string").as("lang"),
-            col("text"))
+            textCol.as("text"))
           .localCheckpoint(true))
-      else None
+      } else None
     CorpusSink.deleteDocs(spark, ids, corpusDir)
     PostingsIndex.removeBatch(spark, ids, postingsDir)
     MinhashIndex.removeBatch(spark, ids, minhashDir)

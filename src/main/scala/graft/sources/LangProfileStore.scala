@@ -51,9 +51,9 @@ object LangProfileStore {
       storeDir: String): Unit = {
     val gc = DataOps.ctGramCounts(spark, corpus).persist()
     val lc = DataOps.ctLangCounts(gc).localCheckpoint(true)
-    lc.write.mode("overwrite").parquet(s"$storeDir/counts")
-    DataOps.ctProfilesOfLangCounts(lc)
-      .write.mode("overwrite").parquet(s"$storeDir/profiles")
+    StoreDirs.replaceParquet(lc, s"$storeDir/counts")
+    StoreDirs.replaceParquet(DataOps.ctProfilesOfLangCounts(lc),
+      s"$storeDir/profiles")
     gc.unpersist()
     ()
   }
@@ -76,9 +76,9 @@ object LangProfileStore {
       .groupBy(col("lang"), col("h"))
       .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
       .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$storeDir/counts")
-    DataOps.ctProfilesOfLangCounts(merged)
-      .write.mode("overwrite").parquet(s"$storeDir/profiles")
+    StoreDirs.replaceParquet(merged, s"$storeDir/counts")
+    StoreDirs.replaceParquet(DataOps.ctProfilesOfLangCounts(merged),
+      s"$storeDir/profiles")
     ()
   }
 
@@ -106,9 +106,9 @@ object LangProfileStore {
       .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
       .where(col("c") > 0)
       .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$storeDir/counts")
-    DataOps.ctProfilesOfLangCounts(merged)
-      .write.mode("overwrite").parquet(s"$storeDir/profiles")
+    StoreDirs.replaceParquet(merged, s"$storeDir/counts")
+    StoreDirs.replaceParquet(DataOps.ctProfilesOfLangCounts(merged),
+      s"$storeDir/profiles")
     ()
   }
 

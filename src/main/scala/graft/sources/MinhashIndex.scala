@@ -37,9 +37,9 @@ object MinhashIndex {
   def build(spark: SparkSession, corpus: DataFrame,
       indexDir: String): Unit = {
     val sh = DataOps.shingleHashes(spark, corpus).persist()
-    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
-    DataOps.minhashBandsOf(sh).write.mode("overwrite")
-      .parquet(s"$indexDir/bands")
+    StoreDirs.replaceParquet(sh, s"$indexDir/shingles")
+    StoreDirs.replaceParquet(DataOps.minhashBandsOf(sh),
+      s"$indexDir/bands")
     sh.unpersist()
   }
 
@@ -83,13 +83,11 @@ object MinhashIndex {
     val sh = spark.read.parquet(s"$indexDir/shingles")
       .repartition(numFiles)
       .sortWithinPartitions(col("doc_id"), col("h"))
-      .localCheckpoint(true)
-    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    StoreDirs.replaceParquet(sh, s"$indexDir/shingles")
     val bands = spark.read.parquet(s"$indexDir/bands")
       .repartition(numFiles)
       .sortWithinPartitions(col("bh"), col("doc_id"))
-      .localCheckpoint(true)
-    bands.write.mode("overwrite").parquet(s"$indexDir/bands")
+    StoreDirs.replaceParquet(bands, s"$indexDir/bands")
     ()
   }
 
@@ -183,12 +181,10 @@ object MinhashIndex {
     val ids = docIds.select(col("doc_id"))
     val sh = spark.read.parquet(s"$indexDir/shingles")
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
     val bands = spark.read.parquet(s"$indexDir/bands")
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
-    bands.write.mode("overwrite").parquet(s"$indexDir/bands")
+    StoreDirs.replaceParquet(sh, s"$indexDir/shingles")
+    StoreDirs.replaceParquet(bands, s"$indexDir/bands")
     ()
   }
 

@@ -46,8 +46,8 @@ object PositionsIndex {
   /** Build (overwrite) the store from a (doc_id, text) corpus frame. */
   def buildFrom(spark: SparkSession, corpus: DataFrame,
       indexDir: String): Unit = {
-    DataOps.positionsOf(spark, corpus)
-      .write.mode("overwrite").parquet(s"$indexDir/positions")
+    StoreDirs.replaceParquet(DataOps.positionsOf(spark, corpus),
+      s"$indexDir/positions")
     ()
   }
 
@@ -69,8 +69,7 @@ object PositionsIndex {
     val kept = spark.read.parquet(s"$indexDir/positions")
       .join(broadcast(docIds.select(col("doc_id"))), Seq("doc_id"),
         "left_anti")
-      .localCheckpoint(true)
-    kept.write.mode("overwrite").parquet(s"$indexDir/positions")
+    StoreDirs.replaceParquet(kept, s"$indexDir/positions")
     ()
   }
 
@@ -81,8 +80,7 @@ object PositionsIndex {
     val p = spark.read.parquet(s"$indexDir/positions")
       .repartition(numFiles)
       .sortWithinPartitions(col("t"), col("doc_id"), col("pos"))
-      .localCheckpoint(true)
-    p.write.mode("overwrite").parquet(s"$indexDir/positions")
+    StoreDirs.replaceParquet(p, s"$indexDir/positions")
     ()
   }
 

@@ -48,15 +48,15 @@ object PostingsIndex {
   def buildFrom(spark: SparkSession, corpus: DataFrame,
       indexDir: String): Unit = {
     val dt = DataOps.docTokenCountsOf(spark, corpus).persist()
-    dt.write.mode("overwrite").parquet(s"$indexDir/postings")
+    StoreDirs.replaceParquet(dt, s"$indexDir/postings")
     val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
       .persist()
-    dls.write.mode("overwrite").parquet(s"$indexDir/doclen")
-    DataOps.vocabOfCounts(dt)
-      .write.mode("overwrite").parquet(s"$indexDir/vocab")
-    corpus.agg(count(lit(1)).as("n"))
-      .crossJoin(dls.agg(coalesce(sum(col("dl")), lit(0L)).as("sdl")))
-      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    StoreDirs.replaceParquet(dls, s"$indexDir/doclen")
+    StoreDirs.replaceParquet(DataOps.vocabOfCounts(dt),
+      s"$indexDir/vocab")
+    StoreDirs.replaceParquet(corpus.agg(count(lit(1)).as("n"))
+      .crossJoin(dls.agg(coalesce(sum(col("dl")), lit(0L)).as("sdl"))),
+      s"$indexDir/stats")
     dls.unpersist()
     dt.unpersist()
     ()
@@ -69,8 +69,9 @@ object PostingsIndex {
     * exact, associative and commutative — any batch decomposition
     * yields the bit-identical store, pinned in PostingsIndexSpec and
     * hash-audited by the `bm25Incremental` registry entry against the
-    * full-corpus oracle). The merged vocab/stats materialize
-    * (localCheckpoint) BEFORE overwriting the directories they read.
+    * full-corpus oracle). The merged vocab/stats land fully under a
+    * staging path while the directories they read stay intact, then
+    * swap in atomically ([[StoreDirs.replaceParquet]]).
     *
     * 100 TB shape: the batch side is one tokenize + hash aggregate
     * (proportional to the BATCH); the vocab merge is one
@@ -87,15 +88,13 @@ object PostingsIndex {
       .unionByName(DataOps.vocabOfCounts(dt))
       .groupBy(col("token"))
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
-      .localCheckpoint(true)
-    mergedVocab.write.mode("overwrite").parquet(s"$indexDir/vocab")
+    StoreDirs.replaceParquet(mergedVocab, s"$indexDir/vocab")
     val mergedStats = spark.read.parquet(s"$indexDir/stats")
       .crossJoin(batch.agg(count(lit(1)).as("bn")))
       .crossJoin(dls.agg(coalesce(sum(col("dl")), lit(0L)).as("bsdl")))
       .select((col("n") + col("bn")).as("n"),
         (col("sdl") + col("bsdl")).as("sdl"))
-      .localCheckpoint(true)
-    mergedStats.write.mode("overwrite").parquet(s"$indexDir/stats")
+    StoreDirs.replaceParquet(mergedStats, s"$indexDir/stats")
     dls.unpersist()
     dt.unpersist()
     ()
@@ -107,8 +106,8 @@ object PostingsIndex {
     * (anti-join), vocab DECREMENTS by exactly the victims' (token, cnt)
     * contribution — read off the store's own postings BEFORE the
     * rewrite, so no text is retokenized — and stats subtracts their
-    * count/length. All merged relations materialize before overwriting
-    * the directories they read. Removal is the exact inverse of
+    * count/length. All merged relations materialize before the
+    * write-then-rename swap replaces the directories they read. Removal is the exact inverse of
     * [[appendBatch]]'s additive merge, so remove(append(S, B), B) ≡ S
     * bit-for-bit — pinned in PostingsIndexSpec and hash-audited by the
     * `bm25Removed` registry entry against a victims-filtered oracle.
@@ -149,10 +148,10 @@ object PostingsIndex {
     val keptDoclen = spark.read.parquet(s"$indexDir/doclen")
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    keptPostings.write.mode("overwrite").parquet(s"$indexDir/postings")
-    keptDoclen.write.mode("overwrite").parquet(s"$indexDir/doclen")
-    mergedVocab.write.mode("overwrite").parquet(s"$indexDir/vocab")
-    mergedStats.write.mode("overwrite").parquet(s"$indexDir/stats")
+    StoreDirs.replaceParquet(keptPostings, s"$indexDir/postings")
+    StoreDirs.replaceParquet(keptDoclen, s"$indexDir/doclen")
+    StoreDirs.replaceParquet(mergedVocab, s"$indexDir/vocab")
+    StoreDirs.replaceParquet(mergedStats, s"$indexDir/stats")
     ()
   }
 
@@ -169,11 +168,10 @@ object PostingsIndex {
     val p = spark.read.parquet(s"$indexDir/postings")
       .repartition(numFiles).sortWithinPartitions(col("token"),
         col("doc_id"))
-      .localCheckpoint(true)
-    p.write.mode("overwrite").parquet(s"$indexDir/postings")
+    StoreDirs.replaceParquet(p, s"$indexDir/postings")
     val d = spark.read.parquet(s"$indexDir/doclen")
-      .repartition(numFiles).localCheckpoint(true)
-    d.write.mode("overwrite").parquet(s"$indexDir/doclen")
+      .repartition(numFiles)
+    StoreDirs.replaceParquet(d, s"$indexDir/doclen")
     ()
   }
 

@@ -60,14 +60,13 @@ object PqIndex {
   def buildFrom(spark: SparkSession, v: DataFrame,
       indexDir: String): Unit = {
     val (el, refined, coded) = DataOps.pqPartsFrom(v)
-    refined.write.mode("overwrite").parquet(s"$indexDir/codebook")
-    coded.write.mode("overwrite").parquet(s"$indexDir/codes")
+    StoreDirs.replaceParquet(refined, s"$indexDir/codebook")
+    StoreDirs.replaceParquet(coded, s"$indexDir/codes")
     val cents = DataOps.pin(DataOps.centroidsFrom(v))
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    DataOps.cellRanksFrom(v, cents)
+    StoreDirs.replaceParquet(cents, s"$indexDir/centroids")
+    StoreDirs.replaceParquet(DataOps.cellRanksFrom(v, cents)
       .where(col("rnk") === 1)
-      .select("vec_id", "cid")
-      .write.mode("overwrite").parquet(s"$indexDir/cells")
+      .select("vec_id", "cid"), s"$indexDir/cells")
     el.unpersist()
     ()
   }
@@ -105,12 +104,10 @@ object PqIndex {
     val ids = vecIds.select(col("vec_id"))
     val codes = spark.read.parquet(s"$indexDir/codes")
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
     val cells = spark.read.parquet(s"$indexDir/cells")
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
-      .localCheckpoint(true)
-    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
-    cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+    StoreDirs.replaceParquet(codes, s"$indexDir/codes")
+    StoreDirs.replaceParquet(cells, s"$indexDir/cells")
     ()
   }
 
@@ -123,13 +120,11 @@ object PqIndex {
     val codes = spark.read.parquet(s"$indexDir/codes")
       .repartition(numFiles)
       .sortWithinPartitions(col("vec_id"), col("m"))
-      .localCheckpoint(true)
-    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+    StoreDirs.replaceParquet(codes, s"$indexDir/codes")
     val cells = spark.read.parquet(s"$indexDir/cells")
       .repartition(numFiles)
       .sortWithinPartitions(col("cid"), col("vec_id"))
-      .localCheckpoint(true)
-    cells.write.mode("overwrite").parquet(s"$indexDir/cells")
+    StoreDirs.replaceParquet(cells, s"$indexDir/cells")
     ()
   }
 

@@ -49,8 +49,8 @@ object SqIndex {
     * frame ([[DataOps.emb]] shape). */
   def buildFrom(spark: SparkSession, v: DataFrame,
       indexDir: String): Unit = {
-    DataOps.sqRecon(spark, v)
-      .write.mode("overwrite").parquet(s"$indexDir/recon")
+    StoreDirs.replaceParquet(DataOps.sqRecon(spark, v),
+      s"$indexDir/recon")
     ()
   }
 
@@ -76,8 +76,7 @@ object SqIndex {
     val kept = spark.read.parquet(s"$indexDir/recon")
       .join(broadcast(vecIds.select(col("vec_id"))), Seq("vec_id"),
         "left_anti")
-      .localCheckpoint(true)
-    kept.write.mode("overwrite").parquet(s"$indexDir/recon")
+    StoreDirs.replaceParquet(kept, s"$indexDir/recon")
     ()
   }
 
@@ -90,8 +89,7 @@ object SqIndex {
     val recon = spark.read.parquet(s"$indexDir/recon")
       .repartition(numFiles)
       .sortWithinPartitions(col("vec_id"))
-      .localCheckpoint(true)
-    recon.write.mode("overwrite").parquet(s"$indexDir/recon")
+    StoreDirs.replaceParquet(recon, s"$indexDir/recon")
     ()
   }
 

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /**
  * Scratch-directory discipline shared by the persistent-store registry
  * round-trips ([[MinhashIndex.dedupIndexed]], [[PqIndex.annPqIndexed]],
@@ -17,7 +19,58 @@ package graft.sources
  * build in one registry call and a probe in a later one — the Verify
  * driver's pattern — still meet on the same directory.
  */
-private[sources] object StoreDirs {
+private[graft] object StoreDirs {
+
+  /** ATOMIC RELATION REPLACEMENT — the write-then-rename form of
+    * `df.write.mode("overwrite").parquet(dir)` every store mutation
+    * uses: the new contents land fully under `dir.staging` FIRST (the
+    * old directory is still intact and readable while the job runs, so
+    * a frame that reads `dir` can be written back over `dir` without
+    * an in-memory checkpoint), then one filesystem rename swaps it in.
+    * A JVM death at ANY point leaves a complete relation on disk —
+    * either the old one (crash before the swap) or the new one (after)
+    * — where in-place overwrite has a delete-then-write window that
+    * loses the store outright (its localCheckpoint blocks live only in
+    * executor storage). Runs through the Hadoop FileSystem API, so the
+    * same code path holds on HDFS/object stores, not just local disk
+    * (rename is atomic on HDFS; on S3-like stores a committer-backed
+    * table format is the production answer — this is the portable
+    * primitive). The transient `dir.old` hop keeps a complete copy
+    * through the swap itself; a leftover `.staging`/`.old` from a
+    * crash is ignored by every reader (stores read exact
+    * subdirectories) and cleaned by the next replace. */
+  def replaceParquet(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".staging")
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(old, true)
+    if (fs.exists(path)) { fs.rename(path, old); () }
+    fs.rename(tmp, path)
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Existence check through the Hadoop FileSystem API (not
+    * java.io.File — the ingest job's markers/ledger must hold on
+    * HDFS/object-store paths, not just local disk). */
+  def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
+  /** Create an empty marker file (parents included) through the Hadoop
+    * FileSystem API. */
+  def touchMarker(spark: SparkSession, file: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(path.getParent)
+    fs.create(path, true).close()
+    ()
+  }
 
   private val jvmNonce: String =
     java.lang.Long.toHexString(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.sources.{CorpusSink, DsirStore, LangProfileStore,
-  MinhashIndex, PositionsIndex, PostingsIndex}
+  MinhashIndex, PositionsIndex, PostingsIndex, StoreDirs}
 
 /**
  * The end-to-end INGEST JOB — the data-pipeline surface in the same
@@ -48,15 +48,33 @@ import graft.sources.{CorpusSink, DsirStore, LangProfileStore,
  *
  * with near-dup hits appended to `outDir/dups` as the audit trail.
  *
- * RESTART SAFETY: the query checkpoints under `outDir/checkpoint`, and
- * because the three sinks (corpus, dups, postings) are append-only and
- * NOT idempotent, each batch commits a marker file
- * (`outDir/committed/<batchId>`) after its writes — a crash-replayed
- * batch (same batchId, same data under the checkpointed file source)
- * finds its marker and skips, so restarts can never double-publish or
- * double-merge store sums. The `seen` ledger additionally drops
- * re-LANDED doc_ids (same document, different batch), which the marker
- * cannot see.
+ * RESTART SAFETY: the query checkpoints under `outDir/checkpoint`,
+ * every maintained store is seeded ONLY if absent (a restarted query
+ * resumes from committed offsets and never re-delivers absorbed
+ * batches — re-seeding would wipe them while the corpus keeps them),
+ * and each batch runs a TWO-PHASE commit: (1) STAGE — the batch's
+ * outputs (curated survivors, dup audit rows, fresh-id ledger delta)
+ * are computed from the current store state and land under
+ * `outDir/staging/<batchId>` behind a `_staged` marker; until that
+ * marker exists no sink has mutated, so a crash mid-stage recomputes
+ * from identical inputs. (2) APPLY — each sink/store applies FROM THE
+ * FROZEN STAGED DATA behind its own `committed/<batchId>.<sink>`
+ * marker, then the batch-level `committed/<batchId>` marker closes the
+ * batch and drops the staging directory. A crash between applies
+ * resumes exactly at the first unmarked sink, reading the same staged
+ * rows — NOT recomputing them against stores the earlier applies
+ * already mutated (the dedup probe would otherwise self-match the
+ * half-absorbed batch). All markers and the ledger go through the
+ * Hadoop FileSystem API, and every store rewrite inside the applies is
+ * write-then-rename ([[graft.sources.StoreDirs.replaceParquet]]), so
+ * a JVM death never leaves a half-written relation. The one remaining
+ * window is a crash BETWEEN a sink's completed apply and the touch of
+ * its marker — replay re-applies that single sink (a double-append of
+ * one batch into one store); closing it needs a transactional table
+ * format or a batch-id ledger inside each store, the documented
+ * production step beyond this portable filesystem discipline. The
+ * `seen` ledger additionally drops re-LANDED doc_ids (same document,
+ * different batch), which the markers cannot see.
  *
  * The composed DAG is therefore SEQUENTIALLY deterministic: two
  * micro-batches ≡ replaying the same two batches through
@@ -133,30 +151,48 @@ object IngestPipeline {
     val spark = docStream.sparkSession
     val searchDir = s"$outDir/index"
     val posDir = s"$outDir/positions"
+    // Seed each maintained store ONLY if its directory is absent (the
+    // minhash store's index-once discipline): a restarted query
+    // resumes from committed offsets and never re-delivers absorbed
+    // batches, so an unconditional re-seed would permanently wipe
+    // every previously-absorbed document from the maintained stores
+    // while the corpus keeps them. The LAST relation each build writes
+    // is the completeness witness (a crash mid-seed re-seeds — the
+    // store was empty anyway).
     val empty = spark.range(0).select(col("id").as("doc_id"),
       lit("").as("text"))
-    PostingsIndex.buildFrom(spark, empty, searchDir)
-    PositionsIndex.buildFrom(spark, empty, posDir)
+    if (!StoreDirs.pathExists(spark, s"$searchDir/stats"))
+      PostingsIndex.buildFrom(spark, empty, searchDir)
+    if (!StoreDirs.pathExists(spark, s"$posDir/positions"))
+      PositionsIndex.buildFrom(spark, empty, posDir)
     // Model stores seed empty too: counts/stats are pure sums, so the
     // maintained model after N batches IS the one-shot build over the
     // published corpus. (No compact hook needed — their appends rewrite
     // the KB-sized relations wholesale, nothing piles up.)
     val emptyLabeled = spark.range(0).select(col("id").as("doc_id"),
       lit("").as("lang"), lit("").as("text"))
-    LangProfileStore.buildFrom(spark, emptyLabeled, s"$outDir/lang")
-    DsirStore.buildFrom(spark, emptyLabeled, s"$outDir/dsir")
+    if (!StoreDirs.pathExists(spark, s"$outDir/lang/profiles"))
+      LangProfileStore.buildFrom(spark, emptyLabeled, s"$outDir/lang")
+    if (!StoreDirs.pathExists(spark, s"$outDir/dsir/stats"))
+      DsirStore.buildFrom(spark, emptyLabeled, s"$outDir/dsir")
     StreamingOps.curationStream(docStream, sfDir).writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val marker = new java.io.File(s"$outDir/committed/$batchId")
-        if (!marker.exists()) {
-          processBatch(batch.toDF(), indexDir, searchDir, posDir, outDir)
+        val s = batch.sparkSession
+        if (!StoreDirs.pathExists(s, s"$outDir/committed/$batchId")) {
+          processBatch(batch.toDF(), batchId, indexDir, searchDir,
+            posDir, outDir)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            PostingsIndex.compact(batch.sparkSession, searchDir)
-            PositionsIndex.compact(batch.sparkSession, posDir)
-            MinhashIndex.compact(batch.sparkSession, indexDir)
+            // Contents-identical re-layouts: a crash-replay re-compacts
+            // harmlessly, so these sit inside the batch marker.
+            PostingsIndex.compact(s, searchDir)
+            PositionsIndex.compact(s, posDir)
+            MinhashIndex.compact(s, indexDir)
           }
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
+          StoreDirs.touchMarker(s, s"$outDir/committed/$batchId")
+          val staging = new org.apache.hadoop.fs.Path(
+            s"$outDir/staging/$batchId")
+          staging.getFileSystem(s.sessionState.newHadoopConf())
+            .delete(staging, true)
           ()
         }
       }
@@ -165,36 +201,72 @@ object IngestPipeline {
       .start()
   }
 
-  /** One batch's writes: ledger gate → curation tail → publish →
-    * store merges → ledger append. */
-  private def processBatch(verdict: DataFrame, indexDir: String,
-      searchDir: String, posDir: String, outDir: String): Unit = {
+  /** One batch's TWO-PHASE commit: STAGE (ledger gate → curation tail
+    * → freeze outputs under `staging/<batchId>`) then APPLY (publish +
+    * store merges + ledger append, each from the staged rows behind
+    * its own marker — see the RESTART SAFETY scaladoc above). */
+  private def processBatch(verdict: DataFrame, batchId: Long,
+      indexDir: String, searchDir: String, posDir: String,
+      outDir: String): Unit = {
     val spark = verdict.sparkSession
     val seenPath = s"$outDir/seen"
-    val fresh = (if (new java.io.File(seenPath).exists())
-        verdict.join(spark.read.parquet(seenPath), Seq("doc_id"),
-          "left_anti")
-      else verdict).persist()
-    if (fresh.isEmpty) { fresh.unpersist(); return }
-    val (curated, dups) = finishBatch(fresh, indexDir)
-    dups.write.mode("append").parquet(s"$outDir/dups")
-    val published = curated.persist()
-    CorpusSink.appendCurated(published, s"$outDir/corpus")
+    val stagingDir = s"$outDir/staging/$batchId"
+    // STAGE — until `_staged` exists no sink has mutated, so a crash
+    // here recomputes from identical (batch, store) state. Once it
+    // exists the outputs are frozen: replayed applies read the SAME
+    // rows even though the stores change as applies land.
+    if (!StoreDirs.pathExists(spark, s"$stagingDir/_staged")) {
+      val fresh = (if (StoreDirs.pathExists(spark, seenPath))
+          verdict.join(spark.read.parquet(seenPath), Seq("doc_id"),
+            "left_anti")
+        else verdict).persist()
+      val (curated, dups) = finishBatch(fresh, indexDir)
+      StoreDirs.replaceParquet(curated, s"$stagingDir/curated")
+      StoreDirs.replaceParquet(dups, s"$stagingDir/dups")
+      StoreDirs.replaceParquet(fresh.select(col("doc_id")),
+        s"$stagingDir/fresh_ids")
+      StoreDirs.touchMarker(spark, s"$stagingDir/_staged")
+      fresh.unpersist()
+      ()
+    }
+    val freshIds = spark.read.parquet(s"$stagingDir/fresh_ids")
+    if (freshIds.isEmpty) return
+    def applyOnce(sink: String)(apply: => Unit): Unit =
+      if (!StoreDirs.pathExists(spark,
+          s"$outDir/committed/$batchId.$sink")) {
+        apply
+        StoreDirs.touchMarker(spark, s"$outDir/committed/$batchId.$sink")
+      }
+    val published = spark.read.parquet(s"$stagingDir/curated")
     val pubText = published.select(col("doc_id"),
       col("clean_text").as("text"))
-    PostingsIndex.appendBatch(spark, pubText, searchDir)
-    PositionsIndex.appendBatch(spark, pubText, posDir)
-    MinhashIndex.appendBatch(spark, pubText, indexDir)
     val pubLabeled = published.select(col("doc_id"), col("lang"),
       col("clean_text").as("text"))
-    LangProfileStore.appendBatch(spark, pubLabeled, s"$outDir/lang")
-    DsirStore.appendBatch(spark, pubLabeled, s"$outDir/dsir")
-    // ledger LAST: a crash before this line replays the batch, whose
-    // marker is also unwritten — the marker, not the ledger, is the
-    // restart-idempotency boundary
-    fresh.select(col("doc_id")).write.mode("append").parquet(seenPath)
-    published.unpersist()
-    fresh.unpersist()
+    applyOnce("dups") {
+      spark.read.parquet(s"$stagingDir/dups")
+        .write.mode("append").parquet(s"$outDir/dups")
+    }
+    applyOnce("corpus") {
+      CorpusSink.appendCurated(published, s"$outDir/corpus")
+    }
+    applyOnce("postings") {
+      PostingsIndex.appendBatch(spark, pubText, searchDir)
+    }
+    applyOnce("positions") {
+      PositionsIndex.appendBatch(spark, pubText, posDir)
+    }
+    applyOnce("minhash") {
+      MinhashIndex.appendBatch(spark, pubText, indexDir)
+    }
+    applyOnce("lang") {
+      LangProfileStore.appendBatch(spark, pubLabeled, s"$outDir/lang")
+    }
+    applyOnce("dsir") {
+      DsirStore.appendBatch(spark, pubLabeled, s"$outDir/dsir")
+    }
+    applyOnce("seen") {
+      freshIds.write.mode("append").parquet(seenPath)
+    }
     ()
   }
 
@@ -211,7 +283,7 @@ object IngestPipeline {
       .getOrCreate()
     val corpus = spark.read
       .parquet(s"${config.sfDir}/documents.parquet")
-    if (!new java.io.File(s"${config.indexDir}/bands").exists()) {
+    if (!StoreDirs.pathExists(spark, s"${config.indexDir}/bands")) {
       MinhashIndex.build(spark,
         corpus.select(col("doc_id"), col("text")), config.indexDir)
     }

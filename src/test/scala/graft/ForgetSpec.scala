@@ -179,4 +179,47 @@ class ForgetSpec extends SparkSpec {
       spark.read.parquet(s"$fresh/dsir/stats")
         .collect().map(_.toSeq).toSet)
   }
+
+  test("forget over an ingest-published corpus resolves clean_text and escaped partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-forget-clean").toString
+    // the ingest job publishes survivors with clean_text (no raw text
+    // column) and a lang value Spark must escape in the directory name
+    val docs = Seq(
+      (1L, "pt:BR", "um pequeno documento com algum texto dentro"),
+      (2L, "pt:BR", "outro documento pequeno com texto bem diferente"),
+      (3L, "en", "a small english document with some text inside"))
+      .toDF("doc_id", "lang", "clean_text")
+    CorpusSink.appendCurated(docs, s"$dir/corpus")
+    val labeled = docs.select(col("doc_id"), col("lang"),
+      col("clean_text").as("text"))
+    PostingsIndex.buildFrom(spark,
+      labeled.select(col("doc_id"), col("text")), s"$dir/postings")
+    MinhashIndex.build(spark,
+      labeled.select(col("doc_id"), col("text")), s"$dir/minhash")
+    LangProfileStore.buildFrom(spark, labeled, s"$dir/lang")
+    DsirStore.buildFrom(spark, labeled, s"$dir/dsir")
+    // the composed call over the ingest-shaped corpus: the model-store
+    // subtraction must pick up clean_text, and the corpus rewrite must
+    // hit the on-disk lang=pt%3ABR directory
+    Forget.forget(spark, Seq(1L).toDF("doc_id"),
+      s"$dir/corpus", s"$dir/postings", s"$dir/minhash",
+      None, None, None, Some(s"$dir/lang"), Some(s"$dir/dsir"))
+    val after = spark.read.parquet(s"$dir/corpus")
+    assert(after.count() == 2L)
+    assert(after.select("doc_id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+    // model stores == survivors-trained from scratch (the subtraction
+    // used the same clean text the stores trained on)
+    val fresh =
+      Files.createTempDirectory("graft-forget-clean-fresh").toString
+    val survivors = labeled.where(col("doc_id") =!= 1L)
+    LangProfileStore.buildFrom(spark, survivors, s"$fresh/lang")
+    DsirStore.buildFrom(spark, survivors, s"$fresh/dsir")
+    def rel(p: String) =
+      spark.read.parquet(p).collect().map(_.toSeq).toSet
+    for (r <- Seq("lang/counts", "lang/profiles", "dsir/stats")) {
+      assert(rel(s"$dir/$r") == rel(s"$fresh/$r"), r)
+    }
+  }
 }

@@ -1058,6 +1058,95 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IngestPipeline restart: a second start() on the same checkpoint does not wipe maintained stores") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ridx").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-rout").toString
+    graft.sources.MinhashIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      indexDir)
+    def half(m: Long) = docs.where(col("doc_id") % 4 === m)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // run 1: land batch 1, then stop — the planned-restart/crash point
+    val in1 = MemoryStream[(Long, String, String, String, Long)]
+    val q1 = IngestPipeline.start(
+      in1.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      SF, indexDir, outDir)
+    try { in1.addData(half(1L)); q1.processAllAvailable() }
+    finally q1.stop()
+    val statsAfter1 = graft.sources.PostingsIndex
+      .statsOf(spark, s"$outDir/index").collect().map(_.toSeq).toSet
+    val posAfter1 = spark.read
+      .parquet(s"$outDir/positions/positions").count()
+    assert(posAfter1 > 0)
+    // run 2: a NEW query on the SAME checkpoint — the restart path.
+    // The new source re-offers run 1's data at the same offsets
+    // (already committed, so never re-delivered), then lands batch 2.
+    val in2 = MemoryStream[(Long, String, String, String, Long)]
+    in2.addData(half(1L))
+    val q2 = IngestPipeline.start(
+      in2.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      SF, indexDir, outDir)
+    try {
+      q2.processAllAvailable()
+      // the restart ALONE must not have re-seeded the maintained
+      // stores empty (the seed-only-if-absent guard): batch 1's
+      // absorbed contribution is still there
+      assert(graft.sources.PostingsIndex
+        .statsOf(spark, s"$outDir/index").collect().map(_.toSeq)
+        .toSet == statsAfter1)
+      assert(spark.read.parquet(s"$outDir/positions/positions")
+        .count() == posAfter1)
+      in2.addData(half(3L))
+      q2.processAllAvailable()
+      // across the restart, every maintained store == a one-shot
+      // build over the full published corpus
+      val pub = spark.read.parquet(s"$outDir/corpus")
+      val pubText = pub.select(col("doc_id"),
+        col("clean_text").as("text"))
+      val oneShot = java.nio.file.Files
+        .createTempDirectory("graft-restart-oneshot").toString
+      graft.sources.PostingsIndex.buildFrom(spark, pubText, oneShot)
+      for (rel <- Seq("postings", "doclen", "vocab", "stats")) {
+        assert(spark.read.parquet(s"$outDir/index/$rel")
+            .collect().map(_.toSeq).toSet ==
+          spark.read.parquet(s"$oneShot/$rel")
+            .collect().map(_.toSeq).toSet, rel)
+      }
+      val posOneShot = java.nio.file.Files
+        .createTempDirectory("graft-restart-pos").toString
+      graft.sources.PositionsIndex.buildFrom(spark, pubText, posOneShot)
+      assert(spark.read.parquet(s"$outDir/positions/positions")
+          .collect().map(_.toSeq).toSet ==
+        spark.read.parquet(s"$posOneShot/positions")
+          .collect().map(_.toSeq).toSet)
+      val pubLabeled = pub.select(col("doc_id"),
+        col("lang").cast("string").as("lang"),
+        col("clean_text").as("text"))
+      val langOneShot = java.nio.file.Files
+        .createTempDirectory("graft-restart-lang").toString
+      graft.sources.LangProfileStore.buildFrom(spark, pubLabeled,
+        langOneShot)
+      for (rel <- Seq("counts", "profiles")) {
+        assert(spark.read.parquet(s"$outDir/lang/$rel")
+            .collect().map(_.toSeq).toSet ==
+          spark.read.parquet(s"$langOneShot/$rel")
+            .collect().map(_.toSeq).toSet, rel)
+      }
+      val dsirOneShot = java.nio.file.Files
+        .createTempDirectory("graft-restart-dsir").toString
+      graft.sources.DsirStore.buildFrom(spark, pubLabeled, dsirOneShot)
+      assert(spark.read.parquet(s"$outDir/dsir/stats")
+          .collect().map(_.toSeq).toSet ==
+        spark.read.parquet(s"$dsirOneShot/stats")
+          .collect().map(_.toSeq).toSet)
+    } finally q2.stop()
+  }
+
   test("phraseServeStream: two phrase micro-batches over one store == batch probe") {
     implicit val sqlCtx = spark.sqlContext
     val indexDir =
