@@ -644,63 +644,84 @@ object OracleSqlData {
   /** Cosine of each vector to each of the C refined centroids, ranked —
     * the exact mirror of DataOps.centroids + cellRanks: hash-stratified
     * seed picks (stratum = hash60(vec_id) mod C, (hash, vec_id)-minimal
-    * vector per stratum), then ONE Lloyd step whose cell centroids are
-    * member-wise integer means (SUM // COUNT — truncating division in
-    * both engines); zero-norm cells are dropped in both. */
-  private def crankCte(c: Int): String =
-    s"""cent AS (
-       |  SELECT stratum AS cid, vec_id AS cvid FROM (
-       |    SELECT vec_id, h, h % $c AS stratum,
-       |           ROW_NUMBER() OVER (PARTITION BY h % $c
-       |             ORDER BY h, vec_id) AS rnk
-       |    FROM (SELECT vec_id,
-       |            ${h60("CAST(vec_id AS VARCHAR)")} AS h FROM ev)
-       |  ) WHERE rnk = 1
-       |),
-       |sd AS (
-       |  SELECT a.vec_id AS vec_id, c.cid AS cid, c.cvid AS cvid,
-       |         SUM(a.v * b.v) AS d
-       |  FROM vu a JOIN vu b ON a.i = b.i
-       |  JOIN cent c ON c.cvid = b.vec_id
-       |  GROUP BY 1, 2, 3
-       |),
-       |assign0 AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT sd.vec_id, sd.cid,
-       |           ROW_NUMBER() OVER (PARTITION BY sd.vec_id ORDER BY
-       |             (CAST(sd.d AS DOUBLE) /
-       |              (sqrt(CAST(na.nrm AS DOUBLE)) *
-       |               sqrt(CAST(nb.nrm AS DOUBLE)))) DESC, sd.cid ASC)
-       |             AS rnk
-       |    FROM sd
-       |    JOIN nrm na ON na.vec_id = sd.vec_id
-       |    JOIN nrm nb ON nb.vec_id = sd.cvid
-       |  ) WHERE rnk = 1
-       |),
-       |cmean AS (
-       |  SELECT a0.cid, u.i, SUM(u.v) // COUNT(*) AS cv
-       |  FROM vu u JOIN assign0 a0 ON a0.vec_id = u.vec_id
-       |  GROUP BY 1, 2
-       |),
-       |cnrm AS (
-       |  SELECT cid, SUM(cv * cv) AS cn FROM cmean
-       |  GROUP BY 1 HAVING SUM(cv * cv) > 0
-       |),
-       |cdot AS (
-       |  SELECT a.vec_id AS vec_id, m.cid AS cid, SUM(a.v * m.cv) AS d
-       |  FROM vu a JOIN cmean m ON m.i = a.i
-       |  GROUP BY 1, 2
-       |),
-       |crank AS (
-       |  SELECT cd.vec_id, cd.cid,
-       |         ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
-       |           (CAST(cd.d AS DOUBLE) /
-       |            (sqrt(CAST(na.nrm AS DOUBLE)) *
-       |             sqrt(CAST(cnn.cn AS DOUBLE)))) DESC, cd.cid ASC) AS rnk
-       |  FROM cdot cd
-       |  JOIN nrm na ON na.vec_id = cd.vec_id
-       |  JOIN cnrm cnn ON cnn.cid = cd.cid
-       |)""".stripMargin
+    * vector per stratum), then [[DataOps.LloydT]] unrolled Lloyd rounds
+    * (the fixed-round CTE discipline of dupCommunities/eventPagerank)
+    * whose cell centroids are member-wise integer means (SUM // COUNT —
+    * truncating division in both engines); zero-norm cells are dropped
+    * in both after every round, and a cell that loses all members stops
+    * existing (no reseeding in either engine). The FINAL round's
+    * relations keep the historical names `cmean`/`cnrm`/`cdot`/`crank`
+    * every downstream mirror joins. */
+  private def crankCte(c: Int): String = {
+    val head =
+      s"""cent AS (
+         |  SELECT stratum AS cid, vec_id AS cvid FROM (
+         |    SELECT vec_id, h, h % $c AS stratum,
+         |           ROW_NUMBER() OVER (PARTITION BY h % $c
+         |             ORDER BY h, vec_id) AS rnk
+         |    FROM (SELECT vec_id,
+         |            ${h60("CAST(vec_id AS VARCHAR)")} AS h FROM ev)
+         |  ) WHERE rnk = 1
+         |),
+         |sd AS (
+         |  SELECT a.vec_id AS vec_id, c.cid AS cid, c.cvid AS cvid,
+         |         SUM(a.v * b.v) AS d
+         |  FROM vu a JOIN vu b ON a.i = b.i
+         |  JOIN cent c ON c.cvid = b.vec_id
+         |  GROUP BY 1, 2, 3
+         |),
+         |assign0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT sd.vec_id, sd.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY sd.vec_id ORDER BY
+         |             (CAST(sd.d AS DOUBLE) /
+         |              (sqrt(CAST(na.nrm AS DOUBLE)) *
+         |               sqrt(CAST(nb.nrm AS DOUBLE)))) DESC, sd.cid ASC)
+         |             AS rnk
+         |    FROM sd
+         |    JOIN nrm na ON na.vec_id = sd.vec_id
+         |    JOIN nrm nb ON nb.vec_id = sd.cvid
+         |  ) WHERE rnk = 1
+         |)""".stripMargin
+    // Intermediate-round CTE names are `lloyd`-prefixed: several
+    // downstream mirrors define their own `assign1` beside crank.
+    val rounds = (1 to DataOps.LloydT).map { t =>
+      val last = t == DataOps.LloydT
+      val prev = if (t == 1) "assign0" else s"lassign${t - 1}"
+      val (cm, cn, cd, rk) =
+        if (last) ("cmean", "cnrm", "cdot", "crank")
+        else (s"lcmean$t", s"lcnrm$t", s"lcdot$t", s"lcrank$t")
+      val assignTail =
+        if (last) ""
+        else s""",
+           |lassign$t AS (SELECT vec_id, cid FROM $rk WHERE rnk = 1)"""
+      s"""$cm AS (
+         |  SELECT a0.cid, u.i, SUM(u.v) // COUNT(*) AS cv
+         |  FROM vu u JOIN $prev a0 ON a0.vec_id = u.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |$cn AS (
+         |  SELECT cid, SUM(cv * cv) AS cn FROM $cm
+         |  GROUP BY 1 HAVING SUM(cv * cv) > 0
+         |),
+         |$cd AS (
+         |  SELECT a.vec_id AS vec_id, m.cid AS cid, SUM(a.v * m.cv) AS d
+         |  FROM vu a JOIN $cm m ON m.i = a.i
+         |  GROUP BY 1, 2
+         |),
+         |$rk AS (
+         |  SELECT cd.vec_id, cd.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
+         |           (CAST(cd.d AS DOUBLE) /
+         |            (sqrt(CAST(na.nrm AS DOUBLE)) *
+         |             sqrt(CAST(cnn.cn AS DOUBLE)))) DESC, cd.cid ASC) AS rnk
+         |  FROM $cd cd
+         |  JOIN nrm na ON na.vec_id = cd.vec_id
+         |  JOIN $cn cnn ON cnn.cid = cd.cid
+         |)$assignTail""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
 
   /** Embedding-outlier mirror ([[graft.pipeline.DataOps.embedOutliers]]):
     * the [[crankCte]] top-1 assignment re-joined to its dot/norm CTEs
@@ -816,7 +837,7 @@ object OracleSqlData {
        |) WHERE cos_micro >= 400000""".stripMargin
 
   /** K-means readout mirror ([[graft.pipeline.DataOps.embedKmeans]]):
-    * same crank CTEs (hash-stratified seeds + one integer Lloyd step),
+    * same crank CTEs (hash-stratified seeds + unrolled integer Lloyd rounds),
     * rank-1 cell per vector, cosine re-derived from the shared cdot/nrm/
     * cnrm relations with mirrored operand order. */
   val embedKmeans: String =
@@ -869,60 +890,86 @@ object OracleSqlData {
 
   /** Shared product-quantization CTE chain (mirror of
     * [[DataOps.pqParts]]): element relation, hash-stratified seeds,
-    * one-Lloyd-step codebook with truncating-integer means (`//` here,
-    * `div` in Spark — both truncate toward zero, verified on
-    * negatives), exact squared-L2 assignments with (distance, cid)
-    * tie-break. Ends with `ref` (codebook) and `a1` (codes).
+    * [[DataOps.LloydT]] unrolled Lloyd rounds of truncating-integer
+    * means (`//` here, `div` in Spark — both truncate toward zero,
+    * verified on negatives), exact squared-L2 assignments with
+    * (distance, cid) tie-break every round. Ends with `ref` (the final
+    * round's codebook) and `a1` (codes).
     *
     * `trainPred` (over bare `vec_id`) restricts the TRAINING half —
-    * seeds, seed assignment, Lloyd means — to a sub-corpus, while the
-    * coding pass (`d1`/`a1`) always codes EVERY vector against the
-    * trained codebook: the frozen-codebook contract of the
+    * seeds, every round's assignment and Lloyd means — to a sub-corpus,
+    * while the coding pass (`d1`/`a1`) always codes EVERY vector against
+    * the trained codebook: the frozen-codebook contract of the
     * [[graft.sources.PqIndex]] lifecycle mirrors (`annPqIncremental`
     * trains on the build half, codes build + appended batches). With
     * `TRUE` it is the self-trained full-corpus chain. */
   private def pqCtesT(trainPred: String): String = {
     val k = DataOps.PqK
     val sd = DataOps.PqSubDim
-    s"""$embCtes,
-       |el AS (
-       |  SELECT vec_id, CAST((i - 1) // $sd AS INTEGER) AS m,
-       |         (i - 1) % $sd AS j, v AS x
-       |  FROM vu
-       |),
-       |elt AS (SELECT * FROM el WHERE $trainPred),
-       |sds AS (
-       |  SELECT stratum AS cid, vec_id AS cvid FROM (
-       |    SELECT vec_id, h, h % $k AS stratum,
-       |           ROW_NUMBER() OVER (PARTITION BY h % $k
-       |             ORDER BY h, vec_id) AS rnk
-       |    FROM (SELECT vec_id,
-       |            ${h60("'pq:' || CAST(vec_id AS VARCHAR)")} AS h
-       |          FROM ev WHERE $trainPred)
-       |  ) WHERE rnk = 1
-       |),
-       |sel AS (
-       |  SELECT s.cid, e.m, e.j, e.x AS c
-       |  FROM sds s JOIN elt e ON e.vec_id = s.cvid
-       |),
-       |d0 AS (
-       |  SELECT e.vec_id, e.m, c.cid, SUM((e.x - c.c) * (e.x - c.c)) AS d
-       |  FROM elt e JOIN sel c ON c.m = e.m AND c.j = e.j
-       |  GROUP BY 1, 2, 3
-       |),
-       |a0 AS (
-       |  SELECT vec_id, m, cid FROM (
-       |    SELECT vec_id, m, cid,
-       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
-       |             ORDER BY d, cid) AS rnk
-       |    FROM d0
-       |  ) WHERE rnk = 1
-       |),
-       |ref AS (
-       |  SELECT e.m, a.cid, e.j, SUM(e.x) // COUNT(*) AS c
-       |  FROM a0 a JOIN elt e ON e.vec_id = a.vec_id AND e.m = a.m
-       |  GROUP BY 1, 2, 3
-       |),
+    val head =
+      s"""$embCtes,
+         |el AS (
+         |  SELECT vec_id, CAST((i - 1) // $sd AS INTEGER) AS m,
+         |         (i - 1) % $sd AS j, v AS x
+         |  FROM vu
+         |),
+         |elt AS (SELECT * FROM el WHERE $trainPred),
+         |sds AS (
+         |  SELECT stratum AS cid, vec_id AS cvid FROM (
+         |    SELECT vec_id, h, h % $k AS stratum,
+         |           ROW_NUMBER() OVER (PARTITION BY h % $k
+         |             ORDER BY h, vec_id) AS rnk
+         |    FROM (SELECT vec_id,
+         |            ${h60("'pq:' || CAST(vec_id AS VARCHAR)")} AS h
+         |          FROM ev WHERE $trainPred)
+         |  ) WHERE rnk = 1
+         |),
+         |sel AS (
+         |  SELECT s.cid, e.m, e.j, e.x AS c
+         |  FROM sds s JOIN elt e ON e.vec_id = s.cvid
+         |),
+         |d0 AS (
+         |  SELECT e.vec_id, e.m, c.cid, SUM((e.x - c.c) * (e.x - c.c)) AS d
+         |  FROM elt e JOIN sel c ON c.m = e.m AND c.j = e.j
+         |  GROUP BY 1, 2, 3
+         |),
+         |a0 AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |             ORDER BY d, cid) AS rnk
+         |    FROM d0
+         |  ) WHERE rnk = 1
+         |)""".stripMargin
+    val rounds = (1 to DataOps.LloydT).map { t =>
+      val last = t == DataOps.LloydT
+      val prev = if (t == 1) "a0" else s"at${t - 1}"
+      val refName = if (last) "ref" else s"rf$t"
+      val reassign =
+        if (last) ""
+        else s""",
+           |dt$t AS (
+           |  SELECT e.vec_id, e.m, r.cid,
+           |         SUM((e.x - r.c) * (e.x - r.c)) AS d
+           |  FROM elt e JOIN $refName r ON r.m = e.m AND r.j = e.j
+           |  GROUP BY 1, 2, 3
+           |),
+           |at$t AS (
+           |  SELECT vec_id, m, cid FROM (
+           |    SELECT vec_id, m, cid,
+           |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+           |             ORDER BY d, cid) AS rnk
+           |    FROM dt$t
+           |  ) WHERE rnk = 1
+           |)"""
+      s"""$refName AS (
+         |  SELECT e.m, a.cid, e.j, SUM(e.x) // COUNT(*) AS c
+         |  FROM $prev a JOIN elt e ON e.vec_id = a.vec_id AND e.m = a.m
+         |  GROUP BY 1, 2, 3
+         |)$reassign""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds,
        |d1 AS (
        |  SELECT e.vec_id, e.m, r.cid, SUM((e.x - r.c) * (e.x - r.c)) AS d
        |  FROM el e JOIN ref r ON r.m = e.m AND r.j = e.j
@@ -3131,6 +3178,50 @@ object OracleSqlData {
     * filtered to the surviving even doc_ids. */
   lazy val phraseRemoved: String = phraseSearchT("pos.doc_id % 2 = 0")
 
+  /** Multi-pair serving mirror ([[DataOps.proximityServe]]): the top-2
+    * modal trigrams each contribute their (first, last)-word pair,
+    * q_id-keyed through the identical windowed position-pair algebra. */
+  val proximityServe: String = {
+    val w = DataOps.ProximityWindow
+    s"""WITH $posCte,
+       |tri AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 3 THEN
+       |           list_transform(range(1, len(w) - 1),
+       |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |         ELSE CAST([] AS VARCHAR[]) END AS gs
+       |  FROM wrds
+       |),
+       |g AS (SELECT doc_id, unnest(gs) AS gr FROM tri),
+       |top2 AS (
+       |  SELECT gr, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, gr ASC)
+       |             AS BIGINT) AS q_id
+       |  FROM (SELECT gr, COUNT(*) AS c FROM g GROUP BY 1
+       |        ORDER BY c DESC, gr ASC LIMIT 2)
+       |),
+       |terms AS (
+       |  SELECT q_id, string_split(gr, ' ')[1] AS ta,
+       |         string_split(gr, ' ')[3] AS tb
+       |  FROM top2
+       |),
+       |pa AS (SELECT t.q_id, pos.doc_id, t.ta, pos.pos AS pos_a
+       |       FROM pos JOIN terms t ON pos.t = t.ta),
+       |pb AS (SELECT t.q_id, pos.doc_id, t.tb, pos.pos AS pos_b
+       |       FROM pos JOIN terms t ON pos.t = t.tb),
+       |pr AS (
+       |  SELECT pa.q_id, pa.doc_id, pa.ta AS t_a, pb.tb AS t_b,
+       |         ABS(pos_a - pos_b) AS d
+       |  FROM pa JOIN pb ON pa.q_id = pb.q_id AND pa.doc_id = pb.doc_id
+       |  WHERE pos_a <> pos_b
+       |)
+       |SELECT q_id, doc_id, t_a, t_b,
+       |       CAST(MIN(d) AS BIGINT) AS min_dist,
+       |       CAST(SUM(CASE WHEN d <= $w THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pairs_w
+       |FROM pr GROUP BY 1, 2, 3, 4
+       |HAVING MIN(d) <= $w""".stripMargin
+  }
+
   /** DSIR importance-weight mirror
     * ([[graft.pipeline.DataOps.dsirWeights]]): identical hashed-bigram
     * bucketing (hash60 % B), identical add-one-smoothed exact-integer
@@ -3557,4 +3648,142 @@ object OracleSqlData {
        |       p.sdl AS sum_dl,
        |       CAST(p.sdl * 1000000 // n.n AS BIGINT) AS avg_dl_micro
        |FROM n, v, p""".stripMargin
+
+  /** K5 telemetry mirror ([[graft.sources.PqIndex.pqStats]]): the
+    * vector store's integrity numbers recomputed by re-training both
+    * quantizers from the embeddings table — the code-cid checksum pins
+    * every persisted PQ assignment against corpus truth. */
+  lazy val pqStats: String =
+    s"""WITH $pqCtes,
+       |${crankCte(DataOps.IvfC)},
+       |ca AS (
+       |  SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+       |         CAST(COUNT(*) AS BIGINT) AS n_code_rows,
+       |         CAST(SUM(cid) AS BIGINT) AS sum_code_cid
+       |  FROM a1
+       |),
+       |cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_codebook_rows
+       |       FROM ref),
+       |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_centroids FROM cnrm),
+       |ce AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells
+       |       FROM crank WHERE rnk = 1)
+       |SELECT ca.n_vectors, ca.n_code_rows, ca.sum_code_cid,
+       |       cb.n_codebook_rows, cc.n_centroids, ce.n_cells
+       |FROM ca, cb, cc, ce""".stripMargin
+
+  /** K7 telemetry mirror ([[graft.sources.SqIndex.sqStats]]): the SQ8
+    * store's integrity numbers recomputed by re-quantizing the
+    * embeddings table — the element checksum pins every stored
+    * reconstruction value. */
+  val sqStats: String =
+    s"""WITH $embCtes,
+       |mm AS (
+       |  SELECT vec_id, list_min(em) AS mn,
+       |         list_max(em) - list_min(em) AS rng
+       |  FROM ev
+       |),
+       |cd AS (
+       |  SELECT v.vec_id, v.i,
+       |         254 * m.mn + (CASE WHEN m.rng > 0
+       |           THEN CAST(ROUND(CAST(v.v - m.mn AS DOUBLE) * 254.0 /
+       |             CAST(m.rng AS DOUBLE)) AS BIGINT) - 127
+       |           ELSE 0 END + 127) * m.rng AS r254
+       |  FROM vu v JOIN mm m USING (vec_id)
+       |)
+       |SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+       |       CAST(COUNT(*) AS BIGINT) AS n_elems,
+       |       CAST(SUM(r254) AS BIGINT) AS sum_r254
+       |FROM cd""".stripMargin
+
+  /** K6 telemetry mirror ([[graft.sources.LangProfileStore.langStats]]):
+    * the classifier store's integrity numbers recomputed from the
+    * documents table — the count checksum pins the additive training
+    * state the append/remove lifecycle maintains. */
+  val langStats: String = {
+    val k = DataOps.CtProfK
+    s"""WITH lt AS (
+       |  SELECT doc_id, lang, lower(text) AS t FROM documents
+       |  WHERE length(lower(text)) >= 3
+       |),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |         ${h60("substr(t, CAST(i AS INTEGER), 3)")} AS h
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(range(1, length(t) - 1)) AS i, t
+       |        FROM lt)
+       |),
+       |lc AS (
+       |  SELECT lang, h, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM g GROUP BY 1, 2
+       |),
+       |lp AS (
+       |  SELECT lang, h FROM (
+       |    SELECT lang, h,
+       |           ROW_NUMBER() OVER (PARTITION BY lang
+       |             ORDER BY c DESC, h ASC) AS rnk
+       |    FROM lc
+       |  ) WHERE rnk <= $k
+       |),
+       |ca AS (
+       |  SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         CAST(COUNT(*) AS BIGINT) AS n_count_rows,
+       |         CAST(SUM(c) AS BIGINT) AS sum_c
+       |  FROM lc
+       |),
+       |cp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_profile_rows FROM lp)
+       |SELECT ca.n_langs, ca.n_count_rows, ca.sum_c, cp.n_profile_rows
+       |FROM ca, cp""".stripMargin
+  }
+
+  /** K8 telemetry mirror ([[graft.sources.DsirStore.dsirStats]]): the
+    * importance store's bucket statistics recomputed from the documents
+    * table — the raw/target sums pin the additive state. */
+  val dsirStats: String = {
+    val B = DataOps.DsirBuckets
+    s"""WITH wl AS (
+       |  SELECT doc_id, lang,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id, lang, unnest(
+       |    CASE WHEN len(w) >= 2 THEN
+       |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS bg
+       |  FROM wl
+       |),
+       |db AS (
+       |  SELECT doc_id, lang, ${h60("bg")} % $B AS b,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM bg GROUP BY 1, 2, 3
+       |),
+       |rawc AS (
+       |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS raw_cnt FROM db GROUP BY 1
+       |),
+       |tgtc AS (
+       |  SELECT b, CAST(SUM(cnt) AS BIGINT) AS tgt_cnt FROM db
+       |  WHERE lang = '${DataOps.DsirTargetLang}' GROUP BY 1
+       |),
+       |bk AS (
+       |  SELECT rawc.b, raw_cnt, COALESCE(tgt_cnt, 0) AS tgt_cnt
+       |  FROM rawc LEFT JOIN tgtc ON tgtc.b = rawc.b
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |       CAST(SUM(raw_cnt) AS BIGINT) AS sum_raw,
+       |       CAST(SUM(tgt_cnt) AS BIGINT) AS sum_tgt
+       |FROM bk""".stripMargin
+  }
+
+  /** K10 telemetry mirror
+    * ([[graft.sources.PositionsIndex.positionsStats]]): the positional
+    * store's integrity numbers recomputed by re-tokenizing the
+    * documents table — the position checksum pins every stored
+    * (doc, pos, token) row. */
+  val positionsStats: String =
+    s"""WITH $posCte
+       |SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_terms,
+       |       CAST(COUNT(*) AS BIGINT) AS n_positions,
+       |       CAST(SUM(pos) AS BIGINT) AS sum_pos
+       |FROM pos""".stripMargin
 }

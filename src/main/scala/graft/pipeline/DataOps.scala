@@ -924,8 +924,19 @@ object DataOps {
     * al. 2011 / the FAISS IVF-Flat index). */
   val IvfC = 16
 
-  /** IVF centroids: hash-stratified seed picks refined by ONE exact
-    * k-means (Lloyd) step, fully oracle-replayable.
+  /** Lloyd refinement rounds shared by BOTH k-means quantizers (the
+    * IVF coarse cells here and the PQ sub-space codebooks in
+    * [[pqTrain]]). Production FAISS trains ~25; 5 exact-integer rounds
+    * recover most of the quantization-error drop while keeping the
+    * oracle replayable as T unrolled CTE blocks (the fixed-round
+    * [[dupCommunities]]/eventPagerank precedent). Each round is one
+    * assignment pass (broadcast C centroids over one scan) plus one
+    * integer-mean aggregate, so training stays linear in the corpus —
+    * rounds multiply the constant, never the asymptotics. */
+  val LloydT = 5
+
+  /** IVF centroids: hash-stratified seed picks refined by [[LloydT]]
+    * exact k-means (Lloyd) rounds, fully oracle-replayable.
     *
     * Seeds: stratum = hash60(vec_id) mod C, seed = the stratum's
     * (hash, vec_id)-minimal vector — a deterministic spread sample. At
@@ -934,15 +945,18 @@ object DataOps {
     * cells, poor recall); the md5 stratifier is insert-order independent.
     * Selection is aggregation-only (min per stratum + a C-row join).
     *
-    * Refinement: every vector joins its best seed (broadcast C seeds,
-    * bounded C-row rank per vector), then each cell's centroid becomes
-    * the member-wise INTEGER mean (`sum div count` per dimension —
-    * truncating division, identical in Spark `div` and DuckDB `//`), so
-    * the refined centroids are exact integers in both engines. A cell
-    * whose mean vector is all-zero (norm 0) is dropped — cosine to it is
-    * undefined and NaN ordering differs across engines. One Lloyd step
-    * cuts quantization error vs raw samples; more steps would converge
-    * further but each costs a full assignment pass. */
+    * Refinement (×[[LloydT]]): every vector joins its best current
+    * centroid (broadcast C centroids, bounded C-row rank per vector),
+    * then each cell's centroid becomes the member-wise INTEGER mean
+    * (`sum div count` per dimension — truncating division, identical in
+    * Spark `div` and DuckDB `//`), so the refined centroids are exact
+    * integers in both engines after EVERY round. A cell whose mean
+    * vector is all-zero (norm 0) is dropped — cosine to it is undefined
+    * and NaN ordering differs across engines; a cell that loses every
+    * member simply stops existing (no reseeding — same in the oracle).
+    * Intermediate rounds are pinned (16-row checkpoints) so round t+1's
+    * assignment pass doesn't re-execute rounds 1..t under each of its
+    * plan branches. */
   private[graft] def centroids(spark: SparkSession, sfDir: String): DataFrame =
     centroidsFrom(emb(spark, sfDir))
 
@@ -953,27 +967,31 @@ object DataOps {
       .groupBy(col("stratum"))
       .agg(min(struct(col("h"), col("vec_id"))).as("m"))
       .select(col("stratum").as("cid"), col("m.vec_id").as("cvid"))
-    val cents0 = seeds.join(v, col("cvid") === col("vec_id"))
+    var cents = seeds.join(v, col("cvid") === col("vec_id"))
       .select(col("cid"), col("em").as("cem"), col("nrm").as("cn"))
-    val assign0 = v.crossJoin(broadcast(cents0))
-      .select(col("vec_id"), col("cid"),
-        cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cs").desc, col("cid").asc)))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("cid"))
-    v.join(assign0, Seq("vec_id"))
-      .select(col("cid"), posexplode(col("em")).as(Seq("i", "x")))
-      .groupBy(col("cid"), col("i"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-      .withColumn("cv", expr("s div cnt"))
-      .groupBy(col("cid"))
-      .agg(collect_list(struct(col("i"), col("cv"))).as("l"))
-      .select(col("cid"),
-        transform(array_sort(col("l")), e => e.getField("cv")).as("cem"))
-      .withColumn("cn", dot(col("cem"), col("cem")))
-      .where(col("cn") > 0)
+    for (t <- 1 to LloydT) {
+      val assign = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cs").desc, col("cid").asc)))
+        .where(col("rnk") === 1)
+        .select(col("vec_id"), col("cid"))
+      val next = v.join(assign, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("em")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("cv", expr("s div cnt"))
+        .groupBy(col("cid"))
+        .agg(collect_list(struct(col("i"), col("cv"))).as("l"))
+        .select(col("cid"),
+          transform(array_sort(col("l")), e => e.getField("cv")).as("cem"))
+        .withColumn("cn", dot(col("cem"), col("cem")))
+        .where(col("cn") > 0)
+      cents = if (t < LloydT) pin(next) else next
+    }
+    cents
   }
 
   /** Pin a TINY deterministic frame (the 16 refined centroids):
@@ -1030,7 +1048,7 @@ object DataOps {
   /** K-MEANS CLUSTER READOUT over the embedding space — the health/shape
     * statistic a SemDeDup-style curation or an IVF index build reads
     * before trusting its clustering: per refined centroid ([[centroids]]
-    * — hash-stratified seeds + one exact-integer Lloyd step, the SAME
+    * — hash-stratified seeds + LloydT exact-integer Lloyd rounds, the SAME
     * clustering every IVF operator uses), the member count, corpus share
     * in exact ppm, and the cohesion profile (truncating mean + min of the
     * member→centroid cosine, micro units). A cluster with low share and
@@ -1726,25 +1744,75 @@ object DataOps {
 
   /** The probe proper — windowed pair algebra of an (t, role) term
     * frame against a positional relation; shared VERBATIM by
-    * [[proximitySearch]] and the persistent store's probe. */
+    * [[proximitySearch]] and the persistent store's probe (the
+    * one-pair view of [[proximityServeStage]] under a constant
+    * q_id). */
   private[graft] def proximityStage(pos: DataFrame,
+      terms: DataFrame): DataFrame =
+    proximityServeStage(pos, terms.withColumn("q_id", lit(1L)))
+      .drop("q_id")
+
+  /** MULTI-PAIR SERVING stage — the [[bm25ServeStage]] discipline on
+    * the proximity probe: a (q_id, t, role) query-batch frame answers
+    * EVERY pair in one pass over the positional relation (the K10
+    * store's production shape: one broadcast of the whole query batch,
+    * one postings filter at the scan, never a per-pair job). The pair
+    * join keys on (q_id, doc_id), so pairs sharing a term stay
+    * independent; all per-pair algebra is [[proximityStage]]'s
+    * verbatim. */
+  private[graft] def proximityServeStage(pos: DataFrame,
       terms: DataFrame): DataFrame = {
-    val pa = pos.join(broadcast(
-        terms.where(col("role") === "a").select(col("t"))), Seq("t"))
-      .select(col("doc_id"), col("t").as("t_a"), col("pos").as("pos_a"))
-    val pb = pos.join(broadcast(
-        terms.where(col("role") === "b").select(col("t"))), Seq("t"))
-      .select(col("doc_id"), col("t").as("t_b"), col("pos").as("pos_b"))
-    pa.join(pb, Seq("doc_id"))
+    val pa = pos.join(broadcast(terms.where(col("role") === "a")
+        .select(col("q_id"), col("t"))), Seq("t"))
+      .select(col("q_id"), col("doc_id"), col("t").as("t_a"),
+        col("pos").as("pos_a"))
+    val pb = pos.join(broadcast(terms.where(col("role") === "b")
+        .select(col("q_id"), col("t"))), Seq("t"))
+      .select(col("q_id"), col("doc_id"), col("t").as("t_b"),
+        col("pos").as("pos_b"))
+    pa.join(pb, Seq("q_id", "doc_id"))
       .where(col("pos_a") =!= col("pos_b"))
-      .select(col("doc_id"), col("t_a"), col("t_b"),
+      .select(col("q_id"), col("doc_id"), col("t_a"), col("t_b"),
         abs(col("pos_a") - col("pos_b")).as("d"))
-      .groupBy(col("doc_id"), col("t_a"), col("t_b"))
+      .groupBy(col("q_id"), col("doc_id"), col("t_a"), col("t_b"))
       .agg(min(col("d")).cast("long").as("min_dist"),
         sum(when(col("d") <= ProximityWindow, 1L).otherwise(0L))
           .as("n_pairs_w"))
       .where(col("min_dist") <= ProximityWindow)
   }
+
+  /** The standard deterministic TWO-pair proximity batch (the
+    * [[standardServeQueries]] discipline): the top-2 modal trigrams
+    * (count desc, gram asc LIMIT 2 — then q_ids assigned over the
+    * already-bounded rows, never a whole-vocabulary window), each
+    * contributing its (first, last)-word pair as (q_id, t, role). */
+  private[graft] def proximityServeTerms(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    val top2 = corpus
+      .select(explode(graft.functions.WordGramsExpr.grams(spark,
+        col("text"), 3, distinct = false)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc).limit(2)
+      .withColumn("q_id", row_number().over(
+        Window.orderBy(col("c").desc, col("g").asc)).cast("long"))
+    top2.select(col("q_id"),
+        posexplode(split(col("g"), " ")).as(Seq("i", "t")))
+      .where(col("i") =!= 1)
+      .select(col("q_id"), col("t"),
+        when(col("i") === 0, lit("a")).otherwise(lit("b")).as("role"))
+  }
+
+  /** PROXIMITY SERVING — the registry form of the multi-pair probe
+    * (the bm25Serve sibling at the positional tier): the standard
+    * two-pair batch answered in ONE pass over the positional relation.
+    * Output (q_id, doc_id, t_a, t_b, min_dist, n_pairs_w); q_id 1's
+    * rows ≡ [[proximitySearch]] by construction. Served from the K10
+    * store by [[graft.sources.PositionsIndex.proximityServeAgainst]]
+    * — this stage verbatim over the stored relation. */
+  def proximityServe(spark: SparkSession, sfDir: String): DataFrame =
+    proximityServeStage(
+      positionsOf(spark, docs(spark, sfDir)),
+      proximityServeTerms(spark, docs(spark, sfDir)))
 
   /** RANKED RETRIEVAL over the [[invertedIndex]] tier — the scored
     * search primitive beside [[phraseSearch]]'s exact positional match:
@@ -2459,7 +2527,7 @@ object DataOps {
     * vectors: per vector, one centroid id per sub-space (the PQ code)
     * plus the exact-integer reconstruction MAE. Fully deterministic and
     * oracle-replayable by the same discipline as the IVF coarse
-    * quantizer ([[centroids]]): hash-stratified seed picks, ONE Lloyd
+    * quantizer ([[centroids]]): hash-stratified seed picks, [[LloydT]] Lloyd
     * step with member-wise truncating-integer means, assignment by
     * EXACT int64 squared-L2 distance with (distance, cid) tie-break.
     * Output (vec_id, code = "c0_c1_…", mae_micro).
@@ -2499,10 +2567,13 @@ object DataOps {
 
   /** PQ TRAINING over a vectors frame `v` and its element relation:
     * hash-stratified seed vectors (insert-order independent), one per
-    * stratum, refined by one Lloyd step of member-wise
+    * stratum, refined by [[LloydT]] Lloyd rounds of member-wise
     * truncating-integer means (exact and identical in Spark `div` /
-    * DuckDB `//` — both truncate toward 0). Returns the pinned
-    * (m, cid, j, c) codebook. */
+    * DuckDB `//` — both truncate toward 0); each round reassigns by
+    * exact int64 squared-L2 ([[pqAssign]]) against the previous round's
+    * codebook, pinned (KB-sized) between rounds. A (m, cid) cell that
+    * loses every member drops out, exactly as in the oracle's unrolled
+    * CTE rounds. Returns the pinned (m, cid, j, c) codebook. */
   private[graft] def pqTrain(v: DataFrame, el: DataFrame): DataFrame = {
     val seeds = v
       .withColumn("h",
@@ -2512,12 +2583,15 @@ object DataOps {
       .agg(min(struct(col("h"), col("vec_id"))).as("mn"))
       .select(col("stratum").cast("int").as("cid"),
         col("mn.vec_id").as("cvid"))
-    val seedEl = seeds.join(el, col("cvid") === col("vec_id"))
+    var cents = seeds.join(el, col("cvid") === col("vec_id"))
       .select(col("cid"), col("m"), col("j"), col("x").as("c"))
-    pin(pqAssign(el, seedEl).join(el, Seq("vec_id", "m"))
-      .groupBy(col("m"), col("cid"), col("j"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-      .select(col("m"), col("cid"), col("j"), expr("s div cnt").as("c")))
+    for (_ <- 1 to LloydT) {
+      cents = pin(pqAssign(el, cents).join(el, Seq("vec_id", "m"))
+        .groupBy(col("m"), col("cid"), col("j"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("m"), col("cid"), col("j"), expr("s div cnt").as("c")))
+    }
+    cents
   }
 
   private[graft] def pqParts(spark: SparkSession,

@@ -153,6 +153,45 @@ object DsirStore {
     scoreAgainst(spark, dbl.select(col("doc_id"), col("text")), dir)
   }
 
+  /** STORE TELEMETRY — the K4/K9 statsOf discipline on the importance
+    * model: one row (n_buckets, sum_raw, sum_tgt), read purely off the
+    * bucket-statistics relation. The two sums are value checksums over
+    * the additive state — a single bucket count drifted by one fails
+    * the audit while the bucket cardinality still matches. */
+  def statsOf(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    spark.read.parquet(s"$storeDir/stats")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("raw_cnt")).cast("long").as("sum_raw"),
+        sum(col("tgt_cnt")).cast("long").as("sum_tgt"))
+  }
+
+  /** Registry form of the telemetry — over the APPEND-MAINTAINED store
+    * (shares [[dsirIncremental]]'s buildOnce build-evens+append-odds
+    * store, ≡ a one-shot full-corpus build by bucket-sum merging): the
+    * oracle recomputes the numbers from the documents table, auditing
+    * that incremental maintenance left the statistics equal to corpus
+    * truth. */
+  def dsirStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val dbl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: same aggregates over the fresh
+      // statistics (plan-identical to the store read by design).
+      return batchStats(spark, dbl)
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("raw_cnt")).cast("long").as("sum_raw"),
+          sum(col("tgt_cnt")).cast("long").as("sum_tgt"))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-dsir-incr", sfDir)
+    if (built.add(dir)) {
+      buildFrom(spark, dbl.where(col("doc_id") % 2 === 0), dir)
+      appendBatch(spark, dbl.where(col("doc_id") % 2 === 1), dir)
+    }
+    statsOf(spark, dir)
+  }
+
   /** Registry form of the DELETION path: train on the FULL corpus,
     * [[removeBatch]] the odd half (the store becomes the evens-trained
     * model), then score the FULL corpus against it — forgotten

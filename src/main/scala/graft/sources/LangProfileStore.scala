@@ -174,6 +174,53 @@ object LangProfileStore {
       spark.read.parquet(s"$dir/profiles")), gc)
   }
 
+  /** STORE TELEMETRY — the K4/K9 statsOf discipline on the trained
+    * classifier: one row (n_langs, n_count_rows, sum_c,
+    * n_profile_rows), read purely off the two store relations.
+    * `sum_c` is the value checksum over the ADDITIVE training state —
+    * a single count drifted by one (a lost merge, a double append)
+    * fails the audit while all cardinalities still match. */
+  def statsOf(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count,
+      count_distinct, lit, sum}
+    spark.read.parquet(s"$storeDir/counts")
+      .agg(count_distinct(col("lang")).as("n_langs"),
+        count(lit(1)).as("n_count_rows"),
+        sum(col("c")).cast("long").as("sum_c"))
+      .crossJoin(broadcast(spark.read.parquet(s"$storeDir/profiles")
+        .agg(count(lit(1)).as("n_profile_rows"))))
+  }
+
+  /** Registry form of the telemetry — over the APPEND-MAINTAINED store
+    * (shares [[langIdIncremental]]'s buildOnce build-evens+append-odds
+    * store, which count-sum merging makes ≡ a one-shot full-corpus
+    * build): the oracle recomputes the numbers from the documents
+    * table, auditing that incremental maintenance left the trained
+    * counts equal to corpus truth. */
+  def langStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count,
+      count_distinct, lit, sum}
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: same aggregates over the fresh
+      // count/profile relations (plan-identical to the store read).
+      val lc = DataOps.ctLangCounts(DataOps.ctGramCounts(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")))
+      return lc.agg(count_distinct(col("lang")).as("n_langs"),
+          count(lit(1)).as("n_count_rows"),
+          sum(col("c")).cast("long").as("sum_c"))
+        .crossJoin(broadcast(DataOps.ctProfilesOfLangCounts(lc)
+          .agg(count(lit(1)).as("n_profile_rows"))))
+    }
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val dir = StoreDirs.tmpStoreDir("graft-lang-incr", sfDir)
+    if (built.add(dir)) {
+      buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+      appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
+    }
+    statsOf(spark, dir)
+  }
+
   /** Registry form of the DELETION path: train on the FULL corpus,
     * [[removeBatch]] the odd half (count subtraction — the store
     * becomes the evens-trained model), then classify the forgotten odd

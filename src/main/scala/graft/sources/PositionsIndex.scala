@@ -103,6 +103,15 @@ object PositionsIndex {
     DataOps.proximityStage(
       spark.read.parquet(s"$indexDir/positions"), terms)
 
+  /** MULTI-PAIR proximity serving against the store: `terms` carries a
+    * whole (q_id, t, role) query batch, answered in ONE pass over the
+    * stored relation ([[DataOps.proximityServeStage]] VERBATIM — the
+    * bm25Serve discipline at the positional tier). */
+  def proximityServeAgainst(spark: SparkSession, terms: DataFrame,
+      indexDir: String): DataFrame =
+    DataOps.proximityServeStage(
+      spark.read.parquet(s"$indexDir/positions"), terms)
+
   /** One store build+mutate per (JVM, directory) — the K9 guard: the
     * lifecycle entries' append half is not idempotent. */
   private val built =
@@ -162,6 +171,43 @@ object PositionsIndex {
       appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
     }
     phraseAgainst(spark, standardParts(spark, sfDir), dir)
+  }
+
+  /** STORE TELEMETRY — the K4/K9 statsOf discipline on the positional
+    * store: one row (n_docs, n_terms, n_positions, sum_pos), read
+    * purely off the positions relation. `sum_pos` is the value
+    * checksum — a store whose positions shifted by one token (a
+    * tokenizer drift, a partial rewrite) fails the audit while all
+    * cardinalities still match. */
+  def statsOf(spark: SparkSession, indexDir: String): DataFrame =
+    positionsStatsOf(spark.read.parquet(s"$indexDir/positions"))
+
+  private def positionsStatsOf(p: DataFrame): DataFrame =
+    p.agg(count_distinct(col("doc_id")).as("n_docs"),
+      count_distinct(col("t")).as("n_terms"),
+      count(lit(1)).as("n_positions"),
+      sum(col("pos")).cast("long").as("sum_pos"))
+
+  /** Registry form of the telemetry — over the APPEND-MAINTAINED store
+    * (shares [[phraseIncremental]]'s buildOnce build-evens+append-odds
+    * store, ≡ a one-shot build since positions are per-document): the
+    * oracle recomputes the numbers from the documents table, auditing
+    * that incremental maintenance left the positional relation equal
+    * to corpus truth. */
+  def positionsStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: same aggregates over the fresh
+      // positional relation (plan-identical to the store read).
+      return positionsStatsOf(DataOps.positionsOf(spark, d))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-pos-incr", sfDir)
+    if (built.add(dir)) {
+      buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+      appendBatch(spark, d.where(col("doc_id") % 2 === 1), dir)
+    }
+    statsOf(spark, dir)
   }
 
   /** Registry form of the DELETION path: build over the full corpus,

@@ -198,6 +198,66 @@ object PqIndex {
     ivfPqAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }
 
+  /** STORE TELEMETRY — the K4/K9 [[PostingsIndex.statsOf]] discipline
+    * on the vector store: one row (n_vectors, n_code_rows,
+    * sum_code_cid, n_codebook_rows, n_centroids, n_cells), every
+    * number read off the STORE relations (no corpus access). As a
+    * registry entry (`pqStats`) it is an INTEGRITY AUDIT: the oracle
+    * recomputes the same numbers by re-training from the embeddings
+    * table, so any drift between the persisted model and corpus truth
+    * — a missed append, a double append, a corrupted codebook —
+    * breaks the hash. `sum_code_cid` is the value checksum: it pins
+    * every vector's actual PQ code assignments, not just their
+    * counts (a store whose codes quietly shifted cells keeps all
+    * cardinalities and still fails). */
+  def statsOf(spark: SparkSession, indexDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, count_distinct, lit,
+      sum}
+    spark.read.parquet(s"$indexDir/codes")
+      .agg(count_distinct(col("vec_id")).as("n_vectors"),
+        count(lit(1)).as("n_code_rows"),
+        sum(col("cid")).cast("long").as("sum_code_cid"))
+      .crossJoin(broadcast(
+        spark.read.parquet(s"$indexDir/codebook")
+          .agg(count(lit(1)).as("n_codebook_rows"))))
+      .crossJoin(broadcast(
+        spark.read.parquet(s"$indexDir/centroids")
+          .agg(count(lit(1)).as("n_centroids"))))
+      .crossJoin(broadcast(
+        spark.read.parquet(s"$indexDir/cells")
+          .agg(count(lit(1)).as("n_cells"))))
+  }
+
+  /** Registry form of the telemetry: shares [[annPqIndexed]]'s
+    * buildOnce store (one build — the two ANN probes and the health
+    * readout all serve from it), reads the one-row audit purely from
+    * the store relations. */
+  def pqStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, count_distinct, lit,
+      sum}
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: same aggregates over the fresh
+      // model relations (plan-identical to the store read by design).
+      val v = DataOps.emb(spark, sfDir)
+      val (el, refined, coded) = DataOps.pqPartsFrom(v)
+      val cents = DataOps.centroidsFrom(v)
+      return coded
+        .agg(count_distinct(col("vec_id")).as("n_vectors"),
+          count(lit(1)).as("n_code_rows"),
+          sum(col("cid")).cast("long").as("sum_code_cid"))
+        .crossJoin(broadcast(
+          refined.agg(count(lit(1)).as("n_codebook_rows"))))
+        .crossJoin(broadcast(
+          cents.agg(count(lit(1)).as("n_centroids"))))
+        .crossJoin(broadcast(DataOps.cellRanksFrom(v, cents)
+          .where(col("rnk") === 1)
+          .agg(count(lit(1)).as("n_cells"))))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
+    if (built.add(dir)) build(spark, sfDir, dir)
+    statsOf(spark, dir)
+  }
+
   /** Registry form of the INCREMENTAL path: train + build the store
     * from the even-vec_id half ("the initial corpus"), [[appendBatch]]
     * the odd half encoded against the frozen model, then answer the

@@ -144,6 +144,45 @@ object SqIndex {
     queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }
 
+  /** STORE TELEMETRY — the K4/K9 statsOf discipline on the SQ8 store:
+    * one row (n_vectors, n_elems, sum_r254), read purely off the
+    * reconstruction relation. `sum_r254` is the value checksum — it
+    * pins every stored reconstruction element, so a store whose codes
+    * drifted by even one quantization step fails the audit while all
+    * cardinalities still match. */
+  def statsOf(spark: SparkSession, indexDir: String): DataFrame =
+    reconStats(spark.read.parquet(s"$indexDir/recon"))
+
+  private def reconStats(recon: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, count_distinct,
+      explode, lit, sum}
+    recon.select(col("vec_id"), explode(col("r254")).as("x"))
+      .agg(count_distinct(col("vec_id")).as("n_vectors"),
+        count(lit(1)).as("n_elems"),
+        sum(col("x")).cast("long").as("sum_r254"))
+  }
+
+  /** Registry form of the telemetry — over the APPEND-MAINTAINED store
+    * (shares [[annSqIncremental]]'s buildOnce build-evens+append-odds
+    * store): the oracle recomputes the numbers from the full embeddings
+    * table, so the entry audits that incremental maintenance left the
+    * store equal to corpus truth — a missed or double append breaks
+    * the checksum, not just the row count. */
+  def sqStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = DataOps.emb(spark, sfDir)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: same aggregates over the fresh
+      // reconstruction (plan-identical to the store read by design).
+      return reconStats(DataOps.sqRecon(spark, v))
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-sq-incr", sfDir)
+    if (built.add(dir)) {
+      buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
+      appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
+    }
+    statsOf(spark, dir)
+  }
+
   /** Registry form of the DELETION path: build over the full corpus,
     * [[removeBatch]] the odd vec_ids, probe — no victim may surface in
     * any shortlist (oracle = the annSq mirror with its codes filtered

@@ -83,6 +83,17 @@ import graft.sources.{CorpusSink, DsirStore, LangProfileStore,
  * maintained search index stays ≡ a one-shot build over the published
  * corpus ([[PostingsIndex.appendBatch]] invariance).
  *
+ * VECTOR STORES (round 13): when the landed documents carry an
+ * `embedding` column, the job also maintains the K5/K7 vector stores
+ * under `outDir/pq` and `outDir/sq` — the PQ store bootstraps its
+ * codebook on the FIRST published batch (FAISS-style: train on the
+ * first sample, frozen-codebook `add` thereafter), the SQ store's
+ * per-vector codes make the maintained relation ≡ a one-shot build.
+ * Both sit behind their own committed-batch markers like every other
+ * sink, and [[graft.sources.Forget.forget]]'s vec_id = doc_id
+ * subtraction is their exact inverse — the append/forget loop closes
+ * over ALL SEVEN maintained surfaces.
+ *
  * 100 TB shape: the file source admits micro-batches by
  * `maxFilesPerTrigger`; per batch the only shuffles are the probe's
  * band join (against the store, proportional to the BATCH), the
@@ -128,12 +139,18 @@ object IngestPipeline {
     val dups = MinhashIndex.dedupAgainst(verdict.sparkSession,
       redacted.select(col("doc_id"), col("clean_text").as("text")),
       indexDir)
+    // A landed batch MAY carry per-document embeddings — survivors
+    // keep them so the vector stores can absorb the batch.
+    val base = Seq(col("doc_id"), col("lang"), col("source"),
+      col("clean_text"), col("n_redacted"), col("lang_pred"),
+      col("quality_micro"))
+    val cols =
+      if (verdict.columns.contains("embedding")) base :+ col("embedding")
+      else base
     val survivors = redacted
       .join(dups.select(col("doc_id")).distinct(), Seq("doc_id"),
         "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("clean_text"), col("n_redacted"), col("lang_pred"),
-        col("quality_micro"))
+      .select(cols: _*)
     (survivors, dups)
   }
 
@@ -263,6 +280,36 @@ object IngestPipeline {
     }
     applyOnce("dsir") {
       DsirStore.appendBatch(spark, pubLabeled, s"$outDir/dsir")
+    }
+    // Vector stores — maintained only when the landed batch carries an
+    // `embedding` column. The PQ store BOOTSTRAPS on the first
+    // published batch (FAISS-style: train the codebook on the first
+    // sample, then frozen-codebook `add` for every later batch — the
+    // store cannot seed empty, a codebook needs vectors to train on);
+    // SQ codes are per-vector, so build-vs-append is the same relation
+    // and the maintained store stays ≡ a one-shot build over the
+    // published corpus (PQ's codes are ≡ the sequential
+    // build(batch1)+append(batch2..) composition — the frozen-codebook
+    // contract, pinned in StreamingSpec).
+    if (published.columns.contains("embedding")) {
+      val vecs = published
+        .select(col("doc_id").as("vec_id"),
+          graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+            .as("em"))
+        .withColumn("nrm",
+          graft.functions.VecDotExpr.dot(spark, col("em"), col("em")))
+      applyOnce("pq") {
+        if (!StoreDirs.pathExists(spark, s"$outDir/pq/codebook"))
+          graft.sources.PqIndex.buildFrom(spark, vecs, s"$outDir/pq")
+        else
+          graft.sources.PqIndex.appendBatch(spark, vecs, s"$outDir/pq")
+      }
+      applyOnce("sq") {
+        if (!StoreDirs.pathExists(spark, s"$outDir/sq/recon"))
+          graft.sources.SqIndex.buildFrom(spark, vecs, s"$outDir/sq")
+        else
+          graft.sources.SqIndex.appendBatch(spark, vecs, s"$outDir/sq")
+      }
     }
     applyOnce("seen") {
       freshIds.write.mode("append").parquet(seenPath)

@@ -466,14 +466,17 @@ class DataOpsSpec extends SparkSpec {
 
   test("annIvf recall vs annBrute clears the Lloyd-refined floor") {
     // Deterministic by construction, so the floor is a regression pin:
-    // refined centroids measure 0.58 recall here (first-16-by-vec_id
-    // centroids gave 0.57, unrefined hash-spread seeds 0.47).
+    // the T=5-round centroids measure 0.54 here and 0.61 at sf0.01
+    // (one round gave 0.58/0.50, first-16-by-vec_id centroids 0.57,
+    // unrefined hash-spread seeds 0.47 — the fixed-4-probe recall on
+    // this 500-vector fixture trades a sliver as cells converge while
+    // every larger scale and the composed IVFPQ tier improve).
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val brute = pairs(DataOps.annBrute(spark, SF))
     val ivf = pairs(DataOps.annIvf(spark, SF))
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.55, f"recall $recall%.2f")
+    assert(recall >= 0.50, f"recall $recall%.2f")
   }
 
   test("connectedComponents converges in O(log n) rounds on a 1024-chain") {
@@ -953,15 +956,16 @@ class DataOpsSpec extends SparkSpec {
 
   test("annPq (ADC + exact re-rank) recall clears the shortlist floor") {
     // Deterministic by construction — regression pin for the 8x16 PQ
-    // codebook + shortlist-50 refine (measured 0.57 at sf0.001; ADC
-    // alone without the re-rank measured 0.24 on these structureless
+    // codebook + shortlist-50 refine (measured 0.67 at sf0.001 with
+    // the T=5 Lloyd codebook, up from 0.57 at one round; ADC alone
+    // without the re-rank measured 0.24 on these structureless
     // synthetic embeddings — the quantization-hard case).
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val brute = pairs(DataOps.annBrute(spark, SF))
     val pq = pairs(DataOps.annPq(spark, SF))
     val recall = pq.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.45, f"recall $recall%.2f")
+    assert(recall >= 0.60, f"recall $recall%.2f")
   }
 
   test("annIvfPq: composed recall >= annPq's at a cell-pruned ADC scan") {
@@ -977,7 +981,7 @@ class DataOpsSpec extends SparkSpec {
     // recall must stay within a whisker of straight PQ (and has measured
     // equal on this corpus: the shortlist-50 refine dominates)
     assert(rIvfPq >= rPq - 0.05, f"ivfpq $rIvfPq%.2f vs pq $rPq%.2f")
-    assert(rIvfPq >= 0.45, f"recall $rIvfPq%.2f")
+    assert(rIvfPq >= 0.60, f"recall $rIvfPq%.2f")
     // every composed answer set is per-query <= 10, ranked, self-free
     val rows = DataOps.annIvfPq(spark, SF)
       .as[(Long, Long, Long, Long)].collect().toSeq
@@ -1963,6 +1967,34 @@ class DataOpsSpec extends SparkSpec {
     assert(removed != got)
   }
 
+  test("DsirStore.statsOf telemetry tracks every lifecycle mutation") {
+    val dbl = spark.read.parquet(s"$SF/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+    def tel(dir: String) = graft.sources.DsirStore.statsOf(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-dsir-tel").toString
+    graft.sources.DsirStore.buildFrom(spark,
+      dbl.where($"doc_id" % 2 === 0), dir)
+    val evens = tel(dir)
+    // append moves the checksums; subtraction restores them exactly
+    graft.sources.DsirStore.appendBatch(spark,
+      dbl.where($"doc_id" % 2 === 1), dir)
+    val full = tel(dir)
+    assert(full != evens)
+    graft.sources.DsirStore.removeBatch(spark,
+      dbl.where($"doc_id" % 2 === 1), dir)
+    assert(tel(dir) == evens)
+    // bucket sums: the maintained store's telemetry == a one-shot
+    // full-corpus train's, and the registry form reads exactly that
+    val fullDir =
+      java.nio.file.Files.createTempDirectory("graft-dsir-tel-f").toString
+    graft.sources.DsirStore.buildFrom(spark, dbl, fullDir)
+    assert(full == tel(fullDir))
+    assert(graft.sources.DsirStore.dsirStats(spark, SF)
+      .collect().map(_.toSeq).toSet == tel(fullDir))
+  }
+
   test("textrankKeywords equals the naive integer power iteration") {
     val got = DataOps.textrankKeywords(spark, SF)
       .as[(String, Long, Long)].collect().toSeq
@@ -2046,9 +2078,13 @@ class DataOpsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // the floors the per-tier spot tests pin, now read off the audited
     // relation (sq is exact on this corpus: 8-bit quantization never
-    // reorders the fixture's top-10 margins)
-    val floors = Map("ivf" -> 550000L, "ivfpq" -> 450000L,
-      "lsh" -> 500000L, "pq" -> 450000L, "sq" -> 900000L)
+    // reorders the fixture's top-10 margins). The PQ-family floors
+    // moved UP with the T=5 Lloyd training (pq 0.45→0.60, ivfpq
+    // 0.45→0.60 — measured 0.67/0.65); ivf's fixed-4-probe floor eased
+    // 0.55→0.50 on this 500-vector fixture (measured 0.54 here, 0.61
+    // at sf0.01 — up from 0.50 at one round).
+    val floors = Map("ivf" -> 500000L, "ivfpq" -> 600000L,
+      "lsh" -> 500000L, "pq" -> 600000L, "sq" -> 900000L)
     assert(rows.keySet == floors.keySet)
     floors.foreach { case (t, f) =>
       val (nTrue, nCand, nHit, recall) = rows(t)
@@ -2075,9 +2111,10 @@ class DataOpsSpec extends SparkSpec {
     // one-shot build — identical row again
     assert(store("sq_add") == model("sq"))
     // frozen-codebook append: trained on half the corpus, the appended
-    // half still answers (floor), below never above the full-trained
-    // store on this structureless fixture
-    assert(store("pq_add")._4 >= 450000L &&
+    // half still answers (floor — 0.60 measured with the T=5
+    // codebook, up from 0.45-grade at one round), below never above
+    // the full-trained store on this structureless fixture
+    assert(store("pq_add")._4 >= 550000L &&
       store("pq_add")._4 <= store("pq_store")._4)
     // deletion tiers: victims cannot be returned, so recall vs the
     // FULL truth drops toward the survivors' share — strictly below

@@ -93,4 +93,29 @@ class LangProfileStoreSpec extends SparkSpec {
     // batch boundaries are invisible: per-doc work only
     assert(got == whole && got.nonEmpty)
   }
+
+  test("statsOf telemetry tracks every lifecycle mutation") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    def stats(dir: String) =
+      LangProfileStore.statsOf(spark, dir).collect().map(_.toSeq).toSet
+    val dir = Files.createTempDirectory("graft-lang-tel").toString
+    LangProfileStore.buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+    val evens = stats(dir)
+    // append moves the count checksum; subtraction restores exactly
+    LangProfileStore.appendBatch(spark,
+      d.where(col("doc_id") % 2 === 1), dir)
+    val full = stats(dir)
+    assert(full != evens)
+    LangProfileStore.removeBatch(spark,
+      d.where(col("doc_id") % 2 === 1), dir)
+    assert(stats(dir) == evens)
+    // count sums: the maintained store's telemetry == a one-shot
+    // full-corpus train's, and the registry form reads exactly that
+    val fullDir = Files.createTempDirectory("graft-lang-tel-full").toString
+    LangProfileStore.buildFrom(spark, d, fullDir)
+    assert(full == stats(fullDir))
+    assert(LangProfileStore.langStats(spark, SF)
+      .collect().map(_.toSeq).toSet == stats(fullDir))
+  }
 }

@@ -59,4 +59,60 @@ class PositionsIndexSpec extends SparkSpec {
       ("the quick fox", 2, "fox")).toDF("g", "i", "t")
     PositionsIndex.phraseAgainst(spark, adhoc, full).collect()
   }
+
+  test("proximityServe: batched pairs == per-pair probes; store-served == fresh") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val served = DataOps.proximityServe(spark, SF)
+      .as[(Long, Long, String, String, Long, Long)].collect().toSet
+    assert(served.nonEmpty && served.map(_._1) == Set(1L, 2L))
+    // q_id 1 IS the standard single-pair probe
+    val single = DataOps.proximitySearch(spark, SF)
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(served.filter(_._1 == 1L)
+      .map(r => (r._2, r._3, r._4, r._5, r._6)) == single)
+    // every pair answered from the batch == that pair probed alone
+    val terms = DataOps.proximityServeTerms(spark, d)
+      .as[(Long, String, String)].collect()
+    for (q <- Seq(1L, 2L)) {
+      val one = DataOps.proximityStage(DataOps.positionsOf(spark, d),
+        terms.filter(_._1 == q).map(t => (t._2, t._3)).toSeq
+          .toDF("t", "role"))
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      assert(served.filter(_._1 == q)
+        .map(r => (r._2, r._3, r._4, r._5, r._6)) == one, s"q=$q")
+    }
+    // the K10 store serves the same batch verbatim
+    val dir = Files.createTempDirectory("graft-pos-serve").toString
+    PositionsIndex.buildFrom(spark, d, dir)
+    val fromStore = PositionsIndex.proximityServeAgainst(spark,
+      DataOps.proximityServeTerms(spark, d), dir)
+      .as[(Long, Long, String, String, Long, Long)].collect().toSet
+    assert(fromStore == served)
+  }
+
+  test("statsOf telemetry tracks every lifecycle mutation") {
+    val d = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def stats(dir: String) =
+      PositionsIndex.statsOf(spark, dir).collect().map(_.toSeq).toSet
+    val dir = Files.createTempDirectory("graft-pos-tel").toString
+    PositionsIndex.buildFrom(spark, d.where(col("doc_id") % 2 === 0), dir)
+    val evens = stats(dir)
+    // append moves the counters and checksum; remove restores exactly
+    PositionsIndex.appendBatch(spark,
+      d.where(col("doc_id") % 2 === 1), dir)
+    val fullStats = stats(dir)
+    assert(fullStats != evens)
+    PositionsIndex.removeBatch(spark,
+      d.where(col("doc_id") % 2 === 1).select("doc_id"), dir)
+    assert(stats(dir) == evens)
+    // per-doc positions: the maintained store's telemetry == a
+    // one-shot build's, and the registry form reads exactly that
+    val fullDir = Files.createTempDirectory("graft-pos-tel-full").toString
+    PositionsIndex.buildFrom(spark, d, fullDir)
+    assert(fullStats == stats(fullDir))
+    assert(PositionsIndex.positionsStats(spark, SF)
+      .collect().map(_.toSeq).toSet == stats(fullDir))
+  }
 }

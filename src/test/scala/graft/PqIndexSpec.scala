@@ -114,4 +114,25 @@ class PqIndexSpec extends SparkSpec {
     // disjoint batches: per-query answers are independent of the batch
     assert(rows(b1).map(_._1).intersect(rows(b2).map(_._1)).isEmpty)
   }
+
+  test("statsOf telemetry tracks every lifecycle mutation") {
+    val v = DataOps.emb(spark, SF)
+    def stats(dir: String) =
+      PqIndex.statsOf(spark, dir).collect().map(_.toSeq).toSet
+    val dir = Files.createTempDirectory("graft-pq-tel").toString
+    PqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
+    val evens = stats(dir)
+    // append moves the corpus-sized counters; remove restores exactly
+    PqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
+    val full = stats(dir)
+    assert(full != evens)
+    PqIndex.removeBatch(spark,
+      v.where(col("vec_id") % 2 === 1).select("vec_id"), dir)
+    assert(stats(dir) == evens)
+    // the registry form reads the same numbers off a full-corpus build
+    val fullDir = Files.createTempDirectory("graft-pq-tel-full").toString
+    PqIndex.build(spark, SF, fullDir)
+    assert(PqIndex.pqStats(spark, SF).collect().map(_.toSeq).toSet ==
+      stats(fullDir))
+  }
 }

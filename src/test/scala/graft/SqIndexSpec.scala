@@ -76,4 +76,26 @@ class SqIndexSpec extends SparkSpec {
     // disjoint batches: per-query answers are independent of the batch
     assert(rows(b1).map(_._1).intersect(rows(b2).map(_._1)).isEmpty)
   }
+
+  test("statsOf telemetry tracks every lifecycle mutation") {
+    val v = DataOps.emb(spark, SF)
+    def stats(dir: String) =
+      SqIndex.statsOf(spark, dir).collect().map(_.toSeq).toSet
+    val dir = Files.createTempDirectory("graft-sq-tel").toString
+    SqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
+    val evens = stats(dir)
+    // append moves the counters and checksum; remove restores exactly
+    SqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
+    val full = stats(dir)
+    assert(full != evens)
+    SqIndex.removeBatch(spark,
+      v.where(col("vec_id") % 2 === 1).select("vec_id"), dir)
+    assert(stats(dir) == evens)
+    // per-vector codes: the maintained store's telemetry == a one-shot
+    // full build's, and the registry form reads exactly that
+    val fullDir = Files.createTempDirectory("graft-sq-tel-full").toString
+    SqIndex.build(spark, SF, fullDir)
+    assert(SqIndex.sqStats(spark, SF).collect().map(_.toSeq).toSet ==
+      stats(fullDir))
+  }
 }

@@ -90,7 +90,15 @@ class StreamingSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      in.addData(fixtureMessages)
+      // ACROSS TRIGGERS: the fixture arrives in two event-time-ordered
+      // micro-batches, so windows span state carried over a trigger
+      // boundary — the share a window reports must still be computed
+      // over the WHOLE window, not the per-trigger slice.
+      val ordered = fixtureMessages.sortBy(m => (m.tsec, m.seq))
+      val (h1, h2) = ordered.splitAt(ordered.size / 2)
+      in.addData(h1)
+      q.processAllAvailable()
+      in.addData(h2)
       q.processAllAvailable()
       in.addData(flushRecord)
       q.processAllAvailable()
@@ -1144,6 +1152,83 @@ class StreamingSpec extends SparkSpec {
           .collect().map(_.toSeq).toSet ==
         spark.read.parquet(s"$dsirOneShot/stats")
           .collect().map(_.toSeq).toSet)
+    } finally q2.stop()
+  }
+
+  test("IngestPipeline maintains the vector stores when batches carry embeddings") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    // attach a deterministic 64-dim embedding per document (the
+    // fixture's own vectors, doc_id-linked — the vec_id = doc_id
+    // contract Forget.forgetVectors uses)
+    val embByVec = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select((col("vec_id") % 500).as("ek"), col("embedding"))
+    val docsV = docs.withColumn("ek", col("doc_id") % 500)
+      .join(embByVec, Seq("ek")).drop("ek")
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-vidx").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-vout").toString
+    graft.sources.MinhashIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      indexDir)
+    def half(m: Long) = docsV.where(col("doc_id") % 4 === m)
+      .select("doc_id", "text", "lang", "source", "n_chars", "embedding")
+      .as[(Long, String, String, String, Long, Seq[Float])]
+      .collect().toSeq
+    // run 1: land batch 1, stop mid-stream (the restart point)
+    val in1 = MemoryStream[(Long, String, String, String, Long, Seq[Float])]
+    val q1 = graft.streaming.IngestPipeline.start(
+      in1.toDF().toDF("doc_id", "text", "lang", "source", "n_chars",
+        "embedding"),
+      SF, indexDir, outDir)
+    try { in1.addData(half(1L)); q1.processAllAvailable() }
+    finally q1.stop()
+    // run 2 on the same checkpoint: re-offer batch 1 (committed —
+    // never re-delivered), land batch 2
+    val in2 = MemoryStream[(Long, String, String, String, Long, Seq[Float])]
+    in2.addData(half(1L))
+    val q2 = graft.streaming.IngestPipeline.start(
+      in2.toDF().toDF("doc_id", "text", "lang", "source", "n_chars",
+        "embedding"),
+      SF, indexDir, outDir)
+    try {
+      q2.processAllAvailable()
+      in2.addData(half(3L))
+      q2.processAllAvailable()
+      val pub = spark.read.parquet(s"$outDir/corpus")
+      def vecsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id").as("vec_id"),
+          graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+            .as("em"))
+        .withColumn("nrm", graft.functions.VecDotExpr.dot(spark,
+          col("em"), col("em")))
+      def rel(p: String) =
+        spark.read.parquet(p).collect().map(_.toSeq).toSet
+      // SQ: per-vector codes, so the maintained store across the
+      // restart == a one-shot build over the published corpus
+      val sqOneShot = java.nio.file.Files
+        .createTempDirectory("graft-ingest-sq-oneshot").toString
+      graft.sources.SqIndex.buildFrom(spark, vecsOf(pub), sqOneShot)
+      assert(rel(s"$outDir/sq/recon") == rel(s"$sqOneShot/recon"))
+      // PQ: frozen-codebook contract — the maintained store == the
+      // sequential build(batch-1 survivors) + append(batch-2
+      // survivors) composition, relation-by-relation
+      val pqSeq = java.nio.file.Files
+        .createTempDirectory("graft-ingest-pq-seq").toString
+      graft.sources.PqIndex.buildFrom(spark,
+        vecsOf(pub.where(col("doc_id") % 4 === 1)), pqSeq)
+      graft.sources.PqIndex.appendBatch(spark,
+        vecsOf(pub.where(col("doc_id") % 4 === 3)), pqSeq)
+      for (r <- Seq("codebook", "codes", "centroids", "cells")) {
+        assert(rel(s"$outDir/pq/$r") == rel(s"$pqSeq/$r"), r)
+      }
+      // and the maintained store actually serves ANN probes
+      val q = vecsOf(pub.where(col("doc_id") % 20 === 1))
+        .select(col("vec_id").as("q_id"), col("em").as("qem"),
+          col("nrm").as("qn"))
+      assert(graft.sources.PqIndex.queryAgainst(spark, q,
+        s"$outDir/pq", SF).count() > 0)
     } finally q2.stop()
   }
 
