@@ -960,24 +960,29 @@ object DataOps {
   private[graft] def centroids(spark: SparkSession, sfDir: String): DataFrame =
     centroidsFrom(emb(spark, sfDir))
 
-  private[graft] def centroidsFrom(v: DataFrame): DataFrame = {
+  private[graft] def centroidsFrom(v: DataFrame, c: Int = IvfC,
+      rounds: Int = LloydT): DataFrame = {
     val seeds = v
       .withColumn("h", hash60(col("vec_id").cast("string")))
-      .withColumn("stratum", pmod(col("h"), lit(IvfC.toLong)))
+      .withColumn("stratum", pmod(col("h"), lit(c.toLong)))
       .groupBy(col("stratum"))
       .agg(min(struct(col("h"), col("vec_id"))).as("m"))
       .select(col("stratum").as("cid"), col("m.vec_id").as("cvid"))
     var cents = seeds.join(v, col("cvid") === col("vec_id"))
       .select(col("cid"), col("em").as("cem"), col("nrm").as("cn"))
-    for (t <- 1 to LloydT) {
+    for (t <- 1 to rounds) {
+      // Top-1 assignment as an AGGREGATE argmax (the [[pqAssign]]
+      // discipline): max(struct(cs, −cid)) IS the (cs desc, cid asc)
+      // pick — a hash aggregate with map-side partials instead of a
+      // row_number sort exchange over the N·C scored rows, per round.
+      // (The final probe-facing rank relation, [[cellRanksFrom]],
+      // stays a window — callers need ranks 1..C, not just the top.)
       val assign = v.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"),
           cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("cs").desc, col("cid").asc)))
-        .where(col("rnk") === 1)
-        .select(col("vec_id"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
+        .select(col("vec_id"), (-col("b.ncid")).as("cid"))
       val next = v.join(assign, Seq("vec_id"))
         .select(col("cid"), posexplode(col("em")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i"))
@@ -989,7 +994,7 @@ object DataOps {
           transform(array_sort(col("l")), e => e.getField("cv")).as("cem"))
         .withColumn("cn", dot(col("cem"), col("cem")))
         .where(col("cn") > 0)
-      cents = if (t < LloydT) pin(next) else next
+      cents = if (t < rounds) pin(next) else next
     }
     cents
   }
@@ -1104,7 +1109,15 @@ object DataOps {
     val assign = cellRanks(spark, sfDir, pin(centroids(spark, sfDir)))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("cid")).persist()
-    val v = emb(spark, sfDir)
+    semdedupVerdict(emb(spark, sfDir), assign)
+  }
+
+  /** The verdict tail of [[semdedup]] — within-cell smaller-id neighbor
+    * test at [[SemTauMicro]] over a (vec_id, cid) assignment; shared
+    * VERBATIM by the fixed-C registry form and the scaled-C production
+    * tier ([[semdedupScaled]]). `assign` must be persisted (it feeds
+    * both sides of the cell join and the verdict). */
+  private def semdedupVerdict(v: DataFrame, assign: DataFrame): DataFrame = {
     val dup = assign.as("x").join(assign.as("y"),
         col("x.cid") === col("y.cid") &&
           col("y.vec_id") < col("x.vec_id"))
@@ -1119,6 +1132,51 @@ object DataOps {
       .select(col("vec_id"), col("cid"),
         coalesce(!col("isdup"), lit(true)).as("keep")),
       assign)
+  }
+
+  /** Target mean cell size of the SCALED-C semantic-dedup tier. */
+  val SemCellTarget = 128L
+
+  /** SCALED-C PRODUCTION TIER of [[semdedup]] — BENCH-ONLY (no
+    * registry entry: the C ∝ N knob is data-dependent, so the static
+    * DuckDB oracle cannot replay it; the fixed-C=16 registry form keeps
+    * the oracle contract and OOMs at 100× BY CONTRACT — this form is
+    * the documented production alternative, measured at 10×/100× in
+    * BASELINE.md):
+    *
+    *  - C = max([[IvfC]], N / [[SemCellTarget]]) holds the MEAN CELL
+    *    SIZE constant, so the within-cell pair term — the fixed-C
+    *    form's OOM source (N²/16 pairs) — becomes ~N·[[SemCellTarget]]
+    *    pairs, linear in the corpus.
+    *  - Training fits on a HASH SAMPLE (~32 vectors per cell — the
+    *    FAISS discipline: codebooks train on a sample, never the
+    *    corpus), one refinement round.
+    *  - Assignment is ONE corpus pass against the broadcast C-row
+    *    centroid frame with an AGGREGATE argmax (max(struct(cs,
+    *    −cid))) — a hash aggregate with map-side partials, not a
+    *    row_number window: no N·C-row sort exchange. The N·C dot
+    *    products are the irreducible IVF-assignment term (production
+    *    engines push it through BLAS; here it is one codegen'd scan).
+    *
+    * Verdict tail = [[semdedupVerdict]] VERBATIM, so fixed-C and
+    * scaled-C differ only in the clustering knob — the paper's own
+    * statement that C scales with N while the shape stays fixed. */
+  def semdedupScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    val n = math.max(1L, v.count())
+    val c = math.max(IvfC.toLong, n / SemCellTarget).toInt
+    val sampleMod = math.max(1L, n / (32L * c))
+    val sample = v.where(
+      pmod(hash60(col("vec_id").cast("string")), lit(sampleMod)) === 0)
+    val cents = pin(centroidsFrom(sample, c, rounds = 1))
+    val assign = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("b"))
+      .select(col("vec_id"), (-col("b.ncid")).as("cid"))
+      .persist()
+    semdedupVerdict(v, assign)
   }
 
   /** Int8 scalar quantization of the embedding column — the compression

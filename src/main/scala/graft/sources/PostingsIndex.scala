@@ -280,6 +280,41 @@ object PostingsIndex {
       spark.read.parquet(s"$indexDir/stats").select(col("n")))
       .select(col("token"), col("idf_bits"))
 
+  /** CLUSTER LAYOUT — `postings/` persisted as a bucketed-by-token,
+    * per-bucket-sorted table ([[graft.ops.ScaleOps.writeBucketed]],
+    * wired: the layout knob every K-store scaladoc names, demonstrated
+    * in a plan rather than prose). The pre-shuffle is paid ONCE at
+    * write time: any token-keyed aggregate or same-bucketed join over
+    * the table runs WITHOUT an Exchange (the scan already carries
+    * HashPartitioning(token)), and a literal-term probe PRUNES to its
+    * terms' buckets (`SelectedBucketsCount` in the scan) — the
+    * posting-list-lookup cost a 100 TB search tier actually pays.
+    * Contents are the store's postings verbatim; PostingsIndexSpec
+    * pins probe-result equality, the pruned scan and the absent
+    * shuffle. */
+  def writeBucketedPostings(spark: SparkSession, indexDir: String,
+      table: String, buckets: Int = 32): Unit =
+    graft.ops.ScaleOps.writeBucketed(
+      spark.read.parquet(s"$indexDir/postings"), table, buckets,
+      "token")
+
+  /** BM25 probe over the BUCKETED layout with LITERAL query terms —
+    * the serving path where the query is known ahead of the plan (a
+    * user query), so the term predicate is a literal `IN` and the
+    * bucketed scan prunes to the terms' buckets before reading a row.
+    * Scoring is [[DataOps.bm25ScoreStage]] verbatim; results ≡
+    * [[bm25Against]] on the directory store for the same terms. */
+  def bm25AgainstBucketed(spark: SparkSession, terms: Seq[String],
+      table: String, indexDir: String): DataFrame = {
+    import spark.implicits._
+    DataOps.bm25ScoreStage(
+      spark.table(table).where(col("token").isin(terms: _*)),
+      spark.read.parquet(s"$indexDir/doclen"),
+      spark.read.parquet(s"$indexDir/stats").select(col("n")),
+      spark.read.parquet(s"$indexDir/stats").select(col("sdl")),
+      queryWeights(spark, terms.toDF("token"), indexDir))
+  }
+
   /** BM25 top-10 for an ad-hoc (token) term frame — probe-only: the
     * [[DataOps.bm25ScoreStage]] scoring verbatim over the stored
     * relations, NO corpus tokenization. */

@@ -1995,6 +1995,36 @@ class DataOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == tel(fullDir))
   }
 
+  test("semdedupScaled: verdict matches the naive within-cell model on its own assignment") {
+    val got = DataOps.semdedupScaled(spark, SF)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val raw = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val em: Map[Long, Array[Long]] = raw.map { case (id, e) =>
+      id -> e.map(x => math.round(x.toDouble * 1000000.0)).toArray
+    }.toMap
+    // one verdict row per vector
+    assert(got.map(_._1).toSet == em.keySet && got.size == em.size)
+    // naive model of the verdict tail over the OUTPUT's own cells:
+    // dropped iff a smaller-id cell-mate sits at cosine >= tau
+    def cosMicro(a: Array[Long], b: Array[Long]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      math.round(d.toDouble / (na * nb) * 1000000.0)
+    }
+    val byCell = got.groupBy(_._2)
+    got.foreach { case (id, cid, keep) =>
+      val expected = !byCell(cid).exists { case (o, _, _) =>
+        o < id && cosMicro(em(id), em(o)) >= DataOps.SemTauMicro
+      }
+      assert(keep == expected, s"vec $id in cell $cid")
+    }
+    // the fixture is small enough that scaled C floors at IvfC — the
+    // knob only moves at scale (pinned so the constant's intent holds)
+    assert(got.map(_._2).distinct.size <= DataOps.IvfC)
+  }
+
   test("textrankKeywords equals the naive integer power iteration") {
     val got = DataOps.textrankKeywords(spark, SF)
       .as[(String, Long, Long)].collect().toSeq

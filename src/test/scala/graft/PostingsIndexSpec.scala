@@ -163,4 +163,42 @@ class PostingsIndexSpec extends SparkSpec {
       assert(files == 1, s"$rel has $files files after compact")
     }
   }
+
+  test("bucketed postings layout: pruned probe == directory probe, token aggs shuffle-free") {
+    val dir = Files.createTempDirectory("graft-postings-bkt").toString
+    PostingsIndex.build(spark, SF, dir)
+    try {
+      PostingsIndex.writeBucketedPostings(spark, dir, "g_postings_bkt", 8)
+      // bucketed table == the directory relation, row for row
+      assert(spark.table("g_postings_bkt").collect().map(_.toSeq).toSet ==
+        spark.read.parquet(s"$dir/postings").collect().map(_.toSeq).toSet)
+      // a literal-term probe returns exactly the directory store's
+      // answer for the same ad-hoc terms
+      val terms = spark.read.parquet(s"$dir/vocab")
+        .orderBy(col("df").desc, col("token").asc).limit(2)
+        .select("token").as[String].collect().toSeq
+      val bucketed = PostingsIndex.bm25AgainstBucketed(spark, terms,
+        "g_postings_bkt", dir)
+      assert(bucketed.collect().map(_.toSeq).toSet ==
+        PostingsIndex.bm25Against(spark, terms.toDF("token"), dir)
+          .collect().map(_.toSeq).toSet)
+      // ... and its scan PRUNES to the terms' buckets — the
+      // posting-list-lookup cost, visible in the plan
+      val scan = bucketed.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount"),
+        s"no bucket pruning in:\n$scan")
+      // the pre-shuffle is paid at write time: a token-keyed aggregate
+      // over the bucketed table needs NO exchange (the scan already
+      // carries HashPartitioning(token))
+      val agg = spark.table("g_postings_bkt")
+        .groupBy("token").agg(sum("cnt"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed agg shuffled:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_postings_bkt")
+      ()
+    }
+  }
 }
