@@ -20,11 +20,15 @@ object ScaleOps {
     * downstream join. Bucket count should be sized so one bucket of the
     * LARGER table fits an executor core's working set. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      key: String): Unit =
-    df.write.mode("overwrite")
+      key: String, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path => EXTERNAL table (data under the caller's scratch
+    // dir instead of the session warehouse — the registry entries'
+    // tmpStoreDir discipline)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Skew-safe exact equi-join of a big frame against a SMALL one on
     * `key`: the big side scatters each row into one of `salts` salt

@@ -293,10 +293,11 @@ object PostingsIndex {
     * pins probe-result equality, the pruned scan and the absent
     * shuffle. */
   def writeBucketedPostings(spark: SparkSession, indexDir: String,
-      table: String, buckets: Int = 32): Unit =
+      table: String, buckets: Int = 32,
+      path: Option[String] = None): Unit =
     graft.ops.ScaleOps.writeBucketed(
       spark.read.parquet(s"$indexDir/postings"), table, buckets,
-      "token")
+      "token", path)
 
   /** BM25 probe over the BUCKETED layout with LITERAL query terms —
     * the serving path where the query is known ahead of the plan (a
@@ -385,6 +386,43 @@ object PostingsIndex {
       spark.read.parquet(s"$dir/stats").select(col("n")),
       spark.read.parquet(s"$dir/stats").select(col("sdl")),
       standardQuery(spark, dir))
+
+  /** One bucketed-table write per (JVM, sf directory) — the buildOnce
+    * discipline on the CLUSTER LAYOUT: later probes read the table. */
+  private val bucketedBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Registry form of the BUCKETED layout — the oracle-checked proof
+    * that the 100 TB postings layout serves the standard query
+    * byte-identically: [[bm25Indexed]]'s buildOnce store re-laid out
+    * bucketed-by-token ONCE ([[writeBucketedPostings]] — an external
+    * table under the scratch dir), then probed with the standard
+    * head's terms AS LITERALS (the serving shape: a user query is
+    * known before the plan, so the scan prunes to the terms' buckets).
+    * The 3-term collect is driver-side by construction (LIMIT 3 —
+    * bounded, loudly asserted). Result ≡ [[DataOps.bm25Search]] (same
+    * oracle). */
+  def bm25Bucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: the directory probe's plan is
+      // the scoring shape; the bucketed scan differs only in layout.
+      return DataOps.bm25Search(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-postings-index", sfDir)
+    buildOnce(spark, sfDir, dir)
+    val table = "graft_postings_bkt_" +
+      java.lang.Integer.toHexString(dir.hashCode).takeRight(8)
+    if (bucketedBuilt.add(table)) {
+      writeBucketedPostings(spark, dir, table,
+        path = Some(StoreDirs.tmpStoreDir("graft-postings-bktdata",
+          sfDir)))
+    }
+    val terms = standardQuery(spark, dir).select(col("token"))
+      .collect().map(_.getString(0)).toSeq
+    require(terms.length <= 3,
+      s"standard query head must be <= 3 terms, got ${terms.length}")
+    bm25AgainstBucketed(spark, terms, table, dir)
+  }
 
   /** Registry form of the INCREMENTAL path: build the store from the
     * even-doc_id half of the corpus, [[appendBatch]] the odd half as

@@ -204,6 +204,11 @@ object IngestPipeline {
             PostingsIndex.compact(s, searchDir)
             PositionsIndex.compact(s, posDir)
             MinhashIndex.compact(s, indexDir)
+            // vector stores exist only when batches carry embeddings
+            if (StoreDirs.pathExists(s, s"$outDir/pq/codes"))
+              graft.sources.PqIndex.compact(s, s"$outDir/pq")
+            if (StoreDirs.pathExists(s, s"$outDir/sq/recon"))
+              graft.sources.SqIndex.compact(s, s"$outDir/sq")
           }
           StoreDirs.touchMarker(s, s"$outDir/committed/$batchId")
           val staging = new org.apache.hadoop.fs.Path(

@@ -397,6 +397,56 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming MULTI-PAIR proximity serving — the batched sibling of
+    * [[proximityServeStream]] (round 13): each micro-batch carries a
+    * whole (q_id, t, role) query BATCH, answered in ONE pass over the
+    * stored positional relation via
+    * [[graft.sources.PositionsIndex.proximityServeAgainst]]
+    * ([[graft.pipeline.DataOps.proximityServeStage]] verbatim), so the
+    * one-pair-per-trigger contract of the unkeyed form disappears —
+    * any number of pairs land per trigger, each q_id independent.
+    * Zero stream state; stream ≡ batch pinned in StreamingSpec. */
+  def proximityServeBatchedStream(termsStream: DataFrame,
+      indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    termsStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.PositionsIndex
+          .proximityServeAgainst(batch.sparkSession, batch.toDF(),
+            indexDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** Streaming COMPOSED IVFPQ serving over the K5 store — the
+    * [[annAgainstStream]] sibling on the cell-pruned path (round 13:
+    * every store serving path now has a streaming twin): each
+    * micro-batch of raw float query vectors converts with the batch
+    * loader's own native expressions and probes ALL FOUR stored
+    * relations via [[graft.sources.PqIndex.ivfPqAgainst]], appending
+    * (q_id, n_id, rnk, cos_micro) to `outDir`. Per-query answers
+    * depend only on the store and the query's own vector — stream ≡
+    * batch pinned in StreamingSpec; zero stream state. */
+  def ivfPqAgainstStream(vecStream: DataFrame, indexDir: String,
+      sfDir: String, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark = batch.sparkSession
+        val q = batch.toDF()
+          .select(col("vec_id").as("q_id"),
+            graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+              .as("qem"))
+          .withColumn("qn",
+            graft.functions.VecDotExpr.dot(spark, col("qem"), col("qem")))
+        graft.sources.PqIndex.ivfPqAgainst(spark, q, indexDir, sfDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Streaming ANN serving over the K7 persistent SQ store
     * ([[graft.sources.SqIndex]]) — the [[annAgainstStream]] twin at the
     * scalar-quantized tier (the one store that had no streaming

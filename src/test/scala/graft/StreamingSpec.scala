@@ -1036,6 +1036,10 @@ class StreamingSpec extends SparkSpec {
   test("IngestPipeline compactEvery: maintained stores fold to single files") {
     implicit val sqlCtx = spark.sqlContext
     val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val embByVec = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select((col("vec_id") % 500).as("ek"), col("embedding"))
+    val docsV = docs.withColumn("ek", col("doc_id") % 500)
+      .join(embByVec, Seq("ek")).drop("ek")
     val indexDir = java.nio.file.Files
       .createTempDirectory("graft-ingest-cidx").toString
     val outDir = java.nio.file.Files
@@ -1043,24 +1047,30 @@ class StreamingSpec extends SparkSpec {
     graft.sources.MinhashIndex.build(spark,
       docs.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
       indexDir)
-    val in = MemoryStream[(Long, String, String, String, Long)]
+    val in = MemoryStream[(Long, String, String, String, Long, Seq[Float])]
     val q = graft.streaming.IngestPipeline.start(
-      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars",
+        "embedding"),
       SF, indexDir, outDir, compactEvery = 2)
     try {
-      def half(m: Long) = docs.where(col("doc_id") % 4 === m)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .as[(Long, String, String, String, Long)].collect().toSeq
+      def half(m: Long) = docsV.where(col("doc_id") % 4 === m)
+        .select("doc_id", "text", "lang", "source", "n_chars",
+          "embedding")
+        .as[(Long, String, String, String, Long, Seq[Float])]
+        .collect().toSeq
       in.addData(half(1L)); q.processAllAvailable()
       in.addData(half(3L)); q.processAllAvailable()
-      // after batch 2 (the compactEvery boundary) both maintained
-      // stores' corpus-sized relations are one file each, contents
+      // after batch 2 (the compactEvery boundary) every maintained
+      // store's corpus-sized relations are one file each, contents
       // still serving (probe returns rows)
       def nFiles(dir: String) = new java.io.File(dir).listFiles()
         .count(_.getName.endsWith(".parquet"))
       assert(nFiles(s"$outDir/index/postings") == 1)
       assert(nFiles(s"$indexDir/shingles") == 1)
       assert(nFiles(s"$indexDir/bands") == 1)
+      assert(nFiles(s"$outDir/pq/codes") == 1)
+      assert(nFiles(s"$outDir/pq/cells") == 1)
+      assert(nFiles(s"$outDir/sq/recon") == 1)
       assert(graft.sources.PostingsIndex.bm25Against(spark,
         Seq("dup").toDF("token"), s"$outDir/index").count() > 0)
     } finally q.stop()
@@ -1308,6 +1318,66 @@ class StreamingSpec extends SparkSpec {
         .reduce(_ ++ _)
       assert(streamed.nonEmpty && streamed == batch)
       assert(streamed.forall(_._4 <= graft.pipeline.DataOps.ProximityWindow))
+    } finally q.stop()
+  }
+
+  test("proximityServeBatchedStream: q_id-keyed pair batches == the batched store probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-proxb-s").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-proxb-sout")
+        .toString + "/hits"
+    graft.sources.PositionsIndex.build(spark, SF, indexDir)
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val allTerms = graft.pipeline.DataOps.proximityServeTerms(spark, docs)
+      .as[(Long, String, String)].collect().toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.proximityServeBatchedStream(
+      in.toDF().toDF("q_id", "t", "role"), indexDir, outDir)
+    try {
+      // BOTH pairs in one micro-batch — the contract the unkeyed form
+      // cannot offer — then replayed as per-pair batches: results union
+      in.addData(allTerms)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, Long, String, String, Long, Long)].collect().toSet
+      val batch = graft.sources.PositionsIndex.proximityServeAgainst(
+          spark, allTerms.toDF("q_id", "t", "role"), indexDir)
+        .as[(Long, Long, String, String, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+      assert(streamed.map(_._1) == Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("ivfPqAgainstStream: composed IVFPQ serving, two micro-batches == batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-s").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-sout")
+        .toString + "/hits"
+    graft.sources.PqIndex.build(spark, SF, indexDir)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqAgainstStream(
+      in.toDF().toDF("vec_id", "embedding"), indexDir, SF, outDir)
+    try {
+      val queries = spark.read.parquet(s"$SF/embeddings.parquet")
+        .where(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val (b1, b2) = queries.splitAt(queries.size / 2)
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.sources.PqIndex.annIvfPqIndexed(spark, SF)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
     } finally q.stop()
   }
 
