@@ -53,13 +53,22 @@ object CorpusSink {
     * EVERY document is forgotten still rewrites to empty instead of
     * silently surviving. Each partition rewrite is write-then-rename
     * ([[StoreDirs.replaceParquet]]) — a crash mid-request leaves every
-    * touched partition whole — and the directory name goes through the
-    * SAME escaping Spark used to write it
-    * (ExternalCatalogUtils.escapePathName), so a language value
-    * carrying a space/'%'/':' still resolves to its on-disk
-    * `lang=<escaped>` directory instead of silently surviving. */
+    * touched partition whole — staged under HIDDEN `.`-prefixed leaf
+    * names (`.staging_lang=<v>` / `.old_lang=<v>`): Spark partition
+    * discovery skips `.`-prefixed paths unconditionally (`_`-prefixed
+    * names containing '=' are still parsed as partitions), so a crash leftover can
+    * never be parsed as a bogus `lang='v.old'` partition that would
+    * resurrect forgotten documents for every corpus-root reader. A
+    * [[recoverPartitionSwaps]] sweep at entry restores any partition a
+    * prior crash left parked at its `.old_` name and clears stale
+    * staging. The directory name goes through the SAME escaping Spark
+    * used to write it (ExternalCatalogUtils.escapePathName), so a
+    * language value carrying a space/'%'/':' still resolves to its
+    * on-disk `lang=<escaped>` directory instead of silently
+    * surviving. */
   def deleteDocs(spark: SparkSession, docIds: DataFrame,
       outDir: String): Unit = {
+    recoverPartitionSwaps(spark, outDir)
     val ids = docIds.select(col("doc_id"))
     val affected = spark.read.parquet(outDir)
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
@@ -71,7 +80,38 @@ object CorpusSink {
       val part = s"$outDir/lang=$escaped"
       val kept = spark.read.parquet(part)
         .join(broadcast(ids), Seq("doc_id"), "left_anti")
-      StoreDirs.replaceParquet(kept, part)
+      StoreDirs.replaceParquet(kept, part,
+        stagingPath = s"$outDir/.staging_lang=$escaped",
+        oldPath = s"$outDir/.old_lang=$escaped")
+    }
+    ()
+  }
+
+  /** CRASH RECOVERY for the partition-pruned rewrite above: a JVM death
+    * between [[StoreDirs.replaceParquet]]'s two renames leaves the
+    * complete partition parked at `.old_lang=<v>` (invisible to
+    * readers, NOT lost) — rename it back; an `.old_` whose live
+    * partition exists is an obsolete pre-swap copy — drop it; any
+    * `.staging_lang=<v>` is an incomplete rewrite — drop it (the
+    * forget request replays from the live partition). Idempotent, ran
+    * at every [[deleteDocs]] entry. */
+  def recoverPartitionSwaps(spark: SparkSession, outDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".old_lang=")) {
+        val live = new org.apache.hadoop.fs.Path(root,
+          name.stripPrefix(".old_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            sys.error(s"recovery rename ${st.getPath} -> $live " +
+              "returned false")
+        } else { fs.delete(st.getPath, true); () }
+      } else if (name.startsWith(".staging_lang=")) {
+        fs.delete(st.getPath, true); ()
+      }
     }
     ()
   }

@@ -38,21 +38,56 @@ private[graft] object StoreDirs {
     * primitive). The transient `dir.old` hop keeps a complete copy
     * through the swap itself; a leftover `.staging`/`.old` from a
     * crash is ignored by every reader (stores read exact
-    * subdirectories) and cleaned by the next replace. */
-  def replaceParquet(df: DataFrame, dir: String): Unit = {
+    * subdirectories) and cleaned by the next replace.
+    *
+    * FAILURE DISCIPLINE: Hadoop `FileSystem.rename` signals failure by
+    * RETURNING FALSE, not throwing — every rename here is checked and a
+    * false return aborts loudly, so a failed swap can never silently
+    * delete the `.old` safety copy and report success. There IS a
+    * window between the two renames where `dir` is absent; a crash
+    * inside it leaves the complete previous relation at `.old`, and the
+    * NEXT call's entry recovery renames it back before doing anything
+    * else — so "a complete relation is always recoverable on disk"
+    * holds at every point, and "readable at `dir`" holds everywhere
+    * except inside that bounded two-rename window.
+    *
+    * `stagingPath`/`oldPath` override the default sibling names for
+    * callers whose `dir` lives under a Spark-discovered partition root
+    * (a sibling `lang=v.old` would be parsed as a REAL partition —
+    * [[CorpusSink.deleteDocs]] stages under hidden `_`-prefixed leaves
+    * instead, which every Spark reader skips). */
+  def replaceParquet(df: DataFrame, dir: String,
+      stagingPath: String = null, oldPath: String = null): Unit = {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".staging")
+    val tmp = new org.apache.hadoop.fs.Path(
+      Option(stagingPath).getOrElse(dir + ".staging"))
+    val old = new org.apache.hadoop.fs.Path(
+      Option(oldPath).getOrElse(dir + ".old"))
+    // ENTRY RECOVERY: a prior replace that died between its two renames
+    // left the complete previous relation at `old` and nothing at
+    // `dir` — restore it first, so readers (including df's own lineage,
+    // which may scan `dir`) always see a complete store.
+    if (!fs.exists(path) && fs.exists(old)) renameOrDie(fs, old, path)
     fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(dir + ".old")
     fs.delete(old, true)
-    if (fs.exists(path)) { fs.rename(path, old); () }
-    fs.rename(tmp, path)
-    fs.delete(old, true)
+    if (fs.exists(path)) renameOrDie(fs, path, old)
+    // On failure here the data is still whole at `old` (entry recovery
+    // restores it next call); on success the new relation is live.
+    renameOrDie(fs, tmp, path)
+    // Drop the safety copy only after verifying the swap landed.
+    if (fs.exists(path)) { fs.delete(old, true); () }
     ()
   }
+
+  private def renameOrDie(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to))
+      sys.error(s"filesystem rename $from -> $to returned false; " +
+        "aborting the store swap (the previous relation is intact)")
 
   /** Existence check through the Hadoop FileSystem API (not
     * java.io.File — the ingest job's markers/ledger must hold on
@@ -72,7 +107,39 @@ private[graft] object StoreDirs {
     ()
   }
 
-  private val jvmNonce: String =
+  /** Create a marker file CARRYING CONTENT (parents included), with
+    * create-if-absent semantics when `overwrite = false` — the
+    * Hadoop-FS primitive behind the ingest writer lease and the
+    * vector-store bootstrap intent records. Throws if the file exists
+    * and `overwrite` is false. */
+  def writeMarker(spark: SparkSession, file: String, content: String,
+      overwrite: Boolean = true): Unit = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(path.getParent)
+    val out = fs.create(path, overwrite)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    ()
+  }
+
+  /** Read a marker file's content as UTF-8 text. */
+  def readMarker(spark: SparkSession, file: String): String = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** This JVM's random nonce — also the default ingest writer identity
+    * ([[graft.streaming.IngestPipeline]]'s lease). */
+  private[graft] val jvmNonce: String =
     java.lang.Long.toHexString(
       java.util.UUID.randomUUID().getLeastSignificantBits)
 

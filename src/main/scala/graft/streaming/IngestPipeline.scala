@@ -164,10 +164,27 @@ object IngestPipeline {
     * absorbs the same batches, closing the loop that lets later
     * batches dedup against earlier ones. */
   def start(docStream: DataFrame, sfDir: String, indexDir: String,
-      outDir: String, compactEvery: Int = 0): StreamingQuery = {
+      outDir: String, compactEvery: Int = 0,
+      writerId: String = StoreDirs.jvmNonce): StreamingQuery = {
     val spark = docStream.sparkSession
+    // WRITER LEASE — the two-phase markers assume ONE writer; a second
+    // concurrently-started pipeline on the same outDir would interleave
+    // store rewrites undetected. Acquire `outDir/_lock` (Hadoop-FS
+    // create-if-absent) BEFORE any store seeds or mutates; a conflict
+    // fails loudly. Re-entrant for the SAME writerId (a restarted
+    // pipeline in the same process resumes its own lease); a clean JVM
+    // exit releases it via shutdown hook, so a lingering lock means the
+    // owner is either alive or died uncleanly — exactly the two cases
+    // where refusing to start is right.
+    acquireLease(spark, outDir, writerId)
     val searchDir = s"$outDir/index"
     val posDir = s"$outDir/positions"
+    // Sweep staging/ leftovers whose batch already committed: a crash
+    // between the batch-level marker touch and the staging delete
+    // leaves full curated/dups copies on disk forever otherwise —
+    // replayed batches short-circuit on the marker and never reach the
+    // in-line cleanup.
+    sweepCommittedStaging(spark, outDir)
     // Seed each maintained store ONLY if its directory is absent (the
     // minhash store's index-once discipline): a restarted query
     // resumes from committed offsets and never re-delivers absorbed
@@ -221,6 +238,60 @@ object IngestPipeline {
       .option("checkpointLocation", s"$outDir/checkpoint")
       .queryName("ingestPipeline")
       .start()
+  }
+
+  /** Acquire the single-writer lease on `outDir` or fail loudly. The
+    * lock file carries the owner's writerId; acquisition is re-entrant
+    * for the same owner and atomic via Hadoop-FS create-if-absent
+    * (losing a create race re-reads the winner's identity). */
+  private[graft] def acquireLease(spark: SparkSession, outDir: String,
+      writerId: String): Unit = {
+    val lockFile = s"$outDir/_lock"
+    def owner(): String =
+      scala.util.Try(StoreDirs.readMarker(spark, lockFile).trim)
+        .getOrElse("")
+    if (!StoreDirs.pathExists(spark, lockFile)) {
+      try StoreDirs.writeMarker(spark, lockFile, writerId,
+        overwrite = false)
+      catch { case _: java.io.IOException => () } // lost the race — fall through to the owner check
+    }
+    val held = owner()
+    if (held != writerId)
+      throw new IllegalStateException(
+        s"ingest outDir '$outDir' is leased by writer '$held' — a " +
+        "second concurrent IngestPipeline on the same outDir would " +
+        s"interleave store rewrites; remove $lockFile only after " +
+        "confirming that writer is dead")
+    if (releaseHooks.add(lockFile)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val p = new org.apache.hadoop.fs.Path(lockFile)
+        scala.util.Try(
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(p, false))
+        ()
+      }, s"graft-ingest-lease-release"))
+      ()
+    }
+  }
+
+  private val releaseHooks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Delete `staging/<batchId>` directories whose batch-level
+    * committed marker exists — crash leftovers between marker touch
+    * and cleanup. */
+  private[graft] def sweepCommittedStaging(spark: SparkSession,
+      outDir: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(s"$outDir/staging")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(staging)) return
+    fs.listStatus(staging).foreach { st =>
+      if (StoreDirs.pathExists(spark,
+          s"$outDir/committed/${st.getPath.getName}")) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+    ()
   }
 
   /** One batch's TWO-PHASE commit: STAGE (ledger gate → curation tail
@@ -303,17 +374,34 @@ object IngestPipeline {
             .as("em"))
         .withColumn("nrm",
           graft.functions.VecDotExpr.dot(spark, col("em"), col("em")))
-      applyOnce("pq") {
-        if (!StoreDirs.pathExists(spark, s"$outDir/pq/codebook"))
-          graft.sources.PqIndex.buildFrom(spark, vecs, s"$outDir/pq")
-        else
-          graft.sources.PqIndex.appendBatch(spark, vecs, s"$outDir/pq")
+      // Build-vs-append dispatch goes through an INTENT marker pinned
+      // BEFORE the store mutates: deciding by store content
+      // (pathExists(codebook)) would let a crash between a completed
+      // buildFrom and the sink marker replay as appendBatch — double-
+      // coding batch 1. With the intent recorded first, a build replay
+      // re-runs buildFrom, which is IDEMPOTENT (deterministic training,
+      // every relation lands via overwrite-semantics replaceParquet);
+      // only the generic one-sink append window remains, shared with
+      // every other store and documented above.
+      def applyVectorStore(sink: String, witness: String)(
+          build: => Unit)(append: => Unit): Unit = applyOnce(sink) {
+        val intentPath = s"$outDir/$sink/_intent_$batchId"
+        if (!StoreDirs.pathExists(spark, intentPath))
+          StoreDirs.writeMarker(spark, intentPath,
+            if (StoreDirs.pathExists(spark, witness)) "append"
+            else "build")
+        if (StoreDirs.readMarker(spark, intentPath) == "build") build
+        else append
       }
-      applyOnce("sq") {
-        if (!StoreDirs.pathExists(spark, s"$outDir/sq/recon"))
-          graft.sources.SqIndex.buildFrom(spark, vecs, s"$outDir/sq")
-        else
-          graft.sources.SqIndex.appendBatch(spark, vecs, s"$outDir/sq")
+      applyVectorStore("pq", s"$outDir/pq/codebook") {
+        graft.sources.PqIndex.buildFrom(spark, vecs, s"$outDir/pq")
+      } {
+        graft.sources.PqIndex.appendBatch(spark, vecs, s"$outDir/pq")
+      }
+      applyVectorStore("sq", s"$outDir/sq/recon") {
+        graft.sources.SqIndex.buildFrom(spark, vecs, s"$outDir/sq")
+      } {
+        graft.sources.SqIndex.appendBatch(spark, vecs, s"$outDir/sq")
       }
     }
     applyOnce("seen") {
