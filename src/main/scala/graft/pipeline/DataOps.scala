@@ -338,20 +338,29 @@ object DataOps {
       .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), col("text")))
     // exact ground truth: common-shingle pairs + Jaccard >= 0.5 (the
-    // minhashRecallEval truth, over the same sample)
-    val sh = shingleRowsOf(spark, d).persist()
-    val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val truth = persistUnlessLazy(sh.as("sa").join(sh.as("sb"),
-        col("sa.sh") === col("sb.sh") &&
-          col("sa.doc_id") < col("sb.doc_id"))
-      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .where(round(col("inter").cast("double") /
-        (col("na.nsh") + col("nb.nsh") - col("inter")).cast("double") *
-        lit(MICRO)).cast("long") >= 500000L)
-      .select(col("doc_a"), col("doc_b")))
+    // minhashRecallEval truth, over the same sample). Deterministic and
+    // (sfDir)-keyed, so it joins the [[cachedModel]] discipline — the
+    // all-pairs scan (the audit's single heaviest stage, guarded to the
+    // 4096-doc sample) runs once per JVM; the TIERS, the audit's actual
+    // product, re-run per call.
+    val truth = cachedModel(s"dedupTruth:$sfDir") {
+      val sh = shingleRowsOf(spark, d).persist()
+      val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val t = pin(sh.as("sa").join(sh.as("sb"),
+          col("sa.sh") === col("sb.sh") &&
+            col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("doc_a"),
+          col("sb.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .where(round(col("inter").cast("double") /
+          (col("na.nsh") + col("nb.nsh") - col("inter")).cast("double") *
+          lit(MICRO)).cast("long") >= 500000L)
+        .select(col("doc_a"), col("doc_b")))
+      sh.unpersist()
+      t
+    }
     val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
     val exactPairs = hashes.as("a").join(hashes.as("b"),
         col("a.h") === col("b.h") &&
@@ -377,7 +386,7 @@ object DataOps {
           expr("CASE WHEN n_cand > 0 THEN (n_hit * 1000000) div n_cand " +
             "ELSE 1000000 END").as("precision_micro"))
     }.reduce(_ unionByName _)
-    finish(out, d, sh, truth, ndocs)
+    finish(out, d, ndocs)
   }
 
   /** Min-label connected components over an undirected edge list
@@ -958,7 +967,33 @@ object DataOps {
     * assignment pass doesn't re-execute rounds 1..t under each of its
     * plan branches. */
   private[graft] def centroids(spark: SparkSession, sfDir: String): DataFrame =
-    centroidsFrom(emb(spark, sfDir))
+    cachedModel(s"ivf:$sfDir:c=$IvfC:t=$LloydT")(
+      centroidsFrom(emb(spark, sfDir)))
+
+  /** SESSION-SCOPED TRAINED-MODEL CACHE — the buildOnce discipline the
+    * persistent stores already follow, extended to the FRESH-MODEL
+    * family: [[centroids]] and [[pqCodebook]] train the identical
+    * (sfDir, C/K, T=[[LloydT]]) quantizer inside every query that uses
+    * one (annIvf, annPq, annIvfPq, embedPq, embedKmeans, dedupEmbed,
+    * semdedup, embedOutliers, annRecallEval, the store builds — 8+
+    * call sites per sweep), each paying T Lloyd passes over the corpus
+    * for a bit-identical KB-sized result. Training is DETERMINISTIC
+    * (hash-stratified seeds, exact integer means), so memoizing the
+    * trained frame per (input, params) key changes no result — only
+    * removes the re-training: the first caller trains and
+    * localCheckpoint-pins the model; every later caller broadcasts the
+    * pinned rows. Keys are sfDir paths + hyperparameters; models
+    * trained on ARBITRARY frames (store lifecycle splits, scaled bench
+    * tiers) keep training fresh through [[centroidsFrom]]/[[pqTrain]].
+    * Disabled under `graft.lazyPlans` so Explain still shows the full
+    * training subplan. */
+  private val trainedModels =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedModel(key: String)(train: => DataFrame): DataFrame =
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) train
+    else trainedModels.computeIfAbsent(key,
+      _ => train.localCheckpoint(true))
 
   private[graft] def centroidsFrom(v: DataFrame, c: Int = IvfC,
       rounds: Int = LloydT): DataFrame = {
@@ -1035,7 +1070,7 @@ object DataOps {
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     // Persisted: the cell assignment feeds both sides of the bucket join.
     val assign = cellRanks(spark, sfDir,
-        pin(centroids(spark, sfDir))).where(col("rnk") <= 2)
+        centroids(spark, sfDir)).where(col("rnk") <= 2)
       .select(col("vec_id"), col("cid"))
       .persist()
     val cand = assign.as("x").join(assign.as("y"),
@@ -1071,7 +1106,7 @@ object DataOps {
     * as a broadcast 1-row scalar. Nothing after the scan exceeds C rows
     * at any corpus size. */
   def embedKmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    val sc = cellRanks(spark, sfDir, pin(centroids(spark, sfDir)))
+    val sc = cellRanks(spark, sfDir, centroids(spark, sfDir))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("cid"),
         round(col("cs") * lit(MICRO)).cast("long").as("cos_micro"))
@@ -1110,7 +1145,7 @@ object DataOps {
     * bucket join of every dedup operator here, the verdict is one
     * distinct + left join on vec_id. */
   def semdedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val assign = cellRanks(spark, sfDir, pin(centroids(spark, sfDir)))
+    val assign = cellRanks(spark, sfDir, centroids(spark, sfDir))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("cid")).persist()
     semdedupVerdict(emb(spark, sfDir), assign)
@@ -1351,7 +1386,7 @@ object DataOps {
     * (cell, DISTINCT cos) and the C-row threshold frame broadcasts back
     * — no window over raw vectors. */
   def embedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val assign = cellRanks(spark, sfDir, pin(centroids(spark, sfDir)))
+    val assign = cellRanks(spark, sfDir, centroids(spark, sfDir))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("cid"),
         round(col("cs") * lit(MICRO)).cast("long").as("cs_micro"))
@@ -1457,7 +1492,7 @@ object DataOps {
     * candidates. Same output shape as [[annBrute]]; recall < 1 by design
     * (approximate), deterministic by construction. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = pin(centroids(spark, sfDir))
+    val cents = centroids(spark, sfDir)
     val assign = cellRanks(spark, sfDir, cents).where(col("rnk") === 1)
       .select(col("vec_id"), col("cid"))
     ivfProbe(spark, annQueries(spark, sfDir), cents, assign,
@@ -2662,9 +2697,28 @@ object DataOps {
     cents
   }
 
+  /** The (sfDir)-keyed PQ codebook — trained once per JVM via the
+    * [[cachedModel]] discipline (see [[centroids]]); later callers
+    * broadcast the pinned KB-sized rows instead of re-running the
+    * [[LloydT]] training passes. The element relation persisted for
+    * training is released before returning — callers re-persist their
+    * own for coding/MAE. */
+  private[graft] def pqCodebook(spark: SparkSession,
+      sfDir: String): DataFrame =
+    cachedModel(s"pq:$sfDir:m=$PqM:k=$PqK:t=$LloydT") {
+      val v = emb(spark, sfDir)
+      val el = pqElements(v).persist()
+      val refined = pqTrain(v, el)
+      el.unpersist() // every Lloyd round is already pinned eagerly
+      refined
+    }
+
   private[graft] def pqParts(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame, DataFrame) =
-    pqPartsFrom(emb(spark, sfDir))
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val el = pqElements(emb(spark, sfDir)).persist()
+    val refined = pqCodebook(spark, sfDir)
+    (el, refined, pqAssign(el, refined))
+  }
 
   /** Train + code a vectors frame. The element relation is persisted:
     * it feeds the seed-cell assignment, the Lloyd means, the coding
@@ -2780,7 +2834,7 @@ object DataOps {
     * aggregate, so the scan-sized work is probes/C of [[annPq]]'s; the
     * shortlist and final rank are the bounded [[rankTopK]] aggregates. */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = pin(centroids(spark, sfDir))
+    val cents = centroids(spark, sfDir)
     val cells = cellRanks(spark, sfDir, cents).where(col("rnk") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val (el, refined, coded) = pqParts(spark, sfDir)
@@ -2909,15 +2963,14 @@ object DataOps {
     * own probe stage verbatim — [[ivfProbe]] / [[ivfPqProbe]] /
     * [[pqProbe]] / [[sqProbe]]). */
   def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = persistUnlessLazy(
-      annBrute(spark, sfDir).select(col("q_id"), col("n_id")))
+    val truth = annTruth(spark, sfDir)
     val q = annQueries(spark, sfDir)
     val v = emb(spark, sfDir)
-    val cents = pin(centroids(spark, sfDir))
+    val cents = centroids(spark, sfDir)
     val ranks = persistUnlessLazy(
       cellRanks(spark, sfDir, cents).where(col("rnk") === 1)
         .select(col("vec_id"), col("cid")))
-    val (el, refined, coded0) = pqPartsFrom(v)
+    val (el, refined, coded0) = pqParts(spark, sfDir)
     val coded = persistUnlessLazy(coded0)
     val recon = persistUnlessLazy(sqRecon(spark, v))
     val tiers: Seq[(String, DataFrame)] = Seq(
@@ -2928,8 +2981,18 @@ object DataOps {
       "lsh"   -> annLsh(spark, sfDir),
       "pq"    -> pqProbe(spark, q, refined, coded, v),
       "sq"    -> sqProbe(spark, q, recon, v))
-    finish(recallRows(truth, tiers), truth, ranks, el, coded, recon)
+    finish(recallRows(truth, tiers), ranks, el, coded, recon)
   }
+
+  /** The brute-force ground-truth (q_id, n_id) set both recall audits
+    * score against — exact top-10 per query, a Q·10-row relation.
+    * Deterministic and (sfDir)-keyed, so it joins the [[cachedModel]]
+    * discipline: computed once per JVM, every audit after the first
+    * broadcasts the pinned 1000 rows instead of re-running the exact
+    * N·Q scan (the single heaviest stage of both audits). */
+  private def annTruth(spark: SparkSession, sfDir: String): DataFrame =
+    cachedModel(s"annTruth:$sfDir")(
+      annBrute(spark, sfDir).select(col("q_id"), col("n_id")))
 
   /** The shared audit algebra of [[annRecallEval]] / [[annStoreRecall]]:
     * per tier, candidate/hit counts against the brute ground truth and
@@ -2970,8 +3033,7 @@ object DataOps {
     * plan, and the stores are built ONCE per JVM (the lifecycle
     * entries' build-guard). */
   def annStoreRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = persistUnlessLazy(
-      annBrute(spark, sfDir).select(col("q_id"), col("n_id")))
+    val truth = annTruth(spark, sfDir)
     val tiers: Seq[(String, DataFrame)] = Seq(
       "ivfpq_store" ->
         graft.sources.PqIndex.annIvfPqIndexed(spark, sfDir),
@@ -2981,7 +3043,7 @@ object DataOps {
       "sq_add"   -> graft.sources.SqIndex.annSqIncremental(spark, sfDir),
       "sq_rm"    -> graft.sources.SqIndex.annSqRemoved(spark, sfDir),
       "sq_store" -> graft.sources.SqIndex.annSqIndexed(spark, sfDir))
-    finish(recallRows(truth, tiers), truth)
+    finish(recallRows(truth, tiers))
   }
 
   /** The probe-only half of [[annSq]] — shared verbatim by the fresh

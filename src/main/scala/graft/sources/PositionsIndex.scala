@@ -210,6 +210,73 @@ object PositionsIndex {
     statsOf(spark, dir)
   }
 
+  /** CLUSTER LAYOUT — `positions/` persisted as a bucketed-by-`t`,
+    * per-bucket-sorted table ([[graft.ops.ScaleOps.writeBucketed]] —
+    * the 100 TB knob this store's own scaladoc names, demonstrated in
+    * a plan rather than prose, the K9 [[PostingsIndex
+    * .writeBucketedPostings]] discipline at the positional tier). The
+    * pre-shuffle is paid ONCE at write time: a literal-token phrase
+    * probe PRUNES the scan to its tokens' buckets
+    * (`SelectedBucketsCount`) — the posting-list-lookup cost a 100 TB
+    * phrase tier actually pays, instead of a corpus scan per phrase.
+    * Contents are the store's positions verbatim; PositionsIndexSpec
+    * pins probe-result equality and the pruned scan. */
+  def writeBucketedPositions(spark: SparkSession, indexDir: String,
+      table: String, buckets: Int = 32,
+      path: Option[String] = None): Unit =
+    graft.ops.ScaleOps.writeBucketed(
+      spark.read.parquet(s"$indexDir/positions"), table, buckets,
+      "t", path)
+
+  /** Phrase probe over the BUCKETED layout with LITERAL phrase tokens
+    * — the serving path where the phrase is known ahead of the plan
+    * (a user query), so the token predicate is a literal `IN` and the
+    * bucketed scan prunes to the tokens' buckets before reading a row.
+    * Matching is [[DataOps.phraseProbeStage]] verbatim; results ≡
+    * [[phraseAgainst]] on the directory store for the same phrase. */
+  def phraseAgainstBucketed(spark: SparkSession, tokens: Seq[String],
+      parts: DataFrame, table: String): DataFrame =
+    DataOps.phraseProbeStage(
+      spark.table(table).where(col("t").isin(tokens: _*)), parts)
+
+  /** One bucketed-table write per (JVM, sf directory). */
+  private val bucketedBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Registry form of the BUCKETED layout — the oracle-checked proof
+    * that the 100 TB positional layout serves the standard phrase
+    * byte-identically: [[phraseIndexed]]'s buildOnce store re-laid out
+    * bucketed-by-`t` ONCE, then probed with the standard modal
+    * trigram's parts AS LITERALS (the serving shape — the 3-row
+    * collect is bounded and loudly asserted, the [[PostingsIndex
+    * .bm25Bucketed]] discipline). Result ≡ [[DataOps.phraseSearch]]
+    * (same oracle). */
+  def phraseBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: the directory probe's plan is
+      // the matching shape; the bucketed scan differs only in layout.
+      return DataOps.phraseSearch(spark, sfDir)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-pos-index", sfDir)
+    if (built.add(dir)) build(spark, sfDir, dir)
+    val table = "graft_positions_bkt_" +
+      java.lang.Integer.toHexString(dir.hashCode).takeRight(8)
+    if (bucketedBuilt.add(table)) {
+      writeBucketedPositions(spark, dir, table,
+        path = Some(StoreDirs.tmpStoreDir("graft-pos-bktdata", sfDir)))
+    }
+    val partRows = standardParts(spark, sfDir)
+      .select(col("g"), col("i"), col("t")).collect()
+    require(partRows.length <= 3,
+      s"standard phrase must be <= 3 parts, got ${partRows.length}")
+    import spark.implicits._
+    val parts = partRows.toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toDF("g", "i", "t")
+    phraseAgainstBucketed(spark,
+      partRows.map(_.getString(2)).distinct.toSeq, parts, table)
+  }
+
   /** Registry form of the DELETION path: build over the full corpus,
     * [[removeBatch]] the odd half, probe — the phrase head stays the
     * full corpus's modal trigram (the query is a stand-in from

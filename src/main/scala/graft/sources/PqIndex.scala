@@ -51,9 +51,26 @@ import graft.pipeline.DataOps
 object PqIndex {
 
   /** Train the PQ model + IVF coarse quantizer over the sf directory's
-    * embeddings and write (overwrite) the four store relations. */
-  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit =
-    buildFrom(spark, DataOps.emb(spark, sfDir), indexDir)
+    * embeddings and write (overwrite) the four store relations. Routes
+    * through the session-scoped trained-model cache
+    * ([[DataOps.pqCodebook]]/[[DataOps.centroids]] — training is
+    * deterministic, so the store content is bit-identical whether the
+    * models come fresh or cached; only the repeated Lloyd passes go). */
+  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val v = DataOps.emb(spark, sfDir)
+    val el = DataOps.pqElements(v).persist()
+    val refined = DataOps.pqCodebook(spark, sfDir)
+    StoreDirs.replaceParquet(refined, s"$indexDir/codebook")
+    StoreDirs.replaceParquet(DataOps.pqAssign(el, refined),
+      s"$indexDir/codes")
+    val cents = DataOps.centroids(spark, sfDir)
+    StoreDirs.replaceParquet(cents, s"$indexDir/centroids")
+    StoreDirs.replaceParquet(DataOps.cellRanksFrom(v, cents)
+      .where(col("rnk") === 1)
+      .select("vec_id", "cid"), s"$indexDir/cells")
+    el.unpersist()
+    ()
+  }
 
   /** Train + build the store from a (vec_id, em, nrm) vectors frame
     * ([[DataOps.emb]] shape). */

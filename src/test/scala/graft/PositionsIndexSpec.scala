@@ -115,4 +115,40 @@ class PositionsIndexSpec extends SparkSpec {
     assert(PositionsIndex.positionsStats(spark, SF)
       .collect().map(_.toSeq).toSet == stats(fullDir))
   }
+
+  test("bucketed positions layout: pruned phrase probe == directory probe") {
+    val dir = Files.createTempDirectory("graft-pos-bkt").toString
+    PositionsIndex.build(spark, SF, dir)
+    try {
+      PositionsIndex.writeBucketedPositions(spark, dir,
+        "g_positions_bkt", 8)
+      // bucketed table == the directory relation, row for row
+      assert(spark.table("g_positions_bkt").collect().map(_.toSeq).toSet
+        == spark.read.parquet(s"$dir/positions")
+          .collect().map(_.toSeq).toSet)
+      // a literal-token phrase probe returns exactly the directory
+      // store's answer for the same phrase
+      val d = spark.read.parquet(s"$SF/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val partRows = DataOps.phraseParts(spark, d)
+        .select(col("g"), col("i"), col("t")).collect()
+      val parts = partRows.toSeq
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .toDF("g", "i", "t")
+      val bucketed = PositionsIndex.phraseAgainstBucketed(spark,
+        partRows.map(_.getString(2)).distinct.toSeq, parts,
+        "g_positions_bkt")
+      assert(bucketed.collect().map(_.toSeq).toSet ==
+        PositionsIndex.phraseAgainst(spark, parts, dir)
+          .collect().map(_.toSeq).toSet)
+      // ... and its scan PRUNES to the tokens' buckets — the
+      // posting-list-lookup cost, visible in the plan
+      val scan = bucketed.queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount"),
+        s"no bucket pruning in:\n$scan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_positions_bkt")
+      ()
+    }
+  }
 }
