@@ -193,6 +193,11 @@ object EventOps {
   /** Microseconds per day, for cohort/retention day bucketing. */
   val DayUs: Long = 86400L * 1000000L
 
+  /** Salt shards for the retention cohort join — sized to the hot-key
+    * fan-out wanted per skewed user, not to the cluster (each shard is
+    * one reducer's share of a bot user's events). */
+  val CohortJoinSalts = 8
+
   /** RETENTION COHORTS: users cohorted by their first `signup` day;
     * for each (cohort_day, day_offset ≥ 0) the count of DISTINCT cohort
     * users active (any event) that day — the classic triangular
@@ -201,11 +206,22 @@ object EventOps {
     *
     * Plan: one hash aggregate for first-signup per user (map-side
     * partials), then an equi-join back to the event stream ON user_id —
-    * both sides hash-partition on the same key, so AQE plans a
-    * co-partitioned join (broadcast at small SF) — then one distinct
-    * aggregate on (cohort, offset, user) and one count. Nothing is ever
-    * ordered; every stage is a hash aggregate keyed by columns whose
-    * per-key volume stays bounded as the corpus grows. */
+    * the canonical HOT-KEY × NON-BROADCASTABLE-DIM join: the cohort
+    * frame is one row per signed-up user (too big to broadcast at
+    * 100 TB) and event volume per user is the skew
+    * [[eventSkewProfile]] exists to diagnose (a bot user's millions of
+    * events serialize on one reducer in a plain shuffle join). The
+    * join runs SALTED ([[graft.ops.ScaleOps.saltedJoin]],
+    * [[CohortJoinSalts]] shards): the event side scatters
+    * deterministically, the per-user dim replicates across the salts,
+    * so a hot user's rows spread over [[CohortJoinSalts]] reducers —
+    * result EXACTLY the plain join (the registry oracle hash-audits
+    * that; ScaleOpsSpec pins the salt in this plan and the hot-key
+    * spread). At small SF the exploded dim still broadcasts and the
+    * salt is physically free. Then one distinct aggregate on (cohort,
+    * offset, user) and one count. Nothing is ever ordered; every stage
+    * is a hash aggregate keyed by columns whose per-key volume stays
+    * bounded as the corpus grows. */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = RelOps.events(spark, sfDir)
       .select(col("user_id"), expr("(ts div 1000) div " + DayUs).as("day"),
@@ -213,7 +229,8 @@ object EventOps {
     val cohorts = ev.where(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
-    ev.join(cohorts, Seq("user_id"))
+    graft.ops.ScaleOps.saltedJoin(ev, cohorts, "user_id",
+        CohortJoinSalts)
       .where(col("day") >= col("cohort_day"))
       .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
         col("user_id"))
