@@ -1242,6 +1242,91 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("forgetStream closes the loop over INGEST-maintained vector stores") {
+    implicit val sqlCtx = spark.sqlContext
+    // land two embedding-carrying batches through the real ingest job,
+    // then forget a victim set through the deletion queue and pin that
+    // the MAINTAINED pq/sq stores end exactly where the store algebra
+    // says: sq == a survivors-only one-shot build (per-vector codes);
+    // pq == the maintained store minus the victims' rows under a
+    // FROZEN codebook/coarse quantizer (FAISS remove_ids — retraining
+    // on survivors would be a different, wrong claim).
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val embByVec = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select((col("vec_id") % 500).as("ek"), col("embedding"))
+    val docsV = docs.withColumn("ek", col("doc_id") % 500)
+      .join(embByVec, Seq("ek")).drop("ek")
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-forget-vidx").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-forget-vout").toString
+    graft.sources.MinhashIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      indexDir)
+    def half(m: Long) = docsV.where(col("doc_id") % 4 === m)
+      .select("doc_id", "text", "lang", "source", "n_chars", "embedding")
+      .as[(Long, String, String, String, Long, Seq[Float])]
+      .collect().toSeq
+    val in = MemoryStream[(Long, String, String, String, Long, Seq[Float])]
+    val q = graft.streaming.IngestPipeline.start(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars",
+        "embedding"),
+      SF, indexDir, outDir)
+    try {
+      in.addData(half(1L)); q.processAllAvailable()
+      in.addData(half(3L)); q.processAllAvailable()
+    } finally q.stop()
+    def rel(p: String) =
+      spark.read.parquet(p).collect().map(_.toSeq).toSet
+    val preCodes = rel(s"$outDir/pq/codes")
+    val preCells = rel(s"$outDir/pq/cells")
+    val preCodebook = rel(s"$outDir/pq/codebook")
+    val preCentroids = rel(s"$outDir/pq/centroids")
+    // victims: every published doc_id ≡ 1 (mod 8) — a strict subset of
+    // batch 1, so both pq relations and the corpus must shrink
+    val victims = spark.read.parquet(s"$outDir/corpus")
+      .where(col("doc_id") % 8 === 1).select(col("doc_id"))
+    val victimIds = victims.as[Long].collect().toSet
+    assert(victimIds.nonEmpty)
+    val fin = MemoryStream[Long]
+    val fq = StreamingOps.forgetStream(fin.toDF().toDF("doc_id"),
+      s"$outDir/corpus", s"$outDir/index", indexDir,
+      Some(s"$outDir/positions"), Some(s"$outDir/pq"),
+      Some(s"$outDir/sq"), Some(s"$outDir/lang"), Some(s"$outDir/dsir"),
+      s"$outDir/forget-audit")
+    try { fin.addData(victimIds.toSeq); fq.processAllAvailable() }
+    finally fq.stop()
+    def vecsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").as("vec_id"),
+        graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+          .as("em"))
+      .withColumn("nrm", graft.functions.VecDotExpr.dot(spark,
+        col("em"), col("em")))
+    val survivors = spark.read.parquet(s"$outDir/corpus")
+    assert(survivors.where(col("doc_id") % 8 === 1).count() == 0L)
+    // SQ: the forgotten maintained store == a survivors-only build
+    val sqFresh = java.nio.file.Files
+      .createTempDirectory("graft-forget-sq-fresh").toString
+    graft.sources.SqIndex.buildFrom(spark, vecsOf(survivors), sqFresh)
+    assert(rel(s"$outDir/sq/recon") == rel(s"$sqFresh/recon"))
+    // PQ: frozen model, corpus relations = maintained minus victims
+    def dropVictims(rows: Set[Seq[Any]]) =
+      rows.filterNot(r => victimIds.contains(r.head.asInstanceOf[Long]))
+    assert(rel(s"$outDir/pq/codebook") == preCodebook)
+    assert(rel(s"$outDir/pq/centroids") == preCentroids)
+    assert(rel(s"$outDir/pq/codes") == dropVictims(preCodes))
+    assert(rel(s"$outDir/pq/cells") == dropVictims(preCells))
+    // registry-style recall read after ingest+forget: the store still
+    // serves ANN probes and can never return a victim
+    val probes = vecsOf(survivors.limit(20))
+      .select(col("vec_id").as("q_id"), col("em").as("qem"),
+        col("nrm").as("qn"))
+    val served = graft.sources.PqIndex.queryAgainst(spark, probes,
+      s"$outDir/pq", SF).select("n_id").as[Long].collect()
+    assert(served.nonEmpty)
+    assert(served.toSet.intersect(victimIds).isEmpty)
+  }
+
   test("phraseServeStream: two phrase micro-batches over one store == batch probe") {
     implicit val sqlCtx = spark.sqlContext
     val indexDir =
