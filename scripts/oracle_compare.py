@@ -8,14 +8,19 @@ in DuckDB over views of the sf dir's tables; rows and columns are sorted and
 compared as strings, mirroring the driver's hash compare. (Driver-side
 python deps only — this script is tooling, not part of the shipped library.)
 """
-import duckdb, json, glob, sys
+import duckdb, json, glob, os, sys
 import pandas as pd
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ['documents', 'embeddings', 'lineitem', 'orders', 'customer',
           'events', 'nation', 'region', 'part', 'supplier']:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # a table is a single file in the driver's testdata but a Spark
+    # part-file DIRECTORY in the scale fixtures — glob accordingly
+    path = f'{sfdir}/{t}.parquet'
+    if os.path.isdir(path):
+        path = f'{path}/*.parquet'
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 
 def canon(df):

@@ -37,10 +37,17 @@ object Bench {
     // the static oracle cannot replay (no registry entry). They run
     // ONLY when SPARK_GRAFT_BENCH_ONLY names them explicitly — driver
     // sweeps (which never set the filter) cover exactly the
-    // oracle-checked registry, unchanged.
+    // oracle-checked registry, unchanged. (semdedupScaled graduated to
+    // the registry in round 14 — its C ∝ N knob derives from count(*)
+    // in the oracle's own scalar CTE; the capacity-scaled ANN tiers
+    // live here, recall-audited by annScaledRecall against brute
+    // truth per decade in BASELINE.md.)
     val benchOnly: Map[String,
         (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-      "semdedupScaled" -> ((s, d) => pipeline.DataOps.semdedupScaled(s, d)))
+      "annIvfScaled" -> ((s, d) => pipeline.DataOps.annIvfScaled(s, d)),
+      "annPqScaled" -> ((s, d) => pipeline.DataOps.annPqScaled(s, d)),
+      "annScaledRecall" ->
+        ((s, d) => pipeline.DataOps.annScaledRecall(s, d)))
     val headline = SparkEntry.queries.filter { case (n, _) =>
       SparkEntry.oracleSql.contains(n) && only.forall(_.contains(n))
     } ++ benchOnly.filter { case (n, _) => only.exists(_.contains(n)) }

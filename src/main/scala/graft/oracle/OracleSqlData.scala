@@ -809,6 +809,113 @@ object OracleSqlData {
        |SELECT a1.vec_id, a1.cid, dup.vid IS NULL AS keep
        |FROM a1 LEFT JOIN dup ON dup.vid = a1.vec_id""".stripMargin
 
+  /** SCALED-C SemDeDup mirror
+    * ([[graft.pipeline.DataOps.semdedupScaled]]): the production C ∝ N
+    * tier replayed DEFINITIONALLY — N, C = max(16, N//128) and the
+    * training-sample modulus are scalars derived in the `prm` CTE (the
+    * cell count parameterizes a MODULUS VALUE, never the number of
+    * CTEs, so one static statement replays any corpus size), seeds
+    * picked per stratum over the hash sample, ONE Lloyd round of
+    * member-wise truncating-integer means, full-corpus (cos DESC, cid
+    * ASC) assignment, then the [[semdedup]] verdict verbatim. */
+  val semdedupScaled: String =
+    s"""WITH $embCtes,
+       |prm AS (
+       |  SELECT GREATEST(16, CAST(COUNT(*) AS BIGINT) // 128) AS c,
+       |         GREATEST(1, CAST(COUNT(*) AS BIGINT) //
+       |           (32 * GREATEST(16, CAST(COUNT(*) AS BIGINT) // 128)))
+       |           AS smod
+       |  FROM ev
+       |),
+       |svh AS (
+       |  SELECT vec_id, ${h60("CAST(vec_id AS VARCHAR)")} AS h FROM ev
+       |),
+       |sv AS (
+       |  SELECT svh.vec_id, svh.h FROM svh, prm
+       |  WHERE svh.h % prm.smod = 0
+       |),
+       |scent AS (
+       |  SELECT stratum AS cid, vec_id AS cvid FROM (
+       |    SELECT sv.vec_id, sv.h, sv.h % prm.c AS stratum,
+       |           ROW_NUMBER() OVER (PARTITION BY sv.h % prm.c
+       |             ORDER BY sv.h, sv.vec_id) AS rnk
+       |    FROM sv, prm
+       |  ) WHERE rnk = 1
+       |),
+       |ssd AS (
+       |  SELECT a.vec_id AS vec_id, c.cid AS cid, c.cvid AS cvid,
+       |         SUM(a.v * b.v) AS d
+       |  FROM vu a
+       |  JOIN sv s ON s.vec_id = a.vec_id
+       |  JOIN vu b ON a.i = b.i
+       |  JOIN scent c ON c.cvid = b.vec_id
+       |  GROUP BY 1, 2, 3
+       |),
+       |sassign0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT ssd.vec_id, ssd.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY ssd.vec_id ORDER BY
+       |             (CAST(ssd.d AS DOUBLE) /
+       |              (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |               sqrt(CAST(nb.nrm AS DOUBLE)))) DESC, ssd.cid ASC)
+       |             AS rnk
+       |    FROM ssd
+       |    JOIN nrm na ON na.vec_id = ssd.vec_id
+       |    JOIN nrm nb ON nb.vec_id = ssd.cvid
+       |  ) WHERE rnk = 1
+       |),
+       |scmean AS (
+       |  SELECT a0.cid, u.i, SUM(u.v) // COUNT(*) AS cv
+       |  FROM vu u JOIN sassign0 a0 ON a0.vec_id = u.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |scnrm AS (
+       |  SELECT cid, SUM(cv * cv) AS cn FROM scmean
+       |  GROUP BY 1 HAVING SUM(cv * cv) > 0
+       |),
+       |scdot AS (
+       |  SELECT a.vec_id AS vec_id, m.cid AS cid, SUM(a.v * m.cv) AS d
+       |  FROM vu a JOIN scmean m ON m.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT cd.vec_id, cd.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
+       |             (CAST(cd.d AS DOUBLE) /
+       |              (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |               sqrt(CAST(cnn.cn AS DOUBLE)))) DESC, cd.cid ASC)
+       |             AS rnk
+       |    FROM scdot cd
+       |    JOIN nrm na ON na.vec_id = cd.vec_id
+       |    JOIN scnrm cnn ON cnn.cid = cd.cid
+       |  ) WHERE rnk = 1
+       |),
+       |cand AS (
+       |  SELECT x.vec_id AS vid, y.vec_id AS other
+       |  FROM a1 x JOIN a1 y
+       |    ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |),
+       |pd AS (
+       |  SELECT c.vid, c.other, SUM(a.v * b.v) AS d
+       |  FROM cand c
+       |  JOIN vu a ON a.vec_id = c.vid
+       |  JOIN vu b ON b.vec_id = c.other AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |dup AS (
+       |  SELECT DISTINCT pd.vid
+       |  FROM pd
+       |  JOIN nrm na ON na.vec_id = pd.vid
+       |  JOIN nrm nb ON nb.vec_id = pd.other
+       |  WHERE CAST(ROUND(CAST(pd.d AS DOUBLE) /
+       |    (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |     sqrt(CAST(nb.nrm AS DOUBLE))) * $MIC) AS BIGINT)
+       |    >= ${DataOps.SemTauMicro}
+       |)
+       |SELECT a1.vec_id, a1.cid, dup.vid IS NULL AS keep
+       |FROM a1 LEFT JOIN dup ON dup.vid = a1.vec_id""".stripMargin
+
   val dedupEmbed: String =
     s"""WITH $embCtes,
        |${crankCte(DataOps.IvfC)},

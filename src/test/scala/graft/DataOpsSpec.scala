@@ -479,6 +479,19 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.50, f"recall $recall%.2f")
   }
 
+  test("capacity-scaled ANN tiers clear their audited recall floors") {
+    // The √N-capacity tiers (C, K, shortlist ∝ √N): measured 0.52/0.72
+    // here, and across the 10×/100× decades ivf_scaled reads 1.00/1.00
+    // and pq_scaled 0.55/0.58 where the FIXED-capacity models sag to
+    // 0.55/0.19 (BASELINE.md decade table) — the floor pins the shape,
+    // the decades carry the scale claim.
+    val rows = DataOps.annScaledRecall(spark, SF)
+      .select("tier", "recall_micro").as[(String, Long)]
+      .collect().toMap
+    assert(rows("ivf_scaled") >= 450000L, rows.toString)
+    assert(rows("pq_scaled") >= 600000L, rows.toString)
+  }
+
   test("connectedComponents converges in O(log n) rounds on a 1024-chain") {
     // A path graph is the worst case for pure min-label propagation
     // (diameter rounds = 1023); hop + pointer-jump must finish in
