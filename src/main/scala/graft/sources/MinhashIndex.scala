@@ -284,4 +284,66 @@ object MinhashIndex {
     if (built.add(dir)) build(spark, old, dir)
     dedupAgainst(spark, nw, dir)
   }
+
+  /** CLUSTER LAYOUT — `bands/` persisted as a bucketed-by-`bh`,
+    * per-bucket-sorted table ([[graft.ops.ScaleOps.writeBucketed]] —
+    * the exact knob this store's own scaladoc names, the K9/K10
+    * treatment at the dedup tier). Band hashes are DATA-dependent (a
+    * snapshot's buckets aren't literals), so the win here is
+    * CO-LOCATION rather than pruning: the candidate join's corpus side
+    * arrives hash-partitioned on `bh` straight off the bucket scan —
+    * no corpus-side Exchange, only the (small) snapshot side shuffles.
+    * At 100 TB that is the difference between re-shuffling the
+    * corpus's band relation per landed crawl snapshot and shuffling
+    * only the snapshot. MinhashIndexSpec pins probe-result equality
+    * and the single-Exchange plan. */
+  def writeBucketedBands(spark: SparkSession, indexDir: String,
+      table: String, buckets: Int = 32,
+      path: Option[String] = None): Unit =
+    graft.ops.ScaleOps.writeBucketed(
+      spark.read.parquet(s"$indexDir/bands"), table, buckets,
+      "bh", path)
+
+  /** [[dedupAgainst]] with the band side read from the BUCKETED table
+    * — the probe stage ([[probe]]) verbatim, layout-only change. */
+  def dedupAgainstBucketed(spark: SparkSession, newDocs: DataFrame,
+      table: String, indexDir: String): DataFrame = {
+    val shNew = DataOps.shingleHashes(spark, newDocs).persist()
+    probe(spark, shNew, spark.table(table),
+      spark.read.parquet(s"$indexDir/shingles"))
+  }
+
+  /** One bucketed-table write per (JVM, sf directory). */
+  private val bucketedBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Registry form of the BUCKETED layout — [[dedupIndexed]]'s
+    * buildOnce store with its band relation re-laid out bucketed once,
+    * probed by the same odd-half snapshot. Result ≡ [[dedupIndexed]]
+    * (same oracle) — the K4 cluster-layout claim hash-audited
+    * end-to-end, beside K9's `bm25Bucketed` and K10's
+    * `phraseBucketed`. */
+  def dedupBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val old = docs.where(col("doc_id") % 2 === 0)
+    val nw = docs.where(col("doc_id") % 2 === 1)
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: the directory probe's plan is
+      // the candidate/verify shape; the bucketed scan differs only in
+      // layout.
+      val shIdx = DataOps.shingleHashes(spark, old)
+      return probe(spark, DataOps.shingleHashes(spark, nw),
+        DataOps.minhashBandsOf(shIdx), shIdx)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-mh-index", sfDir)
+    if (built.add(dir)) build(spark, old, dir)
+    val table = "graft_bands_bkt_" +
+      java.lang.Integer.toHexString(dir.hashCode).takeRight(8)
+    if (bucketedBuilt.add(table)) {
+      writeBucketedBands(spark, dir, table,
+        path = Some(StoreDirs.tmpStoreDir("graft-bands-bktdata", sfDir)))
+    }
+    dedupAgainstBucketed(spark, nw, table, dir)
+  }
 }

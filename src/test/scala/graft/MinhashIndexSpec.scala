@@ -170,4 +170,44 @@ class MinhashIndexSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("bucketed band layout: probe == directory probe with only the snapshot side shuffling") {
+    val dir = Files.createTempDirectory("graft-mh-bkt").toString
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val snapshot = docs.where(col("doc_id") % 2 === 1)
+    MinhashIndex.build(spark, corpus, dir)
+    try {
+      MinhashIndex.writeBucketedBands(spark, dir, "g_bands_bkt", 8)
+      // bucketed table == the directory relation, row for row
+      assert(spark.table("g_bands_bkt").collect().map(_.toSeq).toSet ==
+        spark.read.parquet(s"$dir/bands").collect().map(_.toSeq).toSet)
+      // probe over the bucketed layout == the directory probe
+      val bucketed = MinhashIndex.dedupAgainstBucketed(spark, snapshot,
+        "g_bands_bkt", dir)
+      assert(bucketed.collect().map(_.toSeq).toSet ==
+        MinhashIndex.dedupAgainst(spark, snapshot, dir)
+          .collect().map(_.toSeq).toSet)
+      // co-location: with broadcast off, a bh-keyed count over the
+      // bucketed table needs NO exchange (the scan already carries
+      // HashPartitioning(bh)) — the corpus-side shuffle the directory
+      // layout pays per snapshot is gone
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val agg = spark.table("g_bands_bkt").groupBy("bh").count()
+        agg.collect()
+        assert(!agg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+          "bh aggregate over the bucketed bands shuffled")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        ()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_bands_bkt")
+      ()
+    }
+  }
 }
