@@ -37,15 +37,16 @@ object Bench {
     // the static oracle cannot replay (no registry entry). They run
     // ONLY when SPARK_GRAFT_BENCH_ONLY names them explicitly — driver
     // sweeps (which never set the filter) cover exactly the
-    // oracle-checked registry, unchanged. (semdedupScaled graduated to
-    // the registry in round 14 — its C ∝ N knob derives from count(*)
-    // in the oracle's own scalar CTE; the capacity-scaled ANN tiers
-    // live here, recall-audited by annScaledRecall against brute
-    // truth per decade in BASELINE.md.)
+    // oracle-checked registry, unchanged. (Round 14 graduated every
+    // scaled tier with a derivable knob — semdedupScaled,
+    // annIvfScaled, annPqScaled — to the registry: C/K/probe-width/
+    // shortlist all derive from count(*) in the oracles' own scalar
+    // CTEs. Only the recall AUDIT of the scaled tiers stays here: its
+    // brute-truth baseline is the already-audited annBrute, so a SQL
+    // mirror would prove nothing new, and its decade numbers live in
+    // BASELINE.md.)
     val benchOnly: Map[String,
         (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-      "annIvfScaled" -> ((s, d) => pipeline.DataOps.annIvfScaled(s, d)),
-      "annPqScaled" -> ((s, d) => pipeline.DataOps.annPqScaled(s, d)),
       "annScaledRecall" ->
         ((s, d) => pipeline.DataOps.annScaledRecall(s, d)))
     val headline = SparkEntry.queries.filter { case (n, _) =>

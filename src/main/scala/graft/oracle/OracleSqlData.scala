@@ -916,6 +916,190 @@ object OracleSqlData {
        |SELECT a1.vec_id, a1.cid, dup.vid IS NULL AS keep
        |FROM a1 LEFT JOIN dup ON dup.vid = a1.vec_id""".stripMargin
 
+  /** CAPACITY-SCALED IVF mirror
+    * ([[graft.pipeline.DataOps.annIvfScaled]]): C = max(16, ⌊√N⌋),
+    * probe width C//4 and the training-sample modulus all derive from
+    * count(*) in the `aprm` scalar CTE (the [[semdedupScaled]]
+    * discipline — knob values, never CTE structure); seeds and all
+    * [[DataOps.LloydT]] Lloyd rounds run over the hash SAMPLE, the
+    * full corpus assigns to the final centroids, and the probe/re-rank
+    * tail is the [[annIvf]] mirror with the scalar probe width. */
+  val annIvfScaled: String = {
+    val cS = "(SELECT c FROM aprm)"
+    val head =
+      s"""WITH $embCtes,
+         |aprm AS (
+         |  SELECT GREATEST(16, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+         |           AS BIGINT)) AS c,
+         |         GREATEST(4, GREATEST(16,
+         |           CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+         |             AS BIGINT)) // 4) AS nprobes,
+         |         GREATEST(1, CAST(COUNT(*) AS BIGINT) //
+         |           (32 * GREATEST(16,
+         |             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+         |               AS BIGINT)))) AS smod
+         |  FROM ev
+         |),
+         |sv AS (
+         |  SELECT vec_id, ${h60("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM ev
+         |  WHERE ${h60("CAST(vec_id AS VARCHAR)")} %
+         |    (SELECT smod FROM aprm) = 0
+         |),
+         |cent AS (
+         |  SELECT stratum AS cid, vec_id AS cvid FROM (
+         |    SELECT vec_id, h, h % $cS AS stratum,
+         |           ROW_NUMBER() OVER (PARTITION BY h % $cS
+         |             ORDER BY h, vec_id) AS rnk
+         |    FROM sv
+         |  ) WHERE rnk = 1
+         |),
+         |sd AS (
+         |  SELECT a.vec_id AS vec_id, c.cid AS cid, c.cvid AS cvid,
+         |         SUM(a.v * b.v) AS d
+         |  FROM vu a
+         |  JOIN sv s ON s.vec_id = a.vec_id
+         |  JOIN vu b ON a.i = b.i
+         |  JOIN cent c ON c.cvid = b.vec_id
+         |  GROUP BY 1, 2, 3
+         |),
+         |assign0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT sd.vec_id, sd.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY sd.vec_id ORDER BY
+         |             (CAST(sd.d AS DOUBLE) /
+         |              (sqrt(CAST(na.nrm AS DOUBLE)) *
+         |               sqrt(CAST(nb.nrm AS DOUBLE)))) DESC, sd.cid ASC)
+         |             AS rnk
+         |    FROM sd
+         |    JOIN nrm na ON na.vec_id = sd.vec_id
+         |    JOIN nrm nb ON nb.vec_id = sd.cvid
+         |  ) WHERE rnk = 1
+         |)"""
+    // LloydT rounds over the SAMPLE: means from the previous
+    // assignment, re-rank the sample; the FINAL round emits
+    // cmean/cnrm only (the full corpus assigns below).
+    val rounds = (1 to DataOps.LloydT).map { t =>
+      val last = t == DataOps.LloydT
+      val prev = if (t == 1) "assign0" else s"lassign${t - 1}"
+      val (cm, cn) =
+        if (last) ("cmean", "cnrm") else (s"lcmean$t", s"lcnrm$t")
+      val reassign =
+        if (last) ""
+        else s""",
+           |lcdot$t AS (
+           |  SELECT a.vec_id AS vec_id, m.cid AS cid,
+           |         SUM(a.v * m.cv) AS d
+           |  FROM vu a
+           |  JOIN sv s ON s.vec_id = a.vec_id
+           |  JOIN lcmean$t m ON m.i = a.i
+           |  GROUP BY 1, 2
+           |),
+           |lassign$t AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT cd.vec_id, cd.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
+           |             (CAST(cd.d AS DOUBLE) /
+           |              (sqrt(CAST(na.nrm AS DOUBLE)) *
+           |               sqrt(CAST(cnn.cn AS DOUBLE)))) DESC, cd.cid ASC)
+           |             AS rnk
+           |    FROM lcdot$t cd
+           |    JOIN nrm na ON na.vec_id = cd.vec_id
+           |    JOIN lcnrm$t cnn ON cnn.cid = cd.cid
+           |  ) WHERE rnk = 1
+           |)"""
+      s"""$cm AS (
+         |  SELECT a0.cid, u.i, SUM(u.v) // COUNT(*) AS cv
+         |  FROM vu u JOIN $prev a0 ON a0.vec_id = u.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |$cn AS (
+         |  SELECT cid, SUM(cv * cv) AS cn FROM $cm
+         |  GROUP BY 1 HAVING SUM(cv * cv) > 0
+         |)$reassign""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds,
+       |cdot AS (
+       |  SELECT a.vec_id AS vec_id, m.cid AS cid, SUM(a.v * m.cv) AS d
+       |  FROM vu a JOIN cmean m ON m.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |crank AS (
+       |  SELECT cd.vec_id, cd.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
+       |           (CAST(cd.d AS DOUBLE) /
+       |            (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |             sqrt(CAST(cnn.cn AS DOUBLE)))) DESC, cd.cid ASC)
+       |           AS rnk
+       |  FROM cdot cd
+       |  JOIN nrm na ON na.vec_id = cd.vec_id
+       |  JOIN cnrm cnn ON cnn.cid = cd.cid
+       |),
+       |assign1 AS (SELECT vec_id, cid FROM crank WHERE rnk = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid FROM crank
+       |  WHERE vec_id % 50 = 0 AND rnk <= (SELECT nprobes FROM aprm)
+       |),
+       |candi AS (
+       |  SELECT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN assign1 a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.q_id
+       |),
+       |cd2 AS (
+       |  SELECT c.q_id, c.n_id, SUM(a.v * b.v) AS d
+       |  FROM candi c
+       |  JOIN vu a ON a.vec_id = c.n_id
+       |  JOIN vu b ON b.vec_id = c.q_id AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT cd2.q_id, cd2.n_id,
+       |         CAST(cd2.d AS DOUBLE) /
+       |           (sqrt(CAST(nn.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nq.nrm AS DOUBLE))) AS cs
+       |  FROM cd2
+       |  JOIN nrm nn ON nn.vec_id = cd2.n_id
+       |  JOIN nrm nq ON nq.vec_id = cd2.q_id
+       |)
+       |SELECT q_id, n_id, rnk, CAST(ROUND(cs * $MIC) AS BIGINT) AS cos_micro
+       |FROM (
+       |  SELECT q_id, n_id, cs,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 10""".stripMargin
+  }
+
+  /** CAPACITY-SCALED PQ mirror ([[graft.pipeline.DataOps.annPqScaled]]):
+    * K, the sample modulus and the √N re-rank shortlist derive from
+    * count(*) in `pqprm`; training ([[pqCtesT]] with the scalar K and
+    * the hash-sample train predicate) runs on the sample, coding and
+    * the ADC probe on the full corpus. */
+  val annPqScaled: String = {
+    val pqprm =
+      """pqprm AS (
+        |  SELECT LEAST(64, GREATEST(16,
+        |           CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+        |             AS BIGINT))) AS k,
+        |         GREATEST(1, CAST(COUNT(*) AS BIGINT) //
+        |           (64 * LEAST(64, GREATEST(16,
+        |             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+        |               AS BIGINT))))) AS smod,
+        |         GREATEST(50, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+        |           AS BIGINT)) AS shortlist
+        |  FROM ev
+        |)""".stripMargin
+    annPqSql(
+      pqCtesT(
+        trainPred = s"${h60("CAST(vec_id AS VARCHAR)")} % " +
+          "(SELECT smod FROM pqprm) = 0",
+        k = "(SELECT k FROM pqprm)",
+        extra = pqprm),
+      "TRUE",
+      shortlist = "(SELECT shortlist FROM pqprm)")
+  }
+
   val dedupEmbed: String =
     s"""WITH $embCtes,
        |${crankCte(DataOps.IvfC)},
@@ -1010,12 +1194,14 @@ object OracleSqlData {
     * [[graft.sources.PqIndex]] lifecycle mirrors (`annPqIncremental`
     * trains on the build half, codes build + appended batches). With
     * `TRUE` it is the self-trained full-corpus chain. */
-  private def pqCtesT(trainPred: String): String = {
-    val k = DataOps.PqK
+  private def pqCtesT(trainPred: String,
+      k: String = DataOps.PqK.toString,
+      extra: String = ""): String = {
     val sd = DataOps.PqSubDim
+    val extraCtes = if (extra.isEmpty) "" else s"$extra,\n"
     val head =
       s"""$embCtes,
-         |el AS (
+         |${extraCtes}el AS (
          |  SELECT vec_id, CAST((i - 1) // $sd AS INTEGER) AS m,
          |         (i - 1) % $sd AS j, v AS x
          |  FROM vu
@@ -1118,8 +1304,9 @@ object OracleSqlData {
     * `codesPred` (over `a.vec_id`) restricts which CODES the ADC scan
     * sees — the [[graft.sources.PqIndex.removeBatch]] mirror (codes
     * filtered to survivors, codebook still full-corpus-trained). */
-  private def annPqSql(ctes: String, codesPred: String): String = {
-    val short = DataOps.PqShortlist
+  private def annPqSql(ctes: String, codesPred: String,
+      shortlist: String = DataOps.PqShortlist.toString): String = {
+    val short = shortlist
     s"""WITH $ctes,
        |qel AS (
        |  SELECT vec_id AS q_id, m, j, x AS qx FROM el

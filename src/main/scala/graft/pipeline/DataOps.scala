@@ -3063,9 +3063,11 @@ object DataOps {
   private def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
 
   /** CAPACITY-SCALED IVF — the production-knob tier of [[annIvf]]
-    * (BENCH-ONLY, the [[semdedupScaled]] discipline applied to
-    * retrieval): model CAPACITY grows with the corpus instead of
-    * staying fixture-sized, which is why the fixed 16-cell model's
+    * (a full ORACLE-CHECKED registry entry since round 14, the
+    * [[semdedupScaled]] discipline applied to retrieval — C, the probe
+    * width and the sample modulus derive from count(*) in the oracle's
+    * `aprm` scalar CTE): model CAPACITY grows with the corpus instead
+    * of staying fixture-sized, which is why the fixed 16-cell model's
     * audited recall sags from ~0.6 at sf0.001 to ~0.5 at sf0.1 while
     * this tier holds it.
     *
@@ -3111,8 +3113,10 @@ object DataOps {
   }
 
   /** CAPACITY-SCALED PQ — [[annPq]] with the codebook resolution
-    * growing with the corpus (BENCH-ONLY, audited by
-    * [[annScaledRecall]]): K = min(64, max([[PqK]], ⌊√N⌋)) centroids
+    * growing with the corpus (an ORACLE-CHECKED registry entry since
+    * round 14 — K, the sample modulus and the shortlist derive from
+    * count(*) in the oracle's `pqprm` CTE; recall audited per decade
+    * by [[annScaledRecall]]): K = min(64, max([[PqK]], ⌊√N⌋)) centroids
     * per sub-space (4→6 bits/code across the measured decades — the
     * "K ∝ log N" BASELINE knob in its integer form, √N-driven and
     * capped at 6 bits so the code width grows with the corpus but the
@@ -3155,10 +3159,11 @@ object DataOps {
   }
 
   /** Recall audit of the CAPACITY-SCALED tiers against the cached
-    * brute truth — the number the judge's "would a user trust this
-    * store at 100 TB" question asks for, measured per decade in
-    * BASELINE.md (bench-only, beside [[annRecallEval]]'s fixed-model
-    * audit). */
+    * brute truth — the "would a user trust this store at 100 TB"
+    * number, measured per decade in BASELINE.md (bench-only: its
+    * baseline is the already-audited [[annBrute]], so a SQL mirror
+    * would prove nothing new; the tiers it scores are themselves
+    * oracle-checked registry entries). */
   def annScaledRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = annTruth(spark, sfDir)
     recallRows(truth, Seq(
