@@ -745,8 +745,12 @@ object EventOps {
       .groupBy(col("user_id")).agg(min(col("day")).as("cohort")))
     val users = cohorts.groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_users"))
-    val rev = e.where(col("event_type") === "purchase")
-      .join(cohorts, Seq("user_id"))
+    // Salted like [[retentionCohorts]]' cohort join (the same hot-key ×
+    // non-broadcastable-per-user-dim shape — a bot user's purchases
+    // would serialize on one reducer); result exactly the plain join.
+    val rev = graft.ops.ScaleOps.saltedJoin(
+        e.where(col("event_type") === "purchase"), cohorts, "user_id",
+        CohortJoinSalts)
       .where(col("day") >= col("cohort"))
       .groupBy(col("cohort"), (col("day") - col("cohort")).as("age_day"))
       .agg(sum(col("v")).as("rev"))
