@@ -1438,6 +1438,18 @@ object OracleSqlData {
        |) WHERE rnk <= 10""".stripMargin
   }
 
+  /** Inverted-list-layout serve mirror
+    * ([[graft.sources.PqIndex.annServeBucketed]]): the composed IVFPQ
+    * result restricted to the standard set's minimum q_id — over the
+    * probed cells the bucketed flat scan and the cell-join prune
+    * coincide by construction, so the mirror is the [[annIvfPq]]
+    * relation filtered definitionally. */
+  val annServeBucketed: String =
+    s"""SELECT * FROM (
+       |$annIvfPq
+       |) WHERE q_id = (SELECT MIN(vec_id) FROM embeddings
+       |                WHERE vec_id % 50 = 0)""".stripMargin
+
   /** SQ8 ADC mirror ([[graft.pipeline.DataOps.annSq]]): identical
     * per-vector affine codes ([[embedQuantize]]'s rounding), identical
     * exact-integer reconstruction dot `Σ qx·(254·mn + (q+127)·rng)`,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, min, sqrt}
 
 import graft.pipeline.DataOps
 
@@ -198,6 +198,86 @@ object PqIndex {
       spark.read.parquet(s"$indexDir/codebook"),
       spark.read.parquet(s"$indexDir/codes"),
       DataOps.emb(spark, sfDir))
+
+  /** CLUSTER LAYOUT — the FAISS INVERTED-LIST FILE as a bucketed
+    * table: every vector's PQ code rows keyed by the vector's TOP-1
+    * coarse cell and persisted bucketed-by-`cell`, per-bucket-sorted
+    * ([[graft.ops.ScaleOps.writeBucketed]] — the K9/K10/K4 treatment
+    * at the vector tier, and exactly what an IVFPQ index IS on disk:
+    * codes grouped into per-cell inverted lists). A query whose probe
+    * cells are known (every serving query — the probe list derives
+    * from the stored centroids before the scan plans) PRUNES the code
+    * scan to its probed cells' buckets (`SelectedBucketsCount`), the
+    * probes/C scan fraction the composed index exists to buy, now
+    * enforced by LAYOUT rather than a join. PqIndexSpec pins
+    * result-equality with the composed probe and the pruned scan. */
+  def writeBucketedCodes(spark: SparkSession, indexDir: String,
+      table: String, buckets: Int = 16,
+      path: Option[String] = None): Unit =
+    graft.ops.ScaleOps.writeBucketed(
+      spark.read.parquet(s"$indexDir/codes")
+        .join(spark.read.parquet(s"$indexDir/cells")
+          .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id")),
+      table, buckets, "cell", path)
+
+  /** Composed IVFPQ serve off the BUCKETED inverted lists for ONE
+    * query with LITERAL probe cells: the pruned scan feeds
+    * [[DataOps.pqProbe]] VERBATIM (over the probed cells the flat ADC
+    * and the composed probe coincide — the candidate set IS the
+    * probed lists). */
+  def ivfPqAgainstBucketedCells(spark: SparkSession, q: DataFrame,
+      probeCells: Seq[Long], table: String, indexDir: String,
+      sfDir: String): DataFrame =
+    DataOps.pqProbe(spark, q,
+      spark.read.parquet(s"$indexDir/codebook"),
+      spark.table(table).where(col("cell").isin(probeCells: _*))
+        .select(col("vec_id"), col("m"), col("cid")),
+      DataOps.emb(spark, sfDir))
+
+  /** One bucketed-codes write per (JVM, sf directory). */
+  private val bucketedBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Registry form of the inverted-list layout — the SERVING shape: one
+    * user query (the standard set's minimum q_id — a deterministic
+    * stand-in), its ≤[[DataOps.IvfPqProbes]] probe cells resolved
+    * against the stored centroids and collected as LITERALS (bounded,
+    * loudly asserted — the bm25Bucketed discipline), then answered
+    * purely from the pruned bucketed scan. Result ≡ [[DataOps.annIvfPq]]
+    * restricted to that query (oracle = the annIvfPq mirror filtered to
+    * the minimum standard q_id). */
+  def annServeBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) {
+      // Explain mode must run no job: the composed probe's plan is the
+      // ADC/re-rank shape; the bucketed scan differs only in layout.
+      return DataOps.annIvfPq(spark, sfDir).where(col("q_id") === 0L)
+    }
+    val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
+    if (built.add(dir)) build(spark, sfDir, dir)
+    val table = "graft_codes_bkt_" +
+      java.lang.Integer.toHexString(dir.hashCode).takeRight(8)
+    if (bucketedBuilt.add(table)) {
+      writeBucketedCodes(spark, dir, table,
+        path = Some(StoreDirs.tmpStoreDir("graft-codes-bktdata", sfDir)))
+    }
+    val q = DataOps.annQueries(spark, sfDir)
+    val headId = q.agg(min(col("q_id"))).head().getLong(0)
+    val q1 = q.where(col("q_id") === headId)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probeCells = q1.crossJoin(broadcast(cents))
+      .select(col("cid"),
+        (graft.functions.VecDotExpr.dot(spark, col("qem"), col("cem"))
+          .cast("double") /
+          (sqrt(col("qn").cast("double")) *
+            sqrt(col("cn").cast("double")))).as("cs"))
+      .orderBy(col("cs").desc, col("cid").asc)
+      .limit(DataOps.IvfPqProbes)
+      .select(col("cid")).collect().map(_.getLong(0)).toSeq
+    require(probeCells.length <= DataOps.IvfPqProbes,
+      s"probe list must be <= ${DataOps.IvfPqProbes} cells, got " +
+        s"${probeCells.length}")
+    ivfPqAgainstBucketedCells(spark, q1, probeCells, table, dir, sfDir)
+  }
 
   /** Registry form of the composed probe — shares [[annPqIndexed]]'s
     * store (one build, BOTH ANN probes served: the flat ADC scan and
