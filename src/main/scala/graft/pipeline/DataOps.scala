@@ -990,10 +990,22 @@ object DataOps {
   private val trainedModels =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Entries are keyed by the OWNING SparkContext's (applicationId,
+    * startTime) so a stopped-and-restarted session in the same JVM
+    * (embedding, multi-session test runs) neither resolves a cached
+    * frame to dead localCheckpoint RDD blocks nor pins them forever:
+    * any entry from another context epoch is evicted on the next cache
+    * touch (the map holds KB-scale models, so the sweep is a no-op in
+    * the steady single-context case). */
   private def cachedModel(key: String)(train: => DataFrame): DataFrame =
     if (java.lang.Boolean.getBoolean("graft.lazyPlans")) train
-    else trainedModels.computeIfAbsent(key,
-      _ => train.localCheckpoint(true))
+    else {
+      val sc = SparkSession.active.sparkContext
+      val epoch = s"${sc.applicationId}:${sc.startTime}:"
+      trainedModels.keySet.removeIf(k => !k.startsWith(epoch))
+      trainedModels.computeIfAbsent(epoch + key,
+        _ => train.localCheckpoint(true))
+    }
 
   private[graft] def centroidsFrom(v: DataFrame, c: Int = IvfC,
       rounds: Int = LloydT): DataFrame = {

@@ -54,7 +54,8 @@ private[graft] object StoreDirs {
     * `stagingPath`/`oldPath` override the default sibling names for
     * callers whose `dir` lives under a Spark-discovered partition root
     * (a sibling `lang=v.old` would be parsed as a REAL partition —
-    * [[CorpusSink.deleteDocs]] stages under hidden `_`-prefixed leaves
+    * and so would a `_`-prefixed name containing '=', so
+    * [[CorpusSink.deleteDocs]] stages under hidden `.`-prefixed leaves
     * instead, which every Spark reader skips). */
   def replaceParquet(df: DataFrame, dir: String,
       stagingPath: String = null, oldPath: String = null): Unit = {
@@ -120,6 +121,15 @@ private[graft] object StoreDirs {
     val out = fs.create(path, overwrite)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    ()
+  }
+
+  /** Delete a file/directory (non-recursive for files) through the
+    * Hadoop FileSystem API; absent paths are a no-op. */
+  def deletePath(spark: SparkSession, file: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(path, true)
     ()
   }
 

@@ -242,8 +242,12 @@ object IngestPipeline {
 
   /** Acquire the single-writer lease on `outDir` or fail loudly. The
     * lock file carries the owner's writerId; acquisition is re-entrant
-    * for the same owner and atomic via Hadoop-FS create-if-absent
-    * (losing a create race re-reads the winner's identity). */
+    * for the same owner and uses Hadoop-FS create-if-absent (losing a
+    * create race re-reads the winner's identity). NOTE: create-no-
+    * overwrite is atomic on HDFS; on RawLocalFileSystem/S3A two racing
+    * writers can both pass the owner check in the create→read window —
+    * there the lease is advisory and a coordination service (or an
+    * S3 conditional PUT) is the production primitive. */
   private[graft] def acquireLease(spark: SparkSession, outDir: String,
       writerId: String): Unit = {
     val lockFile = s"$outDir/_lock"
@@ -263,12 +267,18 @@ object IngestPipeline {
         s"interleave store rewrites; remove $lockFile only after " +
         "confirming that writer is dead")
     if (releaseHooks.add(lockFile)) {
+      // Capture the SESSION's Hadoop conf now — a bare Configuration()
+      // in the hook would drop HDFS/S3 credentials and silently leave
+      // the lease held forever; and log (never swallow) a failed
+      // release, because the next writer is refused until the lock is
+      // removed by hand.
+      val conf = spark.sessionState.newHadoopConf()
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         val p = new org.apache.hadoop.fs.Path(lockFile)
-        scala.util.Try(
-          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .delete(p, false))
-        ()
+        try { p.getFileSystem(conf).delete(p, false); () }
+        catch { case e: Exception => System.err.println(
+          s"graft: FAILED to release ingest lease $lockFile " +
+          s"($e) — remove it manually before the next writer starts") }
       }, s"graft-ingest-lease-release"))
       ()
     }
@@ -289,6 +299,20 @@ object IngestPipeline {
       if (StoreDirs.pathExists(spark,
           s"$outDir/committed/${st.getPath.getName}")) {
         fs.delete(st.getPath, true); ()
+      }
+    }
+    // Crash-leftover vector-store intent markers: the in-line cleanup
+    // in applyVectorStore misses a crash between the sink marker and
+    // its own delete, so sweep any `_intent_<batchId>` whose sink
+    // committed marker exists.
+    Seq("pq", "sq").foreach { sink =>
+      val root = new org.apache.hadoop.fs.Path(s"$outDir/$sink")
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_intent_") && StoreDirs.pathExists(spark,
+            s"$outDir/committed/${n.stripPrefix("_intent_")}.$sink")) {
+          fs.delete(st.getPath, false); ()
+        }
       }
     }
     ()
@@ -384,14 +408,23 @@ object IngestPipeline {
       // only the generic one-sink append window remains, shared with
       // every other store and documented above.
       def applyVectorStore(sink: String, witness: String)(
-          build: => Unit)(append: => Unit): Unit = applyOnce(sink) {
+          build: => Unit)(append: => Unit): Unit = {
         val intentPath = s"$outDir/$sink/_intent_$batchId"
-        if (!StoreDirs.pathExists(spark, intentPath))
-          StoreDirs.writeMarker(spark, intentPath,
-            if (StoreDirs.pathExists(spark, witness)) "append"
-            else "build")
-        if (StoreDirs.readMarker(spark, intentPath) == "build") build
-        else append
+        applyOnce(sink) {
+          if (!StoreDirs.pathExists(spark, intentPath))
+            StoreDirs.writeMarker(spark, intentPath,
+              if (StoreDirs.pathExists(spark, witness)) "append"
+              else "build")
+          if (StoreDirs.readMarker(spark, intentPath) == "build") build
+          else append
+        }
+        // The intent only pins build-vs-append BEFORE the mutation;
+        // once the sink's committed marker exists a replay never reads
+        // it again, so drop it here — otherwise a long-running stream
+        // accumulates one marker file per batch inside the store root.
+        if (StoreDirs.pathExists(spark,
+            s"$outDir/committed/$batchId.$sink"))
+          StoreDirs.deletePath(spark, intentPath)
       }
       applyVectorStore("pq", s"$outDir/pq/codebook") {
         graft.sources.PqIndex.buildFrom(spark, vecs, s"$outDir/pq")
