@@ -33,25 +33,14 @@ object Bench {
     // `sbt -client` server keeps its own startup environment.)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // BENCH-ONLY forms: scale-path variants whose data-dependent knobs
-    // the static oracle cannot replay (no registry entry). They run
-    // ONLY when SPARK_GRAFT_BENCH_ONLY names them explicitly — driver
-    // sweeps (which never set the filter) cover exactly the
-    // oracle-checked registry, unchanged. (Round 14 graduated every
-    // scaled tier with a derivable knob — semdedupScaled,
-    // annIvfScaled, annPqScaled — to the registry: C/K/probe-width/
-    // shortlist all derive from count(*) in the oracles' own scalar
-    // CTEs. Only the recall AUDIT of the scaled tiers stays here: its
-    // brute-truth baseline is the already-audited annBrute, so a SQL
-    // mirror would prove nothing new, and its decade numbers live in
-    // BASELINE.md.)
-    val benchOnly: Map[String,
-        (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-      "annScaledRecall" ->
-        ((s, d) => pipeline.DataOps.annScaledRecall(s, d)))
+    // (The bench-only escape hatch is empty since round 15: every
+    // scaled tier AND the scaled recall audit are oracle-checked
+    // registry entries — C/K/probe-width/shortlist all derive from
+    // count(*) in the oracles' own scalar CTEs, and the audit composes
+    // the tiers' mirrors with the brute-truth CTE.)
     val headline = SparkEntry.queries.filter { case (n, _) =>
       SparkEntry.oracleSql.contains(n) && only.forall(_.contains(n))
-    } ++ benchOnly.filter { case (n, _) => only.exists(_.contains(n)) }
+    }
     // Fixed warmup protocol: run the FULL headline set once, untimed,
     // before any measurement. Sub-2-second queries on this shared-CPU
     // container swing ~3× with session warmup ORDER (codegen caches, scan

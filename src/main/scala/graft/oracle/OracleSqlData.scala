@@ -818,9 +818,16 @@ object OracleSqlData {
     * picked per stratum over the hash sample, ONE Lloyd round of
     * member-wise truncating-integer means, full-corpus (cos DESC, cid
     * ASC) assignment, then the [[semdedup]] verdict verbatim. */
-  val semdedupScaled: String =
-    s"""WITH $embCtes,
-       |prm AS (
+  /** Shared head of the scaled-C cell-assignment mirrors
+    * ([[semdedupScaled]], [[dedupEmbedScaled]]): the knob scalars (C =
+    * max(16, N//128), training-sample modulus) derive from count(*) in
+    * the `prm` CTE, seeds are picked per stratum over the hash sample,
+    * ONE Lloyd round of member-wise truncating-integer means, and the
+    * final `srnk` relation ranks every corpus vector's cells by
+    * (cosine DESC, cid ASC) — consumers pick rnk = 1 (semantic-dedup
+    * verdict) or rnk <= 2 (the pair report's two probes). */
+  private def scaledCellCtes: String =
+    s"""prm AS (
        |  SELECT GREATEST(16, CAST(COUNT(*) AS BIGINT) // 128) AS c,
        |         GREATEST(1, CAST(COUNT(*) AS BIGINT) //
        |           (32 * GREATEST(16, CAST(COUNT(*) AS BIGINT) // 128)))
@@ -878,19 +885,22 @@ object OracleSqlData {
        |  FROM vu a JOIN scmean m ON m.i = a.i
        |  GROUP BY 1, 2
        |),
-       |a1 AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT cd.vec_id, cd.cid,
-       |           ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
-       |             (CAST(cd.d AS DOUBLE) /
-       |              (sqrt(CAST(na.nrm AS DOUBLE)) *
-       |               sqrt(CAST(cnn.cn AS DOUBLE)))) DESC, cd.cid ASC)
-       |             AS rnk
-       |    FROM scdot cd
-       |    JOIN nrm na ON na.vec_id = cd.vec_id
-       |    JOIN scnrm cnn ON cnn.cid = cd.cid
-       |  ) WHERE rnk = 1
-       |),
+       |srnk AS (
+       |  SELECT cd.vec_id, cd.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY
+       |           (CAST(cd.d AS DOUBLE) /
+       |            (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |             sqrt(CAST(cnn.cn AS DOUBLE)))) DESC, cd.cid ASC)
+       |           AS rnk
+       |  FROM scdot cd
+       |  JOIN nrm na ON na.vec_id = cd.vec_id
+       |  JOIN scnrm cnn ON cnn.cid = cd.cid
+       |)""".stripMargin
+
+  val semdedupScaled: String =
+    s"""WITH $embCtes,
+       |$scaledCellCtes,
+       |a1 AS (SELECT vec_id, cid FROM srnk WHERE rnk = 1),
        |cand AS (
        |  SELECT x.vec_id AS vid, y.vec_id AS other
        |  FROM a1 x JOIN a1 y
@@ -915,6 +925,38 @@ object OracleSqlData {
        |)
        |SELECT a1.vec_id, a1.cid, dup.vid IS NULL AS keep
        |FROM a1 LEFT JOIN dup ON dup.vid = a1.vec_id""".stripMargin
+
+  /** Scaled-C embedding pair-report mirror
+    * ([[graft.pipeline.DataOps.dedupEmbedScaled]]): the
+    * [[scaledCellCtes]] head (C and the sample modulus from count(*)
+    * in `prm`), TOP-2 cells per vector, then the [[dedupEmbed]] pair
+    * algebra verbatim — shared-cell candidates, exact cosine ≥ 0.4. */
+  val dedupEmbedScaled: String =
+    s"""WITH $embCtes,
+       |$scaledCellCtes,
+       |assign AS (SELECT vec_id, cid FROM srnk WHERE rnk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM assign x JOIN assign y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |),
+       |pd AS (
+       |  SELECT c.id_a, c.id_b, SUM(a.v * b.v) AS d
+       |  FROM cand c
+       |  JOIN vu a ON a.vec_id = c.id_a
+       |  JOIN vu b ON b.vec_id = c.id_b AND b.i = a.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  SELECT pd.id_a, pd.id_b,
+       |         CAST(ROUND(CAST(pd.d AS DOUBLE) /
+       |           (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |            sqrt(CAST(nb.nrm AS DOUBLE))) * $MIC) AS BIGINT)
+       |           AS cos_micro
+       |  FROM pd
+       |  JOIN nrm na ON na.vec_id = pd.id_a
+       |  JOIN nrm nb ON nb.vec_id = pd.id_b
+       |) WHERE cos_micro >= 400000""".stripMargin
 
   /** CAPACITY-SCALED IVF mirror
     * ([[graft.pipeline.DataOps.annIvfScaled]]): C = max(16, ⌊√N⌋),
@@ -3746,6 +3788,14 @@ object OracleSqlData {
     * algebra, tiers = the persistent-store round-trip/lifecycle
     * mirrors (pristine stores replay their model mirrors verbatim;
     * append/remove tiers their split mirrors). */
+  /** Scaled-tier recall mirror ([[DataOps.annScaledRecall]]): the
+    * audit algebra over the capacity-scaled tiers' own mirrors — their
+    * knob scalars replay from count(*) exactly as in the standalone
+    * entries, so the composition proves the AUDIT, the tiers having
+    * been proven already. */
+  lazy val annScaledRecall: String = recallEvalSql(Seq(
+    "ivf_scaled" -> annIvfScaled, "pq_scaled" -> annPqScaled))
+
   lazy val annStoreRecall: String = recallEvalSql(Seq(
     "ivfpq_store" -> annIvfPq,
     "pq_add" -> annPqIncremental, "pq_rm" -> annPqRemoved,

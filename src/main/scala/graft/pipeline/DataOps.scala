@@ -1085,12 +1085,21 @@ object DataOps {
         centroids(spark, sfDir)).where(col("rnk") <= 2)
       .select(col("vec_id"), col("cid"))
       .persist()
+    embedPairTail(emb(spark, sfDir), assign)
+  }
+
+  /** The pair-report tail of [[dedupEmbed]] — shared-cell candidate
+    * pairs, exact-cosine verify at 0.4 — shared VERBATIM by the fixed-C
+    * registry form and the scaled-C production tier
+    * ([[dedupEmbedScaled]]), so the two differ only in the clustering
+    * knob. `assign` must be persisted (it feeds both sides of the cell
+    * join). */
+  private def embedPairTail(v: DataFrame, assign: DataFrame): DataFrame = {
     val cand = assign.as("x").join(assign.as("y"),
         col("x.cid") === col("y.cid") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
-    val v = emb(spark, sfDir)
     finish(cand
       .join(v.as("va"), col("id_a") === col("va.vec_id"))
       .join(v.as("vb"), col("id_b") === col("vb.vec_id"))
@@ -1100,6 +1109,60 @@ object DataOps {
       .where(col("cos_micro") >= 400000L),
       assign)
   }
+
+  /** SCALED-C PRODUCTION TIER of [[dedupEmbed]] — retires the engine's
+    * last contractual OOM: the fixed-C=16 pair report's within-cell
+    * term is N²/16 pairs and dies at the 100× decade BY CONTRACT, while
+    * this form holds the MEAN CELL SIZE constant (C = max([[IvfC]],
+    * N / [[SemCellTarget]]), the [[semdedupScaled]] knob — N is just
+    * count(*), so the oracle derives C and the training-sample modulus
+    * in its scalar `prm` CTE and replays the tier definitionally at any
+    * corpus size). Training fits on a hash sample (~32 vectors/cell,
+    * one refinement round — the FAISS sample-training discipline).
+    *
+    * The top-2 cell assignment — [[dedupEmbed]] keeps two probes so
+    * boundary pairs split across adjacent cells still meet — is a
+    * bounded [[graft.functions.TopKAgg]] aggregate (`top_k(struct(cs,
+    * −cid), 2)` ≡ the (cs desc, cid asc) window rank), NOT a
+    * row_number window: map-side combine trims every partition's
+    * contribution to 2 rows per vector before the shuffle, where the
+    * window form would sort the N·C scored rows — with C ∝ N that sort
+    * exchange is the quadratic term this tier exists to avoid.
+    *
+    * Verify tail = [[embedPairTail]] VERBATIM: candidates share a
+    * cell (~2·N·[[SemCellTarget]] pairs, linear in the corpus), exact
+    * cosine ≥ 0.4 decides. */
+  def dedupEmbedScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    val (c, sampleMod) = scaledCellKnobs(v)
+    val sample = v.where(
+      pmod(hash60(col("vec_id").cast("string")), lit(sampleMod)) === 0)
+    val cents = pin(centroidsFrom(sample, c, rounds = 1))
+    val assign = persistUnlessLazy(v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn")).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAgg.topK(spark,
+        struct(col("cs"), (-col("cid")).as("ncid")), 2).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("e"))
+      .select(col("vec_id"), (-col("e.ncid")).as("cid")))
+    embedPairTail(v, assign)
+  }
+
+  /** The shared scaled-C knobs ([[semdedupScaled]] /
+    * [[dedupEmbedScaled]]): C holds the mean cell size at
+    * [[SemCellTarget]], the training-sample modulus targets ~32
+    * vectors per cell. Under `graft.lazyPlans` (Explain / the codegen
+    * lint) returns placeholders: the PLAN SHAPE is identical for any
+    * (C, mod) values — they only parameterize a modulus literal — and
+    * plan construction must run no job (the count). */
+  private def scaledCellKnobs(v: DataFrame): (Int, Long) =
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans")) (IvfC, 1L)
+    else {
+      val n = math.max(1L, v.count())
+      val cc = math.max(IvfC.toLong, n / SemCellTarget).toInt
+      (cc, math.max(1L, n / (32L * cc)))
+    }
 
   /** K-MEANS CLUSTER READOUT over the embedding space — the health/shape
     * statistic a SemDeDup-style curation or an IVF index build reads
@@ -1217,17 +1280,7 @@ object DataOps {
     * statement that C scales with N while the shape stays fixed. */
   def semdedupScaled(spark: SparkSession, sfDir: String): DataFrame = {
     val v = emb(spark, sfDir)
-    // Under `graft.lazyPlans` (Explain / the codegen lint) plan with
-    // placeholder knobs: the PLAN SHAPE is identical for any (C, mod)
-    // values — they only parameterize a modulus literal — and plan
-    // construction must run no job (the count).
-    val (c, sampleMod) =
-      if (java.lang.Boolean.getBoolean("graft.lazyPlans")) (IvfC, 1L)
-      else {
-        val n = math.max(1L, v.count())
-        val cc = math.max(IvfC.toLong, n / SemCellTarget).toInt
-        (cc, math.max(1L, n / (32L * cc)))
-      }
+    val (c, sampleMod) = scaledCellKnobs(v)
     val sample = v.where(
       pmod(hash60(col("vec_id").cast("string")), lit(sampleMod)) === 0)
     val cents = pin(centroidsFrom(sample, c, rounds = 1))
@@ -3172,15 +3225,20 @@ object DataOps {
 
   /** Recall audit of the CAPACITY-SCALED tiers against the cached
     * brute truth — the "would a user trust this store at 100 TB"
-    * number, measured per decade in BASELINE.md (bench-only: its
-    * baseline is the already-audited [[annBrute]], so a SQL mirror
-    * would prove nothing new; the tiers it scores are themselves
-    * oracle-checked registry entries). */
+    * number, measured per decade in BASELINE.md. An ORACLE-CHECKED
+    * registry entry since round 15 (the [[annRecallEval]] discipline:
+    * the oracle composes the already-shipped annIvfScaled/annPqScaled
+    * mirrors with the brute-truth CTE and replays the counting
+    * algebra). The DRIVER gates (sf0.001/sf0.01) replay fine; a 10×
+    * DuckDB replay of the √N crank exceeds the container's spill
+    * budget, so the 10×/100× decade rows in BASELINE.md come from
+    * [[graft.Show]] on the Spark side only — the documented limit is
+    * the ORACLE's replay cost, not this operator's. */
   def annScaledRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = annTruth(spark, sfDir)
-    recallRows(truth, Seq(
+    finish(recallRows(truth, Seq(
       "ivf_scaled" -> annIvfScaled(spark, sfDir),
-      "pq_scaled"  -> annPqScaled(spark, sfDir)))
+      "pq_scaled"  -> annPqScaled(spark, sfDir))))
   }
 
   /** The probe-only half of [[annSq]] — shared verbatim by the fresh
