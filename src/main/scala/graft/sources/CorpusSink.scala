@@ -122,14 +122,9 @@ object CorpusSink {
     * [[writeCurated]]: one shuffle routes each language to few writer
     * tasks, `maxRecordsPerFile` re-splits a dominant language. */
   def appendCurated(batch: DataFrame, outDir: String,
-      maxRecordsPerFile: Long = 1000000L): Unit = {
-    batch
-      .repartition(col("lang"))
-      .write
-      .mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("lang")
-      .parquet(outDir)
+      maxRecordsPerFile: Long = 1000000L, tag: String = null): Unit = {
+    StoreDirs.appendOnce(batch.repartition(col("lang")), outDir,
+      tag, maxRecordsPerFile, Seq("lang"))
     ()
   }
 }

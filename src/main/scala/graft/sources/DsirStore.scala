@@ -66,13 +66,16 @@ object DsirStore {
     * DataOpsSpec; hash-audited by the `dsirIncremental` registry entry
     * against [[DataOps.dsirWeights]]'s own full-corpus oracle). */
   def appendBatch(spark: SparkSession, batch: DataFrame,
-      storeDir: String): Unit = {
-    val merged = spark.read.parquet(s"$storeDir/stats")
-      .unionByName(batchStats(spark, batch))
-      .groupBy(col("b"))
-      .agg(org.apache.spark.sql.functions.sum(col("raw_cnt")).as("raw_cnt"),
-        org.apache.spark.sql.functions.sum(col("tgt_cnt")).as("tgt_cnt"))
-    StoreDirs.replaceParquet(merged, s"$storeDir/stats")
+      storeDir: String, tag: String = null): Unit = {
+    StoreDirs.mergeOnce(spark, s"$storeDir/stats", tag) {
+      spark.read.parquet(s"$storeDir/stats")
+        .unionByName(batchStats(spark, batch))
+        .groupBy(col("b"))
+        .agg(org.apache.spark.sql.functions.sum(col("raw_cnt"))
+            .as("raw_cnt"),
+          org.apache.spark.sql.functions.sum(col("tgt_cnt"))
+            .as("tgt_cnt"))
+    }
     ()
   }
 

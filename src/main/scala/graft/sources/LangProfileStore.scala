@@ -69,16 +69,22 @@ object LangProfileStore {
     * `langIdIncremental` registry entry against [[DataOps.langIdNgram]]'s
     * own full-corpus oracle. */
   def appendBatch(spark: SparkSession, batch: DataFrame,
-      storeDir: String): Unit = {
-    val merged = spark.read.parquet(s"$storeDir/counts")
-      .unionByName(DataOps.ctLangCounts(
-        DataOps.ctGramCounts(spark, batch)))
-      .groupBy(col("lang"), col("h"))
-      .agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+      storeDir: String, tag: String = null): Unit = {
+    val countsDir = s"$storeDir/counts"
+    // On a replay where counts already absorbed this batch (witness in
+    // the relation), profiles must derive from the POST-MERGE relation
+    // on disk — re-merging would double-count the batch.
+    val merged = (if (StoreDirs.absorbed(spark, countsDir, tag))
+        spark.read.parquet(countsDir)
+      else spark.read.parquet(countsDir)
+        .unionByName(DataOps.ctLangCounts(
+          DataOps.ctGramCounts(spark, batch)))
+        .groupBy(col("lang"), col("h"))
+        .agg(org.apache.spark.sql.functions.sum(col("c")).as("c")))
       .localCheckpoint(true)
-    StoreDirs.replaceParquet(merged, s"$storeDir/counts")
-    StoreDirs.replaceParquet(DataOps.ctProfilesOfLangCounts(merged),
-      s"$storeDir/profiles")
+    StoreDirs.mergeOnce(spark, countsDir, tag)(merged)
+    StoreDirs.mergeOnce(spark, s"$storeDir/profiles", tag)(
+      DataOps.ctProfilesOfLangCounts(merged))
     ()
   }
 

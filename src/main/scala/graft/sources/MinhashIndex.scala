@@ -61,11 +61,11 @@ object MinhashIndex {
     * never read. Each append lands one parquet file set — [[compact]]
     * folds the pileup. */
   def appendBatch(spark: SparkSession, batch: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, tag: String = null): Unit = {
     val sh = DataOps.shingleHashes(spark, batch).persist()
-    sh.write.mode("append").parquet(s"$indexDir/shingles")
-    DataOps.minhashBandsOf(sh).write.mode("append")
-      .parquet(s"$indexDir/bands")
+    StoreDirs.appendOnce(sh, s"$indexDir/shingles", tag)
+    StoreDirs.appendOnce(DataOps.minhashBandsOf(sh),
+      s"$indexDir/bands", tag)
     sh.unpersist()
     ()
   }

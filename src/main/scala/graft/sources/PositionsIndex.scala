@@ -55,9 +55,9 @@ object PositionsIndex {
     * (doc_ids disjoint from the store's): one tokenize pass over the
     * batch, rows append on disjoint keys. */
   def appendBatch(spark: SparkSession, batch: DataFrame,
-      indexDir: String): Unit = {
-    DataOps.positionsOf(spark, batch)
-      .write.mode("append").parquet(s"$indexDir/positions")
+      indexDir: String, tag: String = null): Unit = {
+    StoreDirs.appendOnce(DataOps.positionsOf(spark, batch),
+      s"$indexDir/positions", tag)
     ()
   }
 

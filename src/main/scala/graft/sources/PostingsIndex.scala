@@ -78,23 +78,29 @@ object PostingsIndex {
     * vocabulary-bounded aggregate; stats is one row. Nothing rereads
     * the corpus-sized postings. */
   def appendBatch(spark: SparkSession, batch: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, tag: String = null): Unit = {
     val dt = DataOps.docTokenCountsOf(spark, batch).persist()
-    dt.write.mode("append").parquet(s"$indexDir/postings")
+    StoreDirs.appendOnce(dt, s"$indexDir/postings", tag)
     val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
       .persist()
-    dls.write.mode("append").parquet(s"$indexDir/doclen")
-    val mergedVocab = spark.read.parquet(s"$indexDir/vocab")
-      .unionByName(DataOps.vocabOfCounts(dt))
-      .groupBy(col("token"))
-      .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
-    StoreDirs.replaceParquet(mergedVocab, s"$indexDir/vocab")
-    val mergedStats = spark.read.parquet(s"$indexDir/stats")
-      .crossJoin(batch.agg(count(lit(1)).as("bn")))
-      .crossJoin(dls.agg(coalesce(sum(col("dl")), lit(0L)).as("bsdl")))
-      .select((col("n") + col("bn")).as("n"),
-        (col("sdl") + col("bsdl")).as("sdl"))
-    StoreDirs.replaceParquet(mergedStats, s"$indexDir/stats")
+    StoreDirs.appendOnce(dls, s"$indexDir/doclen", tag)
+    // Each merge reads only its OWN relation + the batch, so the
+    // per-relation absorbed witnesses make any kill-and-replay land on
+    // the sequential result — a witnessed relation is skipped, an
+    // unwitnessed one re-merges from its un-mutated state.
+    StoreDirs.mergeOnce(spark, s"$indexDir/vocab", tag) {
+      spark.read.parquet(s"$indexDir/vocab")
+        .unionByName(DataOps.vocabOfCounts(dt))
+        .groupBy(col("token"))
+        .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+    }
+    StoreDirs.mergeOnce(spark, s"$indexDir/stats", tag) {
+      spark.read.parquet(s"$indexDir/stats")
+        .crossJoin(batch.agg(count(lit(1)).as("bn")))
+        .crossJoin(dls.agg(coalesce(sum(col("dl")), lit(0L)).as("bsdl")))
+        .select((col("n") + col("bn")).as("n"),
+          (col("sdl") + col("bsdl")).as("sdl"))
+    }
     dls.unpersist()
     dt.unpersist()
     ()

@@ -97,16 +97,16 @@ object PqIndex {
     * any batch decomposition yields the identical store (pinned in
     * PqIndexSpec; hash-audited by `annPqIncremental`). */
   def appendBatch(spark: SparkSession, v: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, tag: String = null): Unit = {
     val el = DataOps.pqElements(v).persist()
-    DataOps.pqAssign(el,
-        spark.read.parquet(s"$indexDir/codebook"))
-      .write.mode("append").parquet(s"$indexDir/codes")
-    DataOps.cellRanksFrom(v,
+    StoreDirs.appendOnce(DataOps.pqAssign(el,
+        spark.read.parquet(s"$indexDir/codebook")),
+      s"$indexDir/codes", tag)
+    StoreDirs.appendOnce(DataOps.cellRanksFrom(v,
         spark.read.parquet(s"$indexDir/centroids"))
       .where(col("rnk") === 1)
-      .select("vec_id", "cid")
-      .write.mode("append").parquet(s"$indexDir/cells")
+      .select("vec_id", "cid"),
+      s"$indexDir/cells", tag)
     el.unpersist()
     ()
   }

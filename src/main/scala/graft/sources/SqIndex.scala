@@ -61,9 +61,9 @@ object SqIndex {
     * store (pinned in SqIndexSpec; hash-audited by
     * `annSqIncremental`). */
   def appendBatch(spark: SparkSession, v: DataFrame,
-      indexDir: String): Unit = {
-    DataOps.sqRecon(spark, v)
-      .write.mode("append").parquet(s"$indexDir/recon")
+      indexDir: String, tag: String = null): Unit = {
+    StoreDirs.appendOnce(DataOps.sqRecon(spark, v),
+      s"$indexDir/recon", tag)
     ()
   }
 

@@ -58,7 +58,8 @@ private[graft] object StoreDirs {
     * [[CorpusSink.deleteDocs]] stages under hidden `.`-prefixed leaves
     * instead, which every Spark reader skips). */
   def replaceParquet(df: DataFrame, dir: String,
-      stagingPath: String = null, oldPath: String = null): Unit = {
+      stagingPath: String = null, oldPath: String = null,
+      witness: String = null): Unit = {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -73,6 +74,15 @@ private[graft] object StoreDirs {
     if (!fs.exists(path) && fs.exists(old)) renameOrDie(fs, old, path)
     fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
+    // The absorbed-batch witness rides INSIDE the staged directory, so
+    // the rename below lands data and witness in ONE atomic step — the
+    // exactly-once primitive behind [[mergeOnce]]: a crash can never
+    // leave "merged but unwitnessed" (replay double-merges) or
+    // "witnessed but unmerged" (batch lost). `_`-prefixed files are
+    // skipped by every parquet reader.
+    if (witness != null)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, witnessName(witness)),
+        true).close()
     fs.delete(old, true)
     if (fs.exists(path)) renameOrDie(fs, path, old)
     // On failure here the data is still whole at `old` (entry recovery
@@ -89,6 +99,95 @@ private[graft] object StoreDirs {
     if (!fs.rename(from, to))
       sys.error(s"filesystem rename $from -> $to returned false; " +
         "aborting the store swap (the previous relation is intact)")
+
+  private def witnessName(tag: String) = s"_absorbed_$tag"
+
+  /** Has `dir` already absorbed the batch named `tag`? True iff the
+    * relation's current contents carry the `_absorbed_<tag>` witness —
+    * which, by construction ([[replaceParquet]]'s in-staging witness,
+    * [[appendOnce]]'s post-move witness), means the tagged mutation
+    * completed. `tag = null` (non-ingest callers) is never absorbed. */
+  def absorbed(spark: SparkSession, dir: String, tag: String): Boolean =
+    tag != null && pathExists(spark, s"$dir/${witnessName(tag)}")
+
+  /** EXACTLY-ONCE MERGE — the read-merge-rewrite form of store
+    * maintenance made idempotent per relation: when `dir` already
+    * carries the `_absorbed_<tag>` witness the merge is skipped (the
+    * plan is not even built — `merged` is by-name, and would
+    * double-count the batch if evaluated against the post-merge
+    * relation); otherwise the merged contents swap in with the witness
+    * riding the SAME atomic rename. A kill at any point replays to the
+    * sequential result: before the rename — old relation intact, replay
+    * re-merges from it; after — witness present, replay skips. With
+    * `tag = null` this is a plain [[replaceParquet]]. */
+  def mergeOnce(spark: SparkSession, dir: String, tag: String)(
+      merged: => DataFrame): Unit =
+    if (!absorbed(spark, dir, tag))
+      replaceParquet(merged, dir, witness = tag)
+
+  /** EXACTLY-ONCE APPEND — the idempotent twin of
+    * `df.write.mode("append").parquet(dir)` for batch-tagged store
+    * maintenance: the batch's files land under deterministic
+    * `b<tag>-i` names (write to a sibling staging dir, then rename
+    * file-by-file), a replay first CLEARS any partial earlier attempt
+    * of the same tag, and the `_absorbed_<tag>` witness — created only
+    * after every move — short-circuits a replay of a completed append.
+    * Partition subdirectories (`lang=<v>`) mirror recursively, so the
+    * lang-partitioned corpus publish shares the discipline. Only the
+    * newest batch can ever replay with its sink marker missing
+    * (Structured Streaming commits batches in order), so older
+    * witnesses are dropped as each new one lands — a relation carries
+    * at most one witness file between compactions. With `tag = null`
+    * this is a plain append (the non-ingest callers' path). */
+  def appendOnce(df: DataFrame, dir: String, tag: String = null,
+      maxRecordsPerFile: Long = 0L, partitionCols: Seq[String] = Nil): Unit = {
+    val writer0 = df.write.mode(
+      if (tag == null) "append" else "overwrite")
+    val writer1 = if (maxRecordsPerFile > 0)
+      writer0.option("maxRecordsPerFile", maxRecordsPerFile) else writer0
+    val writer = if (partitionCols.nonEmpty)
+      writer1.partitionBy(partitionCols: _*) else writer1
+    if (tag == null) { writer.parquet(dir); return }
+    val spark = df.sparkSession
+    if (absorbed(spark, dir, tag)) return
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.append_$tag")
+    fs.delete(tmp, true)
+    writer.parquet(tmp.toString)
+    moveTagged(fs, tmp, target, tag)
+    fs.listStatus(target)
+      .filter(_.getPath.getName.startsWith("_absorbed_"))
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.create(new org.apache.hadoop.fs.Path(target, witnessName(tag)),
+      true).close()
+    fs.delete(tmp, true)
+    ()
+  }
+
+  /** Mirror `src`'s part files into `dst` under `b<tag>-i` names,
+    * recursing through partition (`k=v`) subdirectories; clears any
+    * same-tag leftovers in each directory first, so a partial crashed
+    * attempt replays clean. */
+  private def moveTagged(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      tag: String): Unit = {
+    fs.mkdirs(dst)
+    fs.listStatus(dst).filter(_.getPath.getName.startsWith(s"b$tag-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    var i = 0
+    fs.listStatus(src).sortBy(_.getPath.getName).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.contains("="))
+        moveTagged(fs, st.getPath,
+          new org.apache.hadoop.fs.Path(dst, n), tag)
+      else if (n.endsWith(".parquet")) {
+        renameOrDie(fs, st.getPath,
+          new org.apache.hadoop.fs.Path(dst, s"b$tag-$i.snappy.parquet"))
+        i += 1
+      }
+    }
+  }
 
   /** Existence check through the Hadoop FileSystem API (not
     * java.io.File — the ingest job's markers/ledger must hold on

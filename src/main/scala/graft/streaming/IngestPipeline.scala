@@ -67,14 +67,20 @@ import graft.sources.{CorpusSink, DsirStore, LangProfileStore,
  * half-absorbed batch). All markers and the ledger go through the
  * Hadoop FileSystem API, and every store rewrite inside the applies is
  * write-then-rename ([[graft.sources.StoreDirs.replaceParquet]]), so
- * a JVM death never leaves a half-written relation. The one remaining
- * window is a crash BETWEEN a sink's completed apply and the touch of
- * its marker — replay re-applies that single sink (a double-append of
- * one batch into one store); closing it needs a transactional table
- * format or a batch-id ledger inside each store, the documented
- * production step beyond this portable filesystem discipline. The
- * `seen` ledger additionally drops re-LANDED doc_ids (same document,
- * different batch), which the markers cannot see.
+ * a JVM death never leaves a half-written relation. Since round 15
+ * the former "one remaining window" — a crash BETWEEN a sink's
+ * completed apply and the touch of its marker — is closed by
+ * PER-RELATION ABSORBED WITNESSES: every merge lands an
+ * `_absorbed_<batchId>` file inside the SAME atomic rename as the
+ * merged data ([[graft.sources.StoreDirs.mergeOnce]]), every append
+ * lands deterministic batch-tagged files behind a post-move witness
+ * with same-tag leftovers cleared on replay
+ * ([[graft.sources.StoreDirs.appendOnce]]) — so a replayed apply
+ * skips what landed and redoes only what didn't, at relation
+ * granularity, and every sink apply is IDEMPOTENT (pinned by the
+ * kill-and-replay matrix in StoreSwapSpec). The `seen` ledger
+ * additionally drops re-LANDED doc_ids (same document, different
+ * batch), which the markers cannot see.
  *
  * The composed DAG is therefore SEQUENTIALLY deterministic: two
  * micro-batches ≡ replaying the same two batches through
@@ -348,6 +354,17 @@ object IngestPipeline {
     }
     val freshIds = spark.read.parquet(s"$stagingDir/fresh_ids")
     if (freshIds.isEmpty) return
+    // EXACTLY-ONCE APPLIES (round 15): every sink's mutation is
+    // batch-tagged — merges land their `_absorbed_<batchId>` witness
+    // inside the SAME atomic rename as the merged data
+    // ([[StoreDirs.mergeOnce]]), appends land deterministic
+    // `b<batchId>-` files behind a post-move witness with same-tag
+    // leftovers cleared on replay ([[StoreDirs.appendOnce]]) — so a
+    // crash between a completed apply and its marker replays to the
+    // sequential result instead of double-applying that sink. The
+    // per-sink markers remain as the fast path (skip the whole apply,
+    // plans unbuilt); the witnesses close the marker's own window.
+    val tag = batchId.toString
     def applyOnce(sink: String)(apply: => Unit): Unit =
       if (!StoreDirs.pathExists(spark,
           s"$outDir/committed/$batchId.$sink")) {
@@ -360,26 +377,27 @@ object IngestPipeline {
     val pubLabeled = published.select(col("doc_id"), col("lang"),
       col("clean_text").as("text"))
     applyOnce("dups") {
-      spark.read.parquet(s"$stagingDir/dups")
-        .write.mode("append").parquet(s"$outDir/dups")
+      StoreDirs.appendOnce(spark.read.parquet(s"$stagingDir/dups"),
+        s"$outDir/dups", tag)
     }
     applyOnce("corpus") {
-      CorpusSink.appendCurated(published, s"$outDir/corpus")
+      CorpusSink.appendCurated(published, s"$outDir/corpus", tag = tag)
     }
     applyOnce("postings") {
-      PostingsIndex.appendBatch(spark, pubText, searchDir)
+      PostingsIndex.appendBatch(spark, pubText, searchDir, tag)
     }
     applyOnce("positions") {
-      PositionsIndex.appendBatch(spark, pubText, posDir)
+      PositionsIndex.appendBatch(spark, pubText, posDir, tag)
     }
     applyOnce("minhash") {
-      MinhashIndex.appendBatch(spark, pubText, indexDir)
+      MinhashIndex.appendBatch(spark, pubText, indexDir, tag)
     }
     applyOnce("lang") {
-      LangProfileStore.appendBatch(spark, pubLabeled, s"$outDir/lang")
+      LangProfileStore.appendBatch(spark, pubLabeled, s"$outDir/lang",
+        tag)
     }
     applyOnce("dsir") {
-      DsirStore.appendBatch(spark, pubLabeled, s"$outDir/dsir")
+      DsirStore.appendBatch(spark, pubLabeled, s"$outDir/dsir", tag)
     }
     // Vector stores — maintained only when the landed batch carries an
     // `embedding` column. The PQ store BOOTSTRAPS on the first
@@ -429,16 +447,18 @@ object IngestPipeline {
       applyVectorStore("pq", s"$outDir/pq/codebook") {
         graft.sources.PqIndex.buildFrom(spark, vecs, s"$outDir/pq")
       } {
-        graft.sources.PqIndex.appendBatch(spark, vecs, s"$outDir/pq")
+        graft.sources.PqIndex.appendBatch(spark, vecs, s"$outDir/pq",
+          tag)
       }
       applyVectorStore("sq", s"$outDir/sq/recon") {
         graft.sources.SqIndex.buildFrom(spark, vecs, s"$outDir/sq")
       } {
-        graft.sources.SqIndex.appendBatch(spark, vecs, s"$outDir/sq")
+        graft.sources.SqIndex.appendBatch(spark, vecs, s"$outDir/sq",
+          tag)
       }
     }
     applyOnce("seen") {
-      freshIds.write.mode("append").parquet(seenPath)
+      StoreDirs.appendOnce(freshIds, seenPath, tag)
     }
     ()
   }

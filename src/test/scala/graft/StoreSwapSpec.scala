@@ -108,6 +108,131 @@ class StoreSwapSpec extends SparkSpec {
       rel("sq/recon").toSet == recon)
   }
 
+  test("exactly-once applies: kill-and-replay between any append and its marker replays to the sequential result") {
+    import graft.pipeline.DataOps
+    import graft.sources.{DsirStore, LangProfileStore, MinhashIndex,
+      PositionsIndex, PostingsIndex}
+    val SF = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 40)
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    val labeled = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .where(col("doc_id") < 40)
+    def rels(dir: String, names: Seq[String]) = names.map { r =>
+      r -> spark.read.parquet(s"$dir/$r").collect().map(_.toSeq).toSet
+    }.toMap
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val tag = "7"
+
+    // ---- text stores: control (sequential) vs completed-apply replay
+    val matrix: Seq[(String, Seq[String],
+        (org.apache.spark.sql.DataFrame, String) => Unit,
+        (org.apache.spark.sql.DataFrame, String, String) => Unit)] = Seq(
+      ("mh", Seq("shingles", "bands"),
+        (b, d) => MinhashIndex.build(spark, b, d),
+        (b, d, t) => MinhashIndex.appendBatch(spark, b, d, t)),
+      ("po", Seq("postings", "doclen", "vocab", "stats"),
+        (b, d) => PostingsIndex.buildFrom(spark, b, d),
+        (b, d, t) => PostingsIndex.appendBatch(spark, b, d, t)),
+      ("ps", Seq("positions"),
+        (b, d) => PositionsIndex.buildFrom(spark, b, d),
+        (b, d, t) => PositionsIndex.appendBatch(spark, b, d, t)))
+    matrix.foreach { case (name, names, build, append) =>
+      val control = tmp(s"graft-eo-$name-c")
+      build(evens, control); append(odds, control, null)
+      val replay = tmp(s"graft-eo-$name-r")
+      build(evens, replay); append(odds, replay, tag)
+      // the crash window: apply completed, marker never touched —
+      // the ingest job re-runs the whole apply with the same tag
+      append(odds, replay, tag)
+      assert(rels(replay, names) == rels(control, names), name)
+    }
+
+    // ---- partial crash INSIDE a multi-relation apply: postings +
+    // doclen landed (witnessed), vocab/stats did not
+    val control = tmp("graft-eo-part-c")
+    PostingsIndex.buildFrom(spark, evens, control)
+    PostingsIndex.appendBatch(spark, odds, control)
+    val part = tmp("graft-eo-part-r")
+    PostingsIndex.buildFrom(spark, evens, part)
+    val dt = DataOps.docTokenCountsOf(spark, odds)
+    StoreDirs.appendOnce(dt, s"$part/postings", tag)
+    StoreDirs.appendOnce(dt.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("dl")), s"$part/doclen", tag)
+    PostingsIndex.appendBatch(spark, odds, part, tag) // the replay
+    assert(rels(part, Seq("postings", "doclen", "vocab", "stats")) ==
+      rels(control, Seq("postings", "doclen", "vocab", "stats")))
+
+    // ---- derived-relation replay: counts merged+witnessed, crash
+    // before profiles — the replay must derive profiles from the
+    // POST-merge counts, not double-merge the batch
+    val lc = tmp("graft-eo-lang-c")
+    LangProfileStore.buildFrom(spark,
+      labeled.where(col("doc_id") % 2 === 0), lc)
+    LangProfileStore.appendBatch(spark,
+      labeled.where(col("doc_id") % 2 === 1), lc)
+    val lr = tmp("graft-eo-lang-r")
+    LangProfileStore.buildFrom(spark,
+      labeled.where(col("doc_id") % 2 === 0), lr)
+    StoreDirs.mergeOnce(spark, s"$lr/counts", tag)(
+      spark.read.parquet(s"$lr/counts")
+        .unionByName(DataOps.ctLangCounts(DataOps.ctGramCounts(spark,
+          labeled.where(col("doc_id") % 2 === 1))))
+        .groupBy(col("lang"), col("h")).agg(sum(col("c")).as("c")))
+    LangProfileStore.appendBatch(spark,
+      labeled.where(col("doc_id") % 2 === 1), lr, tag) // the replay
+    assert(rels(lr, Seq("counts", "profiles")) ==
+      rels(lc, Seq("counts", "profiles")))
+
+    // ---- model-store merge + vector stores: completed-apply replays
+    val dc = tmp("graft-eo-dsir-c"); val dr = tmp("graft-eo-dsir-r")
+    DsirStore.buildFrom(spark, labeled.where(col("doc_id") % 2 === 0), dc)
+    DsirStore.appendBatch(spark, labeled.where(col("doc_id") % 2 === 1), dc)
+    DsirStore.buildFrom(spark, labeled.where(col("doc_id") % 2 === 0), dr)
+    DsirStore.appendBatch(spark,
+      labeled.where(col("doc_id") % 2 === 1), dr, tag)
+    DsirStore.appendBatch(spark,
+      labeled.where(col("doc_id") % 2 === 1), dr, tag)
+    assert(rels(dr, Seq("stats")) == rels(dc, Seq("stats")))
+    val v = DataOps.emb(spark, SF).where(col("vec_id") < 64)
+    val qc = tmp("graft-eo-pq-c"); val qr = tmp("graft-eo-pq-r")
+    PqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), qc)
+    PqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), qc)
+    PqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), qr)
+    PqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), qr, tag)
+    PqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), qr, tag)
+    assert(rels(qr, Seq("codebook", "codes", "centroids", "cells")) ==
+      rels(qc, Seq("codebook", "codes", "centroids", "cells")))
+    val sc = tmp("graft-eo-sq-c"); val sr = tmp("graft-eo-sq-r")
+    SqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), sc)
+    SqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), sc)
+    SqIndex.buildFrom(spark, v.where(col("vec_id") % 2 === 0), sr)
+    SqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), sr, tag)
+    SqIndex.appendBatch(spark, v.where(col("vec_id") % 2 === 1), sr, tag)
+    assert(rels(sr, Seq("recon")) == rels(sc, Seq("recon")))
+
+    // ---- plain + partitioned ledger appends: a replayed appendOnce
+    // (and a partial attempt replayed) never duplicates rows
+    import spark.implicits._
+    val flat = tmp("graft-eo-flat") + "/dups"
+    StoreDirs.appendOnce(Seq(1L, 2L).toDF("doc_id"), flat, "0")
+    StoreDirs.appendOnce(Seq(3L, 4L).toDF("doc_id"), flat, "1")
+    StoreDirs.appendOnce(Seq(3L, 4L).toDF("doc_id"), flat, "1")
+    assert(spark.read.parquet(flat).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    val corp = tmp("graft-eo-corp") + "/corpus"
+    val b0 = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    CorpusSink.appendCurated(b0, corp, tag = "0")
+    val b1 = Seq((3L, "en"), (4L, "fr")).toDF("doc_id", "lang")
+    CorpusSink.appendCurated(b1, corp, tag = "1")
+    CorpusSink.appendCurated(b1, corp, tag = "1")
+    assert(spark.read.parquet(corp).select("doc_id", "lang")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr")))
+  }
+
   test("markers carry content; create-if-absent refuses an existing marker") {
     val dir = Files.createTempDirectory("graft-swap-marker").toString
     StoreDirs.writeMarker(spark, s"$dir/m", "build", overwrite = false)
