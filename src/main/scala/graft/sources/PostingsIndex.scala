@@ -322,6 +322,44 @@ object PostingsIndex {
       queryWeights(spark, terms.toDF("token"), indexDir))
   }
 
+  /** Hard cap on a serving batch's DISTINCT TERM set. The bucketed
+    * serving probe ([[bm25ServeAgainstBucketed]]) pushes the batch's
+    * terms into the scan as literals — which requires collecting them
+    * to the driver. Serving batches are query-sized by contract
+    * (users type terms; nothing corpus-shaped arrives as a query), so
+    * assert the bound loudly (the [[DataOps.MaxAnnQueries]] pattern)
+    * instead of letting a mis-wired corpus-sized "query stream"
+    * silently OOM the driver: 1024 terms ≈ a few hundred queries per
+    * micro-batch, far above a real serving tick. */
+  val MaxServeTerms = 1024
+
+  /** Per-query BM25 serving over the BUCKETED layout — the
+    * [[bm25ServeAgainst]] probe with the batch's term set pushed into
+    * the bucketed postings scan as LITERALS: inside a serving batch
+    * (or a `foreachBatch` micro-batch) the query terms ARE known
+    * before the plan, so the scan PRUNES to the terms' buckets
+    * (`SelectedBucketsCount`) instead of opening the corpus-sized
+    * relation — probe cost follows the queried posting lists, not the
+    * corpus. Scoring is [[DataOps.bm25ServeStage]] verbatim; results ≡
+    * [[bm25ServeAgainst]] on the directory store for the same batch
+    * (pinned in StreamingSpec via the streaming twin). */
+  def bm25ServeAgainstBucketed(spark: SparkSession, queries: DataFrame,
+      table: String, indexDir: String): DataFrame = {
+    val terms = queries.select(col("token")).distinct()
+      .limit(MaxServeTerms + 1).collect().map(_.getString(0)).toSeq
+    require(terms.length <= MaxServeTerms,
+      s"serving batch carries more than $MaxServeTerms distinct " +
+      "terms — that is a corpus, not a query batch; route it through " +
+      "the build path instead")
+    DataOps.bm25ServeStage(
+      spark.table(table).where(col("token").isin(terms: _*)),
+      spark.read.parquet(s"$indexDir/doclen"),
+      spark.read.parquet(s"$indexDir/stats").select(col("n")),
+      spark.read.parquet(s"$indexDir/stats").select(col("sdl")),
+      queries.select(col("q_id"), col("token"))
+        .join(queryWeights(spark, queries, indexDir), Seq("token")))
+  }
+
   /** BM25 top-10 for an ad-hoc (token) term frame — probe-only: the
     * [[DataOps.bm25ScoreStage]] scoring verbatim over the stored
     * relations, NO corpus tokenization. */

@@ -279,6 +279,34 @@ object StreamingOps {
       }
       .start()
 
+  /** [[bm25ServeStream]] over the BUCKETED postings layout — the
+    * serving twin of the round-14 `bm25Bucketed` batch probe: each
+    * micro-batch's distinct terms are collected (bounded —
+    * [[graft.sources.PostingsIndex.MaxServeTerms]] asserts loudly)
+    * and pushed into the bucketed scan as literals, so every
+    * micro-batch prunes to ITS queries' buckets instead of opening
+    * the corpus-sized postings relation. At 100 TB this is the
+    * difference between a serving tick reading a few posting lists
+    * and re-scanning the index per tick. Results ≡ the directory
+    * probe for the same queries (stream ≡ batch pinned across two
+    * micro-batches in StreamingSpec); an empty micro-batch appends
+    * nothing. */
+  def bm25ServeBucketedStream(queryStream: DataFrame, table: String,
+      indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.PostingsIndex
+            .bm25ServeAgainstBucketed(batch.sparkSession, batch.toDF(),
+              table, indexDir)
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   /** STREAMING RIGHT-TO-BE-FORGOTTEN — the deletion-request QUEUE a
     * pipeline actually operates (GDPR/CCPA requests arrive
     * continuously, not as one batch): each micro-batch of (doc_id)

@@ -1493,6 +1493,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25ServeBucketedStream: two micro-batches over the bucketed layout == directory serve, scans prune") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-postings-bs").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-postings-bsout")
+        .toString + "/hits"
+    graft.sources.PostingsIndex.build(spark, SF, indexDir)
+    val table = "g_serve_bkt_stream"
+    graft.sources.PostingsIndex.writeBucketedPostings(spark, indexDir,
+      table, path = Some(java.nio.file.Files
+        .createTempDirectory("graft-postings-bsdata").toString + "/t"))
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.bm25ServeBucketedStream(
+        in.toDF().toDF("q_id", "token"), table, indexDir, outDir)
+      try {
+        in.addData(Seq((1L, "dup")))
+        q.processAllAvailable()
+        in.addData(Seq((2L, "dup"), (2L, "the")))
+        q.processAllAvailable()
+        val streamed = spark.read.parquet(outDir)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        val batch = graft.sources.PostingsIndex.bm25ServeAgainst(spark,
+            Seq((1L, "dup"), (2L, "dup"), (2L, "the"))
+              .toDF("q_id", "token"), indexDir)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(streamed == batch && streamed.nonEmpty)
+      } finally q.stop()
+      // the per-batch probe PRUNES the bucketed scan to the batch's
+      // terms — the serving cost follows posting lists, not the corpus
+      val probe = graft.sources.PostingsIndex.bm25ServeAgainstBucketed(
+        spark, Seq((9L, "dup")).toDF("q_id", "token"), table, indexDir)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"no bucket pruning in:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      ()
+    }
+  }
+
   test("forgetStream: two deletion-request micro-batches == one composed forget") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.{CorpusSink, DsirStore, Forget, MinhashIndex,
