@@ -421,21 +421,8 @@ object DataOps {
       .union(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
     val edges = if (lazyMode) edges0 else edges0.persist()
-    def roundStep(labels: DataFrame): DataFrame = {
-      val nbr = edges
-        .join(labels.select(col("doc_id").as("nid"), col("rep").as("nrep")),
-          col("doc_b") === col("nid"))
-        .groupBy(col("doc_a")).agg(min(col("nrep")).as("nbrRep"))
-      val hop = labels
-        .join(nbr, col("doc_id") === col("doc_a"), "left")
-        .select(col("doc_id"), col("rep").as("orep"),
-          least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep1"))
-      hop
-        .join(labels.select(col("doc_id").as("jid"), col("rep").as("jrep")),
-          col("rep1") === col("jid"), "left")
-        .select(col("doc_id"), col("orep"),
-          least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep"))
-    }
+    def roundStep(labels: DataFrame): DataFrame =
+      componentRound(edges, labels)
     val init = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
     if (lazyMode) {
@@ -457,6 +444,49 @@ object DataOps {
     }
     edges.unpersist()
     (labels, rounds)
+  }
+
+  /** One component round: hash-min HOP + POINTER JUMP (the two exact
+    * label updates of [[connectedComponents]]'s scaladoc), exposed so
+    * ScaleOpsSpec can pin its skew behavior on the IDENTICAL join
+    * expressions the loop executes.
+    *
+    * HOT-KEY SHAPE AT CRAWL SCALE: a mega dup-family (one boilerplate
+    * page duplicated millions of times) makes (a) its hub nodes hot on
+    * `doc_b` in the neighbor join and (b) its min label hot on `rep1`
+    * in the jump join. Neither side is small (labels is dup-subgraph-
+    * sized), so the [[graft.ops.ScaleOps.saltedJoin]] small-dim
+    * replication trick does not apply — this is exactly the
+    * both-sides-large case its scaladoc routes to AQE, and the loop's
+    * per-round `localCheckpoint` is what KEEPS both skewable joins
+    * splittable: labels enter every round as a lineage-free scan, so
+    * each join reads two PLAIN exchanges (`ENSURE_REQUIREMENTS`
+    * shuffles directly under the join) — the only shape
+    * OptimizeSkewedJoin can split; an aggregate-produced side
+    * (co-partitioned, no exchange under the join) would be
+    * unsplittable. Pinned in ScaleOpsSpec on a hot-family star fixture
+    * (`skew=true` in the executed sort-merge join, test-scaled
+    * thresholds). The middle hop join — labels ⋈ per-node neighbor
+    * mins — is the one join whose right side IS aggregate-produced,
+    * and deliberately so: both its keys (doc_id, doc_a-after-agg) are
+    * UNIQUE per row, so no hot key can exist there. Labels only ever
+    * decrease, so the hot key's row count is bounded by the family
+    * size in every round. */
+  private[graft] def componentRound(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val nbr = edges
+      .join(labels.select(col("doc_id").as("nid"), col("rep").as("nrep")),
+        col("doc_b") === col("nid"))
+      .groupBy(col("doc_a")).agg(min(col("nrep")).as("nbrRep"))
+    val hop = labels
+      .join(nbr, col("doc_id") === col("doc_a"), "left")
+      .select(col("doc_id"), col("rep").as("orep"),
+        least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep1"))
+    hop
+      .join(labels.select(col("doc_id").as("jid"), col("rep").as("jrep")),
+        col("rep1") === col("jid"), "left")
+      .select(col("doc_id"), col("orep"),
+        least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep"))
   }
 
   /** Near-dup cluster assignment: connected components over the MinHash

@@ -90,6 +90,60 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("component hop joins split under AQE skew handling on a mega dup-family") {
+    // A crawl-scale mega dup-family is the hot key of the components
+    // loop: its hub is hot on doc_b in the hop join, its min label hot
+    // on rep1 in the jump. Both sides are dup-subgraph-sized (salting's
+    // small-side replication doesn't apply), so the shipped guard is
+    // AQE skew splitting — pin that the EXACT join shape the loop
+    // executes ([[graft.pipeline.DataOps.componentRound]]) is eligible:
+    // sort-merge, no partitioning requirement downstream, and AQE marks
+    // the skewed sides (skew=true) once the thresholds trip.
+    val n = 200000
+    val star = spark.range(1, n.toLong)
+      .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    val edges = star.union(
+      star.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // labels enter every REAL round as a lineage-free localCheckpoint
+    // scan (connectedComponents checkpoints per round) — that is what
+    // makes the skewed joins splittable: both join inputs are plain
+    // exchanges, where an aggregate-produced side (co-partitioned, no
+    // exchange under the join) could not be split
+    val labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).localCheckpoint(true)
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      // trip the skew detector at fixture scale: the star hub's
+      // partition dwarfs the 1 KB advisory size; production keeps the
+      // defaults (256 MB) — only the THRESHOLDS are test-scaled here
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "1KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val round = graft.pipeline.DataOps.componentRound(edges, labels)
+      // one round of hash-min over a star labels every node 0
+      // (collect ROUND itself so the inspected plan is the executed,
+      // AQE-finalized one)
+      val out = round.collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(out.length == n && out.forall(_._2 == 0L))
+      val plan = round.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot-family join:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("retentionCohorts runs its cohort join salted, result unchanged") {
     val j = graft.pipeline.EventOps.retentionCohorts(spark,
       "/root/testdata/sf0.001")
