@@ -239,6 +239,31 @@ object PositionsIndex {
     DataOps.phraseProbeStage(
       spark.table(table).where(col("t").isin(tokens: _*)), parts)
 
+  /** Hard cap on a serving batch's DISTINCT TOKEN set — the
+    * [[graft.sources.PostingsIndex.MaxServeTerms]] discipline at the
+    * positional tier (phrases are a few tokens each; 1024 distinct
+    * tokens ≈ hundreds of phrase queries per micro-batch). */
+  val MaxServeTokens = 1024
+
+  /** Phrase serving over the BUCKETED layout for an AD-HOC parts
+    * batch: the batch's distinct tokens are collected (bounded, loud
+    * assert) and pushed into the bucketed scan as literals, so each
+    * serving batch prunes to ITS phrases' buckets —
+    * [[phraseAgainstBucketed]] with the literal set derived from the
+    * batch, the shape the streaming twin
+    * ([[graft.streaming.StreamingOps.phraseServeBucketedStream]])
+    * runs per micro-batch. Results ≡ [[phraseAgainst]] on the
+    * directory store for the same parts. */
+  def phraseServeAgainstBucketed(spark: SparkSession, parts: DataFrame,
+      table: String): DataFrame = {
+    val tokens = parts.select(col("t")).distinct()
+      .limit(MaxServeTokens + 1).collect().map(_.getString(0)).toSeq
+    require(tokens.length <= MaxServeTokens,
+      s"serving batch carries more than $MaxServeTokens distinct " +
+      "tokens — that is a corpus, not a phrase-query batch")
+    phraseAgainstBucketed(spark, tokens, parts, table)
+  }
+
   /** One bucketed-table write per (JVM, sf directory). */
   private val bucketedBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

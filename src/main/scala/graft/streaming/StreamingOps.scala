@@ -400,6 +400,52 @@ object StreamingOps {
       }
       .start()
 
+  /** [[phraseServeStream]] over the BUCKETED positions layout — the
+    * K10 sibling of [[bm25ServeBucketedStream]]: each micro-batch's
+    * distinct phrase tokens push into the bucketed scan as literals
+    * (bounded — [[graft.sources.PositionsIndex.MaxServeTokens]]), so
+    * a serving tick reads the queried tokens' buckets, never the
+    * corpus-sized positions relation. Stream ≡ directory serve pinned
+    * across two micro-batches in StreamingSpec. */
+  def phraseServeBucketedStream(partsStream: DataFrame, table: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    partsStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.PositionsIndex
+            .phraseServeAgainstBucketed(batch.sparkSession,
+              batch.toDF(), table)
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
+  /** [[dedupAgainstStream]] over the BUCKETED band layout — the K4
+    * sibling: each micro-batch of landed documents probes the
+    * bucketed-by-`bh` band table
+    * ([[graft.sources.MinhashIndex.dedupAgainstBucketed]]), so the
+    * corpus side arrives hash-partitioned off the bucket scan and
+    * only the SNAPSHOT shuffles per tick (co-location, not pruning —
+    * band hashes are data-dependent). Stream ≡ directory probe pinned
+    * across two micro-batches in StreamingSpec. */
+  def dedupAgainstBucketedStream(docStream: DataFrame, table: String,
+      indexDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.MinhashIndex
+            .dedupAgainstBucketed(batch.sparkSession, batch.toDF(),
+              table, indexDir)
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming proximity serving over the SAME K10 positional index —
     * the windowed-co-occurrence query path beside [[phraseServeStream]]
     * (one stored positions relation, both query families live): each

@@ -1363,6 +1363,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("phraseServeBucketedStream + dedupAgainstBucketedStream: bucketed serving == directory serving per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{MinhashIndex, PositionsIndex}
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // --- phrase over the bucketed-by-t positions table
+    val posDir =
+      java.nio.file.Files.createTempDirectory("graft-pos-bs").toString
+    PositionsIndex.build(spark, SF, posDir)
+    val posTable = "g_serve_bkt_pos_stream"
+    PositionsIndex.writeBucketedPositions(spark, posDir, posTable,
+      path = Some(java.nio.file.Files
+        .createTempDirectory("graft-pos-bsdata").toString + "/t"))
+    val top2 = docs.select(explode(graft.functions.WordGramsExpr
+        .grams(spark, col("text"), 3, distinct = false)).as("g"))
+      .groupBy("g").count()
+      .orderBy(col("count").desc, col("g").asc).limit(2)
+      .select("g").as[String].collect()
+    def parts(g: String) =
+      g.split(" ").zipWithIndex.map { case (t, i) => (g, i, t) }.toSeq
+    val posOut = java.nio.file.Files
+      .createTempDirectory("graft-pos-bsout").toString + "/hits"
+    try {
+      val in = MemoryStream[(String, Int, String)]
+      val q = StreamingOps.phraseServeBucketedStream(
+        in.toDF().toDF("g", "i", "t"), posTable, posOut)
+      try {
+        in.addData(parts(top2(0)))
+        q.processAllAvailable()
+        in.addData(parts(top2(1)))
+        q.processAllAvailable()
+        val streamed = spark.read.parquet(posOut)
+          .as[(Long, String, Long, Long)].collect().toSet
+        val batch = PositionsIndex.phraseAgainst(spark,
+            (parts(top2(0)) ++ parts(top2(1))).toDF("g", "i", "t"),
+            posDir)
+          .as[(Long, String, Long, Long)].collect().toSet
+        assert(streamed.nonEmpty && streamed == batch)
+      } finally q.stop()
+      // the per-batch probe prunes to the phrase's buckets
+      val probe = PositionsIndex.phraseServeAgainstBucketed(spark,
+        parts(top2(0)).toDF("g", "i", "t"), posTable)
+      probe.collect()
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"))
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $posTable"); () }
+    // --- dedup probe over the bucketed-by-bh band table
+    val mhDir =
+      java.nio.file.Files.createTempDirectory("graft-mh-bs").toString
+    MinhashIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0), mhDir)
+    val mhTable = "g_serve_bkt_mh_stream"
+    MinhashIndex.writeBucketedBands(spark, mhDir, mhTable,
+      path = Some(java.nio.file.Files
+        .createTempDirectory("graft-mh-bsdata").toString + "/t"))
+    val mhOut = java.nio.file.Files
+      .createTempDirectory("graft-mh-bsout").toString + "/dups"
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupAgainstBucketedStream(
+        in.toDF().toDF("doc_id", "text"), mhTable, mhDir, mhOut)
+      try {
+        def snap(m: Long) = docs.where(col("doc_id") % 4 === m)
+          .select("doc_id", "text").as[(Long, String)].collect().toSeq
+        in.addData(snap(1L))
+        q.processAllAvailable()
+        in.addData(snap(3L))
+        q.processAllAvailable()
+        val streamed = spark.read.parquet(mhOut)
+          .as[(Long, Long, Long)].collect().toSet
+        val batch = MinhashIndex.dedupAgainst(spark,
+            docs.where(col("doc_id") % 2 === 1), mhDir)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(streamed.nonEmpty && streamed == batch)
+      } finally q.stop()
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $mhTable"); () }
+  }
+
   test("proximityServeStream: two term-pair micro-batches over one store == batch probe") {
     implicit val sqlCtx = spark.sqlContext
     val indexDir =
