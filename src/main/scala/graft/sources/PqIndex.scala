@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, min, sqrt}
+import org.apache.spark.sql.functions.{broadcast, col, explode, min,
+  sqrt, struct}
 
 import graft.pipeline.DataOps
 
@@ -233,6 +234,58 @@ object PqIndex {
       spark.table(table).where(col("cell").isin(probeCells: _*))
         .select(col("vec_id"), col("m"), col("cid")),
       DataOps.emb(spark, sfDir))
+
+  /** Hard cap on a vector serving batch — the
+    * [[PostingsIndex.MaxServeTerms]] discipline at the vector tier:
+    * the bucketed serve collects the batch's UNION of probe cells to
+    * the driver (≤ queries × [[DataOps.IvfPqProbes]] literals), so
+    * bound the batch loudly instead of letting a mis-wired
+    * corpus-sized "query stream" grow the literal list without
+    * limit. */
+  val MaxServeVecQueries = 256L
+
+  /** Composed IVFPQ serving over the BUCKETED inverted lists for an
+    * AD-HOC query batch — the serving generalization of the
+    * single-query registry probe ([[annServeBucketed]]): each query's
+    * probe cells derive from the stored centroids (a bounded
+    * driver-side collect through the `top_k` aggregate), their UNION
+    * prunes the bucketed code scan as literals
+    * (`SelectedBucketsCount`), and [[DataOps.ivfPqProbe]] then runs
+    * VERBATIM over the pruned lists — the per-query cell restriction
+    * is the probe's own broadcast probe-list join, so results ≡
+    * [[ivfPqAgainst]] on the directory store for the same batch
+    * (pinned in StreamingSpec via the streaming twin). A serving tick
+    * reads its queries' inverted lists, never the corpus-sized code
+    * relation. */
+  def ivfPqServeAgainstBucketed(spark: SparkSession, queries: DataFrame,
+      table: String, indexDir: String, sfDir: String): DataFrame = {
+    require(queries.limit(MaxServeVecQueries.toInt + 1).count()
+        <= MaxServeVecQueries,
+      s"serving batch carries more than $MaxServeVecQueries query " +
+      "vectors — that is a corpus, not a query batch; route it " +
+      "through the build path instead")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val probeCells = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        (graft.functions.VecDotExpr.dot(spark, col("qem"), col("cem"))
+          .cast("double") /
+          (sqrt(col("qn").cast("double")) *
+            sqrt(col("cn").cast("double")))).as("cs"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(spark,
+        struct(col("cs"), (-col("cid")).as("nc")),
+        DataOps.IvfPqProbes).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select((-col("e.nc")).as("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = spark.table(table)
+      .where(col("cell").isin(probeCells: _*))
+    DataOps.ivfPqProbe(spark, queries, cents,
+      pruned.select(col("vec_id"), col("cell")).distinct(),
+      spark.read.parquet(s"$indexDir/codebook"),
+      pruned.select(col("vec_id"), col("m"), col("cid")),
+      DataOps.emb(spark, sfDir))
+  }
 
   /** One bucketed-codes write per (JVM, sf directory). */
   private val bucketedBuilt =

@@ -521,6 +521,37 @@ object StreamingOps {
       }
       .start()
 
+  /** [[ivfPqAgainstStream]] over the BUCKETED inverted-list layout —
+    * the K5 sibling of [[bm25ServeBucketedStream]], completing the
+    * bucketed serving twins (token/t/bh/cell): each micro-batch of
+    * raw float query vectors converts with the batch loader's native
+    * expressions, derives its UNION of probe cells (bounded —
+    * [[graft.sources.PqIndex.MaxServeVecQueries]]), and probes ONLY
+    * those cells' buckets. Stream ≡ directory composed probe pinned
+    * across two micro-batches in StreamingSpec. */
+  def ivfPqServeBucketedStream(vecStream: DataFrame, table: String,
+      indexDir: String, sfDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val q = batch.toDF()
+            .select(col("vec_id").as("q_id"),
+              graft.functions.MicroVecExpr.micro(spark, col("embedding"))
+                .as("qem"))
+            .withColumn("qn",
+              graft.functions.VecDotExpr.dot(spark, col("qem"),
+                col("qem")))
+          graft.sources.PqIndex
+            .ivfPqServeAgainstBucketed(spark, q, table, indexDir, sfDir)
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming ANN serving over the K7 persistent SQ store
     * ([[graft.sources.SqIndex]]) — the [[annAgainstStream]] twin at the
     * scalar-quantized tier (the one store that had no streaming

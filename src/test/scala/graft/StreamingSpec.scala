@@ -1544,6 +1544,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfPqServeBucketedStream: bucketed inverted-list serving, two micro-batches == directory composed probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-bs").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-bsout")
+        .toString + "/hits"
+    graft.sources.PqIndex.build(spark, SF, indexDir)
+    val table = "g_serve_bkt_codes_stream"
+    graft.sources.PqIndex.writeBucketedCodes(spark, indexDir, table,
+      path = Some(java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-bsdata").toString + "/t"))
+    try {
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingOps.ivfPqServeBucketedStream(
+        in.toDF().toDF("vec_id", "embedding"), table, indexDir, SF,
+        outDir)
+      try {
+        val queries = spark.read.parquet(s"$SF/embeddings.parquet")
+          .where(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect().toSeq
+        val (b1, b2) = queries.splitAt(queries.size / 2)
+        in.addData(b1)
+        q.processAllAvailable()
+        in.addData(b2)
+        q.processAllAvailable()
+        val streamed = spark.read.parquet(outDir)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val batch = graft.sources.PqIndex.annIvfPqIndexed(spark, SF)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(streamed.nonEmpty && streamed == batch)
+      } finally q.stop()
+      // the per-batch probe prunes the code scan to the probed cells
+      val qb = graft.pipeline.DataOps.annQueries(spark, SF)
+        .where(col("q_id") % 100 === 0)
+      val probe = graft.sources.PqIndex.ivfPqServeAgainstBucketed(
+        spark, qb, table, indexDir, SF)
+      probe.collect()
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"))
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
+  }
+
   test("bm25ServeStream: two query micro-batches over one store == batch serve") {
     implicit val sqlCtx = spark.sqlContext
     val indexDir =
