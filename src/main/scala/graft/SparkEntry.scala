@@ -95,6 +95,7 @@ object SparkEntry {
     "annSq"               -> (DataOps.annSq _),
     "annRecallEval"       -> (DataOps.annRecallEval _),
     "annScaledRecall"     -> (DataOps.annScaledRecall _),
+    "embedDedupRecall"    -> (DataOps.embedDedupRecall _),
     "annStoreRecall"      -> (DataOps.annStoreRecall _),
     "annSqIndexed"        -> (graft.sources.SqIndex.annSqIndexed _),
     "annSqIncremental"    -> (graft.sources.SqIndex.annSqIncremental _),
@@ -370,6 +371,10 @@ object SparkEntry {
     // the 10x replay exceeds the DuckDB spill budget (documented in
     // the operator scaladoc) — the driver gates replay fine
     "annScaledRecall"     -> OracleSqlData.annScaledRecall,
+    // both blocked embed-dedup tiers vs the exact all-pairs truth on
+    // one guarded sample — the scanned-fraction price as a hashed
+    // relation
+    "embedDedupRecall"    -> OracleSqlData.embedDedupRecall,
     "annStoreRecall"      -> OracleSqlData.annStoreRecall,
     // store round-trip is lossless (exact-integer reconstruction
     // relation), so it shares annSq's oracle verbatim

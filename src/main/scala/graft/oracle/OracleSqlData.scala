@@ -1169,6 +1169,127 @@ object OracleSqlData {
        |  JOIN nrm nb ON nb.vec_id = pd.id_b
        |) WHERE cos_micro >= 400000""".stripMargin
 
+  /** Embed-dedup recall mirror
+    * ([[graft.pipeline.DataOps.embedDedupRecall]]): hash-sampled
+    * vector ids, definitional all-pairs cosine ≥ 0.4 truth over the
+    * sample, both shipped blocked tiers replayed with their own
+    * model CTEs ([[crankCte]] for the fixed-C=16 model,
+    * [[scaledCellCtes]] for the C ∝ N model — the two co-exist in one
+    * statement, their CTE names are disjoint) restricted to the
+    * sample, then the counting algebra per tier. */
+  lazy val embedDedupRecall: String =
+    s"""WITH $embCtes,
+       |${crankCte(DataOps.IvfC)},
+       |$scaledCellCtes,
+       |sids AS (
+       |  SELECT vec_id FROM ev
+       |  WHERE ${h60("'erecall:' || vec_id")} % 2 = 0
+       |),
+       |tp AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         SUM(ua.v * ub.v) AS d
+       |  FROM sids a JOIN sids b ON a.vec_id < b.vec_id
+       |  JOIN vu ua ON ua.vec_id = a.vec_id
+       |  JOIN vu ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+       |  GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT id_a, id_b FROM tp
+       |  JOIN nrm na ON na.vec_id = tp.id_a
+       |  JOIN nrm nb ON nb.vec_id = tp.id_b
+       |  WHERE CAST(ROUND(CAST(tp.d AS DOUBLE) /
+       |    (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |     sqrt(CAST(nb.nrm AS DOUBLE))) * $MIC) AS BIGINT) >= 400000
+       |),
+       |fassign AS (
+       |  SELECT vec_id, cid FROM crank
+       |  WHERE rnk <= 2 AND vec_id IN (SELECT vec_id FROM sids)
+       |),
+       |fcand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM fassign x JOIN fassign y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |),
+       |fpd AS (
+       |  SELECT c.id_a, c.id_b, SUM(a.v * b.v) AS d
+       |  FROM fcand c
+       |  JOIN vu a ON a.vec_id = c.id_a
+       |  JOIN vu b ON b.vec_id = c.id_b AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |fpairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT fpd.id_a, fpd.id_b,
+       |           CAST(ROUND(CAST(fpd.d AS DOUBLE) /
+       |             (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |              sqrt(CAST(nb.nrm AS DOUBLE))) * $MIC) AS BIGINT)
+       |             AS cm
+       |    FROM fpd
+       |    JOIN nrm na ON na.vec_id = fpd.id_a
+       |    JOIN nrm nb ON nb.vec_id = fpd.id_b
+       |  ) WHERE cm >= 400000
+       |),
+       |zassign AS (
+       |  SELECT vec_id, cid FROM srnk
+       |  WHERE rnk <= 2 AND vec_id IN (SELECT vec_id FROM sids)
+       |),
+       |zcand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM zassign x JOIN zassign y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |),
+       |zpd AS (
+       |  SELECT c.id_a, c.id_b, SUM(a.v * b.v) AS d
+       |  FROM zcand c
+       |  JOIN vu a ON a.vec_id = c.id_a
+       |  JOIN vu b ON b.vec_id = c.id_b AND b.i = a.i
+       |  GROUP BY 1, 2
+       |),
+       |zpairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT zpd.id_a, zpd.id_b,
+       |           CAST(ROUND(CAST(zpd.d AS DOUBLE) /
+       |             (sqrt(CAST(na.nrm AS DOUBLE)) *
+       |              sqrt(CAST(nb.nrm AS DOUBLE))) * $MIC) AS BIGINT)
+       |             AS cm
+       |    FROM zpd
+       |    JOIN nrm na ON na.vec_id = zpd.id_a
+       |    JOIN nrm nb ON nb.vec_id = zpd.id_b
+       |  ) WHERE cm >= 400000
+       |),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+       |fagg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |         CAST(COALESCE(SUM(CASE WHEN t.id_a IS NOT NULL
+       |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+       |  FROM fpairs p LEFT JOIN truth t
+       |    ON t.id_a = p.id_a AND t.id_b = p.id_b
+       |),
+       |zagg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |         CAST(COALESCE(SUM(CASE WHEN t.id_a IS NOT NULL
+       |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+       |  FROM zpairs p LEFT JOIN truth t
+       |    ON t.id_a = p.id_a AND t.id_b = p.id_b
+       |)
+       |SELECT 'blocked16' AS tier, nt.n_true, fagg.n_cand, fagg.n_hit,
+       |       CAST(CASE WHEN nt.n_true > 0 THEN
+       |         fagg.n_hit * 1000000 // nt.n_true
+       |         ELSE 1000000 END AS BIGINT) AS recall_micro,
+       |       CAST(CASE WHEN fagg.n_cand > 0 THEN
+       |         fagg.n_hit * 1000000 // fagg.n_cand
+       |         ELSE 1000000 END AS BIGINT) AS precision_micro
+       |FROM nt, fagg
+       |UNION ALL
+       |SELECT 'scaledC' AS tier, nt.n_true, zagg.n_cand, zagg.n_hit,
+       |       CAST(CASE WHEN nt.n_true > 0 THEN
+       |         zagg.n_hit * 1000000 // nt.n_true
+       |         ELSE 1000000 END AS BIGINT) AS recall_micro,
+       |       CAST(CASE WHEN zagg.n_cand > 0 THEN
+       |         zagg.n_hit * 1000000 // zagg.n_cand
+       |         ELSE 1000000 END AS BIGINT) AS precision_micro
+       |FROM nt, zagg""".stripMargin
+
   /** K-means readout mirror ([[graft.pipeline.DataOps.embedKmeans]]):
     * same crank CTEs (hash-stratified seeds + unrolled integer Lloyd rounds),
     * rank-1 cell per vector, cosine re-derived from the shared cdot/nrm/

@@ -1179,6 +1179,95 @@ object DataOps {
     embedPairTail(v, assign)
   }
 
+  /** EMBED-DEDUP RECALL AUDIT — the [[dedupRecallEval]] discipline
+    * applied to the EMBEDDING-dedup tiers: both shipped pair reports
+    * (the fixed-C=16 [[dedupEmbed]] and the C ∝ N
+    * [[dedupEmbedScaled]]) scored on ONE hash-sampled sub-corpus
+    * against the EXACT all-pairs cosine ≥ 0.4 ground truth, so the
+    * blocked scans' coverage is a MONITORED relation — the
+    * scanned-fraction price of IVF blocking (BASELINE's measured
+    * 0.21 at the 10× decade) becomes a driver-hashed number, not a
+    * one-off numpy audit. Output 2 rows: (tier ∈ {blocked16,
+    * scaledC}, n_true, n_cand, n_hit, recall_micro, precision_micro).
+    * Expected shape, pinned in DataOpsSpec: precision = 10^6 for BOTH
+    * tiers by construction (their verify threshold IS the truth's
+    * 0.4), scaledC recall ≤ blocked16 at fixture scale where C floors
+    * at 16 and the scaled model trains on a sample with one round.
+    *
+    * Each tier runs its standalone operator's own plan restricted to
+    * the sample — restriction COMMUTES exactly: a vector's top-2
+    * cells depend only on its own embedding and the (full-corpus /
+    * full-count) trained model, and the verify is per-pair, so
+    * shipped-pairs ∩ sample×sample ≡ sample-assigned pairs.
+    *
+    * 100 TB shape: the sample is guarded at [[MaxRecallEvalDocs]]
+    * (in-plan assert — the all-pairs truth is the one quadratic, and
+    * it fires at the 10× fixture BY CONTRACT like the other two
+    * recall audits); the truth is [[cachedModel]]-cached per sfDir;
+    * the tiers inherit their operators' own scale plans. */
+  def embedDedupRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = emb(spark, sfDir)
+    val ids0 = v.select(col("vec_id"))
+      .where(pmod(graft.functions.HashFns.hash60(
+        concat(lit("erecall:"), col("vec_id"))), lit(2L)) === 0L)
+    val nv = persistUnlessLazy(ids0.agg(count(lit(1)).as("n_docs")))
+    val ids = ids0.crossJoin(broadcast(nv))
+      .select(when(assert_true(col("n_docs") <= lit(MaxRecallEvalDocs),
+          lit(s"embed-recall sample has >$MaxRecallEvalDocs vectors — " +
+            "the all-pairs ground truth would go quadratic; shrink " +
+            "the sample rate")).isNull,
+        col("vec_id")).as("vec_id"))
+    val vs = persistUnlessLazy(v.join(ids, Seq("vec_id"), "left_semi"))
+    val truth = cachedModel(s"embedDedupTruth:$sfDir") {
+      vs.as("va").join(vs.as("vb"),
+          col("va.vec_id") < col("vb.vec_id"))
+        .select(col("va.vec_id").as("id_a"), col("vb.vec_id").as("id_b"),
+          cosMicro(dot(col("va.em"), col("vb.em")),
+            col("va.nrm"), col("vb.nrm")).as("cm"))
+        .where(col("cm") >= 400000L)
+        .select(col("id_a"), col("id_b"))
+    }
+    // fixed tier: the shipped full-corpus model's top-2 assignment,
+    // restricted to the sample
+    val fixedAssign = cellRanks(spark, sfDir, centroids(spark, sfDir))
+      .where(col("rnk") <= 2)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("cid")).persist()
+    val fixedPairs = embedPairTail(v, fixedAssign)
+    // scaled tier: the shipped knobs (full-corpus count) and the
+    // shipped sample-trained model; assignment restricted to the sample
+    val (c, sampleMod) = scaledCellKnobs(v)
+    val trainSample = v.where(
+      pmod(hash60(col("vec_id").cast("string")), lit(sampleMod)) === 0)
+    val cents = pin(centroidsFrom(trainSample, c, rounds = 1))
+    val scaledAssign = persistUnlessLazy(
+      vs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn"))
+            .as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.TopKAgg.topK(spark,
+          struct(col("cs"), (-col("cid")).as("ncid")), 2).as("top"))
+        .select(col("vec_id"), explode(col("top")).as("e"))
+        .select(col("vec_id"), (-col("e.ncid")).as("cid")))
+    val scaledPairs = embedPairTail(v, scaledAssign)
+    val out = Seq("blocked16" -> fixedPairs, "scaledC" -> scaledPairs)
+      .map { case (name, pairs0) =>
+        val pairs = pairs0.select(col("id_a"), col("id_b"))
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(pairs.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(pairs.join(truth, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hit")))
+          .select(lit(name).as("tier"), col("n_true"), col("n_cand"),
+            col("n_hit"),
+            expr("CASE WHEN n_true > 0 THEN (n_hit * 1000000) div " +
+              "n_true ELSE 1000000 END").as("recall_micro"),
+            expr("CASE WHEN n_cand > 0 THEN (n_hit * 1000000) div " +
+              "n_cand ELSE 1000000 END").as("precision_micro"))
+      }.reduce(_ unionByName _)
+    finish(out, vs, nv)
+  }
+
   /** The shared scaled-C knobs ([[semdedupScaled]] /
     * [[dedupEmbedScaled]]): C holds the mean cell size at
     * [[SemCellTarget]], the training-sample modulus targets ~32

@@ -2038,6 +2038,24 @@ class DataOpsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size <= DataOps.IvfC)
   }
 
+  test("embedDedupRecall: both blocked tiers are exact-precision, recall floors hold") {
+    val rows = DataOps.embedDedupRecall(spark, SF)
+      .select("tier", "recall_micro", "precision_micro")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows.keySet == Set("blocked16", "scaledC"))
+    // precision = 10^6 by construction: each tier's verify threshold
+    // IS the truth's 0.4 — a blocked scan can miss pairs, never
+    // fabricate them
+    assert(rows.values.forall(_._2 == 1000000L), rows.toString)
+    // recall = the scanned-fraction price of IVF blocking (0.73/0.53
+    // measured at this fixture); floors pin the shape, the 10x
+    // numpy audit in BASELINE carries the at-scale number (0.21 at
+    // C=153 — the audit guard fires there by contract)
+    assert(rows("blocked16")._1 >= 550000L, rows.toString)
+    assert(rows("scaledC")._1 >= 450000L, rows.toString)
+  }
+
   test("dedupEmbedScaled: exact pair values, ordered ids, recall floor") {
     val got = DataOps.dedupEmbedScaled(spark, SF)
       .as[(Long, Long, Long)].collect().toSeq
