@@ -76,7 +76,11 @@ object MlSentiment {
     * block's token OCCURRENCES; pred_pos = 1 iff score > 0. A block
     * with no alphabetic tokens scores 0. */
   def x1SentimentMl(spark: SparkSession, sfDir: String): DataFrame = {
-    val blocks = labeledBlocks(spark, sfDir)
+    // Persisted: `blocks` feeds the token relation AND the final
+    // no-token-block left join — without the marker the W1 concat +
+    // lexicon-scoring subplan ([[ParityQueries.sentimented]]) executes
+    // a second time just to list the block keys.
+    val blocks = labeledBlocks(spark, sfDir).persist()
     // Persisted: the token relation feeds the count aggregate and the
     // scoring join.
     val toks = blocks
@@ -105,7 +109,7 @@ object MlSentiment {
         .select(col("wsec"), col("channel"), col("username"),
           when(coalesce(col("score"), lit(0L)) > 0, 1L).otherwise(0L)
             .as("pred_pos")),
-      toks)
+      toks, blocks)
   }
 
   /** MLlib float tier: Tokenizer → HashingTF(1024) →

@@ -63,6 +63,69 @@ object DataOps {
     if (java.lang.Boolean.getBoolean("graft.lazyPlans")) df
     else df.persist()
 
+  /** Overlap INDEPENDENT eager tier builds (optimization guide §2.6:
+    * Spark's scheduler happily runs several jobs at once inside one
+    * application — actions are only sequential because driver code
+    * calls them sequentially). Each builder runs on its own driver
+    * thread with the session propagated, so one tier's jobs back-fill
+    * the executor slots another tier's straggler tail leaves idle
+    * instead of the audits paying the strict SUM of their tiers'
+    * wall-clocks. Results are exactly the frames a sequential loop
+    * would produce: builders are independent by contract, and the
+    * shared build-once/trained-model guards they may race on are
+    * blocking (`computeIfAbsent`). In lazy-plan (Explain) mode
+    * builders run inline so plans stay auditable and construction
+    * runs no job. */
+  private def parBuild(builders: Seq[() => DataFrame]): Seq[DataFrame] =
+    if (java.lang.Boolean.getBoolean("graft.lazyPlans") ||
+        builders.lengthCompare(2) < 0)
+      builders.map(_())
+    else {
+      val session = SparkSession.active
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(builders.length)
+      try {
+        val futs = builders.map { b =>
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = {
+              SparkSession.setActiveSession(session)
+              b()
+            }
+          })
+        }
+        futs.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
+  /** [[parBuild]] with each tier eagerly pinned (localCheckpoint) on
+    * its own thread — for BOUNDED tier relations (per-query top-k
+    * heads, guarded-sample pair reports) whose evaluation would
+    * otherwise run strictly serially inside the one final audit job;
+    * the pin also keeps a tier's subplan from re-executing once per
+    * counting branch (n_cand aggregate + truth semi-join) where
+    * exchange reuse happens not to cover it. Never applied to
+    * corpus-sized relations. */
+  private def parPinned(builders: Seq[() => DataFrame]): Seq[DataFrame] =
+    parBuild(builders.map(b => () => {
+      val df = b()
+      if (java.lang.Boolean.getBoolean("graft.lazyPlans")) df
+      else df.localCheckpoint(true)
+    }))
+
+  /** Force a persist-marked frame's cache NOW (one count job) so
+    * parallel tier builders read a warm cache instead of racing to
+    * compute the same partitions. No-op in lazy-plan mode. */
+  private def warm(df: DataFrame): DataFrame = {
+    if (!java.lang.Boolean.getBoolean("graft.lazyPlans")) df.count()
+    df
+  }
+
   /** Whitespace words of `text`, empties dropped (the shingling unit) —
     * the native [[graft.functions.WordGramsExpr]] with n = 1 (property-
     * pinned ≡ the `filter(split(...))` composition, whose lambda is
@@ -366,14 +429,19 @@ object DataOps {
         col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val tiers: Seq[(String, DataFrame)] = Seq(
-      "exact"   -> exactPairs,
-      "minhash" -> dedupMinhashFrom(spark, d)
-        .select(col("doc_a"), col("doc_b")),
-      "ngram"   -> ngramPairsFrom(spark, d)
-        .select(col("doc_a"), col("doc_b")),
-      "simhash" -> dedupSimhashFrom(spark, d)
-        .select(col("doc_a"), col("doc_b")))
+    // Warm the shared sampled-corpus cache once, then evaluate the four
+    // tier pair reports on overlapped driver threads ([[parPinned]] —
+    // all bounded by the guarded sample) instead of strictly serially.
+    warm(d)
+    val tiers: Seq[(String, DataFrame)] =
+      Seq("exact", "minhash", "ngram", "simhash").zip(parPinned(Seq(
+        () => exactPairs,
+        () => dedupMinhashFrom(spark, d)
+          .select(col("doc_a"), col("doc_b")),
+        () => ngramPairsFrom(spark, d)
+          .select(col("doc_a"), col("doc_b")),
+        () => dedupSimhashFrom(spark, d)
+          .select(col("doc_a"), col("doc_b")))))
     val out = tiers.map { case (name, pairs) =>
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(pairs.agg(count(lit(1)).as("n_cand")))
@@ -1227,30 +1295,40 @@ object DataOps {
         .where(col("cm") >= 400000L)
         .select(col("id_a"), col("id_b"))
     }
-    // fixed tier: the shipped full-corpus model's top-2 assignment,
-    // restricted to the sample
-    val fixedAssign = cellRanks(spark, sfDir, centroids(spark, sfDir))
-      .where(col("rnk") <= 2)
-      .join(ids, Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("cid")).persist()
-    val fixedPairs = embedPairTail(v, fixedAssign)
-    // scaled tier: the shipped knobs (full-corpus count) and the
-    // shipped sample-trained model; assignment restricted to the sample
-    val (c, sampleMod) = scaledCellKnobs(v)
-    val trainSample = v.where(
-      pmod(hash60(col("vec_id").cast("string")), lit(sampleMod)) === 0)
-    val cents = pin(centroidsFrom(trainSample, c, rounds = 1))
-    val scaledAssign = persistUnlessLazy(
-      vs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn"))
-            .as("cs"))
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.TopKAgg.topK(spark,
-          struct(col("cs"), (-col("cid")).as("ncid")), 2).as("top"))
-        .select(col("vec_id"), explode(col("top")).as("e"))
-        .select(col("vec_id"), (-col("e.ncid")).as("cid")))
-    val scaledPairs = embedPairTail(v, scaledAssign)
+    // The two tier pair reports are independent end-to-end builds
+    // (trained model + assignment + verify each), so they run on
+    // overlapped driver threads ([[parBuild]] — each tail is already
+    // eagerly pinned by its own finish) instead of strictly serially.
+    val Seq(fixedPairs, scaledPairs) = parBuild(Seq(
+      () => {
+        // fixed tier: the shipped full-corpus model's top-2
+        // assignment, restricted to the sample
+        val fixedAssign = cellRanks(spark, sfDir, centroids(spark, sfDir))
+          .where(col("rnk") <= 2)
+          .join(ids, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("cid")).persist()
+        embedPairTail(v, fixedAssign)
+      },
+      () => {
+        // scaled tier: the shipped knobs (full-corpus count) and the
+        // shipped sample-trained model; assignment restricted to the
+        // sample
+        val (c, sampleMod) = scaledCellKnobs(v)
+        val trainSample = v.where(
+          pmod(hash60(col("vec_id").cast("string")), lit(sampleMod)) === 0)
+        val cents = pin(centroidsFrom(trainSample, c, rounds = 1))
+        val scaledAssign = persistUnlessLazy(
+          vs.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("cid"),
+              cosRaw(dot(col("em"), col("cem")), col("nrm"), col("cn"))
+                .as("cs"))
+            .groupBy(col("vec_id"))
+            .agg(graft.functions.TopKAgg.topK(spark,
+              struct(col("cs"), (-col("cid")).as("ncid")), 2).as("top"))
+            .select(col("vec_id"), explode(col("top")).as("e"))
+            .select(col("vec_id"), (-col("e.ncid")).as("cid")))
+        embedPairTail(v, scaledAssign)
+      }))
     val out = Seq("blocked16" -> fixedPairs, "scaledC" -> scaledPairs)
       .map { case (name, pairs0) =>
         val pairs = pairs0.select(col("id_a"), col("id_b"))
@@ -1647,38 +1725,64 @@ object DataOps {
       col("em").as("aem"), col("nrm").as("an"))
     val ys = cv.select(col("q_id"), col("n_id").as("b"),
       col("em").as("bem"), col("nrm").as("bn"))
-    val psim = pin(xs.join(ys, Seq("q_id")).where(col("a") =!= col("b"))
+    val psim = xs.join(ys, Seq("q_id")).where(col("a") =!= col("b"))
       .select(col("q_id"), col("a"), col("b"),
         cosMicro(dot(col("aem"), col("bem")), col("an"), col("bn"))
-          .as("sim_micro")))
-    var picked = cand.where(col("rnk") === 1)
-      .select(col("q_id"), col("n_id"), lit(1L).as("pick"),
-        col("cos_micro").as("mmr2_micro"))
-    var remaining = cand.select(col("q_id"), col("n_id"), col("cos_micro"))
-      .join(picked.select(col("q_id"), col("n_id")),
-        Seq("q_id", "n_id"), "left_anti")
-    for (t <- 2 to MmrK) {
-      val ms = remaining
-        .join(psim.withColumnRenamed("a", "n_id"), Seq("q_id", "n_id"))
-        .join(picked.select(col("q_id"), col("n_id").as("b")),
-          Seq("q_id", "b"))
-        .groupBy(col("q_id"), col("n_id"), col("cos_micro"))
-        .agg(max(col("sim_micro")).as("maxsim"))
-      val s = ms
-        .select(col("q_id"), col("n_id"),
-          (col("cos_micro") - col("maxsim")).as("mmr2_micro"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("mmr2_micro").desc, col("n_id").asc)))
-        .where(col("rn") === 1)
-        .select(col("q_id"), col("n_id"), lit(t.toLong).as("pick"),
-          col("mmr2_micro"))
-      picked = pin(picked.union(s))
-      remaining = remaining.join(s.select(col("q_id"), col("n_id")),
-        Seq("q_id", "n_id"), "left_anti")
-    }
-    picked.select(col("q_id"), col("n_id"), col("pick"),
-      col("mmr2_micro"))
+          .as("sim_micro"))
+    // The [[MmrK]]−1 selection rounds run as ONE per-query fold over
+    // the collected candidate/pair-sim arrays (bounded: ≤ 10 candidates
+    // and ≤ 90 sim rows per query by [[annBrute]]'s top-10) instead of
+    // the former unrolled DataFrame loop — whose plan was ~3 MB of
+    // formatted text re-optimized per run, with 5 driver-blocking
+    // localCheckpoints and 4 window shuffles over ≤ Q·10-row frames.
+    // The fold is the IDENTICAL argmax recurrence: pick 1 = rnk 1 seed
+    // (mmr2 = cos_micro); round t picks the remaining candidate
+    // maximizing cos_micro − max(sim to picked), ties to the smaller
+    // n_id — the (−mmr2, n_id) array_min encodes exactly the
+    // (mmr2 desc, n_id asc) window rank, and the single-element outer
+    // `aggregate` is a let-binding so `best` is computed once per
+    // round. Higher-order functions are CodegenFallback, but they run
+    // on Q ≈ dozens of post-aggregate rows — never a scan-sized
+    // relation (CodegenLintSpec's boundary).
+    val cands = cand.groupBy(col("q_id"))
+      .agg(sort_array(collect_list(
+        struct(col("rnk"), col("n_id"), col("cos_micro")))).as("cands"))
+    val sims = psim.groupBy(col("q_id"))
+      .agg(collect_list(
+        struct(col("a"), col("b"), col("sim_micro"))).as("sims"))
+    val folded = cands.join(sims, Seq("q_id"), "left").select(col("q_id"),
+      expr(s"""
+        aggregate(
+          sequence(2, $MmrK),
+          named_struct(
+            'picked', array(element_at(cands, 1).n_id),
+            'outs', array(named_struct(
+              'n_id', element_at(cands, 1).n_id,
+              'pick', CAST(1 AS BIGINT),
+              'mmr2', element_at(cands, 1).cos_micro)),
+            'rem', filter(cands,
+              c -> c.n_id != element_at(cands, 1).n_id)),
+          (st, t) -> CASE WHEN size(st.rem) = 0 THEN st ELSE
+            aggregate(
+              array(array_min(transform(st.rem, c -> named_struct(
+                'neg', -(c.cos_micro - array_max(transform(
+                  filter(sims, s -> s.a = c.n_id
+                    AND array_contains(st.picked, s.b)),
+                  s -> s.sim_micro))),
+                'n_id', c.n_id)))),
+              st,
+              (st2, best) -> named_struct(
+                'picked', concat(st2.picked, array(best.n_id)),
+                'outs', concat(st2.outs, array(named_struct(
+                  'n_id', best.n_id,
+                  'pick', CAST(t AS BIGINT),
+                  'mmr2', -best.neg))),
+                'rem', filter(st2.rem, c -> c.n_id != best.n_id)))
+            END
+        ).outs""").as("outs"))
+    folded.select(col("q_id"), explode(col("outs")).as("o"))
+      .select(col("q_id"), col("o.n_id").as("n_id"),
+        col("o.pick").as("pick"), col("o.mmr2").as("mmr2_micro"))
   }
 
   /** IVF-bucketed ANN (the 100 TB scale path): vectors live in their top-1
@@ -2307,8 +2411,25 @@ object DataOps {
     * (each one built scan-side by its own operator); everything here —
     * the full-outer join, the integer fusion, the final rank window —
     * runs on ≤ 20 rows at any corpus size. */
-  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame =
-    rrfStage(tfidfSearch(spark, sfDir), bm25Search(spark, sfDir))
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    // Both rankers run over the SAME (doc_id, token, cnt) relation and
+    // the SAME standard query head — tokenize the corpus once, warm
+    // the shared cache, and evaluate the two bounded score stages on
+    // overlapped driver threads ([[parPinned]]); the old form called
+    // the two standalone operators, paying the corpus tokenize twice,
+    // strictly serially. Stages are [[tfidfScoreStage]] /
+    // [[bm25ScoreStage]] VERBATIM over the shared inputs, so the rows
+    // are identical by construction.
+    val dt = warm(persistUnlessLazy(docTokenCounts(spark, sfDir)))
+    val dls = dt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+    val ndocs = docs(spark, sfDir).agg(count(lit(1)).as("n"))
+    val sdl = dls.agg(sum(col("dl")).as("sdl"))
+    val qh = retrievalQueryHead(vocabOfCounts(dt), ndocs)
+    val Seq(t, b) = parPinned(Seq(
+      () => tfidfScoreStage(dt, qh),
+      () => bm25ScoreStage(dt, dls, ndocs, sdl, qh)))
+    finish(rrfStage(t, b), dt)
+  }
 
   /** The fusion stage proper — reciprocal-rank fusion of a tf-idf and
     * a BM25 top-10 relation (each carrying (doc_id, rnk)); shared
@@ -3170,14 +3291,21 @@ object DataOps {
     val (el, refined, coded0) = pqParts(spark, sfDir)
     val coded = persistUnlessLazy(coded0)
     val recon = persistUnlessLazy(sqRecon(spark, v))
-    val tiers: Seq[(String, DataFrame)] = Seq(
-      "ivf"   -> ivfProbe(spark, q, cents, ranks, v),
-      "ivfpq" -> ivfPqProbe(spark, q, cents,
-        ranks.select(col("vec_id"), col("cid").as("cell")),
-        refined, coded, v),
-      "lsh"   -> annLsh(spark, sfDir),
-      "pq"    -> pqProbe(spark, q, refined, coded, v),
-      "sq"    -> sqProbe(spark, q, recon, v))
+    // Materialize the SHARED probe inputs first (in parallel — three
+    // independent one-pass jobs), then evaluate the five tier probes
+    // on overlapped driver threads ([[parBuild]]): the audit's cost is
+    // max(tier) + shared passes instead of the strict serial sum the
+    // one-final-job shape used to pay.
+    parBuild(Seq(() => warm(ranks), () => warm(coded), () => warm(recon)))
+    val tiers: Seq[(String, DataFrame)] =
+      Seq("ivf", "ivfpq", "lsh", "pq", "sq").zip(parPinned(Seq(
+        () => ivfProbe(spark, q, cents, ranks, v),
+        () => ivfPqProbe(spark, q, cents,
+          ranks.select(col("vec_id"), col("cid").as("cell")),
+          refined, coded, v),
+        () => annLsh(spark, sfDir),
+        () => pqProbe(spark, q, refined, coded, v),
+        () => sqProbe(spark, q, recon, v))))
     finish(recallRows(truth, tiers), ranks, el, coded, recon)
   }
 
@@ -3231,15 +3359,21 @@ object DataOps {
     * entries' build-guard). */
   def annStoreRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = annTruth(spark, sfDir)
-    val tiers: Seq[(String, DataFrame)] = Seq(
-      "ivfpq_store" ->
-        graft.sources.PqIndex.annIvfPqIndexed(spark, sfDir),
-      "pq_add"   -> graft.sources.PqIndex.annPqIncremental(spark, sfDir),
-      "pq_rm"    -> graft.sources.PqIndex.annPqRemoved(spark, sfDir),
-      "pq_store" -> graft.sources.PqIndex.annPqIndexed(spark, sfDir),
-      "sq_add"   -> graft.sources.SqIndex.annSqIncremental(spark, sfDir),
-      "sq_rm"    -> graft.sources.SqIndex.annSqRemoved(spark, sfDir),
-      "sq_store" -> graft.sources.SqIndex.annSqIndexed(spark, sfDir))
+    // The seven store probes are independent (each lifecycle entry owns
+    // its directory; the shared pq-index dir's build guard blocks), so
+    // they evaluate on overlapped driver threads ([[parPinned]] —
+    // bounded top-10 relations) instead of strictly serially inside
+    // one final job.
+    val tiers: Seq[(String, DataFrame)] =
+      Seq("ivfpq_store", "pq_add", "pq_rm", "pq_store", "sq_add",
+        "sq_rm", "sq_store").zip(parPinned(Seq(
+        () => graft.sources.PqIndex.annIvfPqIndexed(spark, sfDir),
+        () => graft.sources.PqIndex.annPqIncremental(spark, sfDir),
+        () => graft.sources.PqIndex.annPqRemoved(spark, sfDir),
+        () => graft.sources.PqIndex.annPqIndexed(spark, sfDir),
+        () => graft.sources.SqIndex.annSqIncremental(spark, sfDir),
+        () => graft.sources.SqIndex.annSqRemoved(spark, sfDir),
+        () => graft.sources.SqIndex.annSqIndexed(spark, sfDir))))
     finish(recallRows(truth, tiers))
   }
 
@@ -3355,9 +3489,13 @@ object DataOps {
     * the ORACLE's replay cost, not this operator's. */
   def annScaledRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = annTruth(spark, sfDir)
-    finish(recallRows(truth, Seq(
-      "ivf_scaled" -> annIvfScaled(spark, sfDir),
-      "pq_scaled"  -> annPqScaled(spark, sfDir))))
+    // The two scaled tiers are independent end-to-end builds (each
+    // already returns an eagerly-pinned frame), so they run on
+    // overlapped driver threads ([[parBuild]]) instead of serially.
+    finish(recallRows(truth,
+      Seq("ivf_scaled", "pq_scaled").zip(parBuild(Seq(
+        () => annIvfScaled(spark, sfDir),
+        () => annPqScaled(spark, sfDir))))))
   }
 
   /** The probe-only half of [[annSq]] — shared verbatim by the fresh
@@ -4709,9 +4847,17 @@ object DataOps {
           expr(s"CASE WHEN rep_tot > 0 THEN (rep_mc * ${MICRO.toLong}) " +
             s"div rep_tot ELSE 0 END") > RepTopBigramMaxMicro))
           .cast("long").as("rep_keep"))
-    val dup = dedupClusters(spark, sfDir)
+    // The two stateful stages are independent of each other (dedup's
+    // MinHash-component chain vs the benchmark-gram broadcast scan),
+    // so their eager internals run on overlapped driver threads
+    // ([[parBuild]] — their corpus-sized OUTPUTS stay lazy joins; only
+    // the internal pair/label checkpoints materialize here).
+    val Seq(dup0, cont0) = parBuild(Seq(
+      () => dedupClusters(spark, sfDir),
+      () => decontaminate(spark, sfDir)))
+    val dup = dup0
       .select(col("doc_id"), col("keep").cast("long").as("dup_keep"))
-    val cont = decontaminate(spark, sfDir)
+    val cont = cont0
       .select(col("doc_id"),
         (lit(1L) - col("contaminated")).as("contam_keep"))
     gates

@@ -161,9 +161,16 @@ object PqIndex {
     * entries run a build + append/remove SEQUENCE whose append half is
     * not idempotent, so a second registry call in the same JVM must
     * probe the existing store, never re-mutate it (the
-    * [[PostingsIndex.bm25Incremental]] discipline). */
+    * [[PostingsIndex.bm25Incremental]] discipline). The guard BLOCKS
+    * concurrent callers for the same key until the first build
+    * completes (`computeIfAbsent`, not a bare set-add): the recall
+    * audits build independent tiers on overlapped driver threads, and
+    * a losing thread must never probe a half-written store. */
   private val built =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def once(key: String)(body: => Unit): Unit =
+    built.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
 
   /** Registry form — the full round-trip: build (write) the store for
     * the sf directory ONCE (shared with [[annIvfPqIndexed]] — one
@@ -181,7 +188,7 @@ object PqIndex {
         refined, coded, DataOps.emb(spark, sfDir))
     }
     val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
-    if (built.add(dir)) build(spark, sfDir, dir)
+    once(dir)(build(spark, sfDir, dir))
     queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }
 
@@ -306,7 +313,7 @@ object PqIndex {
       return DataOps.annIvfPq(spark, sfDir).where(col("q_id") === 0L)
     }
     val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
-    if (built.add(dir)) build(spark, sfDir, dir)
+    once(dir)(build(spark, sfDir, dir))
     val table = "graft_codes_bkt_" +
       java.lang.Integer.toHexString(dir.hashCode).takeRight(8)
     if (bucketedBuilt.add(table)) {
@@ -344,7 +351,7 @@ object PqIndex {
       return DataOps.annIvfPq(spark, sfDir)
     }
     val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
-    if (built.add(dir)) build(spark, sfDir, dir)
+    once(dir)(build(spark, sfDir, dir))
     ivfPqAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }
 
@@ -404,7 +411,7 @@ object PqIndex {
           .agg(count(lit(1)).as("n_cells"))))
     }
     val dir = StoreDirs.tmpStoreDir("graft-pq-index", sfDir)
-    if (built.add(dir)) build(spark, sfDir, dir)
+    once(dir)(build(spark, sfDir, dir))
     statsOf(spark, dir)
   }
 
@@ -427,7 +434,7 @@ object PqIndex {
         refined, DataOps.pqAssign(DataOps.pqElements(v), refined), v)
     }
     val dir = StoreDirs.tmpStoreDir("graft-pq-incr", sfDir)
-    if (built.add(dir)) {
+    once(dir) {
       buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
       appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
     }
@@ -449,7 +456,7 @@ object PqIndex {
         DataOps.emb(spark, sfDir))
     }
     val dir = StoreDirs.tmpStoreDir("graft-pq-del", sfDir)
-    if (built.add(dir)) {
+    once(dir) {
       build(spark, sfDir, dir)
       removeBatch(spark,
         DataOps.emb(spark, sfDir).where(col("vec_id") % 2 === 1)

@@ -107,7 +107,13 @@ object SqIndex {
     * half is not idempotent, so later registry calls probe, never
     * re-mutate. */
   private val built =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Blocking once-per-key guard (the [[PqIndex]] form): concurrent
+    * audit-tier threads for the same store must wait for the first
+    * build, never probe a half-written directory. */
+  private def once(key: String)(body: => Unit): Unit =
+    built.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
 
   /** Registry form — the full round-trip: build (write) the store,
     * then answer the standard ANN query set purely from the read-back
@@ -121,7 +127,7 @@ object SqIndex {
         DataOps.emb(spark, sfDir))
     }
     val dir = StoreDirs.tmpStoreDir("graft-sq-index", sfDir)
-    build(spark, sfDir, dir)
+    once(dir)(build(spark, sfDir, dir))
     queryAgainst(spark, DataOps.annQueries(spark, sfDir), dir, sfDir)
   }
 
@@ -137,7 +143,7 @@ object SqIndex {
         DataOps.sqRecon(spark, v), v)
     }
     val dir = StoreDirs.tmpStoreDir("graft-sq-incr", sfDir)
-    if (built.add(dir)) {
+    once(dir) {
       buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
       appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
     }
@@ -176,7 +182,7 @@ object SqIndex {
       return reconStats(DataOps.sqRecon(spark, v))
     }
     val dir = StoreDirs.tmpStoreDir("graft-sq-incr", sfDir)
-    if (built.add(dir)) {
+    once(dir) {
       buildFrom(spark, v.where(col("vec_id") % 2 === 0), dir)
       appendBatch(spark, v.where(col("vec_id") % 2 === 1), dir)
     }
@@ -194,7 +200,7 @@ object SqIndex {
         DataOps.sqRecon(spark, v.where(col("vec_id") % 2 === 0)), v)
     }
     val dir = StoreDirs.tmpStoreDir("graft-sq-del", sfDir)
-    if (built.add(dir)) {
+    once(dir) {
       build(spark, sfDir, dir)
       removeBatch(spark,
         v.where(col("vec_id") % 2 === 1).select(col("vec_id")), dir)
