@@ -315,19 +315,26 @@ object DataOps {
       .join(ids, Seq("doc_id"), "left_semi")
       .withColumn("hp", hashP(col("sh")))
       .persist()
-    // exact ground truth: common-shingle pairs + Jaccard >= 0.5
-    val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val truth = sh.as("sa").join(sh.as("sb"),
-        col("sa.sh") === col("sb.sh") &&
-          col("sa.doc_id") < col("sb.doc_id"))
-      .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .where(round(col("inter").cast("double") /
-        (col("na.nsh") + col("nb.nsh") - col("inter")).cast("double") *
-        lit(MICRO)).cast("long") >= 500000L)
-      .select(col("doc_a"), col("doc_b"))
+    // exact ground truth: common-shingle pairs + Jaccard >= 0.5 — the
+    // SAME relation [[dedupRecallEval]] scores against (same 'recall:'
+    // mod-5 sample, same threshold), so it shares that audit's
+    // (sfDir)-keyed [[cachedModel]] entry: the quadratic all-pairs
+    // stage runs once per JVM whichever audit asks first (the
+    // [[annTruth]] discipline — truths are cached, TIERS re-run).
+    val truth = cachedModel(s"dedupTruth:$sfDir") {
+      val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      sh.as("sa").join(sh.as("sb"),
+          col("sa.sh") === col("sb.sh") &&
+            col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .where(round(col("inter").cast("double") /
+          (col("na.nsh") + col("nb.nsh") - col("inter")).cast("double") *
+          lit(MICRO)).cast("long") >= 500000L)
+        .select(col("doc_a"), col("doc_b"))
+    }
     // LSH candidates: same signature/band plan as dedupMinhash
     val mins = (0 until MinhashK).map(i =>
       min(permHash(i, col("hp"))).as(s"m$i"))
