@@ -3298,12 +3298,13 @@ object DataOps {
     val (el, refined, coded0) = pqParts(spark, sfDir)
     val coded = persistUnlessLazy(coded0)
     val recon = persistUnlessLazy(sqRecon(spark, v))
-    // Materialize the SHARED probe inputs first (in parallel — three
-    // independent one-pass jobs), then evaluate the five tier probes
-    // on overlapped driver threads ([[parBuild]]): the audit's cost is
-    // max(tier) + shared passes instead of the strict serial sum the
-    // one-final-job shape used to pay.
-    parBuild(Seq(() => warm(ranks), () => warm(coded), () => warm(recon)))
+    // Evaluate the five tier probes on overlapped driver threads
+    // ([[parBuild]]): the audit's cost is max(tier) instead of the
+    // strict serial sum the one-final-job shape used to pay. The
+    // shared persisted inputs (ranks/coded/recon) fill on first use;
+    // racing tiers may duplicate a partition's compute, which measured
+    // at parity with a serial warm phase before the tier fan-out —
+    // kept for the shorter critical path (one fewer serial barrier).
     val tiers: Seq[(String, DataFrame)] =
       Seq("ivf", "ivfpq", "lsh", "pq", "sq").zip(parPinned(Seq(
         () => ivfProbe(spark, q, cents, ranks, v),
