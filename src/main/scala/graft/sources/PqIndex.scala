@@ -266,13 +266,21 @@ object PqIndex {
     * relation. */
   def ivfPqServeAgainstBucketed(spark: SparkSession, queries: DataFrame,
       table: String, indexDir: String, sfDir: String): DataFrame = {
-    require(queries.limit(MaxServeVecQueries.toInt + 1).count()
-        <= MaxServeVecQueries,
+    // Pin the (guard-bounded) query batch ONCE: the size guard, the
+    // probe-cell collect and the probe itself all read the same
+    // materialized ≤(max+1)-row frame instead of re-running the
+    // caller's micro-batch conversion three times per serving tick.
+    // The limit rides BEFORE the pin so a mis-wired corpus-sized
+    // "query stream" materializes max+1 rows and dies in the guard,
+    // never a corpus.
+    val q = queries.limit(MaxServeVecQueries.toInt + 1)
+      .localCheckpoint(true)
+    require(q.count() <= MaxServeVecQueries,
       s"serving batch carries more than $MaxServeVecQueries query " +
       "vectors — that is a corpus, not a query batch; route it " +
       "through the build path instead")
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val probeCells = queries.crossJoin(broadcast(cents))
+    val probeCells = q.crossJoin(broadcast(cents))
       .select(col("q_id"), col("cid"),
         (graft.functions.VecDotExpr.dot(spark, col("qem"), col("cem"))
           .cast("double") /
@@ -287,7 +295,7 @@ object PqIndex {
       .collect().map(_.getLong(0)).toSeq
     val pruned = spark.table(table)
       .where(col("cell").isin(probeCells: _*))
-    DataOps.ivfPqProbe(spark, queries, cents,
+    DataOps.ivfPqProbe(spark, q, cents,
       pruned.select(col("vec_id"), col("cell")).distinct(),
       spark.read.parquet(s"$indexDir/codebook"),
       pruned.select(col("vec_id"), col("m"), col("cid")),
