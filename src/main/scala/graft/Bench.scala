@@ -52,7 +52,15 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // Per-query wall-clock start offsets (seconds since the first timed
+    // query) ride along in `queries_at` so a contention window that
+    // stalls an alphabetical span (the round-16 d–f anomaly) is
+    // diagnosable from the artifact alone. Additions-only: the JSON
+    // line, the timed action, the warmup protocol and every existing
+    // field are unchanged.
+    val benchT0 = System.nanoTime()
     val results = headline.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val tAt = (System.nanoTime() - benchT0) / 1e9
       val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -69,17 +77,18 @@ object Bench {
       }
       if (times.length == runs) {
         val sorted = times.sorted
-        (name, sorted(runs / 2), sorted.head, true)
-      } else (name, -1.0, -1.0, false)
+        (name, sorted(runs / 2), sorted.head, true, tAt)
+      } else (name, -1.0, -1.0, false, tAt)
     }
-    def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
+    def jmap(f: ((String, Double, Double, Boolean, Double)) => Double): String =
       results.map(r => s""""${r._1}":${f(r)}""").mkString("{", ",", "}")
     val qs = jmap(_._2)
     val qmin = jmap(_._3)
+    val qat = jmap(_._5)
     val failed = results.filterNot(_._4).map(r => s""""${r._1}"""")
       .mkString("[", ",", "]")
     val total = results.filter(_._4).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"runs":$runs,"warmup":"full-registry","failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmin,"queries_at":$qat,"runs":$runs,"warmup":"full-registry","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

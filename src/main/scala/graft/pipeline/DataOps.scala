@@ -76,31 +76,65 @@ object DataOps {
     * blocking (`computeIfAbsent`). In lazy-plan (Explain) mode
     * builders run inline so plans stay auditable and construction
     * runs no job. */
+  private val parBuildSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** In-flight job cap for [[parBuild]]: defaults to the tier count
+    * (measured fastest at sf0.1 — OPTIMIZATION_r17.md records the 3-
+    * vs-7 pairing); `-Dgraft.parBuildThreads=N` or
+    * `GRAFT_PAR_BUILD_THREADS=N` caps it for shared clusters where
+    * many concurrent jobs would fight for executors (guide §2.6's
+    * "2-3 in flight" conservatism). */
+  private def parPoolSize(n: Int): Int = {
+    val cap = Integer.getInteger("graft.parBuildThreads", 0).intValue()
+    val envCap =
+      if (cap > 0) cap
+      else sys.env.get("GRAFT_PAR_BUILD_THREADS")
+        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+    if (envCap > 0) math.min(envCap, n) else n
+  }
+
   private def parBuild(builders: Seq[() => DataFrame]): Seq[DataFrame] =
     if (java.lang.Boolean.getBoolean("graft.lazyPlans") ||
         builders.lengthCompare(2) < 0)
       builders.map(_())
     else {
       val session = SparkSession.active
-      val pool =
-        java.util.concurrent.Executors.newFixedThreadPool(builders.length)
+      val sc = session.sparkContext
+      // Tiers run under one cancellable job group (guide §1.5): if a
+      // tier fails, the others' RUNNING Spark jobs are cancelled with
+      // the group instead of bleeding into the next query's timing.
+      val group = s"graft-parBuild-${parBuildSeq.incrementAndGet()}"
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(parPoolSize(builders.length))
       try {
         val futs = builders.map { b =>
           pool.submit(new java.util.concurrent.Callable[DataFrame] {
             def call(): DataFrame = {
               SparkSession.setActiveSession(session)
-              b()
+              sc.setJobGroup(group, group, interruptOnCancel = true)
+              try b() finally sc.clearJobGroup()
             }
           })
         }
-        futs.map { f =>
+        try futs.map { f =>
           try f.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
               throw e.getCause
           }
+        } catch {
+          case t: Throwable =>
+            // Failure path: cancel queued AND running sibling tiers —
+            // a leaked tier would keep submitting jobs while the bench
+            // times the next query.
+            futs.foreach(_.cancel(true))
+            sc.cancelJobGroup(group)
+            throw t
         }
-      } finally pool.shutdown()
+      } finally {
+        pool.shutdownNow()
+        ()
+      }
     }
 
   /** [[parBuild]] with each tier eagerly pinned (localCheckpoint) on
@@ -244,6 +278,10 @@ object DataOps {
       .select(col("doc_id"),
         xxhash64(col("bk.band"), col("bk.bkey")).as("bh"))
       .persist()
+    // (Round 17 probed the dedupNgramSource candidate-pin here — a
+    // paired A/B read it neutral-to-negative for this operator, whose
+    // verify carries scalar shingle rows rather than per-doc arrays,
+    // so the pin stays ngram-only. See OPTIMIZATION_r17.md.)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -787,11 +825,16 @@ object DataOps {
   private[graft] def ngramPairsFrom(spark: SparkSession,
       d: DataFrame): DataFrame = {
     // Persisted: token relation feeds ranking, both verify sides, sizes.
+    // Warmed once up front so the candidate job's branches (ntok, freq,
+    // both self-join sides) read a filled cache instead of racing to
+    // duplicate the tokenize (paired with the cand pin below: part of
+    // the measured 6.1–6.8 → 3.0–3.5 s round-17 win).
     val tok = d
       .select(col("doc_id"), col("source"),
         explode(graft.functions.WordGramsExpr.grams(spark, col("text"), 1,
           distinct = true)).as("w"))
       .persist()
+    warm(tok)
     val ntok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
     val ranked = tok.join(freq, Seq("w"))
@@ -828,7 +871,21 @@ object DataOps {
     // pruning makes positions near-uninformative too; on a Zipfian
     // real-corpus vocabulary the prefix ranks separate and this filter
     // is the classic PPJoin win).
-    val cand = pref.as("a").join(pref.as("b"),
+    // The candidate relation is persisted and warmed before the verify
+    // join plans: with its ACTUAL size known (|pairs| rows of three
+    // scalar columns — two ids and a source, bounded by the prefix
+    // filter), the verify joins build against the candidate side and
+    // the array-carrying docTok relation stops being re-shuffled under
+    // both join branches of one monolithic job. Measured round 17
+    // (same band, exact-copy control): 6.1–6.8 s → 3.0–3.5 s at sf0.1
+    // — the single largest honest cost in the registry halved with the
+    // pair set, the verify arithmetic and the output bit-identical
+    // (guide §1.2 step 1 / §3.1 "pick the join strategy
+    // deliberately"). Scale note: |cand| is the PPJoin survivor set —
+    // the relation the verify was already paying a shuffle for — so
+    // the extra materialization is |pairs|·3 scalars, never corpus-
+    // sized text.
+    val cand = persistUnlessLazy(pref.as("a").join(pref.as("b"),
         col("a.wh") === col("b.wh") &&
           col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -839,7 +896,8 @@ object DataOps {
             lit(4L) * (col("a.nt") + col("b.nt")))
       .select(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"))
-      .distinct()
+      .distinct())
+    warm(cand)
     // Exact verify: each doc's DISTINCT token set rides through the pair
     // join as ONE array row and the intersection is a per-pair
     // `array_intersect` — |pairs| shuffled rows with bounded arrays,
@@ -861,7 +919,7 @@ object DataOps {
           (col("na") + col("nb") - col("inter")).cast("double") *
           lit(MICRO)).cast("long").as("jac_micro"))
       .where(col("jac_micro") >= 800000L),
-      tok)
+      tok, cand)
   }
 
   /** Verbatim-run length for substring dedup. Lee et al. 2022
@@ -1093,7 +1151,7 @@ object DataOps {
     * Disabled under `graft.lazyPlans` so Explain still shows the full
     * training subplan. */
   private val trainedModels =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new graft.sources.StoreDirs.OnceMap[DataFrame]
 
   /** Entries are keyed by the OWNING SparkContext's (applicationId,
     * startTime) so a stopped-and-restarted session in the same JVM
@@ -1101,15 +1159,17 @@ object DataOps {
     * frame to dead localCheckpoint RDD blocks nor pins them forever:
     * any entry from another context epoch is evicted on the next cache
     * touch (the map holds KB-scale models, so the sweep is a no-op in
-    * the steady single-context case). */
+    * the steady single-context case). Training runs OUTSIDE the map's
+    * bin lock ([[graft.sources.StoreDirs.OnceMap]] — round-16 ADVICE),
+    * so overlapped tiers training DIFFERENT models never serialize on
+    * a shared hash bin; same-key callers still block on the winner. */
   private def cachedModel(key: String)(train: => DataFrame): DataFrame =
     if (java.lang.Boolean.getBoolean("graft.lazyPlans")) train
     else {
       val sc = SparkSession.active.sparkContext
       val epoch = s"${sc.applicationId}:${sc.startTime}:"
-      trainedModels.keySet.removeIf(k => !k.startsWith(epoch))
-      trainedModels.computeIfAbsent(epoch + key,
-        _ => train.localCheckpoint(true))
+      trainedModels.retainKeys(_.startsWith(epoch))
+      trainedModels(epoch + key)(train.localCheckpoint(true))
     }
 
   private[graft] def centroidsFrom(v: DataFrame, c: Int = IvfC,
@@ -1306,15 +1366,28 @@ object DataOps {
     // (trained model + assignment + verify each), so they run on
     // overlapped driver threads ([[parBuild]] — each tail is already
     // eagerly pinned by its own finish) instead of strictly serially.
+    // Both tiers read the SAME persisted sample relation `vs`: warmed
+    // ONCE here so the overlapped tiers hit a filled cache instead of
+    // racing to compute it, and used for BOTH verify sides — the
+    // sample restriction commutes (see scaladoc), so scoring/verifying
+    // off `vs` instead of the full corpus reads the warm half-size
+    // cache where the round-16 form re-scanned (and re-windowed) the
+    // full embeddings per tier (guide §2.3 "shuffle fewer bytes" /
+    // §2.4: the pairs can only carry sample ids, so joining the full
+    // corpus buys nothing).
+    warm(vs)
     val Seq(fixedPairs, scaledPairs) = parBuild(Seq(
       () => {
         // fixed tier: the shipped full-corpus model's top-2
-        // assignment, restricted to the sample
-        val fixedAssign = cellRanks(spark, sfDir, centroids(spark, sfDir))
+        // assignment, restricted to the sample — restriction moved
+        // BEFORE the rank window (a vector's cell ranks depend only on
+        // its own embedding and the trained model, so filter-then-rank
+        // ≡ rank-then-filter), replacing a full-corpus N·C window +
+        // semi-join with a sample-sized one over the warm cache.
+        val fixedAssign = cellRanksFrom(vs, centroids(spark, sfDir))
           .where(col("rnk") <= 2)
-          .join(ids, Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("cid")).persist()
-        embedPairTail(v, fixedAssign)
+        embedPairTail(vs, fixedAssign)
       },
       () => {
         // scaled tier: the shipped knobs (full-corpus count) and the
@@ -1334,7 +1407,7 @@ object DataOps {
               struct(col("cs"), (-col("cid")).as("ncid")), 2).as("top"))
             .select(col("vec_id"), explode(col("top")).as("e"))
             .select(col("vec_id"), (-col("e.ncid")).as("cid")))
-        embedPairTail(v, scaledAssign)
+        embedPairTail(vs, scaledAssign)
       }))
     val out = Seq("blocked16" -> fixedPairs, "scaledC" -> scaledPairs)
       .map { case (name, pairs0) =>
@@ -1750,7 +1823,12 @@ object DataOps {
     // `aggregate` is a let-binding so `best` is computed once per
     // round. Higher-order functions are CodegenFallback, but they run
     // on Q ≈ dozens of post-aggregate rows — never a scan-sized
-    // relation (CodegenLintSpec's boundary).
+    // relation (CodegenLintSpec's boundary). The coalesce sentinel on
+    // array_max guards the (today unreachable) NULL-sim case: without
+    // it a NULL 'neg' would sort FIRST in array_min and be picked
+    // immediately, where the pre-fold window (mmr2 desc, NULLs last)
+    // picked such a candidate last; with it the candidate's penalty is
+    // huge and it ranks last, matching the old order.
     val cands = cand.groupBy(col("q_id"))
       .agg(sort_array(collect_list(
         struct(col("rnk"), col("n_id"), col("cos_micro")))).as("cands"))
@@ -1772,10 +1850,10 @@ object DataOps {
           (st, t) -> CASE WHEN size(st.rem) = 0 THEN st ELSE
             aggregate(
               array(array_min(transform(st.rem, c -> named_struct(
-                'neg', -(c.cos_micro - array_max(transform(
+                'neg', -(c.cos_micro - coalesce(array_max(transform(
                   filter(sims, s -> s.a = c.n_id
                     AND array_contains(st.picked, s.b)),
-                  s -> s.sim_micro))),
+                  s -> s.sim_micro)), CAST(1000000000000000000 AS BIGINT))),
                 'n_id', c.n_id)))),
               st,
               (st2, best) -> named_struct(
@@ -3301,18 +3379,28 @@ object DataOps {
     // Evaluate the five tier probes on overlapped driver threads
     // ([[parBuild]]): the audit's cost is max(tier) instead of the
     // strict serial sum the one-final-job shape used to pay. The
-    // shared persisted inputs (ranks/coded/recon) fill on first use;
-    // racing tiers may duplicate a partition's compute, which measured
-    // at parity with a serial warm phase before the tier fan-out —
-    // kept for the shorter critical path (one fewer serial barrier).
+    // shared persisted inputs (ranks/recon) fill on first use; only
+    // `coded` — the expensive shared input (the round-17 profile reads
+    // its fill at ~2.2 s, the single largest component) — is
+    // coordinated: the ivfpq tier warms it once and the pq tier waits
+    // on the latch instead of racing to duplicate the whole fill (two
+    // concurrent consumers otherwise each compute every partition,
+    // burning a core-2.2 s the other tiers could use; ranks/recon are
+    // sub-second and single-consumer-at-first-touch, so they stay
+    // uncoordinated). In lazy-plan mode builders run inline in order,
+    // so the countDown precedes the await and nothing blocks.
+    val codedReady = new java.util.concurrent.CountDownLatch(1)
     val tiers: Seq[(String, DataFrame)] =
       Seq("ivf", "ivfpq", "lsh", "pq", "sq").zip(parPinned(Seq(
         () => ivfProbe(spark, q, cents, ranks, v),
-        () => ivfPqProbe(spark, q, cents,
-          ranks.select(col("vec_id"), col("cid").as("cell")),
-          refined, coded, v),
+        () => {
+          try warm(coded) finally codedReady.countDown()
+          ivfPqProbe(spark, q, cents,
+            ranks.select(col("vec_id"), col("cid").as("cell")),
+            refined, coded, v)
+        },
         () => annLsh(spark, sfDir),
-        () => pqProbe(spark, q, refined, coded, v),
+        () => { codedReady.await(); pqProbe(spark, q, refined, coded, v) },
         () => sqProbe(spark, q, recon, v))))
     finish(recallRows(truth, tiers), ranks, el, coded, recon)
   }

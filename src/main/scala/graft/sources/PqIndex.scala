@@ -166,11 +166,9 @@ object PqIndex {
     * completes (`computeIfAbsent`, not a bare set-add): the recall
     * audits build independent tiers on overlapped driver threads, and
     * a losing thread must never probe a half-written store. */
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val built = new StoreDirs.OnceMap[Unit]
 
-  private def once(key: String)(body: => Unit): Unit =
-    built.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
+  private def once(key: String)(body: => Unit): Unit = built(key)(body)
 
   /** Registry form — the full round-trip: build (write) the store for
     * the sf directory ONCE (shared with [[annIvfPqIndexed]] — one
@@ -302,9 +300,12 @@ object PqIndex {
       DataOps.emb(spark, sfDir))
   }
 
-  /** One bucketed-codes write per (JVM, sf directory). */
-  private val bucketedBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** One bucketed-codes write per (JVM, sf directory) — the same
+    * blocking [[StoreDirs.OnceMap]] discipline as [[built]] (round-16
+    * ADVICE: the former non-blocking `keySet.add` would let a losing
+    * thread read a half-written bucketed table if this entry ever
+    * joins a parallel fan-out). */
+  private val bucketedBuilt = new StoreDirs.OnceMap[Unit]
 
   /** Registry form of the inverted-list layout — the SERVING shape: one
     * user query (the standard set's minimum q_id — a deterministic
@@ -324,7 +325,7 @@ object PqIndex {
     once(dir)(build(spark, sfDir, dir))
     val table = "graft_codes_bkt_" +
       java.lang.Integer.toHexString(dir.hashCode).takeRight(8)
-    if (bucketedBuilt.add(table)) {
+    bucketedBuilt(table) {
       writeBucketedCodes(spark, dir, table,
         path = Some(StoreDirs.tmpStoreDir("graft-codes-bktdata", sfDir)))
     }

@@ -106,14 +106,13 @@ object SqIndex {
     * [[PqIndex]]/[[PostingsIndex]] guard: the lifecycle entries' append
     * half is not idempotent, so later registry calls probe, never
     * re-mutate. */
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val built = new StoreDirs.OnceMap[Unit]
 
   /** Blocking once-per-key guard (the [[PqIndex]] form): concurrent
     * audit-tier threads for the same store must wait for the first
-    * build, never probe a half-written directory. */
-  private def once(key: String)(body: => Unit): Unit =
-    built.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
+    * build, never probe a half-written directory; the body runs
+    * outside the map's bin lock ([[StoreDirs.OnceMap]]). */
+  private def once(key: String)(body: => Unit): Unit = built(key)(body)
 
   /** Registry form — the full round-trip: build (write) the store,
     * then answer the standard ANN query set purely from the read-back

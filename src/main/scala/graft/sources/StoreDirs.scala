@@ -246,6 +246,42 @@ private[graft] object StoreDirs {
     } finally in.close()
   }
 
+  /** Blocking per-key memoization whose body runs OUTSIDE the map's
+    * bin lock (round-16 ADVICE): `computeIfAbsent` inserts only a
+    * cheap [[java.util.concurrent.FutureTask]], so two DIFFERENT keys
+    * that hash into the same bin (the overlapped recall-audit tiers
+    * build `graft-pq-index`/`-incr`/`-del` concurrently) no longer
+    * serialize behind a minutes-long store build, and a body that
+    * re-enters the map can never deadlock on its own bin. Same-key
+    * callers still block until the winner's body completes (the
+    * build-once contract). A failed body's entry is REMOVED before
+    * the error propagates, so a later caller retries instead of
+    * replaying a cached exception — the pre-round semantics. */
+  private[graft] final class OnceMap[V] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.FutureTask[V]]()
+    def apply(key: String)(body: => V): V = {
+      val task = m.computeIfAbsent(key,
+        _ => new java.util.concurrent.FutureTask[V](
+          new java.util.concurrent.Callable[V] { def call(): V = body }))
+      task.run() // no-op if another thread already ran / is running it
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          m.remove(key, task)
+          throw e.getCause
+        case e: java.util.concurrent.CancellationException =>
+          m.remove(key, task)
+          throw e
+      }
+    }
+    /** Evict entries whose key fails the predicate (the trained-model
+      * cache's context-epoch sweep). */
+    def retainKeys(p: String => Boolean): Unit = {
+      m.keySet.removeIf(k => !p(k)); ()
+    }
+  }
+
   /** This JVM's random nonce — also the default ingest writer identity
     * ([[graft.streaming.IngestPipeline]]'s lease). */
   private[graft] val jvmNonce: String =
