@@ -3379,28 +3379,24 @@ object DataOps {
     // Evaluate the five tier probes on overlapped driver threads
     // ([[parBuild]]): the audit's cost is max(tier) instead of the
     // strict serial sum the one-final-job shape used to pay. The
-    // shared persisted inputs (ranks/recon) fill on first use; only
-    // `coded` — the expensive shared input (the round-17 profile reads
-    // its fill at ~2.2 s, the single largest component) — is
-    // coordinated: the ivfpq tier warms it once and the pq tier waits
-    // on the latch instead of racing to duplicate the whole fill (two
-    // concurrent consumers otherwise each compute every partition,
-    // burning a core-2.2 s the other tiers could use; ranks/recon are
-    // sub-second and single-consumer-at-first-touch, so they stay
-    // uncoordinated). In lazy-plan mode builders run inline in order,
-    // so the countDown precedes the await and nothing blocks.
-    val codedReady = new java.util.concurrent.CountDownLatch(1)
+    // shared persisted inputs (ranks/coded/recon) fill on first use;
+    // racing tiers may duplicate a partition's compute, which measured
+    // at parity with a serial warm phase before the tier fan-out —
+    // kept for the shorter critical path (one fewer serial barrier).
+    // (Round 17 additionally probed latch-coordinating the expensive
+    // `coded` fill between the pq and ivfpq tiers: paired A/Bs read it
+    // neutral at 32 cores and ~0.2–0.3 s SLOWER at 8 — the
+    // BlockManager's per-partition cache locks already bound the
+    // duplicate work, and the explicit warm added a serial step — so
+    // the uncoordinated first-touch form stays. OPTIMIZATION_r17.md.)
     val tiers: Seq[(String, DataFrame)] =
       Seq("ivf", "ivfpq", "lsh", "pq", "sq").zip(parPinned(Seq(
         () => ivfProbe(spark, q, cents, ranks, v),
-        () => {
-          try warm(coded) finally codedReady.countDown()
-          ivfPqProbe(spark, q, cents,
-            ranks.select(col("vec_id"), col("cid").as("cell")),
-            refined, coded, v)
-        },
+        () => ivfPqProbe(spark, q, cents,
+          ranks.select(col("vec_id"), col("cid").as("cell")),
+          refined, coded, v),
         () => annLsh(spark, sfDir),
-        () => { codedReady.await(); pqProbe(spark, q, refined, coded, v) },
+        () => pqProbe(spark, q, refined, coded, v),
         () => sqProbe(spark, q, recon, v))))
     finish(recallRows(truth, tiers), ranks, el, coded, recon)
   }
